@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (TPC-H Q5 shape, probe P31) at
+sf0.001. ``queries()`` / ``oracle_sql()`` expose every implemented operator
+from SURVEY.md §2 with its DuckDB oracle; the driver hash-compares them at
+sf0.01 → CORRECTNESS_r{N}.json.
 """
 
 from __future__ import annotations
@@ -16,23 +15,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from mindsdb_spark.queries.probes import p31
+
+    return p31(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from mindsdb_spark.queries.probes import PROBES
+    from mindsdb_spark.queries.pipeline import PIPELINE
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = {name: fn for name, (fn, _sql) in PROBES.items()}
+    out.update({name: fn for name, (fn, _sql) in PIPELINE.items()})
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL oracle per query key (omitted → rows-only)."""
+    from mindsdb_spark.queries.probes import PROBES
+    from mindsdb_spark.queries.pipeline import PIPELINE
+
+    out = {name: sql for name, (_fn, sql) in PROBES.items() if sql is not None}
+    out.update({name: sql for name, (_fn, sql) in PIPELINE.items() if sql is not None})
+    return out

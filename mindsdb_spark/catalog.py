@@ -1,0 +1,107 @@
+"""Federated source catalog.
+
+The reference resolves three-part names ``datasource.schema.table`` against a
+registry of integrations and projects, lower-casing unquoted identifiers
+(reference: mindsdb/api/executor/planner/query_planner.py:270-299,64-78).
+
+Here every registered source contributes lazily-read DataFrames to a session
+catalog; queries see them both as bare names (``lineitem``) and as federated
+names (``tpch.lineitem``). A source is anything that yields a DataFrame per
+table — parquet directories now; a JDBC source follows the same shape
+(``spark.read.jdbc`` with partitionColumn for parallel scans).
+
+Scale note: registration is metadata-only (no IO). Reads stay lazy so
+Catalyst pushes filters/column pruning into the parquet scan; nothing is
+materialized at catalog time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Tables the driver materializes per scale factor (TESTDATA.md).
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# Columns written by the data generator as parquet TIMESTAMP(NANOS), which
+# Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL). We read them as
+# raw int64 nanos (legacy nanosAsLong conf) and convert to microsecond
+# timestamps in-plan; sub-microsecond digits are dropped by both engines at
+# the comparison edge (strftime %f is µs), so semantics agree with DuckDB.
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazily read one fixture table from a scale-factor directory."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos_cols = _NANOS_TS_COLS.get(name, ())
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            # integer `div`, not `/`: double division rounds the low digit
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+class SourceCatalog:
+    """Session-level registry mapping ``source.table`` → DataFrame factory.
+
+    Mirrors the reference's datasource registry
+    (mindsdb/api/executor/datahub/datanodes/integration_datanode.py:78-311)
+    but resolution produces a lazy DataFrame instead of a fetched pandas
+    frame, so federated queries compile into ONE Catalyst plan.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._sources: dict[str, dict[str, str]] = {}
+
+    def register_parquet_source(self, source: str, directory: str, tables=TPCH_TABLES) -> None:
+        tbls = {}
+        for t in tables:
+            path = os.path.join(directory, f"{t}.parquet")
+            if os.path.exists(path):
+                tbls[t.lower()] = path
+        self._sources[source.lower()] = tbls
+
+    def table(self, name: str) -> DataFrame:
+        """Resolve ``table`` or ``source.table`` (case-insensitive)."""
+        parts = name.lower().split(".")
+        if len(parts) == 1:
+            for tbls in self._sources.values():
+                if parts[0] in tbls:
+                    return load_table(self.spark, os.path.dirname(tbls[parts[0]]), parts[0])
+            raise KeyError(f"unknown table {name!r}")
+        source, table = parts[-2], parts[-1]
+        if source not in self._sources or table not in self._sources[source]:
+            raise KeyError(f"unknown table {name!r}")
+        return load_table(self.spark, os.path.dirname(self._sources[source][table]), table)
+
+    def register_views(self, source: str | None = None) -> None:
+        """Expose registered tables as temp views (bare + ``source_table``)."""
+        for src, tbls in self._sources.items():
+            if source is not None and src != source.lower():
+                continue
+            for t, path in tbls.items():
+                df = load_table(self.spark, os.path.dirname(path), t)
+                df.createOrReplaceTempView(t)
+                df.createOrReplaceTempView(f"{src}_{t}")
+
+    def tables(self) -> list[tuple[str, str]]:
+        return [(src, t) for src, tbls in self._sources.items() for t in tbls]

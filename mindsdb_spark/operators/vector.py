@@ -1,0 +1,127 @@
+"""Vector / similarity-search operators.
+
+Reference semantics: a knowledge base select embeds the query text and asks
+the vector store for a similarity top-k with metadata pre-filters, default
+limit 10, cap 100 (reference: mindsdb/interfaces/knowledge_base/controller.py:
+258-380, defaults 356-360; condition extraction
+mindsdb/integrations/libs/vectordatabase_handler.py:103-176).
+
+Spark-first re-expression:
+
+* ``cosine_topk`` — exact brute-force scan: JVM-side ``zip_with`` +
+  ``aggregate`` dot product against a literal query vector, then
+  ``orderBy(...).limit(k)`` which compiles to TakeOrderedAndProject
+  (per-partition top-k, k-row driver merge — no global sort, no collect).
+  This is the deterministic oracle-checked baseline and scales linearly with
+  executors.
+* ``lsh_bucket_topk`` — the approximate scale path: random-hyperplane LSH
+  (SimHash family) buckets vectors so each query probes only its bucket,
+  turning the all-pairs scan into a bucket-equi-join that shuffles on the
+  bucket key.
+
+All arithmetic is double precision (embeddings are array<float> on disk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+col = F.col
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_similarity(vec_col: Column, query: list[float]) -> Column:
+    """Cosine similarity of an array column against a constant query vector.
+
+    Stays entirely inside whole-stage codegen (no Python UDF): zip_with +
+    aggregate are JVM higher-order functions.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query])
+    import math
+
+    q_norm = math.sqrt(sum(float(x) * float(x) for x in query))
+    v = vec_col.cast("array<double>")
+    return _dot(v, q) / (_norm(v) * F.lit(q_norm))
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    sim_col: str = "sim",
+) -> DataFrame:
+    """Exact cosine top-k: the KB-search baseline (default limit 10 mirrors
+    controller.py:356-360). Deterministic: ties broken by id_col."""
+    sim = cosine_similarity(col(vec_col), query).alias(sim_col)
+    return df.select("*", sim).orderBy(col(sim_col).desc(), col(id_col)).limit(k)
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-LSH (driver-side, tiny)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit i = sign(v · plane_i). Pure JVM expression."""
+    v = vec_col.cast("array<double>")
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(v, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_topk_join(
+    data: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    k: int,
+    data_id: str,
+    query_id: str,
+    n_planes: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate kNN join: bucket both sides with the same hyperplanes,
+    equi-join on bucket, cosine-rank within each (query, bucket) group.
+
+    Scale path: the join shuffles on the bucket key only; each query touches
+    ~|data| / 2^n_planes candidates instead of |data|. Recall is traded via
+    n_planes. The exact variant (cosine_topk per query) is the oracle.
+    """
+    from pyspark.sql.window import Window
+
+    if dim is None:
+        dim = len(data.select(vec_col).head()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    d = data.select(
+        col(data_id), col(vec_col).alias("__dv"), lsh_bucket(col(vec_col), planes).alias("__bucket")
+    )
+    q = queries.select(
+        col(query_id), col(vec_col).alias("__qv"), lsh_bucket(col(vec_col), planes).alias("__bucket")
+    )
+    joined = d.join(q, "__bucket")
+    sim = _dot(col("__dv").cast("array<double>"), col("__qv").cast("array<double>")) / (
+        _norm(col("__dv").cast("array<double>")) * _norm(col("__qv").cast("array<double>"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("__sim").desc(), col(data_id))
+    return (
+        joined.withColumn("__sim", sim)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(col("__rn") <= k)
+        .select(query_id, data_id, F.round(col("__sim"), 6).alias("sim"))
+    )

@@ -1,0 +1,803 @@
+"""Probe queries P01–P32 (SURVEY.md §2.12) — the relational parity surface.
+
+Each probe is implemented as a declarative DataFrame plan (Catalyst owns the
+physical strategy: pushdown, join selection, partial aggregation) and paired
+with an ANSI-SQL oracle string that DuckDB — the reference's actual in-memory
+engine (reference: mindsdb/api/executor/utilities/sql.py:57-154) — runs on the
+same parquet inputs. The driver hash-compares both at sf0.01.
+
+Conventions:
+* every computed column is aliased identically in the DataFrame plan and the
+  oracle SQL (the driver sorts columns by name before hashing);
+* floats are rounded in-query; LIMIT queries carry full tie-breaking sort
+  keys so the selected set is deterministic;
+* DuckDB-vs-Spark type divergences are reconciled *in the oracle* (e.g.
+  DuckDB floor() returns DOUBLE, Spark's returns BIGINT → oracle casts).
+
+Scale posture: dimension tables that stay small at any scale factor
+(region: 5 rows, nation: 25) are broadcast explicitly; everything else is
+left to AQE, which demotes/promotes join strategies from runtime stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mindsdb_spark.catalog import load_table as _t
+
+col = F.col
+
+
+def _roundc(c, d: int):
+    """Cross-engine-deterministic rounding for nonnegative doubles.
+
+    Spark's round() does HALF_UP on the shortest decimal representation of
+    the double; DuckDB's rounds in binary (std::round(x*10^d)/10^d). They
+    disagree whenever the true value sits on a .xx5 boundary (e.g. any
+    2-decimal sum divided by 2). floor(x*10^d + 0.5)/10^d is the same IEEE
+    op sequence in both engines → bit-identical results. Used (with the
+    matching SQL spelled out in the oracle) wherever the rounded value can
+    have more than `d` true decimal digits.
+    """
+    p = float(10**d)
+    return F.floor(c * p + F.lit(0.5)) / F.lit(p)
+
+
+# --- P01 scan + project + filter -------------------------------------------
+def p01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((col("l_quantity") > 30) & (col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+P01_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_quantity > 30 AND l_returnflag = 'R'
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# --- P02 scalar string functions -------------------------------------------
+def p02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("un"),
+        F.substring("c_mktsegment", 1, 3).alias("seg3"),
+        F.length("c_name").alias("ln"),
+        F.concat(col("c_mktsegment"), F.lit("-"), col("c_name")).alias("cc"),
+    ).orderBy("c_custkey")
+
+
+P02_SQL = """
+SELECT c_custkey, upper(c_name) AS un, substr(c_mktsegment, 1, 3) AS seg3,
+       length(c_name) AS ln, concat(c_mktsegment, '-', c_name) AS cc
+FROM customer ORDER BY c_custkey
+"""
+
+
+# --- P03 date functions -----------------------------------------------------
+def p03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.date_trunc("month", col("o_orderdate")).alias("mstart"),
+    ).orderBy("o_orderkey")
+
+
+P03_SQL = """
+SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+       dayofmonth(o_orderdate) AS d, date_trunc('month', o_orderdate) AS mstart
+FROM orders ORDER BY o_orderkey
+"""
+
+
+# --- P04 math + CASE --------------------------------------------------------
+def p04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _roundc(col("l_extendedprice") * (1 - col("l_discount")) * (1 + col("l_tax")), 2).alias("charge"),
+        F.when(col("l_discount") >= 0.05, "hi").otherwise("lo").alias("disc_band"),
+        F.abs(col("l_quantity") - 25).alias("dq"),
+        F.floor("l_extendedprice").alias("fp"),
+        F.ceil(col("l_tax") * 100).alias("ct"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# DuckDB floor/ceil return DOUBLE, Spark's return BIGINT → cast in oracle.
+P04_SQL = """
+SELECT l_orderkey, l_linenumber,
+       floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100 AS charge,
+       CASE WHEN l_discount >= 0.05 THEN 'hi' ELSE 'lo' END AS disc_band,
+       abs(l_quantity - 25) AS dq,
+       CAST(floor(l_extendedprice) AS BIGINT) AS fp,
+       CAST(ceil(l_tax * 100) AS BIGINT) AS ct
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# --- P05 group-by aggregation (TPC-H Q1 shape) ------------------------------
+def p05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sq"),
+            _roundc(F.sum(col("l_extendedprice") * (1 - col("l_discount"))), 2).alias("srev"),
+            _roundc(F.avg("l_discount"), 6).alias("ad"),
+            F.min("l_shipdate").alias("mn"),
+            F.max("l_shipdate").alias("mx"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+P05_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+       round(sum(l_quantity), 2) AS sq,
+       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS srev,
+       floor(avg(l_discount) * 1000000 + 0.5) / 1000000 AS ad, min(l_shipdate) AS mn, max(l_shipdate) AS mx
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- P06 HAVING + count distinct --------------------------------------------
+def p06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n"), F.countDistinct("o_orderpriority").alias("np"))
+        .filter(col("n") >= 3)
+        .orderBy("o_custkey")
+    )
+
+
+P06_SQL = """
+SELECT o_custkey, count(*) AS n, count(DISTINCT o_orderpriority) AS np
+FROM orders GROUP BY o_custkey HAVING count(*) >= 3 ORDER BY o_custkey
+"""
+
+
+# --- P07 inner equi-join + agg (federated in the reference) ----------------
+def p07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, col("o_custkey") == col("c_custkey"))
+        .join(F.broadcast(n), col("c_nationkey") == col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"), F.count("*").alias("cnt"))
+        .orderBy("n_name")
+    )
+
+
+P07_SQL = """
+SELECT n_name, round(sum(o_totalprice), 2) AS rev, count(*) AS cnt
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+# --- P08 left join with join-condition filter on the null-producing side ----
+def p08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    cond = (col("c_custkey") == col("o_custkey")) & (col("o_totalprice") > 300000)
+    return (
+        c.join(o, cond, "left")
+        .select("c_custkey", "c_name", "o_orderkey")
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first())
+    )
+
+
+P08_SQL = """
+SELECT c_custkey, c_name, o_orderkey
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey AND o_totalprice > 300000
+ORDER BY c_custkey, o_orderkey NULLS FIRST
+"""
+
+
+# --- P09 full outer join ----------------------------------------------------
+def p09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, col("c_custkey") == col("o_custkey"), "full_outer")
+        .select("c_custkey", "o_orderkey")
+        .orderBy(col("c_custkey").asc_nulls_first(), col("o_orderkey").asc_nulls_first())
+    )
+
+
+P09_SQL = """
+SELECT c_custkey, o_orderkey FROM customer
+FULL OUTER JOIN orders ON c_custkey = o_custkey
+ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST
+"""
+
+
+# --- P10 theta join (self-join, bounded) ------------------------------------
+def p10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r1 = _t(spark, sf_dir, "region").select(col("r_regionkey").alias("k1"))
+    r2 = _t(spark, sf_dir, "region").select(col("r_regionkey").alias("k2"))
+    return (
+        r1.join(r2, col("k1") < col("k2"))
+        .select(col("k1").alias("r_regionkey"), col("k2").alias("r_regionkey_2"))
+        .orderBy("r_regionkey", "r_regionkey_2")
+    )
+
+
+P10_SQL = """
+SELECT r1.r_regionkey AS r_regionkey, r2.r_regionkey AS r_regionkey_2
+FROM region r1 JOIN region r2 ON r1.r_regionkey < r2.r_regionkey
+ORDER BY r_regionkey, r_regionkey_2
+"""
+
+
+# --- P11 cross join ---------------------------------------------------------
+def p11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name").orderBy("r_name", "n_name")
+
+
+P11_SQL = """
+SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name
+"""
+
+
+# --- P12 semi / anti join via IN / NOT IN -----------------------------------
+def p12_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(col("o_totalprice") > 200000)
+    return (
+        c.join(o, col("c_custkey") == col("o_custkey"), "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+P12_SEMI_SQL = """
+SELECT c_custkey FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+ORDER BY c_custkey
+"""
+
+
+def p12_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(col("o_totalprice") > 350000)
+    return (
+        c.join(o, col("c_custkey") == col("o_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+P12_ANTI_SQL = """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 350000)
+ORDER BY c_custkey
+"""
+
+
+# --- P13 scalar subquery ----------------------------------------------------
+def p13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    # The scalar aggregate stays inside the plan as a broadcast cross join —
+    # no collect() round-trip, so the whole thing is one Catalyst plan.
+    avg_df = o.agg(F.avg("o_totalprice").alias("__avg"))
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .filter(col("o_totalprice") > col("__avg"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+P13_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+ORDER BY o_orderkey
+"""
+
+
+# --- P14 correlated EXISTS --------------------------------------------------
+def p14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(col("o_orderstatus") == "F")
+    return (
+        c.join(o, col("c_custkey") == col("o_custkey"), "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+P14_SQL = """
+SELECT c_custkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderstatus = 'F')
+ORDER BY c_custkey
+"""
+
+
+# --- P15 CTE ----------------------------------------------------------------
+def p15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("__t"))
+    return (
+        c.join(big, col("c_custkey") == col("o_custkey"))
+        .filter(col("__t") > 100000)
+        .select("c_name", F.round(col("__t"), 2).alias("t"))
+        .orderBy("c_name")
+    )
+
+
+P15_SQL = """
+WITH big AS (SELECT o_custkey, sum(o_totalprice) AS t FROM orders GROUP BY o_custkey)
+SELECT c_name, round(big.t, 2) AS t FROM customer JOIN big ON c_custkey = o_custkey
+WHERE big.t > 100000 ORDER BY c_name
+"""
+
+
+# --- P16 nested select in FROM ----------------------------------------------
+def p16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    inner = c.filter(col("c_acctbal") > 0).select(
+        col("c_mktsegment").alias("seg"), col("c_acctbal").alias("bal")
+    )
+    return inner.groupBy("seg").agg(_roundc(F.avg("bal"), 2).alias("ab")).orderBy("seg")
+
+
+P16_SQL = """
+SELECT seg, floor(avg(bal) * 100 + 0.5) / 100 AS ab FROM
+ (SELECT c_mktsegment AS seg, c_acctbal AS bal FROM customer WHERE c_acctbal > 0) t
+GROUP BY seg ORDER BY seg
+"""
+
+
+# --- P17 set operations -----------------------------------------------------
+def _p17_sides(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(col("s_nationkey").alias("k"))
+    return c, s
+
+
+def p17_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, s = _p17_sides(spark, sf_dir)
+    return c.union(s).distinct().orderBy("k")
+
+
+P17_UNION_SQL = "SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier ORDER BY k"
+
+
+def p17_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, s = _p17_sides(spark, sf_dir)
+    return c.union(s).orderBy("k")
+
+
+P17_UNION_ALL_SQL = "SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey FROM supplier ORDER BY k"
+
+
+def p17_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, s = _p17_sides(spark, sf_dir)
+    return c.intersect(s).orderBy("k")
+
+
+P17_INTERSECT_SQL = "SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY k"
+
+
+def p17_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE: the reference executor silently runs EXCEPT as UNION
+    # (reference bug: planner emits operation="except" at
+    # mindsdb/api/executor/planner/query_planner.py:879-881 but
+    # mindsdb/api/executor/sql_query/steps/union_step.py:36-39 maps any
+    # non-intersect op to UNION). We implement EXCEPT correctly.
+    c = _t(spark, sf_dir, "customer").select(col("c_nationkey").alias("k"))
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(col("s_acctbal") > 5000)
+        .select(col("s_nationkey").alias("k"))
+    )
+    return c.subtract(s).orderBy("k")
+
+
+P17_EXCEPT_SQL = "SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000 ORDER BY k"
+
+
+# --- P18 order / limit / offset ---------------------------------------------
+def p18_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    # orderBy + limit compiles to TakeOrderedAndProject: per-partition top-k
+    # then a k-row merge on the driver — no global sort at any scale.
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc(), col("o_orderkey"))
+        .limit(20)
+    )
+
+
+P18_TOPK_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def p18_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderkey").orderBy("o_orderkey").offset(5).limit(10)
+
+
+P18_OFFSET_SQL = "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 10 OFFSET 5"
+
+
+# --- P19 distinct -----------------------------------------------------------
+def p19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderpriority").distinct().orderBy("o_orderpriority")
+
+
+P19_SQL = "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority"
+
+
+# --- P20 ranking window functions -------------------------------------------
+def p20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w_rn = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc(), col("o_orderkey"))
+    w_rk = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc())
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w_rn).alias("rn"),
+        F.rank().over(w_rk).alias("rk"),
+        F.dense_rank().over(w_rk).alias("drk"),
+    ).orderBy("o_custkey", "rn")
+
+
+P20_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+       rank()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rk,
+       dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drk
+FROM orders ORDER BY o_custkey, rn
+"""
+
+
+# --- P21 analytic windows with frames ---------------------------------------
+def p21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mov_avg is expressed via lag() arithmetic instead of avg() OVER a
+    # moving frame: engines disagree in the last ulp when a sliding-frame
+    # aggregate is maintained incrementally (DuckDB) vs recomputed per frame
+    # (Spark), which flips round(x, 2) on .xx5 boundaries. Explicit
+    # lag-sum fixes the evaluation order identically in both engines.
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    p, l1, l2 = col("o_totalprice"), F.lag("o_totalprice", 1).over(w), F.lag("o_totalprice", 2).over(w)
+    mov_avg = (p + F.coalesce(l1, F.lit(0.0)) + F.coalesce(l2, F.lit(0.0))) / (
+        F.lit(1) + l1.isNotNull().cast("int") + l2.isNotNull().cast("int")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_p"),
+        F.lead("o_orderkey").over(w).alias("next_k"),
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias("run_sum"),
+        _roundc(mov_avg, 2).alias("mov_avg"),
+        "o_orderdate",
+    ).drop("o_orderdate").orderBy("o_custkey", "o_orderkey")
+
+
+P21_SQL = """
+SELECT o_custkey, o_orderkey,
+       lag(o_totalprice)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_p,
+       lead(o_orderkey)   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_k,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum,
+       floor((o_totalprice
+              + coalesce(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0)
+              + coalesce(lag(o_totalprice, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0))
+             / (1 + CAST(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NOT NULL AS INTEGER)
+                  + CAST(lag(o_totalprice, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NOT NULL AS INTEGER))
+             * 100 + 0.5) / 100 AS mov_avg
+FROM orders ORDER BY o_custkey, o_orderkey
+"""
+
+
+# --- P22 ntile / first_value ------------------------------------------------
+def p22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    # Global ntile needs a total order (single-partition window). Fine at
+    # dimension-table cardinality; at fact scale use range-partitioned
+    # percent_rank instead (see operators.text for the pattern).
+    w_q = Window.orderBy("p_retailprice", "p_partkey")
+    w_fv = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc(), col("p_partkey"))
+    return p.select(
+        "p_partkey",
+        "p_retailprice",
+        F.ntile(4).over(w_q).alias("quartile"),
+        F.first_value("p_name").over(w_fv).alias("priciest"),
+    ).orderBy("p_partkey")
+
+
+P22_SQL = """
+SELECT p_partkey, p_retailprice,
+       ntile(4) OVER (ORDER BY p_retailprice, p_partkey) AS quartile,
+       first_value(p_name) OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS priciest
+FROM part ORDER BY p_partkey
+"""
+
+
+# --- P23 ROLLUP -------------------------------------------------------------
+def p23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sq"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "sq",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+P23_SQL = """
+SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
+       round(sum(l_quantity),2) AS sq
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY rf, ls
+"""
+
+
+# --- P24 null semantics -----------------------------------------------------
+def p24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.filter(col("c_acctbal").isNotNull())
+        .select(
+            "c_custkey",
+            F.coalesce(F.nullif(col("c_mktsegment"), F.lit("BUILDING")), F.lit("(b)")).alias("seg"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+P24_SQL = """
+SELECT c_custkey, coalesce(nullif(c_mktsegment,'BUILDING'),'(b)') AS seg
+FROM customer WHERE c_acctbal IS NOT NULL ORDER BY c_custkey
+"""
+
+
+# --- P25 BETWEEN / IN-list / LIKE -------------------------------------------
+def p25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(
+            col("p_size").between(10, 20)
+            & col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+            & col("p_type").like("%AND%")
+        )
+        .select("p_partkey")
+        .orderBy("p_partkey")
+    )
+
+
+P25_SQL = """
+SELECT p_partkey FROM part
+WHERE p_size BETWEEN 10 AND 20 AND p_brand IN ('Brand#1','Brand#2','Brand#3')
+  AND p_type LIKE '%AND%' ORDER BY p_partkey
+"""
+
+
+# --- P26 casts --------------------------------------------------------------
+def p26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    # The decimal cast is exercised but re-cast to double at the output edge:
+    # DuckDB's client protocol downgrades DECIMAL to float64 in .df() while
+    # Spark surfaces Decimal objects, so raw decimals can't be hash-compared.
+    return (
+        li.orderBy("l_orderkey", "l_linenumber")
+        .select(
+            "l_orderkey",
+            col("l_quantity").cast("int").alias("qi"),
+            col("l_extendedprice").cast("decimal(12,2)").cast("double").alias("pd"),
+            col("l_orderkey").cast("string").alias("ks"),
+        )
+    )
+
+
+P26_SQL = """
+SELECT l_orderkey, cast(l_quantity AS integer) AS qi,
+       cast(cast(l_extendedprice AS decimal(12,2)) AS double) AS pd,
+       cast(l_orderkey AS varchar) AS ks
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# --- P27 time bucketing (batch analog of a tumbling window) -----------------
+def p27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", col("ts")).alias("h"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .orderBy("h", "event_type")
+    )
+
+
+P27_SQL = """
+SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
+       round(sum(value), 2) AS sv
+FROM events GROUP BY date_trunc('hour', ts), event_type ORDER BY h, event_type
+"""
+
+
+# --- P28 sessionization precursor (lag-based gap flag) ----------------------
+def p28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return e.select(
+        "user_id",
+        "ts",
+        F.when(prev.isNull(), 1)
+        .when(col("ts") > prev + F.expr("INTERVAL 30 MINUTES"), 1)
+        .otherwise(0)
+        .alias("new_session"),
+        "event_id",
+    ).drop("event_id").orderBy("user_id", "ts")
+
+
+P28_SQL = """
+SELECT user_id, ts,
+  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+       WHEN ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+FROM events ORDER BY user_id, ts
+"""
+
+
+# --- P29 incremental high-watermark filter (LAST-keyword analog) ------------
+# The reference's LAST keyword substitutes a tracked high-watermark into the
+# WHERE clause (reference: mindsdb/interfaces/query_context/last_query.py:21-120).
+def p29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(col("ts") > F.lit("2024-01-05 00:00:00").cast("timestamp"))
+        .select("event_id", "ts")
+        .orderBy("event_id")
+    )
+
+
+P29_SQL = """
+SELECT event_id, ts FROM events
+WHERE ts > timestamp '2024-01-05 00:00:00' ORDER BY event_id
+"""
+
+
+# --- P30 group count --------------------------------------------------------
+def p30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(F.count("*").alias("n")).orderBy("c_nationkey")
+
+
+P30_SQL = """
+SELECT c_nationkey, count(*) AS n FROM customer
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+# --- P31 multi-way join (TPC-H Q5 shape) ------------------------------------
+def p31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(col("r_name") == "ASIA")
+    return (
+        c.join(o, col("c_custkey") == col("o_custkey"))
+        .join(li, col("l_orderkey") == col("o_orderkey"))
+        .join(s, (col("l_suppkey") == col("s_suppkey")) & (col("c_nationkey") == col("s_nationkey")))
+        .join(F.broadcast(n), col("s_nationkey") == col("n_nationkey"))
+        .join(F.broadcast(r), col("n_regionkey") == col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(_roundc(F.sum(col("l_extendedprice") * (1 - col("l_discount"))), 2).alias("revenue"))
+        .orderBy(col("revenue").desc(), "n_name")
+    )
+
+
+P31_SQL = """
+SELECT n_name, floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name
+"""
+
+
+# --- P32 exact vector top-k (knowledge-base search analog) ------------------
+# The reference KB search embeds the query text then asks the vector store
+# for a similarity top-k, default limit 10
+# (reference: mindsdb/interfaces/knowledge_base/controller.py:258-380).
+# Deterministic analog: cosine top-10 against the embedding of vec_id=0.
+def p32_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.vector import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(col("vec_id") == 0).select("embedding").head()[0]
+    return cosine_topk(emb, "embedding", [float(x) for x in q], k=10, id_col="vec_id").select("vec_id")
+
+
+# Cosine computed explicitly in double precision so the fold order/precision
+# matches Spark's F.aggregate over array<double>.
+P32_SQL = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id FROM (
+  SELECT vec_id,
+    list_sum(list_transform(generate_series(1, len(embedding)),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+  FROM embeddings, q
+) ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+# --- registry ----------------------------------------------------------------
+# name → (spark_fn, oracle_sql)
+PROBES = {
+    "p01_scan_filter": (p01, P01_SQL),
+    "p02_string_fns": (p02, P02_SQL),
+    "p03_date_fns": (p03, P03_SQL),
+    "p04_math_case": (p04, P04_SQL),
+    "p05_groupby_agg": (p05, P05_SQL),
+    "p06_having_countd": (p06, P06_SQL),
+    "p07_join_agg": (p07, P07_SQL),
+    "p08_left_join": (p08, P08_SQL),
+    "p09_full_outer": (p09, P09_SQL),
+    "p10_theta_join": (p10, P10_SQL),
+    "p11_cross_join": (p11, P11_SQL),
+    "p12_semi_join": (p12_semi, P12_SEMI_SQL),
+    "p12_anti_join": (p12_anti, P12_ANTI_SQL),
+    "p13_scalar_subquery": (p13, P13_SQL),
+    "p14_exists": (p14, P14_SQL),
+    "p15_cte": (p15, P15_SQL),
+    "p16_from_subquery": (p16, P16_SQL),
+    "p17_union": (p17_union, P17_UNION_SQL),
+    "p17_union_all": (p17_union_all, P17_UNION_ALL_SQL),
+    "p17_intersect": (p17_intersect, P17_INTERSECT_SQL),
+    "p17_except": (p17_except, P17_EXCEPT_SQL),
+    "p18_topk": (p18_topk, P18_TOPK_SQL),
+    "p18_offset": (p18_offset, P18_OFFSET_SQL),
+    "p19_distinct": (p19, P19_SQL),
+    "p20_rank_windows": (p20, P20_SQL),
+    "p21_analytic_windows": (p21, P21_SQL),
+    "p22_ntile_firstvalue": (p22, P22_SQL),
+    "p23_rollup": (p23, P23_SQL),
+    "p24_null_semantics": (p24, P24_SQL),
+    "p25_between_in_like": (p25, P25_SQL),
+    "p26_casts": (p26, P26_SQL),
+    "p27_time_bucket": (p27, P27_SQL),
+    "p28_session_flag": (p28, P28_SQL),
+    "p29_watermark": (p29, P29_SQL),
+    "p30_group_count": (p30, P30_SQL),
+    "p31_q5_join": (p31, P31_SQL),
+    "p32_vector_topk": (p32_vector_topk, P32_SQL),
+}

@@ -1,0 +1,43 @@
+"""SparkSession factory.
+
+The reference engine executes everything single-node inside DuckDB bounded at
+80% of RAM (reference: mindsdb/api/executor/utilities/sql.py:88-89). Here the
+execution engine is Spark; the session defaults below are chosen for the
+100 TB / many-executor posture while remaining correct on local[N]:
+
+* AQE on — runtime coalescing of shuffle partitions, skew-join splitting and
+  broadcast-join demotion are the scale levers Catalyst controls at runtime.
+* shuffle.partitions sized to the local core count; on a real cluster this is
+  overridden (AQE coalesces downward from a high initial number).
+* Arrow enabled — every pandas interchange (createDataFrame/toPandas/pandas
+  UDF) is Arrow-batched, never row-at-a-time pickling.
+* Session timezone pinned to UTC so date/time functions agree with the
+  DuckDB oracle, which treats parquet timestamps as naive UTC.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "mindsdb-spark", cpus: str | int | None = None) -> SparkSession:
+    """Build (or reuse) the engine SparkSession."""
+    cpus = str(cpus or DEFAULT_CPUS)
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
