@@ -51,7 +51,7 @@ def p01(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.filter((col("l_quantity") > 30) & (col("l_returnflag") == "R"))
         .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber")
+
     )
 
 
@@ -71,7 +71,7 @@ def p02(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("c_mktsegment", 1, 3).alias("seg3"),
         F.length("c_name").alias("ln"),
         F.concat(col("c_mktsegment"), F.lit("-"), col("c_name")).alias("cc"),
-    ).orderBy("c_custkey")
+    )
 
 
 P02_SQL = """
@@ -90,7 +90,7 @@ def p03(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("m"),
         F.dayofmonth("o_orderdate").alias("d"),
         F.date_trunc("month", col("o_orderdate")).alias("mstart"),
-    ).orderBy("o_orderkey")
+    )
 
 
 P03_SQL = """
@@ -111,7 +111,7 @@ def p04(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(col("l_quantity") - 25).alias("dq"),
         F.floor("l_extendedprice").alias("fp"),
         F.ceil(col("l_tax") * 100).alias("ct"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 # DuckDB floor/ceil return DOUBLE, Spark's return BIGINT → cast in oracle.
@@ -200,7 +200,6 @@ def p08(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(o, cond, "left")
         .select("c_custkey", "c_name", "o_orderkey")
-        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first())
     )
 
 
@@ -218,7 +217,6 @@ def p09(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(o, col("c_custkey") == col("o_custkey"), "full_outer")
         .select("c_custkey", "o_orderkey")
-        .orderBy(col("c_custkey").asc_nulls_first(), col("o_orderkey").asc_nulls_first())
     )
 
 
@@ -304,7 +302,6 @@ def p13(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.crossJoin(F.broadcast(avg_df))
         .filter(col("o_totalprice") > col("__avg"))
         .select("o_orderkey", "o_totalprice")
-        .orderBy("o_orderkey")
     )
 
 
@@ -466,7 +463,7 @@ def p20(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_rn).alias("rn"),
         F.rank().over(w_rk).alias("rk"),
         F.dense_rank().over(w_rk).alias("drk"),
-    ).orderBy("o_custkey", "rn")
+    )
 
 
 P20_SQL = """
@@ -499,7 +496,7 @@ def p21(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias("run_sum"),
         _roundc(mov_avg, 2).alias("mov_avg"),
         "o_orderdate",
-    ).drop("o_orderdate").orderBy("o_custkey", "o_orderkey")
+    ).drop("o_orderdate")
 
 
 P21_SQL = """
@@ -531,7 +528,7 @@ def p22(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice",
         F.ntile(4).over(w_q).alias("quartile"),
         F.first_value("p_name").over(w_fv).alias("priciest"),
-    ).orderBy("p_partkey")
+    )
 
 
 P22_SQL = """
@@ -611,8 +608,7 @@ def p26(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB's client protocol downgrades DECIMAL to float64 in .df() while
     # Spark surfaces Decimal objects, so raw decimals can't be hash-compared.
     return (
-        li.orderBy("l_orderkey", "l_linenumber")
-        .select(
+        li.select(
             "l_orderkey",
             col("l_quantity").cast("int").alias("qi"),
             col("l_extendedprice").cast("decimal(12,2)").cast("double").alias("pd"),
@@ -659,7 +655,7 @@ def p28(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("new_session"),
         "event_id",
-    ).drop("event_id").orderBy("user_id", "ts")
+    ).drop("event_id")
 
 
 P28_SQL = """
@@ -709,9 +705,14 @@ def p31(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(col("r_name") == "ASIA")
+    # lineitem (the fact table) stays leftmost so it is always the streamed
+    # probe side — every dimension lands on the build side, where AQE picks
+    # broadcast vs shuffle from runtime sizes. Building the chain from
+    # customer instead makes Catalyst broadcast lineitem itself (observed:
+    # 600k-row build side, ~1s slower at sf0.1 and fatal at 100 TB).
     return (
-        c.join(o, col("c_custkey") == col("o_custkey"))
-        .join(li, col("l_orderkey") == col("o_orderkey"))
+        li.join(o, col("l_orderkey") == col("o_orderkey"))
+        .join(c, col("o_custkey") == col("c_custkey"))
         .join(s, (col("l_suppkey") == col("s_suppkey")) & (col("c_nationkey") == col("s_nationkey")))
         .join(F.broadcast(n), col("s_nationkey") == col("n_nationkey"))
         .join(F.broadcast(r), col("n_regionkey") == col("r_regionkey"))
