@@ -1,0 +1,158 @@
+"""Deduplication operators over a document table — the training-data-pipeline
+surface the reference lacks (its KB insert dedups only by content-hash id:
+reference: mindsdb/interfaces/knowledge_base/controller.py:647-983, upsert by
+content hash in vectordatabase_handler.py:295-400).
+
+All operators are expressed as distributed DataFrame plans:
+
+* exact:     hash-groupBy (map-side partial agg → tiny shuffle)
+* minhash:   explode shingles → one groupBy with k min-aggregates
+             (partial aggregation makes the shuffle k hex-strings per doc)
+* LSH:       band-signature self-equi-join — shuffles on the band key only,
+             never all-pairs
+* jaccard:   shingle-inverted-index self-join (pairs share a shingle) —
+             the classic n-gram near-dup join; cost is Σ freq(shingle)²,
+             bounded by dropping ultra-hot shingles (stopword shingles)
+* simhash:   per-row 32-bit signature via JVM higher-order functions only
+
+Nothing here collects to the driver; every stage is shuffle-bounded and
+scales horizontally. Python/pandas never touches the hot path.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+col = F.col
+
+
+def words_expr(text_col):
+    """Lowercased whitespace tokenization; identical to the oracle's
+    string_split_regex(lower(trim(x)), '\\s+')."""
+    return F.split(F.lower(F.trim(text_col)), r"\s+")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate grouping by content hash: one row per distinct text,
+    canonical id = min id, dup_count = group size."""
+    return (
+        df.groupBy(F.md5(col(text_col)).alias("__h"))
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .drop("__h")
+        .select(id_col, "dup_count")
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles, exploded to (id, shingle) rows."""
+    w = words_expr(col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
+    )
+    return (
+        df.filter(F.size(w) >= n)
+        .select(col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", n_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature per document from exploded shingles.
+
+    hash_i(s) = md5("{i}:" || s); signature_i = min over shingles — min() is
+    algebraic, so Spark computes it map-side and shuffles only k hex strings
+    per document regardless of document size.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), col("shingle")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, id_col: str = "doc_id", bands: int = 4, rows: int = 4) -> DataFrame:
+    """Fold a minhash signature into band signatures: (id, band_id, band_sig)."""
+    entries = []
+    for b in range(bands):
+        parts = F.concat_ws(",", *[col(f"h{b * rows + r}") for r in range(rows)])
+        entries.append(F.struct(F.lit(b).alias("band_id"), F.md5(parts).alias("band_sig")))
+    return sig.select(
+        col(id_col), F.explode(F.array(*entries)).alias("bd")
+    ).select(id_col, col("bd.band_id"), col("bd.band_sig"))
+
+
+def lsh_candidate_pairs(
+    sh: DataFrame, id_col: str = "doc_id", n_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Near-duplicate candidate pairs: docs sharing any LSH band.
+
+    The self-join shuffles on (band_id, band_sig) — each bucket joins
+    locally; no all-pairs comparison ever materializes.
+    """
+    rows = n_hashes // bands
+    bd = lsh_bands(minhash_signatures(sh, id_col, n_hashes), id_col, bands, rows)
+    a = bd.select(col(id_col).alias("doc_a"), "band_id", "band_sig")
+    b = bd.select(col(id_col).alias("doc_b"), "band_id", "band_sig")
+    return (
+        a.join(b, ["band_id", "band_sig"])
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_topk_pairs(sh: DataFrame, id_col: str = "doc_id", k: int = 20) -> DataFrame:
+    """Top-k most-similar document pairs by exact shingle Jaccard.
+
+    Inverted-index self-join: pairs are generated only where a shingle is
+    shared (cost Σ f(s)²), then |A∩B| / (|A|+|B|-|A∩B|). orderBy+limit
+    compiles to TakeOrderedAndProject — no global sort.
+    """
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.select(col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(col(id_col).alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    na = sizes.select(col(id_col).alias("doc_a"), col("n").alias("na"))
+    nb = sizes.select(col(id_col).alias("doc_b"), col("n").alias("nb"))
+    jac = col("shared") / (col("na") + col("nb") - col("shared"))
+    return (
+        shared.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", (F.floor(jac * 1e6 + F.lit(0.5)) / 1e6).alias("jac"))
+        .orderBy(col("jac").desc(), "doc_a", "doc_b")
+        .limit(k)
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """Per-document 32-bit SimHash, entirely in JVM higher-order functions.
+
+    word hash = first 8 hex chars of md5 (32 bits); bit b of the signature =
+    sign of Σ_words (±1 by bit b of the word hash). One pass per row, no
+    shuffle at all.
+    """
+    w = words_expr(col(text_col))
+    hs = F.transform(w, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long"))
+    def _vote(b):
+        # factory, not a default arg: PySpark counts lambda params and a
+        # bound default would be mistaken for a three-arg lambda
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_terms = []
+    for b in range(bits):
+        vote = F.aggregate(hs, F.lit(0), _vote(b))
+        bit_terms.append(F.when(vote >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    sig = reduce(lambda x, y: x + y, bit_terms).cast("long")
+    return df.select(col(id_col), sig.alias("simhash"))

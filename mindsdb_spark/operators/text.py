@@ -1,0 +1,119 @@
+"""Text-analysis operators for the training-data pipeline: token statistics,
+quality scoring, heuristic language ID, document fingerprinting.
+
+Everything is built from JVM-side expressions (split / regexp_replace /
+higher-order functions) — no Python UDFs — so the operators run inside
+whole-stage codegen and scale with executors. Each has an exact SQL twin in
+queries/pipeline.py used as the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mindsdb_spark.operators.dedup import words_expr
+
+col = F.col
+
+
+def _round6(c):
+    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, n_uniq_tokens) by whitespace tokenization."""
+    w = words_expr(col(text_col))
+    return df.select(
+        col(id_col),
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_uniq_tokens"),
+    )
+
+
+def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality heuristics: length, alpha ratio, avg token length, composite.
+
+    Mirrors the shape of standard pretraining-corpus filters (doc length,
+    symbol-to-word ratio); deterministic and fully JVM-side.
+    """
+    t = col(text_col)
+    w = words_expr(t)
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    n_nospace = F.length(F.regexp_replace(t, r"\s", ""))
+    n_tokens = F.size(w)
+    alpha_ratio = _round6(n_alpha / n_chars)
+    avg_token_len = _round6(n_nospace / n_tokens)
+    score = _round6(
+        F.lit(0.5) * (n_alpha / n_chars) + F.lit(0.5) * (F.least(n_tokens, F.lit(100)) / F.lit(100.0))
+    )
+    return df.select(
+        col(id_col),
+        n_chars.alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        avg_token_len.alias("avg_token_len"),
+        score.alias("quality_score"),
+    )
+
+
+# Marker words per language for the n-gram/stopword-hit heuristic. Priority
+# order (ties resolve to the earlier entry) is part of the operator contract.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to"),
+    "fr": ("le", "la", "les", "et", "de"),
+    "es": ("el", "los", "las", "y", "que"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "zh": ("的", "了", "是"),
+}
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: count marker-word hits per language, argmax
+    with fixed priority order. (id, pred_lang, <lang>_hits...)."""
+    w = words_expr(col(text_col))
+
+    def _hit(markers):
+        # factory, not a default arg: PySpark counts lambda params, and a
+        # bound default would select the (element, index) two-arg form
+        return lambda x: x.isin(*markers)
+
+    scores = {
+        lang: F.size(F.filter(w, _hit(markers))) for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    pred = None
+    for i, lang in enumerate(langs):
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            # >= vs earlier priorities is implied by chain order; strict
+            # comparison set: this lang wins ties against later langs only.
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        branch = F.when(cond, F.lit(lang))
+        pred = branch if pred is None else pred.when(cond, F.lit(lang))
+    return df.select(
+        col(id_col),
+        pred.otherwise(F.lit(langs[0])).alias("pred_lang"),
+        *[scores[lang].alias(f"{lang}_hits") for lang in langs],
+    )
+
+
+def fingerprint_bottom_k(sh: DataFrame, id_col: str = "doc_id", k: int = 4) -> DataFrame:
+    """Bottom-k sketch fingerprint: the k smallest shingle hashes per doc.
+
+    A compact, unionable document signature (bottom-k sketches support set
+    resemblance estimation). Output exploded as (id, fp) rows; the window
+    partitions by document, so the shuffle is by id only.
+    """
+    w = Window.partitionBy(id_col).orderBy("fp")
+    return (
+        sh.select(col(id_col), F.md5(col("shingle")).alias("fp"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(col("__rn") <= k)
+        .select(id_col, "fp")
+    )

@@ -1,9 +1,328 @@
-"""Training-data pipeline queries (dedup / text analysis / similarity).
+"""Training-data pipeline queries: dedup, text analysis, similarity search,
+multimodal plumbing — each a (spark_fn, oracle_sql) pair like the probes.
 
-Placeholder registry — populated by operators as they land.
-name → (spark_fn, oracle_sql | None)
+The oracle SQL mirrors the Spark expression tree op-for-op (same tokenizer
+regex, same hash prefixes, same floor-based rounding) so results are
+bit-comparable; see probes._roundc for the cross-engine rounding rationale.
 """
 
 from __future__ import annotations
 
-PIPELINE: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mindsdb_spark.catalog import load_table as _t
+from mindsdb_spark.operators import dedup as D
+from mindsdb_spark.operators import multimodal as M
+from mindsdb_spark.operators import text as T
+from mindsdb_spark.operators.text import LANG_MARKERS
+from mindsdb_spark.operators.vector import _dot, _norm
+
+col = F.col
+
+# Shared oracle CTE fragments (DuckDB dialect).
+_WORDS = r"words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents)"
+_EX = (
+    "ex AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w)-2), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle FROM words WHERE len(w) >= 3)"
+)
+_COS = (
+    "list_sum(list_transform(generate_series(1, len(embedding)), "
+    "i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) "
+    "/ (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+    "* sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+
+# --- D01 exact dedup ---------------------------------------------------------
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+D01_SQL = """
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY md5(text) ORDER BY doc_id
+"""
+
+
+# --- D02 token stats ---------------------------------------------------------
+def d02_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_stats(_t(spark, sf_dir, "documents"))
+
+
+D02_SQL = f"""
+WITH {_WORDS}
+SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_uniq_tokens
+FROM words ORDER BY doc_id
+"""
+
+
+# --- D03 text quality --------------------------------------------------------
+def d03_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.text_quality(_t(spark, sf_dir, "documents"))
+
+
+D03_SQL = f"""
+WITH {_WORDS},
+m AS (
+  SELECT doc_id,
+         length(text) AS n_chars_actual,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '\\s', '', 'g')) AS n_nospace,
+         len(w) AS n_tokens
+  FROM documents JOIN words USING (doc_id)
+)
+SELECT doc_id, n_chars_actual, n_tokens,
+       floor(n_alpha / n_chars_actual * 1000000 + 0.5) / 1000000 AS alpha_ratio,
+       floor(n_nospace / n_tokens * 1000000 + 0.5) / 1000000 AS avg_token_len,
+       floor((0.5 * (n_alpha / n_chars_actual) + 0.5 * (least(n_tokens, 100) / 100.0)) * 1000000 + 0.5) / 1000000 AS quality_score
+FROM m ORDER BY doc_id
+"""
+
+
+# --- D04 language ID ---------------------------------------------------------
+def d04_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _lang_sql() -> str:
+    langs = list(LANG_MARKERS)
+    hits = ",\n  ".join(
+        "len(list_filter(w, x -> x IN ({}))) AS {}_hits".format(
+            ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]), lang
+        )
+        for lang in langs
+    )
+    cases = " ".join(
+        "WHEN {} THEN '{}'".format(
+            " AND ".join(f"{lang}_hits >= {o}_hits" for o in langs if o != lang), lang
+        )
+        for lang in langs
+    )
+    return f"""
+WITH {_WORDS},
+s AS (SELECT doc_id,\n  {hits}\nFROM words)
+SELECT doc_id, CASE {cases} ELSE '{langs[0]}' END AS pred_lang,
+       {", ".join(f"{lang}_hits" for lang in langs)}
+FROM s ORDER BY doc_id
+"""
+
+
+D04_SQL = _lang_sql()
+
+
+# --- D05 minhash signatures --------------------------------------------------
+def d05_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = D.minhash_signatures(D.shingles(_t(spark, sf_dir, "documents")))
+    return sig.select("doc_id", "h0", "h7", "h15")
+
+
+D05_SQL = f"""
+WITH {_WORDS}, {_EX}
+SELECT doc_id, min(md5('0:' || shingle)) AS h0,
+       min(md5('7:' || shingle)) AS h7, min(md5('15:' || shingle)) AS h15
+FROM ex GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --- D06 n-gram Jaccard top-k near-dup pairs --------------------------------
+def d06_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.jaccard_topk_pairs(D.shingles(_t(spark, sf_dir, "documents")), k=20)
+
+
+D06_SQL = f"""
+WITH {_WORDS}, {_EX},
+sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       floor(shared / (na.n + nb.n - shared) * 1000000 + 0.5) / 1000000 AS jac
+FROM shared JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b
+ORDER BY jac DESC, doc_a, doc_b LIMIT 20
+"""
+
+
+# --- D07 LSH candidate pairs -------------------------------------------------
+def d07_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        D.lsh_candidate_pairs(D.shingles(_t(spark, sf_dir, "documents")))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _lsh_sql() -> str:
+    mins = ", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(16))
+    bands = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5({expr}) AS band_sig FROM sig".format(
+            b=b,
+            expr=" || ',' || ".join(f"h{b * 4 + r}" for r in range(4)),
+        )
+        for b in range(4)
+    )
+    return f"""
+WITH {_WORDS}, {_EX},
+sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+bands AS ({bands})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                         AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+D07_SQL = _lsh_sql()
+
+
+# --- D08 bottom-k fingerprint ------------------------------------------------
+def d08_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprint_bottom_k(D.shingles(_t(spark, sf_dir, "documents")), k=4)
+
+
+D08_SQL = f"""
+WITH {_WORDS}, {_EX},
+fp AS (SELECT doc_id, md5(shingle) AS fp,
+              row_number() OVER (PARTITION BY doc_id ORDER BY md5(shingle)) AS rn
+       FROM ex)
+SELECT doc_id, fp FROM fp WHERE rn <= 4 ORDER BY doc_id, fp
+"""
+
+
+# --- D09 SimHash -------------------------------------------------------------
+def d09_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_sql() -> str:
+    bits = " + ".join(
+        "(CASE WHEN list_sum(list_transform(h, v -> CASE WHEN (v >> {b}) & 1 = 1 "
+        "THEN 1 ELSE -1 END)) >= 0 THEN (1::BIGINT << {b}) ELSE 0 END)".format(b=b)
+        for b in range(32)
+    )
+    return f"""
+WITH {_WORDS},
+hs AS (SELECT doc_id,
+              list_transform(w, x -> ('0x' || substr(md5(x), 1, 8))::UBIGINT) AS h
+       FROM words)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM hs ORDER BY doc_id
+"""
+
+
+D09_SQL = _simhash_sql()
+
+
+# --- D10 exact kNN join (similarity search) ---------------------------------
+def d10_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    data = emb.select("vec_id", col("embedding").cast("array<double>").alias("__dv"))
+    q = emb.filter(col("vec_id") < 10).select(
+        col("vec_id").alias("query_id"), col("embedding").cast("array<double>").alias("__qv")
+    )
+    sim = _dot(col("__dv"), col("__qv")) / (_norm(col("__dv")) * _norm(col("__qv")))
+    w = Window.partitionBy("query_id").orderBy(col("__sim").desc(), col("vec_id"))
+    return (
+        data.crossJoin(F.broadcast(q))
+        .withColumn("__sim", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "vec_id", "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+D10_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+sims AS (
+  SELECT query_id, vec_id, {_COS} AS sim
+  FROM embeddings, q
+),
+r AS (SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM sims)
+SELECT query_id, vec_id, rnk FROM r WHERE rnk <= 5 ORDER BY query_id, rnk
+"""
+
+
+# --- D11 embedding near-dup: top-k most-similar pairs ------------------------
+def d11_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(col("vec_id").alias("vec_a"), col("embedding").cast("array<double>").alias("__a"))
+    b = emb.select(col("vec_id").alias("vec_b"), col("embedding").cast("array<double>").alias("__b"))
+    sim = _dot(col("__a"), col("__b")) / (_norm(col("__a")) * _norm(col("__b")))
+    return (
+        a.crossJoin(b)
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("__sim", sim)
+        .orderBy(col("__sim").desc(), "vec_a", "vec_b")
+        .limit(20)
+        .select("vec_a", "vec_b")
+    )
+
+
+D11_SQL = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+sims AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    list_sum(list_transform(generate_series(1, len(a.embedding)),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b FROM sims ORDER BY sim DESC, vec_a, vec_b LIMIT 20
+"""
+
+
+# --- D12 JSON extraction over events ----------------------------------------
+def d12_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(col("props"), "$.k").cast("int")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.floor(F.avg(k) * 1e6 + F.lit(0.5)) / 1e6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+D12_SQL = """
+SELECT event_type, count(*) AS n,
+       floor(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)) * 1000000 + 0.5) / 1000000 AS avg_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- D13 multimodal feature extraction (Arrow-batched mapInPandas) ----------
+def d13_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.to_media_table(_t(spark, sf_dir, "documents"))
+    return M.extract_features(media, fake=True).select("media_id", "n_bytes", "sig8")
+
+
+D13_SQL = """
+SELECT doc_id AS media_id, strlen(text) AS n_bytes, substr(md5(text), 1, 8) AS sig8
+FROM documents ORDER BY media_id
+"""
+
+
+# --- registry ----------------------------------------------------------------
+PIPELINE = {
+    "d01_dedup_exact": (d01_dedup_exact, D01_SQL),
+    "d02_token_stats": (d02_token_stats, D02_SQL),
+    "d03_text_quality": (d03_text_quality, D03_SQL),
+    "d04_lang_id": (d04_lang_id, D04_SQL),
+    "d05_minhash_sig": (d05_minhash_sig, D05_SQL),
+    "d06_jaccard_topk": (d06_jaccard_topk, D06_SQL),
+    "d07_lsh_pairs": (d07_lsh_pairs, D07_SQL),
+    "d08_fingerprint": (d08_fingerprint, D08_SQL),
+    "d09_simhash": (d09_simhash, D09_SQL),
+    "d10_knn_join": (d10_knn_join, D10_SQL),
+    "d11_embedding_pairs": (d11_embedding_pairs, D11_SQL),
+    "d12_json_extract": (d12_json_extract, D12_SQL),
+    "d13_multimodal": (d13_multimodal, D13_SQL),
+}
