@@ -85,6 +85,83 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def allpairs_topk(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 20,
+    block_target: int = 256,
+) -> DataFrame:
+    """Top-k most-similar vector pairs (cosine) over the whole table.
+
+    All-pairs similarity is O(N²d); the scalable shape is block-pair GEMM:
+    vectors are hashed into B ≈ N/block_target blocks, each block is packed
+    into one row (collect_list), the B(B+1)/2 block pairs are enumerated by
+    a self-join, and each pair's similarity matrix is one numpy float64
+    GEMM inside Arrow-batched mapInPandas, emitting only its local top-k.
+    A final orderBy(...).limit(k) (TakeOrderedAndProject) merges locals.
+    Work distributes across executors as B² tasks; nothing ever
+    materializes the N² pair table.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    n = df.count()
+    nblocks = max(1, math.ceil(n / block_target))
+    blocks = (
+        df.select(
+            (F.pmod(F.xxhash64(col(id_col)), F.lit(nblocks))).alias("__b"),
+            F.struct(col(id_col).alias("id"), col(vec_col).cast("array<double>").alias("v")).alias("__e"),
+        )
+        .groupBy("__b")
+        .agg(F.collect_list("__e").alias("items"))
+    )
+    a = blocks.select(col("__b").alias("ba"), col("items").alias("ia"))
+    b = blocks.select(col("__b").alias("bb"), col("items").alias("ib"))
+    pairs = a.join(b, col("ba") <= col("bb"))
+
+    out_schema = "id_a long, id_b long, sim double"
+
+    def gemm(batches):
+        for pdf in batches:
+            rows = {"id_a": [], "id_b": [], "sim": []}
+            for _, r in pdf.iterrows():
+                ids_a = np.array([e["id"] for e in r["ia"]])
+                ids_b = np.array([e["id"] for e in r["ib"]])
+                ma = np.stack([np.asarray(e["v"]) for e in r["ia"]])
+                mb = np.stack([np.asarray(e["v"]) for e in r["ib"]])
+                ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+                mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+                s = ma @ mb.T
+                if r["ba"] == r["bb"]:
+                    # same block joins itself: keep the strict upper triangle
+                    mask = ids_a[:, None] < ids_b[None, :]
+                else:
+                    # distinct blocks meet exactly once (ba < bb): keep every
+                    # pair, canonicalize ids below. Masking by id order here
+                    # would silently drop pairs whose smaller id hashed into
+                    # the higher block.
+                    mask = np.ones_like(s, dtype=bool)
+                s = np.where(mask, s, -np.inf)
+                flat = s.ravel()
+                top = min(k, int(mask.sum()))
+                if top == 0:
+                    continue
+                idx = np.argpartition(flat, -top)[-top:]
+                ai, bi = np.unravel_index(idx, s.shape)
+                lo = np.minimum(ids_a[ai], ids_b[bi])
+                hi = np.maximum(ids_a[ai], ids_b[bi])
+                rows["id_a"].extend(lo.tolist())
+                rows["id_b"].extend(hi.tolist())
+                rows["sim"].extend(flat[idx].tolist())
+            yield pd.DataFrame(rows, columns=["id_a", "id_b", "sim"])
+
+    local = pairs.mapInPandas(gemm, schema=out_schema)
+    return local.orderBy(col("sim").desc(), "id_a", "id_b").limit(k)
+
+
 def lsh_topk_join(
     data: DataFrame,
     queries: DataFrame,

@@ -249,17 +249,11 @@ SELECT query_id, vec_id, rnk FROM r WHERE rnk <= 5 ORDER BY query_id, rnk
 
 # --- D11 embedding near-dup: top-k most-similar pairs ------------------------
 def d11_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.vector import allpairs_topk
+
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(col("vec_id").alias("vec_a"), col("embedding").cast("array<double>").alias("__a"))
-    b = emb.select(col("vec_id").alias("vec_b"), col("embedding").cast("array<double>").alias("__b"))
-    sim = _dot(col("__a"), col("__b")) / (_norm(col("__a")) * _norm(col("__b")))
-    return (
-        a.crossJoin(b)
-        .filter(col("vec_a") < col("vec_b"))
-        .withColumn("__sim", sim)
-        .orderBy(col("__sim").desc(), "vec_a", "vec_b")
-        .limit(20)
-        .select("vec_a", "vec_b")
+    return allpairs_topk(emb, "embedding", "vec_id", k=20).select(
+        col("id_a").alias("vec_a"), col("id_b").alias("vec_b")
     )
 
 

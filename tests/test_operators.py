@@ -1,0 +1,74 @@
+"""Operator-level unit tests: properties the oracle comparison can't see."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mindsdb_spark.catalog import SourceCatalog, load_table
+from mindsdb_spark.operators import multimodal as M
+from mindsdb_spark.operators.vector import cosine_topk, lsh_topk_join
+
+
+def test_catalog_resolution(spark, sf_dir):
+    cat = SourceCatalog(spark)
+    cat.register_parquet_source("tpch", sf_dir)
+    assert cat.table("tpch.nation").count() == 25
+    assert cat.table("NATION").count() == 25  # case-insensitive, bare name
+    with pytest.raises(KeyError):
+        cat.table("tpch.nope")
+
+
+def test_catalog_views(spark, sf_dir):
+    cat = SourceCatalog(spark)
+    cat.register_parquet_source("tpch", sf_dir)
+    cat.register_views()
+    assert spark.sql("SELECT count(*) AS n FROM tpch_region").collect()[0].n == 5
+    assert spark.sql("SELECT count(*) AS n FROM region").collect()[0].n == 5
+
+
+def test_events_timestamp_conversion(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    assert dict(e.dtypes)["ts"] == "timestamp"
+    assert e.filter(F.col("ts").isNull()).count() == 0
+
+
+def test_cosine_topk_self_is_top1(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 3).select("embedding").head()[0]
+    top = cosine_topk(emb, "embedding", [float(x) for x in q], k=5).collect()
+    assert top[0].vec_id == 3
+    assert abs(top[0].sim - 1.0) < 1e-9
+    sims = [r.sim for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_join_recall(spark, sf_dir):
+    """LSH kNN must at least find each query vector itself (sim=1 bucket)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    res = lsh_topk_join(emb, q, "embedding", k=3, data_id="vec_id", query_id="query_id")
+    rows = res.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    for qid, ids in by_q.items():
+        assert qid in ids, f"query {qid} did not retrieve itself"
+
+
+def test_multimodal_stub_raises():
+    with pytest.raises(NotImplementedError):
+        M.decode_media(b"abc", "image/png", fake=False)
+
+
+def test_multimodal_fake_deterministic():
+    a = M.decode_media(b"abc", "image/png", fake=True)
+    b = M.decode_media(b"abc", "image/png", fake=True)
+    assert a == b and len(a) == 4
+
+
+def test_extract_features_schema(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    out = M.extract_features(M.to_media_table(docs), fake=True)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(len(r.features) == 4 for r in rows)
+    assert all(len(r.sig8) == 8 for r in rows)
