@@ -304,6 +304,180 @@ FROM documents ORDER BY media_id
 """
 
 
+# --- S01 BM25 keyword search -------------------------------------------------
+_Q_TERMS = ["spark", "join", "fast"]
+_TOKS = "toks AS (SELECT doc_id, unnest(w) AS term FROM words)"
+
+
+def _bm25_cte(terms: list[str]) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""{_WORDS}, {_TOKS},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n FROM documents),
+avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN ({tl}) GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         * (tf.tf * (1.2 + 1.0))
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl.avgdl)) AS c
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), stats, avgdl
+),
+bm25 AS (SELECT doc_id, floor(sum(c) * 1000000 + 0.5) / 1000000 AS bm25
+         FROM contrib GROUP BY doc_id)"""
+
+
+def s01_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.search import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = bm25_scores(docs, _Q_TERMS)
+    return (
+        scores.select("doc_id", (F.floor(col("bm25") * 1e6 + F.lit(0.5)) / 1e6).alias("bm25"))
+        .orderBy(col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+S01_SQL = f"""
+WITH {_bm25_cte(_Q_TERMS)}
+SELECT doc_id, bm25 FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+
+# --- S02 boolean content algebra --------------------------------------------
+def s02_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.search import boolean_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return boolean_search(
+        docs, must=[["spark", "join"], ["table"]], must_not=["vector"]
+    ).orderBy("doc_id")
+
+
+S02_SQL = f"""
+WITH {_WORDS}, {_TOKS},
+b1 AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('spark', 'join')),
+b2 AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('table')),
+neg AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('vector'))
+SELECT d.doc_id FROM documents d
+JOIN b1 USING (doc_id) JOIN b2 USING (doc_id)
+WHERE d.doc_id NOT IN (SELECT doc_id FROM neg)
+ORDER BY doc_id
+"""
+
+
+# --- S03 hybrid search (α·keyword + (1-α)·vector distance) -------------------
+def s03_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.vector import cosine_similarity
+
+    from mindsdb_spark.operators.search import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(col("vec_id") == 0).select("embedding").head()[0]
+    kw = bm25_scores(docs, _Q_TERMS).select(
+        col("doc_id").alias("__id"), (1.0 / (1.0 + col("bm25"))).alias("d_kw")
+    )
+    vec = emb.select(
+        col("vec_id").alias("__id"),
+        (F.lit(1.0) - cosine_similarity(col("embedding"), [float(x) for x in q])).alias("d_vec"),
+    )
+    dist = F.lit(0.5) * F.coalesce(col("d_kw"), F.lit(1.0)) + F.lit(0.5) * F.coalesce(
+        col("d_vec"), F.lit(1.0)
+    )
+    return (
+        vec.join(kw, "__id", "full_outer")
+        .select(
+            col("__id").alias("doc_id"),
+            (F.floor(dist * 1e6 + F.lit(0.5)) / 1e6).alias("distance"),
+        )
+        .orderBy(col("distance").asc(), "doc_id")
+        .limit(10)
+    )
+
+
+S03_SQL = f"""
+WITH {_bm25_cte(_Q_TERMS)},
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+vec AS (SELECT vec_id AS doc_id, 1.0 - ({_COS}) AS d_vec FROM embeddings, q),
+kw AS (SELECT doc_id, 1.0 / (1.0 + bm25) AS d_kw FROM bm25)
+SELECT doc_id,
+       floor((0.5 * coalesce(d_kw, 1.0) + 0.5 * coalesce(d_vec, 1.0)) * 1000000 + 0.5) / 1000000 AS distance
+FROM vec FULL OUTER JOIN kw USING (doc_id)
+ORDER BY distance ASC, doc_id LIMIT 10
+"""
+
+
+# --- S04 metadata-filtered vector search ------------------------------------
+def s04_metadata_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.vector import cosine_similarity
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(col("vec_id") == 0).select("embedding").head()[0]
+    filtered = emb.join(
+        docs.filter(col("lang") == "en").select(col("doc_id").alias("vec_id")), "vec_id"
+    )
+    sim = cosine_similarity(col("embedding"), [float(x) for x in q])
+    return (
+        filtered.select("vec_id", sim.alias("__sim"))
+        .orderBy(col("__sim").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+
+
+S04_SQL = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+f AS (SELECT e.vec_id, e.embedding FROM embeddings e
+      JOIN documents d ON d.doc_id = e.vec_id WHERE d.lang = 'en')
+SELECT vec_id FROM (
+  SELECT vec_id, {_COS.replace("embedding", "f.embedding").replace("f.f.", "f.")} AS sim
+  FROM f, q
+) ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+# --- S05 rerank stage (deterministic mock scorer, reference over-fetch) ------
+def s05_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.search import bm25_scores, rerank_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    n_cand = rerank_candidates(10)  # min(2k, k+30) = 20
+    cand = (
+        bm25_scores(docs, _Q_TERMS)
+        .select("doc_id", (F.floor(col("bm25") * 1e6 + F.lit(0.5)) / 1e6).alias("bm25"))
+        .orderBy(col("bm25").desc(), "doc_id")
+        .limit(n_cand)
+    )
+    # mock LLM relevance: first 4 md5 hex chars of the text / 65535 — the
+    # real scorer is a pandas-UDF LLM call (controller.py:426-436 shape)
+    rel = (F.conv(F.substring(F.md5(col("text")), 1, 4), 16, 10).cast("double") / 65535.0)
+    scored = cand.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", (F.floor(rel * 1e6 + F.lit(0.5)) / 1e6).alias("relevance")
+    )
+    return (
+        scored.filter(col("relevance") >= 0.2)
+        .orderBy(col("relevance").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+S05_SQL = f"""
+WITH {_bm25_cte(_Q_TERMS)},
+cand AS (SELECT doc_id, bm25 FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT 20),
+scored AS (
+  SELECT c.doc_id,
+         floor((('0x' || substr(md5(d.text), 1, 4))::INTEGER / 65535.0) * 1000000 + 0.5) / 1000000 AS relevance
+  FROM cand c JOIN documents d USING (doc_id)
+)
+SELECT doc_id, relevance FROM scored WHERE relevance >= 0.2
+ORDER BY relevance DESC, doc_id LIMIT 10
+"""
+
+
 # --- registry ----------------------------------------------------------------
 PIPELINE = {
     "d01_dedup_exact": (d01_dedup_exact, D01_SQL),
@@ -319,4 +493,9 @@ PIPELINE = {
     "d11_embedding_pairs": (d11_embedding_pairs, D11_SQL),
     "d12_json_extract": (d12_json_extract, D12_SQL),
     "d13_multimodal": (d13_multimodal, D13_SQL),
+    "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
+    "s02_boolean_search": (s02_boolean_search, S02_SQL),
+    "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),
+    "s04_metadata_search": (s04_metadata_search, S04_SQL),
+    "s05_rerank": (s05_rerank, S05_SQL),
 }
