@@ -377,8 +377,13 @@ def s03_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(col("vec_id") == 0).select("embedding").head()[0]
+    # round bm25 to 6dp BEFORE deriving the distance: the group-sum order
+    # of BM25 contributions is not pinned across engines, so the raw double
+    # can differ by an ulp; rounding first makes every downstream input
+    # bitwise identical in both engines.
+    bm25_r = F.floor(col("bm25") * 1e6 + F.lit(0.5)) / 1e6
     kw = bm25_scores(docs, _Q_TERMS).select(
-        col("doc_id").alias("__id"), (1.0 / (1.0 + col("bm25"))).alias("d_kw")
+        col("doc_id").alias("__id"), (1.0 / (1.0 + bm25_r)).alias("d_kw")
     )
     vec = emb.select(
         col("vec_id").alias("__id"),
@@ -402,7 +407,7 @@ S03_SQL = f"""
 WITH {_bm25_cte(_Q_TERMS)},
 q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
 vec AS (SELECT vec_id AS doc_id, 1.0 - ({_COS}) AS d_vec FROM embeddings, q),
-kw AS (SELECT doc_id, 1.0 / (1.0 + bm25) AS d_kw FROM bm25)
+kw AS (SELECT doc_id, 1.0 / (1.0 + bm25) AS d_kw FROM bm25)  -- bm25 CTE already rounds to 6dp
 SELECT doc_id,
        floor((0.5 * coalesce(d_kw, 1.0) + 0.5 * coalesce(d_vec, 1.0)) * 1000000 + 0.5) / 1000000 AS distance
 FROM vec FULL OUTER JOIN kw USING (doc_id)
