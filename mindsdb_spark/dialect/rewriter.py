@@ -1,0 +1,126 @@
+"""SQL-text function rewriter.
+
+The reference adapts MySQL-dialect functions for its DuckDB executor with a
+per-function rewrite table (reference:
+mindsdb/api/executor/utilities/mysql_to_duckdb_functions.py:678-712). We do
+the same MySQL → Spark SQL adaptation, but on the SQL text itself: a small
+scanner finds function calls outside string literals, splits their
+top-level arguments, recursively rewrites them, and applies the rule.
+
+This is intentionally *not* a SQL parser — Spark's parser handles the
+grammar; the rewriter only needs to relocate function spellings, which is
+exactly the role the reference's SQLAlchemy-level adapter plays.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+# rule: (args: list[str]) -> replacement SQL
+Rule = Callable[[list[str]], str]
+
+
+def _skip_string(sql: str, i: int, quote: str) -> int:
+    """Return index just past the literal starting at sql[i] == quote."""
+    i += 1
+    while i < len(sql):
+        if sql[i] == "\\" and quote == "'":
+            i += 2
+            continue
+        if sql[i] == quote:
+            if i + 1 < len(sql) and sql[i + 1] == quote:  # '' escape
+                i += 2
+                continue
+            return i + 1
+        i += 1
+    return i
+
+
+def _split_args(body: str) -> list[str]:
+    """Split a parenthesized body on top-level commas, respecting nesting
+    and string literals."""
+    args, depth, cur, i = [], 0, [], 0
+    while i < len(body):
+        c = body[i]
+        if c in ("'", '"'):
+            j = _skip_string(body, i, c)
+            cur.append(body[i:j])
+            i = j
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+            i += 1
+            continue
+        cur.append(c)
+        i += 1
+    tail = "".join(cur).strip()
+    if tail or args:
+        args.append(tail)
+    return args
+
+
+def rewrite_sql(sql: str, rules: dict[str, Rule], vars_: dict[str, str] | None = None) -> str:
+    """Rewrite every FUNC(args...) whose upper-cased name is in `rules`.
+
+    `vars_` maps @@variable names (lowercase, without @@) to literal SQL.
+    """
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in ("'", '"'):
+            j = _skip_string(sql, i, c)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if c == "@" and i + 1 < n and sql[i + 1] == "@":
+            j = i + 2
+            while j < n and (sql[j].isalnum() or sql[j] in "._"):
+                j += 1
+            name = sql[i + 2 : j].lower().split(".")[-1]
+            if vars_ and name in vars_:
+                out.append(vars_[name])
+            else:
+                out.append("NULL")
+            i = j
+            continue
+        if c.isalpha() or c == "_":
+            j = i
+            while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                j += 1
+            ident = sql[i:j]
+            # lookahead for '('
+            k = j
+            while k < n and sql[k] in " \t\r\n":
+                k += 1
+            if k < n and sql[k] == "(" and ident.upper() in rules:
+                # find matching close paren
+                depth, m = 0, k
+                while m < n:
+                    ch = sql[m]
+                    if ch in ("'", '"'):
+                        m = _skip_string(sql, m, ch)
+                        continue
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    m += 1
+                body = sql[k + 1 : m]
+                args = [rewrite_sql(a, rules, vars_) for a in _split_args(body)]
+                out.append(rules[ident.upper()](args))
+                i = m + 1
+                continue
+            out.append(ident)
+            i = j
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)

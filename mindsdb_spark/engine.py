@@ -1,0 +1,107 @@
+"""EngineSession — the user-facing session object.
+
+Role-equivalent of the reference's SQLQuery + ExecuteCommands pipeline
+(reference: mindsdb/api/executor/sql_query/sql_query.py:94-353,
+command_executor.py:245-697), collapsed onto Spark:
+
+    SQL text → MySQL-dialect rewrite → spark.sql() → DataFrame
+
+Catalyst replaces the reference's hand-planned step list; the session layer
+only contributes what Spark does not have: the federated source registry,
+the MySQL function adaptation, session variables, the engine-defined SQL
+functions (LLM / TO_MARKDOWN / HASH), and BYOM-style user function
+registration with the reference's type map.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+)
+
+from mindsdb_spark.catalog import SourceCatalog
+from mindsdb_spark.dialect.mysql_functions import build_rules, build_vars
+from mindsdb_spark.dialect.rewriter import rewrite_sql
+from mindsdb_spark.session import get_spark
+
+# BYOM scalar-UDF type map (reference:
+# mindsdb/interfaces/functions/controller.py:37-111 — int/float/str/bool/
+# bytes → BIGINT/DOUBLE/VARCHAR/BOOLEAN/BLOB, max 4 args).
+_TYPE_MAP = {
+    int: LongType(),
+    float: DoubleType(),
+    str: StringType(),
+    bool: BooleanType(),
+    bytes: BinaryType(),
+}
+MAX_UDF_ARGS = 4
+
+
+def _mock_llm(prompts: pd.Series) -> pd.Series:
+    """Deterministic stand-in for the LLM() SQL function (reference:
+    interfaces/functions/controller.py:131-189). Real deployments swap in a
+    batched model client; tests need determinism."""
+    return prompts.map(
+        lambda p: f"llm:{hashlib.md5(str(p).encode()).hexdigest()[:12]}" if p is not None else None
+    )
+
+
+def _mock_to_markdown(paths: pd.Series) -> pd.Series:
+    return paths.map(
+        lambda p: f"# {p}\n(markdown stub)" if p is not None else None
+    )
+
+
+class EngineSession:
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        database: str = "mindsdb",
+        user: str = "mindsdb",
+    ):
+        self.spark = spark or get_spark()
+        self.catalog = SourceCatalog(self.spark)
+        self.session_vars = {"database": database, "user": user}
+        self._rules = build_rules(self.session_vars)
+        self._vars = build_vars(self.session_vars)
+        self._register_builtin_functions()
+
+    # -- sources -------------------------------------------------------------
+    def register_parquet_source(self, name: str, directory: str, tables=None) -> None:
+        if tables is None:
+            self.catalog.register_parquet_source(name, directory)
+        else:
+            self.catalog.register_parquet_source(name, directory, tables)
+        self.catalog.register_views(name)
+
+    # -- SQL entry point -------------------------------------------------------
+    def rewrite(self, sql: str) -> str:
+        return rewrite_sql(sql, self._rules, self._vars)
+
+    def sql(self, sql: str) -> DataFrame:
+        return self.spark.sql(self.rewrite(sql))
+
+    # -- engine functions ------------------------------------------------------
+    def _register_builtin_functions(self) -> None:
+        self.spark.udf.register("mindsdb_llm", pandas_udf(_mock_llm, StringType()))
+        self.spark.udf.register("mindsdb_to_markdown", pandas_udf(_mock_to_markdown, StringType()))
+
+    def register_function(self, name: str, fn: Callable, input_types: list[type], output_type: type):
+        """BYOM-style scalar function registration with the reference's type
+        map and 4-arg cap (controller.py:37-111,217-243)."""
+        if len(input_types) > MAX_UDF_ARGS:
+            raise ValueError(f"user functions support at most {MAX_UDF_ARGS} arguments")
+        for t in [*input_types, output_type]:
+            if t not in _TYPE_MAP:
+                raise TypeError(f"unsupported type {t!r}; allowed: {list(_TYPE_MAP)}")
+        self.spark.udf.register(name, fn, _TYPE_MAP[output_type])

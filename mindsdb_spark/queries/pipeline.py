@@ -483,6 +483,36 @@ ORDER BY relevance DESC, doc_id LIMIT 10
 """
 
 
+# --- M01 MySQL-dialect SQL through EngineSession -----------------------------
+def m01_mysql_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.engine import EngineSession
+
+    es = EngineSession(spark)
+    es.register_parquet_source("tpch", sf_dir)
+    return es.sql(
+        """
+        SELECT o_orderkey,
+               DAYNAME(o_orderdate) AS dn,
+               DATE_FORMAT(o_orderdate, '%Y-%m %H:%i') AS df,
+               DATEDIFF(o_orderdate, date '2024-01-01') AS dd,
+               LENGTH(o_orderpriority) AS lp,
+               SUBSTRING_INDEX(o_orderpriority, '-', 1) AS pfx
+        FROM orders ORDER BY o_orderkey
+        """
+    )
+
+
+M01_SQL = """
+SELECT o_orderkey,
+       dayname(o_orderdate) AS dn,
+       strftime(o_orderdate, '%Y-%m %H:%M') AS df,
+       datediff('day', DATE '2024-01-01', o_orderdate) AS dd,
+       strlen(o_orderpriority) AS lp,
+       split_part(o_orderpriority, '-', 1) AS pfx
+FROM orders ORDER BY o_orderkey
+"""
+
+
 # --- registry ----------------------------------------------------------------
 PIPELINE = {
     "d01_dedup_exact": (d01_dedup_exact, D01_SQL),
@@ -503,4 +533,5 @@ PIPELINE = {
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),
     "s04_metadata_search": (s04_metadata_search, S04_SQL),
     "s05_rerank": (s05_rerank, S05_SQL),
+    "m01_mysql_dialect": (m01_mysql_dialect, M01_SQL),
 }

@@ -1,0 +1,96 @@
+"""MySQL-dialect rewrite layer: per-function semantics from the reference's
+compat table (mysql_to_duckdb_functions.py), retargeted at Spark SQL."""
+
+import pytest
+
+from mindsdb_spark.dialect.mysql_functions import mysql_format_to_java
+from mindsdb_spark.engine import EngineSession
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return EngineSession(spark)
+
+
+def one(engine, expr):
+    return engine.sql(f"SELECT {expr} AS v").collect()[0].v
+
+
+@pytest.mark.parametrize(
+    "expr,expected",
+    [
+        ("CHAR(77, 121)", "My"),
+        ("FORMAT(1234567.891, 2)", "1,234,567.89"),
+        ("LENGTH('héllo')", 6),  # MySQL LENGTH = bytes
+        ("LENGTH('hello')", 5),
+        ("REGEXP_SUBSTR('abc123def', '[0-9]+')", "123"),
+        ("DAYNAME(timestamp '2024-01-05 10:00:00')", "Friday"),
+        ("MONTHNAME(timestamp '2024-01-05 10:00:00')", "January"),
+        ("DATE_FORMAT(timestamp '2024-01-05 14:07:09', '%Y-%m-%d %H:%i')", "2024-01-05 14:07"),
+        ("DATE_FORMAT(timestamp '2024-01-05 14:07:09', '%W %M %e')", "Friday January 5"),
+        ("LOCATE('b', 'abc')", 2),  # native passthrough
+        ("INSTR('abc', 'c')", 3),
+        ("SUBSTRING_INDEX('a.b.c', '.', 2)", "a.b"),
+        ("DATEDIFF(date '2024-01-10', date '2024-01-05')", 5),  # MySQL arg order
+        ("TRUNCATE(2.987, 2)", 2.98),
+        ("TRUNCATE(-2.987, 2)", -2.98),  # toward zero, not floor
+        ("DATABASE()", "mindsdb"),
+        ("VERSION()", "8.0.17-mindsdb-spark"),
+        ("JSON_EXTRACT('{\"k\": 42}', '$.k')", "42"),
+        ("HASH('x')", "9dd4e461268c8034f5c8564e155c67a6"),
+        ("SHA2('abc', 256)", "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"),
+        ("@@version_comment", "mindsdb-spark"),
+        ("CAST(ADDTIME(timestamp '2024-01-01 10:00:00', '1:30:00') AS STRING)", "2024-01-01 11:30:00"),
+        ("CAST(ADDTIME(timestamp '2024-01-01 10:00:00', '2 01:00:00') AS STRING)", "2024-01-03 11:00:00"),
+        ("CAST(DATE_ADD(timestamp '2024-01-01 00:00:00', INTERVAL 3 DAY) AS STRING)", "2024-01-04 00:00:00"),
+        ("CAST(DATE_SUB(timestamp '2024-01-05 00:00:00', INTERVAL 2 HOUR) AS STRING)", "2024-01-04 22:00:00"),
+        ("GET_FORMAT(DATE, 'USA')", "%m.%d.%Y"),
+        ("DAYOFWEEK(date '2024-01-07')", 1),  # Sunday=1, native match
+        ("DAYOFYEAR(date '2024-02-01')", 32),
+    ],
+)
+def test_mysql_function(engine, expr, expected):
+    assert one(engine, expr) == expected
+
+
+def test_strings_not_rewritten(engine):
+    # function names inside string literals must be untouched
+    assert one(engine, "'DATABASE() LENGTH(x)'") == "DATABASE() LENGTH(x)"
+
+
+def test_nested_rewrite(engine):
+    assert one(engine, "LENGTH(DATABASE())") == 7  # octet_length('mindsdb')
+
+
+def test_llm_stub_deterministic(engine):
+    a = one(engine, "LLM('hello')")
+    b = one(engine, "LLM('hello')")
+    assert a == b and a.startswith("llm:")
+
+
+def test_to_markdown_stub(engine):
+    assert one(engine, "TO_MARKDOWN('doc.pdf')").startswith("# doc.pdf")
+
+
+def test_format_remap():
+    assert mysql_format_to_java("%Y-%m-%d") == "yyyy-MM-dd"
+    assert mysql_format_to_java("%H:%i:%s") == "HH:mm:ss"
+    assert mysql_format_to_java("at %h%p") == "'a''t' hha"
+
+
+def test_byom_function_registration(engine):
+    engine.register_function("triple", lambda x: x * 3, [int], int)
+    assert one(engine, "triple(14)") == 42
+    with pytest.raises(ValueError):
+        engine.register_function("toomany", lambda a, b, c, d, e: 1, [int] * 5, int)
+    with pytest.raises(TypeError):
+        engine.register_function("badtype", lambda x: x, [dict], int)
+
+
+def test_engine_sql_over_source(engine, sf_dir):
+    engine.register_parquet_source("tpch", sf_dir)
+    df = engine.sql(
+        "SELECT o_orderkey, DAYNAME(o_orderdate) AS dn FROM tpch_orders ORDER BY o_orderkey LIMIT 3"
+    )
+    rows = df.collect()
+    assert len(rows) == 3 and all(r.dn for r in rows)
