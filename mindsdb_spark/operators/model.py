@@ -1,0 +1,77 @@
+"""Model application operators — the reference's "table JOIN predictor".
+
+Reference semantics: the left side is fetched, the model is applied row-wise
+out-of-process, and outputs are re-attached by a synthetic __mindsdb_row_id
+(reference: mindsdb/api/executor/sql_query/steps/apply_predictor_step.py:
+103-233; join planning plan_join.py:760-818). In Spark the model runs
+*inside* the plan as an Arrow-batched mapInPandas stage, so row identity is
+free and the re-join disappears.
+
+Time-series models: the reference fetches per-group `ORDER BY time DESC
+LIMIT window` slices and emits `horizon` forecast rows per group
+(plan_join_ts.py:244-335; horizon fan-out apply_predictor_step.py:233-412).
+Here that is a groupBy(...).applyInPandas stage: each group's pandas frame
+is sorted locally, the last `window` rows feed the model, and the model
+fans out `horizon` rows — shuffle is by group key only.
+
+Models are plain Python callables over pandas (the BYOM surface); tests and
+oracle checks use deterministic stubs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class ModelSpec:
+    """A predictor: pandas-in → pandas-out, plus output schema DDL."""
+
+    name: str
+    predict: Callable[[pd.DataFrame], pd.DataFrame]
+    output_schema: str  # DDL string for the *added* columns
+    # time-series settings (reference: sql_query.py:181-205 model metadata);
+    # order_by may list tie-breaker columns for deterministic windows
+    order_by: str | list[str] | None = None
+    group_by: list[str] = field(default_factory=list)
+    window: int = 10
+    horizon: int = 1
+
+
+def apply_model(df: DataFrame, model: ModelSpec) -> DataFrame:
+    """Row-wise model application: input columns pass through, prediction
+    columns are appended. One Arrow-batched Python stage, no extra join."""
+    in_cols = df.columns
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    full_schema = f"{schema}, {model.output_schema}"
+
+    def run(batches):
+        for pdf in batches:
+            preds = model.predict(pdf)
+            yield pd.concat([pdf.reset_index(drop=True), preds.reset_index(drop=True)], axis=1)
+
+    out = df.mapInPandas(run, schema=full_schema)
+    return out.select(*in_cols, *[c for c in out.columns if c not in in_cols])
+
+
+def ts_apply_model(df: DataFrame, model: ModelSpec) -> DataFrame:
+    """Time-series forecast: per group, feed the last `window` rows (by
+    order_by) to the model; the model returns `horizon` rows per group."""
+    if not model.order_by:
+        raise ValueError("ts_apply_model requires model.order_by")
+    group_cols = model.group_by or []
+
+    order = model.order_by if isinstance(model.order_by, list) else [model.order_by]
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order).tail(model.window)
+        return model.predict(pdf)
+
+    if group_cols:
+        return df.groupBy(*group_cols).applyInPandas(run, schema=model.output_schema)
+    # single global group: still executed on an executor, one task
+    return df.groupBy().applyInPandas(lambda _k, pdf: run(pdf), schema=model.output_schema)

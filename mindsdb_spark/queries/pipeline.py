@@ -513,6 +513,89 @@ FROM orders ORDER BY o_orderkey
 """
 
 
+# --- A01 model application ("table JOIN predictor") --------------------------
+def a01_model_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from mindsdb_spark.operators.model import ModelSpec, apply_model
+
+    def predict(pdf):
+        import pandas as pd
+
+        risk = np.minimum(pdf["o_totalprice"].to_numpy() / 500000.0, 1.0)
+        risk = np.floor(risk * 1e6 + 0.5) / 1e6
+        return pd.DataFrame(
+            {"predicted_risk": risk, "risk_band": np.where(risk > 0.5, "hi", "lo")}
+        )
+
+    model = ModelSpec(
+        name="risk", predict=predict, output_schema="predicted_risk double, risk_band string"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return apply_model(o, model).select("o_orderkey", "predicted_risk", "risk_band")
+
+
+A01_SQL = """
+SELECT o_orderkey,
+       floor(least(o_totalprice / 500000.0, 1.0) * 1000000 + 0.5) / 1000000 AS predicted_risk,
+       CASE WHEN floor(least(o_totalprice / 500000.0, 1.0) * 1000000 + 0.5) / 1000000 > 0.5
+            THEN 'hi' ELSE 'lo' END AS risk_band
+FROM orders ORDER BY o_orderkey
+"""
+
+
+# --- A02 time-series forecast (per-group window → horizon fan-out) -----------
+def a02_ts_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.model import ModelSpec, ts_apply_model
+
+    HORIZON = 2
+
+    def predict(pdf):
+        import numpy as np
+        import pandas as pd
+
+        # mean of the (already windowed) values: 2-decimal doubles sum
+        # exactly, so the mean is bit-identical across engines
+        base = float(pdf["value"].sum()) / len(pdf)
+        base = float(np.floor(base * 1e6 + 0.5) / 1e6)
+        max_ts = pdf["ts"].max()
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])] * HORIZON,
+                "h": list(range(1, HORIZON + 1)),
+                "ts_pred": [max_ts + pd.Timedelta(hours=i) for i in range(1, HORIZON + 1)],
+                "value_pred": [base] * HORIZON,
+            }
+        )
+
+    model = ModelSpec(
+        name="forecast",
+        predict=predict,
+        output_schema="user_id long, h int, ts_pred timestamp, value_pred double",
+        order_by=["ts", "event_id"],
+        group_by=["user_id"],
+        window=3,
+        horizon=HORIZON,
+    )
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return ts_apply_model(e, model).orderBy("user_id", "h")
+
+
+A02_SQL = """
+WITH ranked AS (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+agg AS (SELECT user_id, max(ts) AS max_ts, avg(value) AS base
+        FROM ranked WHERE rn <= 3 GROUP BY user_id),
+h AS (SELECT unnest([1, 2]) AS h)
+SELECT user_id, h.h AS h, agg.max_ts + h.h * INTERVAL 1 HOUR AS ts_pred,
+       floor(base * 1000000 + 0.5) / 1000000 AS value_pred
+FROM agg, h ORDER BY user_id, h
+"""
+
+
 # --- registry ----------------------------------------------------------------
 PIPELINE = {
     "d01_dedup_exact": (d01_dedup_exact, D01_SQL),
@@ -534,4 +617,6 @@ PIPELINE = {
     "s04_metadata_search": (s04_metadata_search, S04_SQL),
     "s05_rerank": (s05_rerank, S05_SQL),
     "m01_mysql_dialect": (m01_mysql_dialect, M01_SQL),
+    "a01_model_apply": (a01_model_apply, A01_SQL),
+    "a02_ts_forecast": (a02_ts_forecast, A02_SQL),
 }
