@@ -1,0 +1,87 @@
+"""Structured Streaming operators: streaming results must equal their batch
+equivalents when the stream is drained with available-now."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from mindsdb_spark.catalog import load_table
+from mindsdb_spark.streaming.windows import (
+    run_available_now,
+    session_counts,
+    stream_from_parquet,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    """Copy the events table into a stream-source dir as two file 'arrivals'."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    e = load_table(spark, sf_dir, "events")
+    mid = e.agg(F.expr("percentile_approx(event_id, 0.5)")).head()[0]
+    e.filter(F.col("event_id") <= mid).write.mode("overwrite").parquet(os.path.join(out, "batch=0"))
+    e.filter(F.col("event_id") > mid).write.mode("append").parquet(os.path.join(out, "batch=0"))
+    return os.path.join(out, "batch=0")
+
+
+def _batch_events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir, events_stream_dir):
+    batch = tumbling_counts(_batch_events(spark, sf_dir))
+    schema = _batch_events(spark, sf_dir).schema
+    stream = tumbling_counts(stream_from_parquet(spark, events_stream_dir, schema))
+    got = run_available_now(stream)
+    exp = {tuple(r) for r in batch.collect()}
+    assert {tuple(r) for r in got.collect()} == exp
+    assert len(exp) > 0
+
+
+def test_streaming_sessions_equal_batch(spark, sf_dir, events_stream_dir):
+    batch = session_counts(_batch_events(spark, sf_dir))
+    schema = _batch_events(spark, sf_dir).schema
+    got = run_available_now(session_counts(stream_from_parquet(spark, events_stream_dir, schema)))
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in batch.collect()}
+
+
+def test_session_counts_match_lag_flag_semantics(spark, sf_dir):
+    """session_window sessions == cumulative-sum-of-gap-flags sessions (P28)."""
+    from pyspark.sql.window import Window
+
+    e = _batch_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    ).withColumn("session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    lag_sessions = sorted(
+        (r.user_id, r.n)
+        for r in flagged.groupBy("user_id", "session_id").agg(F.count("*").alias("n")).collect()
+    )
+    sw_sessions = sorted((r.user_id, r.n_events) for r in session_counts(e).collect())
+    assert lag_sessions == sw_sessions
+
+
+def test_streaming_dedup(spark, sf_dir, events_stream_dir, tmp_path):
+    schema = _batch_events(spark, sf_dir).schema
+    # duplicate the source files → stream sees every row twice
+    dup_dir = str(tmp_path / "dup")
+    shutil.copytree(events_stream_dir, dup_dir)
+    for f in os.listdir(events_stream_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(events_stream_dir, f), os.path.join(dup_dir, "copy_" + f))
+    stream = streaming_dedup(
+        stream_from_parquet(spark, dup_dir, schema), keys=["event_id"]
+    ).groupBy().agg(F.count("*").alias("n"))
+    got = run_available_now(stream)
+    assert got.head().n == _batch_events(spark, sf_dir).count()
