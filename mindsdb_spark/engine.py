@@ -16,6 +16,7 @@ registration with the reference's type map.
 from __future__ import annotations
 
 import hashlib
+import re
 from collections.abc import Callable
 
 import pandas as pd
@@ -45,6 +46,10 @@ _TYPE_MAP = {
     bytes: BinaryType(),
 }
 MAX_UDF_ARGS = 4
+
+_IS_RE = re.compile(r"\binformation_schema\s*\.\s*", re.IGNORECASE)
+_SHOW_TABLES_RE = re.compile(r"SHOW\s+(?:FULL\s+)?TABLES(?:\s+(?:FROM|IN)\s+`?(\w+)`?)?$", re.IGNORECASE)
+_DESCRIBE_RE = re.compile(r"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.`]+)$", re.IGNORECASE)
 
 
 def _mock_llm(prompts: pd.Series) -> pd.Series:
@@ -86,10 +91,73 @@ class EngineSession:
 
     # -- SQL entry point -------------------------------------------------------
     def rewrite(self, sql: str) -> str:
-        return rewrite_sql(sql, self._rules, self._vars)
+        out = rewrite_sql(sql, self._rules, self._vars)
+        # information_schema.* is emulated with session views (the reference
+        # computes ~30 virtual tables in-engine: datahub/datanodes/
+        # system_tables.py:48-782); dotted names become view names.
+        return _IS_RE.sub("information_schema_", out)
 
     def sql(self, sql: str) -> DataFrame:
-        return self.spark.sql(self.rewrite(sql))
+        cmd = self._try_command(sql)
+        if cmd is not None:
+            return cmd
+        text = self.rewrite(sql)
+        if "information_schema_" in text:
+            self._refresh_information_schema()
+        return self.spark.sql(text)
+
+    # -- SHOW / DESCRIBE command layer ----------------------------------------
+    # Mirrors the reference's SHOW rewrites into information_schema SELECTs
+    # (command_executor.py:283-570), minus the MySQL-wire-only commands.
+    def _try_command(self, sql: str) -> DataFrame | None:
+        s = " ".join(sql.strip().rstrip(";").split())
+        u = s.upper()
+        if u == "SHOW DATABASES" or u == "SHOW SCHEMAS":
+            self._refresh_information_schema()
+            return self.spark.sql(
+                "SELECT schema_name AS `Database` FROM information_schema_databases ORDER BY 1"
+            )
+        m = _SHOW_TABLES_RE.match(s)
+        if m:
+            self._refresh_information_schema()
+            db = (m.group(1) or self.session_vars["database"]).lower()
+            return self.spark.sql(
+                f"SELECT table_name AS `Tables_in_{db}` FROM information_schema_tables "
+                f"WHERE table_schema = '{db}' ORDER BY 1"
+            )
+        m = _DESCRIBE_RE.match(s)
+        if m:
+            self._refresh_information_schema()
+            name = m.group(1).lower().strip("`")
+            parts = name.split(".")
+            cond = f"table_name = '{parts[-1]}'"
+            if len(parts) > 1:
+                cond += f" AND table_schema = '{parts[-2]}'"
+            return self.spark.sql(
+                "SELECT column_name AS `Field`, data_type AS `Type`, 'YES' AS `Null` "
+                f"FROM information_schema_columns WHERE {cond} ORDER BY ordinal_position"
+            )
+        return None
+
+    def _refresh_information_schema(self) -> None:
+        tables = self.catalog.tables()
+        sources = sorted({src for src, _ in tables})
+        self.spark.createDataFrame(
+            [(s,) for s in sources] + [("information_schema",)], "schema_name string"
+        ).createOrReplaceTempView("information_schema_databases")
+        self.spark.createDataFrame(
+            [(src, t, "BASE TABLE") for src, t in tables],
+            "table_schema string, table_name string, table_type string",
+        ).createOrReplaceTempView("information_schema_tables")
+        cols = []
+        for src, t in tables:
+            for i, f in enumerate(self.catalog.table(f"{src}.{t}").schema.fields):
+                cols.append((src, t, f.name, i + 1, f.dataType.simpleString()))
+        self.spark.createDataFrame(
+            cols,
+            "table_schema string, table_name string, column_name string, "
+            "ordinal_position int, data_type string",
+        ).createOrReplaceTempView("information_schema_columns")
 
     # -- engine functions ------------------------------------------------------
     def _register_builtin_functions(self) -> None:

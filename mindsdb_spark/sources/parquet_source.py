@@ -1,0 +1,96 @@
+"""Writable parquet-backed source — the exemplar integration.
+
+The reference's write path renders INSERT / CREATE TABLE / UPDATE / DELETE
+against the remote integration (reference:
+mindsdb/api/executor/sql_query/steps/insert_step.py:13-124,
+update_step.py:16-127, delete_step.py:18-48; DDL generation
+integration_datanode.py:162-244). Here the same verbs operate on a managed
+parquet directory with Spark writers:
+
+* insert      → df.write.mode("append")
+* CTAS        → df.write.mode("overwrite"/"errorifexists")  (SaveToTable
+                is_replace semantics, planner/steps.py:228-261)
+* delete      → read → anti-filter → atomic directory swap
+* update      → read → conditional column replace → atomic swap
+
+Parquet files are immutable, so UPDATE/DELETE are copy-on-write table
+rewrites — the same mechanics a lakehouse table format performs per-file;
+swapping at directory granularity keeps the exemplar simple. A JDBC-backed
+source implements the same interface with pushed-down statements.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ParquetSource:
+    """A named collection of writable parquet tables under one directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table.lower())
+
+    def tables(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root) if os.path.isdir(os.path.join(self.root, d))
+        )
+
+    def exists(self, table: str) -> bool:
+        return os.path.isdir(self._path(table))
+
+    def read(self, table: str) -> DataFrame:
+        if not self.exists(table):
+            raise KeyError(f"table {table!r} does not exist")
+        return self.spark.read.parquet(self._path(table))
+
+    # -- sinks ---------------------------------------------------------------
+    def create_table(self, table: str, df: DataFrame, replace: bool = False) -> None:
+        """CREATE TABLE [OR REPLACE] … AS SELECT."""
+        mode = "overwrite" if replace else "errorifexists"
+        df.write.mode(mode).parquet(self._path(table))
+
+    def insert(self, table: str, df: DataFrame) -> None:
+        """INSERT INTO … (append)."""
+        df.write.mode("append").parquet(self._path(table))
+
+    def delete(self, table: str, condition) -> int:
+        """DELETE FROM table WHERE condition; returns rows deleted.
+
+        Copy-on-write: survivors are rewritten to a fresh directory which
+        atomically replaces the old one.
+        """
+        df = self.read(table)
+        total = df.count()
+        survivors = df.filter(~condition)
+        kept = self._rewrite(table, survivors)
+        return total - kept
+
+    def update(self, table: str, set_map: dict, condition) -> int:
+        """UPDATE table SET col=expr WHERE condition; returns rows updated."""
+        df = self.read(table)
+        n = df.filter(condition).count()
+        for colname, expr in set_map.items():
+            df = df.withColumn(colname, F.when(condition, expr).otherwise(F.col(colname)))
+        self._rewrite(table, df)
+        return n
+
+    def _rewrite(self, table: str, df: DataFrame) -> int:
+        tmp = self._path(table) + f".tmp-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        kept = self.spark.read.parquet(tmp).count()
+        old = self._path(table)
+        back = old + ".old"
+        os.rename(old, back)
+        os.rename(tmp, old)
+        shutil.rmtree(back)
+        return kept
