@@ -23,9 +23,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from mindsdb_spark.queries.probes import PROBES
+    from mindsdb_spark.queries.probes_ext import PROBES_EXT
     from mindsdb_spark.queries.pipeline import PIPELINE
 
     out = {name: fn for name, (fn, _sql) in PROBES.items()}
+    out.update({name: fn for name, (fn, _sql) in PROBES_EXT.items()})
     out.update({name: fn for name, (fn, _sql) in PIPELINE.items()})
     return out
 
@@ -33,8 +35,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query key (omitted → rows-only)."""
     from mindsdb_spark.queries.probes import PROBES
+    from mindsdb_spark.queries.probes_ext import PROBES_EXT
     from mindsdb_spark.queries.pipeline import PIPELINE
 
     out = {name: sql for name, (_fn, sql) in PROBES.items() if sql is not None}
+    out.update({name: sql for name, (_fn, sql) in PROBES_EXT.items() if sql is not None})
     out.update({name: sql for name, (_fn, sql) in PIPELINE.items() if sql is not None})
     return out

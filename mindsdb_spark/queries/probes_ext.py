@@ -1,0 +1,184 @@
+"""Extended relational probes P33+ — capabilities beyond the reference's own
+probe list that its DuckDB delegation layer nevertheless exposes.
+
+The reference executes any SELECT DuckDB accepts over registered frames
+(reference: mindsdb/api/executor/utilities/sql.py:160-205 — the allow-list is
+pulled live from duckdb_functions(), so CUBE / GROUPING SETS / string_agg /
+quantile_cont / FILTER clauses are all reachable surface). SURVEY.md §2.4
+marks these "absent / available if we extend" — here they are, oracle-checked.
+
+Same conventions as probes.py: identical aliases both sides, full ordering,
+cross-engine-deterministic rounding via floor(x*10^d + 0.5)/10^d.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mindsdb_spark.catalog import load_table as _t
+from mindsdb_spark.queries.probes import _roundc
+
+col = F.col
+
+
+# --- P33 CUBE ----------------------------------------------------------------
+def p33_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").alias("g1"),
+            F.grouping("l_linestatus").alias("g2"),
+            F.count("*").alias("cnt"),
+            _roundc(F.sum("l_quantity"), 2).alias("sq"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "g1",
+            "g2",
+            "cnt",
+            "sq",
+        )
+        .orderBy("g1", "g2", "rf", "ls")
+    )
+
+
+P33_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+       grouping(l_returnflag) AS g1, grouping(l_linestatus) AS g2,
+       count(*) AS cnt, floor(sum(l_quantity) * 100 + 0.5) / 100 AS sq
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY g1, g2, rf, ls
+"""
+
+
+# --- P34 GROUPING SETS -------------------------------------------------------
+def p34_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").alias("g1"),
+            F.grouping("l_linestatus").alias("g2"),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "g1",
+            "g2",
+            "cnt",
+        )
+        .orderBy("g1", "g2", "rf", "ls")
+    )
+
+
+P34_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+       grouping(l_returnflag) AS g1, grouping(l_linestatus) AS g2, count(*) AS cnt
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY g1, g2, rf, ls
+"""
+
+
+# --- P35 string aggregation --------------------------------------------------
+# DuckDB string_agg(x, sep ORDER BY x) ≡ Spark array_join(array_sort(
+# collect_list(x))) — the explicit sort makes the concatenation order
+# deterministic on both engines regardless of shuffle arrival order.
+def p35_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), col("n_regionkey") == col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("r_name")
+    )
+
+
+P35_SQL = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations, count(*) AS n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+# --- P36 exact percentiles / median -----------------------------------------
+# Both engines use linear interpolation for continuous quantiles; inputs are
+# whole-valued quantities so the interpolated midpoints are exact in binary.
+def p36_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            _roundc(F.expr("percentile(l_quantity, 0.25)"), 4).alias("q25"),
+            _roundc(F.expr("percentile(l_quantity, 0.5)"), 4).alias("med"),
+            _roundc(F.expr("percentile(l_quantity, 0.75)"), 4).alias("q75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+P36_SQL = """
+SELECT l_returnflag,
+       floor(quantile_cont(l_quantity, 0.25) * 10000 + 0.5) / 10000 AS q25,
+       floor(quantile_cont(l_quantity, 0.5)  * 10000 + 0.5) / 10000 AS med,
+       floor(quantile_cont(l_quantity, 0.75) * 10000 + 0.5) / 10000 AS q75
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --- P37 filtered aggregates -------------------------------------------------
+# DuckDB `agg(...) FILTER (WHERE p)` ≡ Spark conditional aggregation.
+def p37_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.count(F.when(col("o_totalprice") > 150000, 1)).alias("big"),
+            _roundc(
+                F.sum(F.when(col("o_orderstatus") == "F", col("o_totalprice")).otherwise(F.lit(0.0))), 2
+            ).alias("f_rev"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+P37_SQL = """
+SELECT o_orderpriority, count(*) AS cnt,
+       count(*) FILTER (WHERE o_totalprice > 150000) AS big,
+       floor(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0) * 100 + 0.5) / 100 AS f_rev
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --- P38 approximate distinct count (property-checked, no value oracle) ------
+# HyperLogLog sketches differ across engines (SURVEY §2.12 exclusions); the
+# driver records a rows-only check and tests/test_probes_ext.py asserts the
+# ±2%-of-exact property the reference inherits from DuckDB's approx sketch.
+def p38_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.approx_count_distinct("o_custkey").alias("approx_cust"),
+        F.countDistinct("o_custkey").alias("exact_cust"),
+    )
+
+
+PROBES_EXT = {
+    "p33_cube": (p33_cube, P33_SQL),
+    "p34_grouping_sets": (p34_grouping_sets, P34_SQL),
+    "p35_string_agg": (p35_string_agg, P35_SQL),
+    "p36_percentiles": (p36_percentiles, P36_SQL),
+    "p37_filtered_agg": (p37_filtered_agg, P37_SQL),
+    "p38_approx_distinct": (p38_approx_distinct, None),
+}
