@@ -1,0 +1,135 @@
+"""Oracle-checked KB lifecycle queries: chunking and retrieval evaluation.
+
+k01 drives the KB insert preprocessing stage (chunk → content-hash id,
+reference: mindsdb/interfaces/knowledge_base/controller.py:647-983) and k02
+the KB evaluate metrics (hit@k / MRR / NDCG, reference:
+mindsdb/interfaces/knowledge_base/evaluate.py:82-560) — both as pure
+DataFrame plans DuckDB can replay in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mindsdb_spark.catalog import load_table as _t
+from mindsdb_spark.operators.kb import chunk_documents, retrieval_metrics
+from mindsdb_spark.queries.probes import _roundc
+
+col = F.col
+
+
+# --- K01 chunking with content-hash ids -------------------------------------
+def k01_kb_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_size=200, overlap=50)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_id",
+        F.length("chunk_text").alias("clen"),
+    )
+
+
+K01_SQL = """
+WITH c AS (
+  SELECT doc_id, i - 1 AS chunk_idx,
+         substr(text, (i - 1) * 150 + 1, 200) AS chunk_text
+  FROM documents,
+       UNNEST(generate_series(1,
+         greatest(CAST(ceil((length(text) - 50) / 150.0) AS BIGINT), 1))) AS t(i)
+)
+SELECT doc_id, chunk_idx,
+       md5(doc_id || ':' || chunk_idx || ':' || chunk_text) AS chunk_id,
+       length(chunk_text) AS clen
+FROM c ORDER BY doc_id, chunk_idx
+"""
+
+
+# --- K02 retrieval evaluation metrics ---------------------------------------
+# Deterministic eval harness: queries are embeddings vec_id < 5, a candidate
+# is relevant iff it shares the query's label, ranking is exact cosine top-10
+# (self included at rank 1 — sim 1.0).
+def k02_kb_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(col("vec_id") < 5).select(
+        col("vec_id").alias("query_id"),
+        col("embedding").alias("qe"),
+        col("label").alias("qlabel"),
+    )
+    # Query side is tiny and broadcast; the corpus side streams — the same
+    # shape scales to any corpus size with a bounded candidate state per
+    # query via the rank window.
+    pairs = emb.crossJoin(F.broadcast(q))
+    dot = F.expr(
+        "aggregate(zip_with(embedding, qe, (a, b) -> cast(a as double) * cast(b as double)),"
+        " cast(0 as double), (acc, x) -> acc + x)"
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.expr(
+            f"aggregate({c}, cast(0 as double), (acc, x) ->"
+            " acc + cast(x as double) * cast(x as double))"
+        )
+    )
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        (col("label") == col("qlabel")).cast("int").alias("rel"),
+        (dot / (norm("embedding") * norm("qe"))).alias("sim"),
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(col("sim").desc(), col("vec_id"))
+        ),
+    )
+    m = retrieval_metrics(ranked, k=10)
+    return m.select(
+        "query_id",
+        "hit",
+        _roundc(col("mrr"), 6).alias("mrr"),
+        _roundc(col("ndcg"), 6).alias("ndcg"),
+    )
+
+
+K02_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+  FROM embeddings WHERE vec_id < 5
+),
+s AS (
+  SELECT q.query_id, e.vec_id,
+    CAST(e.label = q.qlabel AS INT) AS rel,
+    list_sum(list_transform(generate_series(1, len(e.embedding)),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+  FROM embeddings e, q
+),
+r AS (
+  SELECT query_id, vec_id, rel,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM s
+),
+m AS (
+  SELECT query_id, max(rel) AS hit,
+         min(CASE WHEN rel = 1 THEN rnk END) AS first_rel,
+         sum(rel / (ln(rnk + 1) / ln(2))) AS dcg,
+         sum(rel) AS n_rel
+  FROM r WHERE rnk <= 10 GROUP BY query_id
+)
+SELECT query_id, hit,
+  floor(coalesce(1.0 / first_rel, 0) * 1000000 + 0.5) / 1000000 AS mrr,
+  floor((CASE WHEN n_rel > 0 THEN dcg / list_sum(list_transform(
+           generate_series(1, CAST(greatest(least(n_rel, 10), 1) AS BIGINT)),
+           i -> 1.0 / (ln(i + 1) / ln(2))))
+         ELSE 0 END) * 1000000 + 0.5) / 1000000 AS ndcg
+FROM m ORDER BY query_id
+"""
+
+
+KB_QUERIES = {
+    "k01_kb_chunks": (k01_kb_chunks, K01_SQL),
+    "k02_kb_eval": (k02_kb_eval, K02_SQL),
+}
