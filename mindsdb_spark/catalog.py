@@ -59,6 +59,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parallelize_input(df: DataFrame) -> DataFrame:
+    """Repartition a DataFrame up to the session's parallelism when its scan
+    can't reach it — the "repartition before amplification" pattern.
+
+    Parquet scans split at row-group granularity; a single-row-group file
+    (the driver fixtures) pins the whole first stage — including any
+    explode/hash-heavy map work above it — to one core. Operators that
+    amplify work per input row (shingling, tokenization, chunking) call this
+    before the amplifying expression: the shuffle moves only the small raw
+    rows, and every expensive derived row is computed in parallel. At 100 TB
+    scans carry thousands of row groups, the condition is false, and this is
+    a no-op — plain scans/aggregations never pay the shuffle.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < max(sc.defaultParallelism // 2, 2):
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 class SourceCatalog:
     """Session-level registry mapping ``source.table`` → DataFrame factory.
 

@@ -26,6 +26,8 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mindsdb_spark.catalog import parallelize_input
+
 col = F.col
 
 
@@ -54,6 +56,7 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     (measured 7.8s → 0.9s on 5k docs), because each lambda is a flat
     two-arg concat instead of per-index array probing.
     """
+    df = parallelize_input(df)
     w = words_expr(col(text_col))
     ln = F.size(w) - (n - 1)
     grams = F.slice(w, 1, ln)
@@ -150,6 +153,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     shuffle `bits` ints per doc. (A higher-order-function formulation was
     ~20× slower: bits × words interpreted lambda evals per row.)
     """
+    df = parallelize_input(df)
     w = words_expr(col(text_col))
     h = F.conv(F.substring(F.md5(col("__w")), 1, 8), 16, 10).cast("long")
     exploded = df.select(col(id_col), F.explode(w).alias("__w")).select(

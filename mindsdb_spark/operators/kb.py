@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mindsdb_spark.catalog import parallelize_input
+
 col = F.col
 
 DEFAULT_CHUNK_SIZE = 200
@@ -52,6 +54,7 @@ def chunk_documents(
     stride = chunk_size - overlap
     if stride <= 0:
         raise ValueError("chunk_size must exceed overlap")
+    df = parallelize_input(df)
     max_idx = F.greatest(
         F.ceil((F.length(col(text_col)) - F.lit(overlap)) / F.lit(float(stride))).cast("bigint")
         - F.lit(1),

@@ -29,6 +29,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mindsdb_spark.catalog import parallelize_input
 from mindsdb_spark.operators.dedup import words_expr
 
 col = F.col
@@ -41,7 +42,7 @@ B = 0.75
 
 def tokenize(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, term) rows, lowercased whitespace tokens (not deduplicated)."""
-    return df.select(col(id_col), F.explode(words_expr(col(text_col))).alias("term"))
+    return parallelize_input(df).select(col(id_col), F.explode(words_expr(col(text_col))).alias("term"))
 
 
 def bm25_scores(

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mindsdb_spark.catalog import parallelize_input
 from mindsdb_spark.operators.dedup import words_expr
 
 col = F.col
@@ -24,6 +25,7 @@ def _round6(c):
 
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, n_tokens, n_uniq_tokens) by whitespace tokenization."""
+    df = parallelize_input(df)
     w = words_expr(col(text_col))
     return df.select(
         col(id_col),
@@ -38,6 +40,7 @@ def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     Mirrors the shape of standard pretraining-corpus filters (doc length,
     symbol-to-word ratio); deterministic and fully JVM-side.
     """
+    df = parallelize_input(df)
     t = col(text_col)
     w = words_expr(t)
     n_chars = F.length(t)
@@ -73,6 +76,7 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic language ID: count marker-word hits per language, argmax
     with fixed priority order. (id, pred_lang, <lang>_hits...)."""
+    df = parallelize_input(df)
     w = words_expr(col(text_col))
 
     def _hit(markers):

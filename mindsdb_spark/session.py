@@ -33,6 +33,14 @@ def get_spark(app_name: str = "mindsdb-spark", cpus: str | int | None = None) ->
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's default 64 MB advisory size would coalesce every local-scale
+        # shuffle to ONE partition, serializing joins/aggregations that follow.
+        # 2 MB keeps local shuffles parallel; a real cluster overrides via env
+        # (at 100 TB shuffles dwarf 64 MB and coalescing behaves as intended).
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "2m"),
+        )
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
