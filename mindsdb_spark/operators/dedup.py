@@ -68,28 +68,67 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     )
 
 
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+_LANE_SEED = 42
+
+
+def minhash_lane_params(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per minhash lane. a < 2^30 keeps a·s32 + b
+    below 2^63 on BOTH engines (DuckDB BIGINT overflow raises; Spark's
+    would silently wrap) — the bound is part of the cross-engine contract."""
+    import random
+
+    rnd = random.Random(_LANE_SEED)
+    return [(rnd.randrange(1, 1 << 30), rnd.randrange(0, 1 << 30)) for _ in range(n_hashes)]
+
+
+def shingle_hash_expr(shingle_col):
+    """60-bit integer shingle hash: first 15 hex chars of md5, base-16
+    decoded. One md5 per shingle feeds every minhash lane, and all joins/
+    aggregates downstream move 8-byte ints instead of hex strings. md5 is
+    the hash both engines share, so the oracle reproduces it exactly."""
+    return F.conv(F.substring(F.md5(shingle_col), 1, 15), 16, 10).cast("long")
+
+
+def shingle_hashes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct shingles as (id, sh) 60-bit integer hash rows."""
+    sh = shingles(df, text_col, id_col, n)
+    return sh.select(col(id_col), shingle_hash_expr(col("shingle")).alias("sh"))
+
+
 def minhash_signatures(
     sh: DataFrame, id_col: str = "doc_id", n_hashes: int = 16
 ) -> DataFrame:
-    """MinHash signature per document from exploded shingles.
+    """MinHash signature per document from hashed shingles (id, sh).
 
-    hash_i(s) = md5("{i}:" || s); signature_i = min over shingles — min() is
-    algebraic, so Spark computes it map-side and shuffles only k hex strings
-    per document regardless of document size.
+    lane_i(s) = (a_i·s32 + b_i) mod P over s32 = sh mod 2^32; signature_i =
+    min over shingles. min() is algebraic, so Spark computes it map-side and
+    shuffles only n_hashes longs per document regardless of document size;
+    the affine family costs two multiply-adds per lane instead of an md5.
     """
+    s32 = col("sh") % F.lit(4294967296)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), col("shingle")))).alias(f"h{i}")
-        for i in range(n_hashes)
+        F.min((F.lit(a) * s32 + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_lane_params(n_hashes))
     ]
     return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_bands(sig: DataFrame, id_col: str = "doc_id", bands: int = 4, rows: int = 4) -> DataFrame:
-    """Fold a minhash signature into band signatures: (id, band_id, band_sig)."""
+    """Fold a minhash signature into band signatures: (id, band_id, band_sig).
+
+    band_sig is a polynomial fold of the lane values mod MINHASH_PRIME —
+    integer arithmetic both engines evaluate identically (each partial stays
+    under 2^52), and the LSH self-join below shuffles 8-byte keys.
+    """
     entries = []
     for b in range(bands):
-        parts = F.concat_ws(",", *[col(f"h{b * rows + r}") for r in range(rows)])
-        entries.append(F.struct(F.lit(b).alias("band_id"), F.md5(parts).alias("band_sig")))
+        acc = col(f"h{b * rows}")
+        for r in range(1, rows):
+            acc = (acc * F.lit(1000003) + col(f"h{b * rows + r}")) % F.lit(MINHASH_PRIME)
+        entries.append(F.struct(F.lit(b).alias("band_id"), acc.alias("band_sig")))
     return sig.select(
         col(id_col), F.explode(F.array(*entries)).alias("bd")
     ).select(id_col, col("bd.band_id"), col("bd.band_sig"))
@@ -98,7 +137,8 @@ def lsh_bands(sig: DataFrame, id_col: str = "doc_id", bands: int = 4, rows: int 
 def lsh_candidate_pairs(
     sh: DataFrame, id_col: str = "doc_id", n_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
-    """Near-duplicate candidate pairs: docs sharing any LSH band.
+    """Near-duplicate candidate pairs: docs sharing any LSH band, over
+    hashed shingles (id, sh).
 
     The self-join shuffles on (band_id, band_sig) — each bucket joins
     locally; no all-pairs comparison ever materializes.
@@ -118,15 +158,18 @@ def lsh_candidate_pairs(
 def jaccard_topk_pairs(sh: DataFrame, id_col: str = "doc_id", k: int = 20) -> DataFrame:
     """Top-k most-similar document pairs by exact shingle Jaccard.
 
-    Inverted-index self-join: pairs are generated only where a shingle is
-    shared (cost Σ f(s)²), then |A∩B| / (|A|+|B|-|A∩B|). orderBy+limit
-    compiles to TakeOrderedAndProject — no global sort.
+    Inverted-index self-join over hashed shingles (id, sh): pairs are
+    generated only where a shingle hash is shared (cost Σ f(s)²), then
+    |A∩B| / (|A|+|B|-|A∩B|). Joining on the 60-bit int instead of the
+    shingle string shrinks the shuffle ~4× and makes the join key
+    fixed-width; orderBy+limit compiles to TakeOrderedAndProject — no
+    global sort.
     """
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    a = sh.select(col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(col(id_col).alias("doc_b"), "shingle")
+    a = sh.select(col(id_col).alias("doc_a"), "sh")
+    b = sh.select(col(id_col).alias("doc_b"), "sh")
     shared = (
-        a.join(b, "shingle")
+        a.join(b, "sh")
         .filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared"))

@@ -111,13 +111,14 @@ def fingerprint_bottom_k(sh: DataFrame, id_col: str = "doc_id", k: int = 4) -> D
     """Bottom-k sketch fingerprint: the k smallest shingle hashes per doc.
 
     A compact, unionable document signature (bottom-k sketches support set
-    resemblance estimation). Output exploded as (id, fp) rows; the window
-    partitions by document, so the shuffle is by id only.
+    resemblance estimation) over hashed shingles (id, sh). Expressed as
+    groupBy + array_sort + slice: one hash-aggregate keyed on the doc id,
+    no global sort — the window/row_number formulation paid a full
+    partition sort plus a second pass to filter ranks.
     """
-    w = Window.partitionBy(id_col).orderBy("fp")
+    topk = F.slice(F.array_sort(F.collect_list("sh")), 1, k)
     return (
-        sh.select(col(id_col), F.md5(col("shingle")).alias("fp"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(col("__rn") <= k)
-        .select(id_col, "fp")
+        sh.groupBy(id_col)
+        .agg(topk.alias("__fps"))
+        .select(col(id_col), F.explode("__fps").alias("fp"))
     )

@@ -26,6 +26,18 @@ _EX = (
     "ex AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w)-2), "
     "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle FROM words WHERE len(w) >= 3)"
 )
+# 60-bit integer shingle hash — mirrors dedup.shingle_hash_expr exactly.
+_EXH = (
+    "exh AS (SELECT doc_id, CAST(CAST('0x' || substr(md5(shingle), 1, 15) AS UBIGINT) AS BIGINT)"
+    " AS sh FROM ex)"
+)
+
+
+def _lane_sql(i: int) -> str:
+    from mindsdb_spark.operators.dedup import MINHASH_PRIME, minhash_lane_params
+
+    a, b = minhash_lane_params(16)[i]
+    return f"min(({a} * (sh % 4294967296) + {b}) % {MINHASH_PRIME})"
 _COS = (
     "list_sum(list_transform(generate_series(1, len(embedding)), "
     "i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) "
@@ -113,29 +125,28 @@ D04_SQL = _lang_sql()
 
 # --- D05 minhash signatures --------------------------------------------------
 def d05_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = D.minhash_signatures(D.shingles(_t(spark, sf_dir, "documents")))
+    sig = D.minhash_signatures(D.shingle_hashes(_t(spark, sf_dir, "documents")))
     return sig.select("doc_id", "h0", "h7", "h15")
 
 
 D05_SQL = f"""
-WITH {_WORDS}, {_EX}
-SELECT doc_id, min(md5('0:' || shingle)) AS h0,
-       min(md5('7:' || shingle)) AS h7, min(md5('15:' || shingle)) AS h15
-FROM ex GROUP BY doc_id ORDER BY doc_id
+WITH {_WORDS}, {_EX}, {_EXH}
+SELECT doc_id, {_lane_sql(0)} AS h0, {_lane_sql(7)} AS h7, {_lane_sql(15)} AS h15
+FROM exh GROUP BY doc_id ORDER BY doc_id
 """
 
 
 # --- D06 n-gram Jaccard top-k near-dup pairs --------------------------------
 def d06_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.jaccard_topk_pairs(D.shingles(_t(spark, sf_dir, "documents")), k=20)
+    return D.jaccard_topk_pairs(D.shingle_hashes(_t(spark, sf_dir, "documents")), k=20)
 
 
 D06_SQL = f"""
-WITH {_WORDS}, {_EX},
-sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+WITH {_WORDS}, {_EX}, {_EXH},
+sizes AS (SELECT doc_id, count(*) AS n FROM exh GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM exh a JOIN exh b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -148,23 +159,28 @@ ORDER BY jac DESC, doc_a, doc_b LIMIT 20
 # --- D07 LSH candidate pairs -------------------------------------------------
 def d07_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        D.lsh_candidate_pairs(D.shingles(_t(spark, sf_dir, "documents")))
+        D.lsh_candidate_pairs(D.shingle_hashes(_t(spark, sf_dir, "documents")))
         .orderBy("doc_a", "doc_b")
     )
 
 
 def _lsh_sql() -> str:
-    mins = ", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(16))
+    from mindsdb_spark.operators.dedup import MINHASH_PRIME
+
+    mins = ", ".join(f"{_lane_sql(i)} AS h{i}" for i in range(16))
+
+    def _band(b: int) -> str:
+        acc = f"h{b * 4}"
+        for r in range(1, 4):
+            acc = f"(({acc}) * 1000003 + h{b * 4 + r}) % {MINHASH_PRIME}"
+        return acc
+
     bands = "\n  UNION ALL ".join(
-        "SELECT doc_id, {b} AS band_id, md5({expr}) AS band_sig FROM sig".format(
-            b=b,
-            expr=" || ',' || ".join(f"h{b * 4 + r}" for r in range(4)),
-        )
-        for b in range(4)
+        f"SELECT doc_id, {b} AS band_id, {_band(b)} AS band_sig FROM sig" for b in range(4)
     )
     return f"""
-WITH {_WORDS}, {_EX},
-sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+WITH {_WORDS}, {_EX}, {_EXH},
+sig AS (SELECT doc_id, {mins} FROM exh GROUP BY doc_id),
 bands AS ({bands})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
@@ -178,14 +194,14 @@ D07_SQL = _lsh_sql()
 
 # --- D08 bottom-k fingerprint ------------------------------------------------
 def d08_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.fingerprint_bottom_k(D.shingles(_t(spark, sf_dir, "documents")), k=4)
+    return T.fingerprint_bottom_k(D.shingle_hashes(_t(spark, sf_dir, "documents")), k=4)
 
 
 D08_SQL = f"""
-WITH {_WORDS}, {_EX},
-fp AS (SELECT doc_id, md5(shingle) AS fp,
-              row_number() OVER (PARTITION BY doc_id ORDER BY md5(shingle)) AS rn
-       FROM ex)
+WITH {_WORDS}, {_EX}, {_EXH},
+fp AS (SELECT doc_id, sh AS fp,
+              row_number() OVER (PARTITION BY doc_id ORDER BY sh) AS rn
+       FROM exh)
 SELECT doc_id, fp FROM fp WHERE rn <= 4 ORDER BY doc_id, fp
 """
 
