@@ -1,0 +1,105 @@
+"""Oracle-checked temporal join queries: as-of join and range join.
+
+The reference lacks both operators (nearest analog: the TS-predictor
+window fetch, mindsdb/api/executor/planner/plan_join_ts.py:244-335); the
+DuckDB oracle uses its native ASOF JOIN / IEJoin, which makes these a
+genuinely independent semantic cross-check of our union-window and
+interval-bucketing formulations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mindsdb_spark.catalog import load_table as _t
+from mindsdb_spark.operators.temporal import asof_join, range_join
+
+col = F.col
+
+
+def _clicks(e: DataFrame) -> DataFrame:
+    # Dedup the right side on (user_id, ts): as-of semantics are only
+    # deterministic when the match key is unique per timestamp, and both
+    # engines must agree on which row wins.
+    return (
+        e.filter(col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"), F.max("value").alias("click_value"))
+    )
+
+
+# --- T01 as-of join (backward): last click at-or-before each purchase -------
+def t01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(col("event_type") == "purchase").select("event_id", "ts", "user_id")
+    res = asof_join(purchases, _clicks(e), on="ts", by="user_id")
+    return res.select("event_id", "user_id", "click_id", "click_value").orderBy("event_id")
+
+
+T01_SQL = """
+WITH p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, max(event_id) AS click_id, max(value) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT p.event_id, p.user_id, c.click_id, c.click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
+# --- T02 as-of join (forward): next click at-or-after each purchase ---------
+def t02_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(col("event_type") == "purchase").select("event_id", "ts", "user_id")
+    res = asof_join(purchases, _clicks(e), on="ts", by="user_id", direction="forward")
+    return res.select("event_id", "user_id", "click_id", "click_value").orderBy("event_id")
+
+
+# Forward as-of with an inverted comparison. DuckDB requires the inequality
+# ordered (>=), so flip by negating epochs is avoided — it supports <= too.
+T02_SQL = """
+WITH p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, max(event_id) AS click_id, max(value) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT p.event_id, p.user_id, c.click_id, c.click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+ORDER BY p.event_id
+"""
+
+
+# --- T03 range join: purchases inside 30-min windows after errors -----------
+def t03_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(col("event_type") == "purchase").select("event_id", "ts", "user_id")
+    windows = (
+        e.filter(col("event_type") == "error")
+        .select(
+            col("event_id").alias("err_id"),
+            col("user_id"),
+            col("ts").alias("w_start"),
+            (col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+        )
+    )
+    res = range_join(
+        purchases, windows, point_col="ts", start_col="w_start", end_col="w_end",
+        by="user_id", bucket_width_seconds=1800,
+    )
+    return res.select("event_id", "user_id", "err_id").orderBy("event_id", "err_id")
+
+
+T03_SQL = """
+WITH p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'),
+w AS (SELECT event_id AS err_id, user_id, ts AS w_start,
+             ts + INTERVAL 30 MINUTE AS w_end
+      FROM events WHERE event_type = 'error')
+SELECT p.event_id, p.user_id, w.err_id
+FROM p JOIN w ON p.user_id = w.user_id AND p.ts >= w.w_start AND p.ts <= w.w_end
+ORDER BY p.event_id, w.err_id
+"""
+
+
+TEMPORAL_QUERIES = {
+    "t01_asof_join": (t01_asof_join, T01_SQL),
+    "t02_asof_forward": (t02_asof_forward, T02_SQL),
+    "t03_range_join": (t03_range_join, T03_SQL),
+}

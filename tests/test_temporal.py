@@ -1,0 +1,86 @@
+"""As-of and range join operator semantics."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from mindsdb_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, "A", _ts("2024-01-01 10:00:05"), 100.0),
+            (2, "A", _ts("2024-01-01 10:00:00"), 101.0),  # exact-time match
+            (3, "B", _ts("2024-01-01 09:59:59"), 102.0),  # before any quote
+            (4, "B", _ts("2024-01-01 10:01:00"), 103.0),
+        ],
+        "trade_id long, sym string, ts timestamp, price double",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:00"), 99.5),
+            ("A", _ts("2024-01-01 10:00:04"), 99.7),
+            ("B", _ts("2024-01-01 10:00:30"), 88.0),
+        ],
+        "sym string, ts timestamp, bid double",
+    )
+    return trades, quotes
+
+
+def test_asof_backward(trades_quotes):
+    trades, quotes = trades_quotes
+    res = asof_join(trades, quotes, on="ts", by="sym")
+    got = {r["trade_id"]: r["bid"] for r in res.collect()}
+    assert got == {1: 99.7, 2: 99.5, 3: None, 4: 88.0}
+
+
+def test_asof_forward(trades_quotes):
+    trades, quotes = trades_quotes
+    res = asof_join(trades, quotes, on="ts", by="sym", direction="forward")
+    got = {r["trade_id"]: r["bid"] for r in res.collect()}
+    assert got == {1: None, 2: 99.5, 3: 88.0, 4: None}
+
+
+def test_asof_keeps_left_rows_and_columns(trades_quotes):
+    trades, quotes = trades_quotes
+    res = asof_join(trades, quotes, on="ts", by="sym")
+    assert res.count() == trades.count()
+    assert set(res.columns) >= {"trade_id", "sym", "ts", "price", "bid"}
+
+
+def test_asof_plan_has_no_join(trades_quotes):
+    # The operator's scale contract: a single shuffle + window, never a
+    # nested-loop join.
+    trades, quotes = trades_quotes
+    plan = asof_join(trades, quotes, on="ts", by="sym")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_range_join_buckets(spark):
+    points = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 3700), (3, 20, 50), (4, 10, 10_000)],
+        "pid long, k long, t long",
+    )
+    iv = spark.createDataFrame(
+        [(7, 10, 0, 3600), (8, 10, 3600, 7200), (9, 20, 0, 40)],
+        "iid long, k long, s long, e long",
+    )
+    res = range_join(points, iv, point_col="t", start_col="s", end_col="e", by="k",
+                     bucket_width_seconds=1000)
+    got = sorted((r["pid"], r["iid"]) for r in res.collect())
+    assert got == [(1, 7), (2, 8)]
+
+
+def test_range_join_boundaries_inclusive(spark):
+    points = spark.createDataFrame([(1, 1, 0), (2, 1, 100)], "pid long, k long, t long")
+    iv = spark.createDataFrame([(5, 1, 0, 100)], "iid long, k long, s long, e long")
+    res = range_join(points, iv, point_col="t", start_col="s", end_col="e", by="k",
+                     bucket_width_seconds=30)
+    assert sorted(r["pid"] for r in res.collect()) == [1, 2]
