@@ -43,6 +43,9 @@ def get_spark(app_name: str = "mindsdb-spark", cpus: str | int | None = None) ->
         )
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # API-table sources (sources/api_source.py) push FilterConditions
+        # through the Python Data Source V2 reader.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
