@@ -50,6 +50,13 @@ MAX_UDF_ARGS = 4
 _IS_RE = re.compile(r"\binformation_schema\s*\.\s*", re.IGNORECASE)
 _SHOW_TABLES_RE = re.compile(r"SHOW\s+(?:FULL\s+)?TABLES(?:\s+(?:FROM|IN)\s+`?(\w+)`?)?$", re.IGNORECASE)
 _DESCRIBE_RE = re.compile(r"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.`]+)$", re.IGNORECASE)
+# `SELECT <cols> FROM <agent> WHERE question = '...'` — the reference treats
+# agents as virtual model tables with to_predict='answer'
+# (mindsdb/api/executor/sql_query/sql_query.py:148-161).
+_AGENT_RE = re.compile(
+    r"SELECT\s+(.+?)\s+FROM\s+([\w.`]+)\s+WHERE\s+question\s*=\s*'([^']*)'$",
+    re.IGNORECASE,
+)
 
 
 def _mock_llm(prompts: pd.Series) -> pd.Series:
@@ -79,6 +86,7 @@ class EngineSession:
         self.session_vars = {"database": database, "user": user}
         self._rules = build_rules(self.session_vars)
         self._vars = build_vars(self.session_vars)
+        self._agents: dict[str, object] = {}
         self._register_builtin_functions()
 
     # -- sources -------------------------------------------------------------
@@ -88,6 +96,10 @@ class EngineSession:
         else:
             self.catalog.register_parquet_source(name, directory, tables)
         self.catalog.register_views(name)
+
+    def register_agent(self, agent) -> None:
+        """Register an AgentSpec as a queryable virtual table."""
+        self._agents[agent.name.lower()] = agent
 
     # -- SQL entry point -------------------------------------------------------
     def rewrite(self, sql: str) -> str:
@@ -125,6 +137,18 @@ class EngineSession:
                 f"SELECT table_name AS `Tables_in_{db}` FROM information_schema_tables "
                 f"WHERE table_schema = '{db}' ORDER BY 1"
             )
+        m = _AGENT_RE.match(s)
+        if m:
+            name = m.group(2).lower().strip("`").split(".")[-1]
+            if name in self._agents:
+                from mindsdb_spark.operators.agent import agent_ask
+
+                agent = self._agents[name]
+                res = agent_ask(self.spark, agent, m.group(3))
+                cols = [c.strip(" `") for c in m.group(1).split(",")]
+                if cols == ["*"]:
+                    return res
+                return res.select(*cols)
         m = _DESCRIBE_RE.match(s)
         if m:
             self._refresh_information_schema()

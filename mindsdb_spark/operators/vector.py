@@ -162,6 +162,65 @@ def allpairs_topk(
     return local.orderBy(col("sim").desc(), "id_a", "id_b").limit(k)
 
 
+def ivf_assign(
+    df: DataFrame, vec_col: str, centroids: list[tuple[int, list[float]]], out_col: str = "__cid"
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (cosine; ties → larger id).
+
+    The centroid list is tiny (n_centroids ≪ N) and becomes literal arrays
+    inside one JVM expression — no join, no shuffle; assignment is a pure
+    map stage. greatest() over (sim, cid) structs picks the argmax.
+    """
+    v = col(vec_col).cast("array<double>")
+    entries = []
+    for cid, cvec in centroids:
+        q = F.array(*[F.lit(float(x)) for x in cvec])
+        import math
+
+        qn = math.sqrt(sum(float(x) * float(x) for x in cvec))
+        sim = _dot(v, q) / (_norm(v) * F.lit(qn))
+        entries.append(F.struct(sim.alias("s"), F.lit(cid).alias("c")))
+    best = F.greatest(*entries) if len(entries) > 1 else entries[0]
+    return df.withColumn(out_col, best.getField("c"))
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_probes: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: probe the n_probes nearest of
+    n_centroids coarse cells, exact-rank only their members.
+
+    The coarse quantizer here is deterministic (centroids = the vectors with
+    the n_centroids smallest ids) so the operator is oracle-checkable
+    end-to-end; swap in MLlib KMeans centroids for recall-tuned production
+    use — the plan shape is unchanged. Scan cost drops to ~n_probes/
+    n_centroids of the corpus; at scale, write the table partitioned by
+    cell id so probing prunes partitions instead of filtering.
+    """
+    cent_rows = (
+        df.filter(col(id_col) < n_centroids).select(id_col, vec_col).orderBy(id_col).collect()
+    )
+    centroids = [(r[0], [float(x) for x in r[1]]) for r in cent_rows]
+    # Probe selection runs through the same JVM expression as everything
+    # else (no driver-side float arithmetic to diverge from the oracle).
+    probe_rows = (
+        df.filter(col(id_col) < n_centroids)
+        .select(col(id_col), cosine_similarity(col(vec_col), query).alias("__s"))
+        .orderBy(col("__s").desc(), col(id_col).desc())
+        .limit(n_probes)
+        .collect()
+    )
+    probes = [r[0] for r in probe_rows]
+    cand = ivf_assign(df, vec_col, centroids).filter(col("__cid").isin(probes)).drop("__cid")
+    return cosine_topk(cand, vec_col, query, k, id_col)
+
+
 def lsh_topk_join(
     data: DataFrame,
     queries: DataFrame,

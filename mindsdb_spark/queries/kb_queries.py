@@ -129,7 +129,27 @@ FROM m ORDER BY query_id
 """
 
 
+# --- K03 agent batch application ("table JOIN agent") ------------------------
+# The mock completion is content-hash-deterministic, so unlike a live LLM it
+# IS oracle-checkable; the plan shape (Arrow-batched pandas UDF stage) is the
+# real agent path (reference: apply_predictor_step.py:36-53).
+def k03_agent_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.agent import AgentSpec, agent_apply, mock_complete
+
+    docs = _t(spark, sf_dir, "documents").filter(col("doc_id") < 50)
+    agent = AgentSpec(name="helper", complete=mock_complete)
+    res = agent_apply(docs.select("doc_id", col("text").alias("question")), agent, "question")
+    return res.select("doc_id", "answer").orderBy("doc_id")
+
+
+K03_SQL = """
+SELECT doc_id, 'llm:' || substr(md5(text), 1, 12) AS answer
+FROM documents WHERE doc_id < 50 ORDER BY doc_id
+"""
+
+
 KB_QUERIES = {
     "k01_kb_chunks": (k01_kb_chunks, K01_SQL),
     "k02_kb_eval": (k02_kb_eval, K02_SQL),
+    "k03_agent_batch": (k03_agent_batch, K03_SQL),
 }

@@ -320,6 +320,47 @@ FROM documents ORDER BY media_id
 """
 
 
+# --- D14 IVF approximate search ----------------------------------------------
+def d14_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.vector import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(col("vec_id") == 42).select("embedding").head()[0]
+    return ivf_topk(
+        emb, "embedding", [float(x) for x in q], k=10, n_centroids=16, n_probes=4
+    ).select("vec_id")
+
+
+D14_SQL = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42),
+c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+probe AS (
+  SELECT cid FROM c, q
+  ORDER BY list_sum(list_transform(generate_series(1, len(ce)),
+             i -> CAST(ce[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+    cid DESC
+  LIMIT 4
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           list_sum(list_transform(generate_series(1, len(e.embedding)),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+           c.cid DESC) AS rn
+  FROM embeddings e, c
+),
+cand AS (SELECT vec_id, embedding FROM assign
+         WHERE rn = 1 AND cid IN (SELECT cid FROM probe))
+SELECT vec_id FROM (
+  SELECT e.vec_id, {_COS} AS sim FROM cand e, q
+) ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
 # --- S01 BM25 keyword search -------------------------------------------------
 _Q_TERMS = ["spark", "join", "fast"]
 _TOKS = "toks AS (SELECT doc_id, unnest(w) AS term FROM words)"
@@ -627,6 +668,7 @@ PIPELINE = {
     "d11_embedding_pairs": (d11_embedding_pairs, D11_SQL),
     "d12_json_extract": (d12_json_extract, D12_SQL),
     "d13_multimodal": (d13_multimodal, D13_SQL),
+    "d14_ivf_topk": (d14_ivf_topk, D14_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),

@@ -1,0 +1,45 @@
+"""Agent-as-table: single ask, batch apply, EngineSession SQL path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mindsdb_spark.engine import EngineSession
+from mindsdb_spark.operators.agent import AgentSpec, agent_apply, agent_ask, mock_complete
+
+
+@pytest.fixture(scope="module")
+def agent():
+    return AgentSpec(name="helper", complete=mock_complete)
+
+
+def test_agent_ask_single(spark, agent):
+    rows = agent_ask(spark, agent, "what is spark?").collect()
+    assert len(rows) == 1
+    assert rows[0]["question"] == "what is spark?"
+    assert rows[0]["answer"] == mock_complete(["what is spark?"])[0]
+
+
+def test_agent_apply_batch(spark, agent):
+    df = spark.createDataFrame([(i, f"q{i}") for i in range(10)], "id long, q string")
+    res = agent_apply(df, agent, question_col="q").orderBy("id").collect()
+    assert [r["answer"] for r in res] == mock_complete([f"q{i}" for i in range(10)])
+    assert [r["id"] for r in res] == list(range(10))  # passthrough columns kept
+
+
+def test_agent_sql_path(spark, agent):
+    sess = EngineSession(spark)
+    sess.register_agent(agent)
+    rows = sess.sql("SELECT answer FROM helper WHERE question = 'hello'").collect()
+    assert rows[0]["answer"] == mock_complete(["hello"])[0]
+    # project-qualified name resolves too
+    rows = sess.sql("SELECT answer FROM mindsdb.helper WHERE question = 'hello'").collect()
+    assert rows[0]["answer"] == mock_complete(["hello"])[0]
+
+
+def test_non_agent_table_not_hijacked(spark, agent, sf_dir):
+    sess = EngineSession(spark)
+    sess.register_agent(agent)
+    sess.register_parquet_source("tpch", sf_dir)
+    # a real table with a `question`-less filter must go through spark.sql
+    n = sess.sql("SELECT count(*) AS n FROM customer").collect()[0]["n"]
+    assert n > 0
