@@ -53,6 +53,19 @@ _DESCRIBE_RE = re.compile(r"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.`]+)$", re.IGN
 # `SELECT <cols> FROM <agent> WHERE question = '...'` — the reference treats
 # agents as virtual model tables with to_predict='answer'
 # (mindsdb/api/executor/sql_query/sql_query.py:148-161).
+_CREATE_VIEW_RE = re.compile(
+    r"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.`]+)\s+AS\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
+_DROP_VIEW_RE = re.compile(r"DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.`]+)$", re.IGNORECASE)
+# `CREATE JOB name AS (sql) EVERY n unit` — the reference's polling job
+# surface (mindsdb/interfaces/jobs/README.md:1-60, jobs_controller.py).
+_CREATE_JOB_RE = re.compile(
+    r"CREATE\s+JOB\s+(\w+)\s+AS\s+\((.+)\)\s+EVERY\s+(\d+)\s+(\w+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_JOB_RE = re.compile(r"DROP\s+JOB\s+(\w+)$", re.IGNORECASE)
+_PERIODS = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60, "hour": 3600,
+            "hours": 3600, "day": 86400, "days": 86400}
 _AGENT_RE = re.compile(
     r"SELECT\s+(.+?)\s+FROM\s+([\w.`]+)\s+WHERE\s+question\s*=\s*'([^']*)'$",
     re.IGNORECASE,
@@ -87,6 +100,10 @@ class EngineSession:
         self._rules = build_rules(self.session_vars)
         self._vars = build_vars(self.session_vars)
         self._agents: dict[str, object] = {}
+        from mindsdb_spark.streaming.jobs import JobScheduler
+
+        self.jobs = JobScheduler()
+        self._views: dict[str, str] = {}
         self._register_builtin_functions()
 
     # -- sources -------------------------------------------------------------
@@ -137,6 +154,34 @@ class EngineSession:
                 f"SELECT table_name AS `Tables_in_{db}` FROM information_schema_tables "
                 f"WHERE table_schema = '{db}' ORDER BY 1"
             )
+        m = _CREATE_VIEW_RE.match(s)
+        if m:
+            # Views are stored SQL expanded per query, like the reference's
+            # project views (mindsdb/interfaces/database/views.py:9-40);
+            # registering a Spark temp view keeps expansion inside Catalyst.
+            name = m.group(1).lower().strip("`").split(".")[-1]
+            body = self.rewrite(m.group(2))
+            self._views[name] = body
+            self.spark.sql(body).createOrReplaceTempView(name)
+            return self.spark.createDataFrame([(name,)], "view string")
+        m = _DROP_VIEW_RE.match(s)
+        if m:
+            name = m.group(1).lower().strip("`").split(".")[-1]
+            self._views.pop(name, None)
+            self.spark.catalog.dropTempView(name)
+            return self.spark.createDataFrame([(name,)], "view string")
+        m = _CREATE_JOB_RE.match(s)
+        if m:
+            name, body, n, unit = m.group(1).lower(), m.group(2), int(m.group(3)), m.group(4).lower()
+            if unit not in _PERIODS:
+                raise ValueError(f"unknown period {unit!r}")
+            self.jobs.create_job(name, lambda sql=body: self.sql(sql).collect(),
+                                 every_seconds=n * _PERIODS[unit])
+            return self.spark.createDataFrame([(name,)], "job string")
+        m = _DROP_JOB_RE.match(s)
+        if m:
+            self.jobs.drop_job(m.group(1).lower())
+            return self.spark.createDataFrame([(m.group(1).lower(),)], "job string")
         m = _AGENT_RE.match(s)
         if m:
             name = m.group(2).lower().strip("`").split(".")[-1]

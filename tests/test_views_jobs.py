@@ -1,0 +1,49 @@
+"""CREATE VIEW / CREATE JOB SQL command surface on EngineSession."""
+
+import pytest
+
+from mindsdb_spark.engine import EngineSession
+
+
+@pytest.fixture(scope="module")
+def sess(spark, sf_dir):
+    s = EngineSession(spark)
+    s.register_parquet_source("tpch", sf_dir)
+    return s
+
+
+def test_create_and_query_view(sess):
+    sess.sql("CREATE VIEW big_orders AS SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 200000")
+    n = sess.sql("SELECT count(*) AS n FROM big_orders").collect()[0]["n"]
+    direct = sess.sql(
+        "SELECT count(*) AS n FROM orders WHERE o_totalprice > 200000"
+    ).collect()[0]["n"]
+    assert n == direct > 0
+
+
+def test_view_joins_with_tables(sess):
+    sess.sql("CREATE OR REPLACE VIEW cust_nation AS SELECT c_custkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey")
+    rows = sess.sql(
+        "SELECT n_name, count(*) AS n FROM cust_nation GROUP BY n_name ORDER BY n_name"
+    ).collect()
+    assert len(rows) > 0
+
+
+def test_drop_view(sess):
+    sess.sql("CREATE VIEW tmp_v AS SELECT 1 AS x")
+    sess.sql("DROP VIEW tmp_v")
+    with pytest.raises(Exception):
+        sess.sql("SELECT * FROM tmp_v").collect()
+
+
+def test_create_job_runs_on_schedule(sess):
+    sess.spark.sql("CREATE OR REPLACE TEMP VIEW job_probe AS SELECT 1 AS x")
+    sess.sql("CREATE JOB refresh_probe AS (SELECT count(*) FROM customer) EVERY 2 minutes")
+    assert "refresh_probe" in {j.name for j in sess.jobs.jobs.values()} or "refresh_probe" in sess.jobs.jobs
+    # due immediately at t0, then not until t0 + 120
+    ran = sess.jobs.run_pending(now=1_000_000.0)
+    assert ran == ["refresh_probe"]
+    assert sess.jobs.run_pending(now=1_000_060.0) == []
+    assert sess.jobs.run_pending(now=1_000_121.0) == ["refresh_probe"]
+    sess.sql("DROP JOB refresh_probe")
+    assert sess.jobs.run_pending(now=1_000_500.0) == []
