@@ -62,9 +62,12 @@ def bm25_scores(
     the corpus-side work is one tokenize pass + two groupBys.
     """
     toks = tokenize(df, text_col, id_col)
-    n_docs = df.count()  # scalar; one cheap count job
     doclen = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
-    avgdl = float(doclen.agg(F.avg("dl")).head()[0])
+    # Corpus scalars (N, avgdl) stay IN the plan as broadcast 1-row joins:
+    # eager .count()/.head() here would run extra corpus passes as separate
+    # driver-synchronized jobs on every invocation.
+    n_docs = df.agg(F.count("*").cast("double").alias("__n"))
+    avgdl = doclen.agg(F.avg("dl").alias("__avgdl"))
 
     qt = [t.lower() for t in query_terms]
     tf = (
@@ -73,16 +76,18 @@ def bm25_scores(
         .agg(F.count("*").alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log((F.lit(float(n_docs)) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    idf = F.log((col("__n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
     contrib = (
         tf.join(F.broadcast(dfreq), "term")
         .join(doclen, id_col)
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(avgdl))
         .select(
             col(id_col),
             (
                 idf
                 * (col("tf") * (k1 + 1.0))
-                / (col("tf") + k1 * (1.0 - b + b * col("dl") / F.lit(avgdl)))
+                / (col("tf") + k1 * (1.0 - b + b * col("dl") / col("__avgdl")))
             ).alias("c"),
         )
     )
