@@ -168,8 +168,12 @@ def ivf_assign(
     """Assign each vector to its nearest centroid (cosine; ties → larger id).
 
     The centroid list is tiny (n_centroids ≪ N) and becomes literal arrays
-    inside one JVM expression — no join, no shuffle; assignment is a pure
-    map stage. greatest() over (sim, cid) structs picks the argmax.
+    inside one JVM expression — no join, no shuffle; assignment stays a
+    pure map stage, which is the property that matters at 100 TB (a
+    join+argmax formulation would shuffle the corpus). greatest() over
+    (sim, cid) structs picks the argmax. The literal expression costs some
+    one-off plan-compile time locally; that is driver-side and constant in
+    data size.
     """
     v = col(vec_col).cast("array<double>")
     entries = []
@@ -203,20 +207,19 @@ def ivf_topk(
     n_centroids of the corpus; at scale, write the table partitioned by
     cell id so probing prunes partitions instead of filtering.
     """
+    # One bounded collect fetches centroid vectors AND their query
+    # similarity; the sims are JVM-computed (same expression as the rest of
+    # the operator — no driver-side float arithmetic to diverge from the
+    # oracle), so picking the top n_probes in Python is a pure sort on
+    # already-agreed values.
     cent_rows = (
-        df.filter(col(id_col) < n_centroids).select(id_col, vec_col).orderBy(id_col).collect()
-    )
-    centroids = [(r[0], [float(x) for x in r[1]]) for r in cent_rows]
-    # Probe selection runs through the same JVM expression as everything
-    # else (no driver-side float arithmetic to diverge from the oracle).
-    probe_rows = (
         df.filter(col(id_col) < n_centroids)
-        .select(col(id_col), cosine_similarity(col(vec_col), query).alias("__s"))
-        .orderBy(col("__s").desc(), col(id_col).desc())
-        .limit(n_probes)
+        .select(id_col, vec_col, cosine_similarity(col(vec_col), query).alias("__s"))
+        .orderBy(id_col)
         .collect()
     )
-    probes = [r[0] for r in probe_rows]
+    centroids = [(r[0], [float(x) for x in r[1]]) for r in cent_rows]
+    probes = [r[0] for r in sorted(cent_rows, key=lambda r: (-r[2], -r[0]))[:n_probes]]
     cand = ivf_assign(df, vec_col, centroids).filter(col("__cid").isin(probes)).drop("__cid")
     return cosine_topk(cand, vec_col, query, k, id_col)
 
