@@ -27,12 +27,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from mindsdb_spark.queries.pipeline import PIPELINE
     from mindsdb_spark.queries.kb_queries import KB_QUERIES
     from mindsdb_spark.queries.temporal_queries import TEMPORAL_QUERIES
+    from mindsdb_spark.queries.engine_queries import ENGINE_QUERIES
 
     out = {name: fn for name, (fn, _sql) in PROBES.items()}
     out.update({name: fn for name, (fn, _sql) in PROBES_EXT.items()})
     out.update({name: fn for name, (fn, _sql) in PIPELINE.items()})
     out.update({name: fn for name, (fn, _sql) in KB_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in TEMPORAL_QUERIES.items()})
+    out.update({name: fn for name, (fn, _sql) in ENGINE_QUERIES.items()})
     return out
 
 
@@ -43,10 +45,12 @@ def oracle_sql() -> dict[str, str]:
     from mindsdb_spark.queries.pipeline import PIPELINE
     from mindsdb_spark.queries.kb_queries import KB_QUERIES
     from mindsdb_spark.queries.temporal_queries import TEMPORAL_QUERIES
+    from mindsdb_spark.queries.engine_queries import ENGINE_QUERIES
 
     out = {name: sql for name, (_fn, sql) in PROBES.items() if sql is not None}
     out.update({name: sql for name, (_fn, sql) in PROBES_EXT.items() if sql is not None})
     out.update({name: sql for name, (_fn, sql) in PIPELINE.items() if sql is not None})
     out.update({name: sql for name, (_fn, sql) in KB_QUERIES.items() if sql is not None})
     out.update({name: sql for name, (_fn, sql) in TEMPORAL_QUERIES.items() if sql is not None})
+    out.update({name: sql for name, (_fn, sql) in ENGINE_QUERIES.items() if sql is not None})
     return out

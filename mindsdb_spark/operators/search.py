@@ -62,7 +62,13 @@ def bm25_scores(
     the corpus-side work is one tokenize pass + two groupBys.
     """
     toks = tokenize(df, text_col, id_col)
-    doclen = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    # Document length comes from size(split(text)) on the un-exploded rows —
+    # identical value to counting exploded tokens, but it removes a second
+    # tokenize+explode+groupBy pass over the corpus (Catalyst does not CSE
+    # the tokenize subtree across join branches).
+    doclen = parallelize_input(df).select(
+        col(id_col), F.size(words_expr(col(text_col))).alias("dl")
+    )
     # Corpus scalars (N, avgdl) stay IN the plan as broadcast 1-row joins:
     # eager .count()/.head() here would run extra corpus passes as separate
     # driver-synchronized jobs on every invocation.
