@@ -90,7 +90,71 @@ FROM ranked WHERE rn = 1 ORDER BY o_custkey
 """
 
 
+# --- M02: date/time dialect functions (beyond m01's set) ---------------------
+def m02_dialect_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = _session(spark, sf_dir)
+    return sess.sql(
+        """
+        SELECT o_orderkey,
+               FROM_UNIXTIME(o_orderkey * 1000) AS fu,
+               TIMESTAMPDIFF(DAY, date '2024-01-01', o_orderdate) AS td,
+               ADDDATE(o_orderdate, INTERVAL 3 DAY) AS ad,
+               DATE_SUB(o_orderdate, INTERVAL 1 HOUR) AS ds,
+               MONTHNAME(o_orderdate) AS mn,
+               CAST(FROM_DAYS(739000) AS STRING) AS fd
+        FROM tpch_orders ORDER BY o_orderkey
+        """
+    )
+
+
+M02_SQL = """
+SELECT o_orderkey,
+       strftime(to_timestamp(o_orderkey * 1000), '%Y-%m-%d %H:%M:%S') AS fu,
+       date_diff('day', DATE '2024-01-01', o_orderdate) AS td,
+       CAST(o_orderdate AS TIMESTAMP) + INTERVAL 3 DAY AS ad,
+       CAST(o_orderdate AS TIMESTAMP) - INTERVAL 1 HOUR AS ds,
+       strftime(CAST(o_orderdate AS TIMESTAMP), '%B') AS mn,
+       CAST(DATE '0000-01-01' + 739000 AS VARCHAR) AS fd
+FROM orders ORDER BY o_orderkey
+"""
+
+
+# --- M03: string / misc dialect functions ------------------------------------
+def m03_dialect_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = _session(spark, sf_dir)
+    return sess.sql(
+        """
+        SELECT c_custkey,
+               CHAR(72, 73) AS ch,
+               FORMAT(c_custkey * 1000000, 0) AS fm,
+               REGEXP_SUBSTR(c_mktsegment, '[A-Z]+') AS rs,
+               LOCATE('U', c_mktsegment) AS lc,
+               TRUNCATE(c_acctbal, 1) AS tr,
+               SHA2(c_name, 256) AS sh,
+               HASH(c_name) AS hs,
+               DATABASE() AS db
+        FROM tpch_customer ORDER BY c_custkey
+        """
+    )
+
+
+M03_SQL = """
+SELECT c_custkey,
+       chr(72) || chr(73) AS ch,
+       format('{:,}', c_custkey * 1000000) AS fm,
+       regexp_extract(c_mktsegment, '[A-Z]+', 0) AS rs,
+       strpos(c_mktsegment, 'U') AS lc,
+       CAST(trunc(c_acctbal * 10) AS BIGINT) / 10 AS tr,
+       sha256(c_name) AS sh,
+       md5(c_name) AS hs,
+       'mindsdb' AS db
+FROM customer ORDER BY c_custkey
+"""
+
+
 ENGINE_QUERIES = {
     "e01_engine_sql": (e01_engine_sql, E01_SQL),
     "e02_engine_view": (e02_engine_view, E02_SQL),
+    "m02_dialect_datetime": (m02_dialect_datetime, M02_SQL),
+    "m03_dialect_string": (m03_dialect_string, M03_SQL),
 }
