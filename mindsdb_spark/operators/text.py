@@ -73,6 +73,25 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+# GPT-2-style pretokenizer shape: letter runs, digit runs, punctuation runs.
+# Kept to character classes both regex engines (Java in Spark, RE2 in the
+# DuckDB oracle) interpret identically.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Approximate BPE token count: pretokenizer runs per document.
+
+    The training-pipeline "how many tokens is this corpus" operator —
+    whitespace counting undershoots punctuation-heavy text; this counts
+    letter/digit/punctuation runs the way BPE pretokenizers split, all
+    inside one JVM regexp expression.
+    """
+    df = parallelize_input(df)
+    n = F.size(F.regexp_extract_all(col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+    return df.select(col(id_col), n.alias("n_bpe_tokens"))
+
+
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic language ID: count marker-word hits per language, argmax
     with fixed priority order. (id, pred_lang, <lang>_hits...)."""

@@ -148,8 +148,31 @@ FROM documents WHERE doc_id < 50 ORDER BY doc_id
 """
 
 
+# --- K04 KB end-to-end: chunk → embed → upsert → semantic search -------------
+# Rows-only check: the deterministic embedder is xxhash64-based, which DuckDB
+# cannot replicate (no shared hash beyond md5, and 16 md5 lanes here would
+# defeat the point of the plan-shape test). Every stage is the production
+# pipeline shape; correctness of each stage is oracle-checked separately
+# (k01 chunks, p32/s04 search, tests/test_kb.py upsert).
+def k04_kb_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.kb import chunk_documents, fake_embed, kb_upsert
+    from mindsdb_spark.operators.vector import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    store = fake_embed(chunk_documents(docs), dim=8).select("chunk_id", "doc_id", "embedding")
+    # re-insert the first 10 docs: upsert must keep the row count stable
+    incoming = fake_embed(chunk_documents(docs.filter(col("doc_id") < 10)), dim=8).select(
+        "chunk_id", "doc_id", "embedding"
+    )
+    merged = kb_upsert(store, incoming, id_col="chunk_id")
+    probe = [0.25, -0.5, 0.75, -0.25, 0.5, -0.75, 0.1, -0.1]
+    hits = cosine_topk(merged, "embedding", probe, k=10, id_col="chunk_id")
+    return hits.select("chunk_id", "doc_id").orderBy("chunk_id")
+
+
 KB_QUERIES = {
     "k01_kb_chunks": (k01_kb_chunks, K01_SQL),
     "k02_kb_eval": (k02_kb_eval, K02_SQL),
     "k03_agent_batch": (k03_agent_batch, K03_SQL),
+    "k04_kb_e2e": (k04_kb_e2e, None),
 }

@@ -361,6 +361,18 @@ SELECT vec_id FROM (
 """
 
 
+# --- D15 BPE-ish token counting ----------------------------------------------
+def d15_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.bpe_token_count(_t(spark, sf_dir, "documents"))
+
+
+D15_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
 # --- S01 BM25 keyword search -------------------------------------------------
 _Q_TERMS = ["spark", "join", "fast"]
 _TOKS = "toks AS (SELECT doc_id, unnest(w) AS term FROM words)"
@@ -669,6 +681,7 @@ PIPELINE = {
     "d12_json_extract": (d12_json_extract, D12_SQL),
     "d13_multimodal": (d13_multimodal, D13_SQL),
     "d14_ivf_topk": (d14_ivf_topk, D14_SQL),
+    "d15_bpe_tokens": (d15_bpe_tokens, D15_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),

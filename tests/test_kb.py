@@ -17,6 +17,9 @@ from mindsdb_spark.queries.kb_queries import KB_QUERIES
 @pytest.mark.parametrize("name", sorted(KB_QUERIES))
 def test_kb_query_matches_oracle(spark, sf_dir, name):
     fn, sql = KB_QUERIES[name]
+    if sql is None:  # rows-only entries (non-SQL-expressible): must run, >0 rows
+        assert fn(spark, sf_dir).count() > 0
+        return
     ok, detail = compare(fn(spark, sf_dir), sql, sf_dir)
     assert ok, f"{name}: {detail}"
 
