@@ -1,0 +1,67 @@
+"""Plan-shape assertions — the Catalyst replacement for the reference's
+planner golden tests (SURVEY §5: exact step-list comparison is not portable
+when Catalyst owns the plan; assert the optimizations we rely on instead).
+"""
+
+import contextlib
+import io
+
+import pytest
+
+from mindsdb_spark.queries.probes import PROBES
+
+
+def _plan(df) -> str:
+    """Formatted explain output (untruncated, names codegen stages)."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushed_to_parquet_scan(spark, sf_dir):
+    df = PROBES["p01_scan_filter"][0](spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters:" in plan
+    # both probe predicates reach the scan
+    assert "GreaterThan(l_quantity" in plan
+    assert "EqualTo(l_returnflag" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = PROBES["p05_groupby_agg"][0](spark, sf_dir)
+    plan = _plan(df)
+    # ReadSchema must carry only the aggregation's columns, not all 16
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_returnflag" in read and "l_quantity" in read
+    assert "l_orderkey" not in read and "l_comment" not in read
+
+
+def test_q5_uses_broadcast_joins(spark, sf_dir):
+    plan = _plan(PROBES["p31_q5_join"][0](spark, sf_dir))
+    # all five dimension joins broadcast; the fact table never shuffles
+    # before aggregation
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_aggregation_is_partial_then_final(spark, sf_dir):
+    plan = _plan(PROBES["p05_groupby_agg"][0](spark, sf_dir))
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_topk_compiles_to_take_ordered(spark, sf_dir):
+    plan = _plan(PROBES["p18_topk"][0](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # no global sort for ORDER+LIMIT
+
+
+def test_semi_anti_joins_native(spark, sf_dir):
+    semi = _plan(PROBES["p12_semi_join"][0](spark, sf_dir))
+    anti = _plan(PROBES["p12_anti_join"][0](spark, sf_dir))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    plan = _plan(PROBES["p04_math_case"][0](spark, sf_dir))
+    assert "[codegen id :" in plan  # expressions stay inside whole-stage codegen
