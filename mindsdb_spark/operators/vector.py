@@ -175,17 +175,20 @@ def ivf_assign(
     one-off plan-compile time locally; that is driver-side and constant in
     data size.
     """
+    import math
+
     v = col(vec_col).cast("array<double>")
+    # factor the vector's own norm out of the per-centroid expressions:
+    # computed once per row instead of once per (row, centroid)
+    with_norm = df.withColumn("__vnorm", _norm(v))
     entries = []
     for cid, cvec in centroids:
         q = F.array(*[F.lit(float(x)) for x in cvec])
-        import math
-
         qn = math.sqrt(sum(float(x) * float(x) for x in cvec))
-        sim = _dot(v, q) / (_norm(v) * F.lit(qn))
+        sim = _dot(v, q) / (col("__vnorm") * F.lit(qn))
         entries.append(F.struct(sim.alias("s"), F.lit(cid).alias("c")))
     best = F.greatest(*entries) if len(entries) > 1 else entries[0]
-    return df.withColumn(out_col, best.getField("c"))
+    return with_norm.withColumn(out_col, best.getField("c")).drop("__vnorm")
 
 
 def ivf_topk(
