@@ -141,6 +141,12 @@ class EngineSession:
     def _try_command(self, sql: str) -> DataFrame | None:
         s = " ".join(sql.strip().rstrip(";").split())
         u = s.upper()
+        if u in ("SHOW JOBS", "SHOW VIEWS", "SHOW AGENTS"):
+            self._refresh_information_schema()
+            kind = u.split()[1].lower()
+            return self.spark.sql(
+                f"SELECT name AS `{kind.capitalize()}` FROM information_schema_{kind} ORDER BY 1"
+            )
         if u == "SHOW DATABASES" or u == "SHOW SCHEMAS":
             self._refresh_information_schema()
             return self.spark.sql(
@@ -227,6 +233,21 @@ class EngineSession:
             "table_schema string, table_name string, column_name string, "
             "ordinal_position int, data_type string",
         ).createOrReplaceTempView("information_schema_columns")
+        # session objects (reference: mindsdb_tables.py:42-459 JOBS/VIEWS/AGENTS)
+        self.spark.createDataFrame(
+            [(n, sql) for n, sql in self._views.items()] or [("", "")],
+            "name string, definition string",
+        ).filter("name != ''").createOrReplaceTempView("information_schema_views")
+        self.spark.createDataFrame(
+            [(j.name, float(j.every_seconds), j.runs) for j in self.jobs.jobs.values()]
+            or [("", 0.0, 0)],
+            "name string, every_seconds double, runs int",
+        ).filter("name != ''").createOrReplaceTempView("information_schema_jobs")
+        self.spark.createDataFrame(
+            [(name, getattr(a, "model_name", "")) for name, a in self._agents.items()]
+            or [("", "")],
+            "name string, model string",
+        ).filter("name != ''").createOrReplaceTempView("information_schema_agents")
 
     # -- engine functions ------------------------------------------------------
     def _register_builtin_functions(self) -> None:

@@ -47,3 +47,26 @@ def test_create_job_runs_on_schedule(sess):
     assert sess.jobs.run_pending(now=1_000_121.0) == ["refresh_probe"]
     sess.sql("DROP JOB refresh_probe")
     assert sess.jobs.run_pending(now=1_000_500.0) == []
+
+
+def test_show_session_objects(sess):
+    from mindsdb_spark.operators.agent import AgentSpec, mock_complete
+
+    sess.sql("CREATE OR REPLACE VIEW show_probe_v AS SELECT 1 AS x")
+    sess.sql("CREATE JOB show_probe_j AS (SELECT 1) EVERY 1 hour")
+    sess.register_agent(AgentSpec(name="show_probe_a", complete=mock_complete))
+
+    views = {r[0] for r in sess.sql("SHOW VIEWS").collect()}
+    jobs = {r[0] for r in sess.sql("SHOW JOBS").collect()}
+    agents = {r[0] for r in sess.sql("SHOW AGENTS").collect()}
+    assert "show_probe_v" in views
+    assert "show_probe_j" in jobs
+    assert "show_probe_a" in agents
+
+    # and via information_schema selects, like the reference's SHOW rewrite
+    n = sess.sql(
+        "SELECT count(*) AS n FROM information_schema.jobs WHERE name = 'show_probe_j'"
+    ).collect()[0]["n"]
+    assert n == 1
+    sess.sql("DROP JOB show_probe_j")
+    sess.sql("DROP VIEW show_probe_v")
