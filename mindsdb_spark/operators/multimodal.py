@@ -107,3 +107,63 @@ def extract_features(media: DataFrame, fake: bool = True, batch_hint: int | None
             yield out
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+    """Resize stage: payload → payload with updated dimension metadata.
+
+    The transform is a mapInPandas stage preserving the MEDIA_SCHEMA shape,
+    so resizes chain with decode/extract stages in one plan. STUB: without
+    an image library the fake path tags the payload with the target box
+    (content passthrough) — the schema, batching, and metadata contract are
+    the real plumbing a PIL-backed body drops into.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resizing requires PIL/opencv, not present in this "
+                    "environment; pass fake=True for the passthrough double"
+                )
+            out = pdf.copy()
+            out["meta_width"] = width
+            out["meta_height"] = height
+            yield out
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """Frame sampling: one media row fans out to ≤ max_frames frame rows.
+
+    The row-to-many-rows shape of video frame extraction, expressed as
+    mapInPandas so the fan-out happens executor-side (never through the
+    driver) and downstream per-frame stages parallelize on the exploded
+    rows. STUB: without ffmpeg, a "frame" is a deterministic byte slice of
+    the payload — the fan-out contract (schema, ordering, bounded frames
+    per row) is the real plumbing.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for _, r in pdf.iterrows():
+                content = r["content"] or b""
+                n = min(max_frames, max(len(content) // every_n_bytes, 1))
+                for i in range(n):
+                    ids.append(r["media_id"])
+                    idxs.append(i)
+                    frames.append(bytes(content[i * every_n_bytes : (i + 1) * every_n_bytes]))
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

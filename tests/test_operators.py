@@ -72,3 +72,32 @@ def test_extract_features_schema(spark, sf_dir):
     assert len(rows) == 20
     assert all(len(r.features) == 4 for r in rows)
     assert all(len(r.sig8) == 8 for r in rows)
+
+
+def test_resize_images_updates_metadata(spark, sf_dir):
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.operators.multimodal import resize_images, to_media_table
+
+    media = to_media_table(load_table(spark, sf_dir, "documents").limit(20))
+    out = resize_images(media, 224, 224)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r["meta_width"] == 224 and r["meta_height"] == 224 for r in rows)
+    # payload passthrough in the stub
+    assert all(r["content"] is not None for r in rows)
+
+
+def test_sample_frames_fanout_bounded(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.operators.multimodal import sample_frames, to_media_table
+
+    media = to_media_table(load_table(spark, sf_dir, "documents").limit(20))
+    frames = sample_frames(media, every_n_bytes=64, max_frames=4)
+    per = frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+    assert len(per) == 20
+    assert all(1 <= r["n"] <= 4 for r in per)
+    # frame ordering is deterministic and 0-based per media row
+    idx = frames.filter(F.col("media_id") == per[0]["media_id"]).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in idx] == list(range(len(idx)))
