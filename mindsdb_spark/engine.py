@@ -114,6 +114,17 @@ class EngineSession:
             self.catalog.register_parquet_source(name, directory, tables)
         self.catalog.register_views(name)
 
+    def register_file(self, name: str, path: str) -> None:
+        """Register a data file as a queryable table (the reference's `files`
+        integration: upload once, query as files.<name> — file_handler.py:
+        80-196). Format is sniffed from content; the view is exposed both
+        bare and as files_<name>."""
+        from mindsdb_spark.sources.files import read_file
+
+        df = read_file(self.spark, path)
+        df.createOrReplaceTempView(name.lower())
+        df.createOrReplaceTempView(f"files_{name.lower()}")
+
     def register_agent(self, agent) -> None:
         """Register an AgentSpec as a queryable virtual table."""
         self._agents[agent.name.lower()] = agent

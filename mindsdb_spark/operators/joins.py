@@ -41,3 +41,37 @@ def _estimate_rows(df: DataFrame) -> int:
     if row_count.isDefined():
         return int(str(row_count.get()))
     return df.count()
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join with key salting for skewed keys.
+
+    The manual form of what AQE's skew-join split does at runtime, for when
+    the skew is known up front (e.g. a null-heavy or celebrity key): the
+    probe side gets a deterministic per-row salt in [0, salt), the build
+    side is replicated salt times, and the join runs on (keys..., salt) —
+    one hot key's rows spread across `salt` tasks instead of one straggler.
+    Shuffle volume grows by ×salt on the (smaller) replicated side only.
+
+    Deterministic: the salt is a hash of the probe row's key columns plus
+    a monotonic disambiguator, not a random number, so results and retries
+    are stable. Semantics are identical to ``left.join(right, on, how)``
+    for equi-joins on the given keys (inner/left).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left equi-joins")
+    from pyspark.sql import functions as F
+
+    lsalted = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*keys, F.monotonically_increasing_id()), F.lit(salt))
+    )
+    rsalted = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    out = lsalted.join(rsalted, [*keys, "__salt"], how)
+    return out.drop("__salt")

@@ -46,3 +46,42 @@ def test_cross_join_guard_refuses_blowup(spark):
     b = spark.range(10_000).withColumnRenamed("id", "id2")
     with pytest.raises(ValueError, match="without condition"):
         guarded_cross_join(a, b)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from mindsdb_spark.operators.joins import salted_join
+
+    # skewed left: 90% of rows share key 7
+    left = spark.range(2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("lid"),
+    )
+    right = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 10).alias("rv"))
+    exp = sorted(tuple(r) for r in left.join(right, "k").collect())
+    got = sorted(tuple(r) for r in salted_join(left, right, "k").collect())
+    assert got == exp
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    from pyspark.sql import functions as F
+
+    from mindsdb_spark.operators.joins import salted_join
+
+    left = spark.range(50).select((F.col("id") % 5).alias("k"), F.col("id").alias("lid"))
+    right = spark.range(2).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    exp = sorted((r["lid"], r["v"]) for r in left.join(right, "k", "left").collect())
+    got = sorted((r["lid"], r["v"]) for r in salted_join(left, right, "k", how="left").collect())
+    assert got == exp
+
+
+def test_register_file_queryable(spark, tmp_path):
+    from mindsdb_spark.engine import EngineSession
+
+    p = tmp_path / "prices.csv"
+    p.write_text("sku,price\na,1.5\nb,2.5\n")
+    sess = EngineSession(spark)
+    sess.register_file("prices", str(p))
+    rows = sess.sql("SELECT sku, price FROM files_prices ORDER BY sku").collect()
+    assert [(r["sku"], r["price"]) for r in rows] == [("a", 1.5), ("b", 2.5)]
