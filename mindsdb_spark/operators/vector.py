@@ -227,6 +227,55 @@ def ivf_topk(
     return cosine_topk(cand, vec_col, query, k, id_col)
 
 
+def kmeans_centroids(
+    df: DataFrame, vec_col: str = "embedding", n_centroids: int = 16, seed: int = 42
+) -> list[tuple[int, list[float]]]:
+    """Learn IVF coarse-quantizer centroids with MLlib KMeans.
+
+    The production path for `ivf_search`: trained centroids give real
+    cluster structure (the smallest-id quantizer in `ivf_topk` exists for
+    oracle determinism, not recall). Distributed fit; only k centers come
+    back to the driver.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    data = df.select(array_to_vector(col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(data)
+    return [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+
+
+def ivf_search(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    n_probes: int = 4,
+) -> DataFrame:
+    """IVF top-k against a prepared centroid list (e.g. kmeans_centroids).
+
+    Probe selection is driver-side numpy over the k centroid vectors;
+    candidate filtering and exact ranking stay distributed. At scale,
+    persist the assignment as a partition column so probing prunes
+    partitions instead of filtering rows.
+    """
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else -1.0
+
+    q = [float(x) for x in query]
+    ranked = sorted(centroids, key=lambda c: (-cos(c[1], q), -c[0]))
+    probes = [cid for cid, _v in ranked[:n_probes]]
+    cand = ivf_assign(df, vec_col, centroids).filter(col("__cid").isin(probes)).drop("__cid")
+    return cosine_topk(cand, vec_col, q, k, id_col)
+
+
 def lsh_topk_join(
     data: DataFrame,
     queries: DataFrame,

@@ -101,3 +101,38 @@ def test_sample_frames_fanout_bounded(spark, sf_dir):
     # frame ordering is deterministic and 0-based per media row
     idx = frames.filter(F.col("media_id") == per[0]["media_id"]).orderBy("frame_idx").collect()
     assert [r["frame_idx"] for r in idx] == list(range(len(idx)))
+
+
+def test_kmeans_ivf_probe_all_equals_exact(spark, sf_dir):
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.operators.vector import cosine_topk, ivf_search, kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter("vec_id = 3").select("embedding").head()[0]]
+    cents = kmeans_centroids(emb, n_centroids=8)
+    # probing every cell must reproduce the exact scan
+    exact = [r["vec_id"] for r in cosine_topk(emb, "embedding", q, k=10).collect()]
+    ivf_all = [
+        r["vec_id"]
+        for r in ivf_search(emb, "embedding", q, cents, k=10, n_probes=8).collect()
+    ]
+    assert ivf_all == exact
+
+
+def test_kmeans_ivf_partial_probe_recall(spark, sf_dir):
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.operators.vector import cosine_topk, ivf_search, kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter("vec_id = 3").select("embedding").head()[0]]
+    cents = kmeans_centroids(emb, n_centroids=8)
+    exact = {r["vec_id"] for r in cosine_topk(emb, "embedding", q, k=10).collect()}
+    got = {
+        r["vec_id"]
+        for r in ivf_search(emb, "embedding", q, cents, k=10, n_probes=3).collect()
+    }
+    # approximate: must return k results with meaningful overlap, and the
+    # query's own vector (similarity 1.0) must be found
+    assert len(got) == 10
+    assert 3 in got
+    assert len(got & exact) >= 3
