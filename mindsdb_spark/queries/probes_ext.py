@@ -174,6 +174,69 @@ def p38_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- P39 lateral join (top-2 orders per customer) ----------------------------
+# Correlated subquery in FROM — Catalyst decorrelates the lateral into a
+# ranked window; DuckDB executes it as a dependent join.
+def p39_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("p39_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("p39_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey,
+               FLOOR(t.o_totalprice * 100 + 0.5) / 100 AS price
+        FROM p39_customer c,
+             LATERAL (
+               SELECT o_orderkey, o_totalprice FROM p39_orders o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+             ) t
+        ORDER BY c.c_custkey, price DESC, t.o_orderkey
+        """
+    )
+
+
+P39_SQL = """
+SELECT c.c_custkey, t.o_orderkey,
+       floor(t.o_totalprice * 100 + 0.5) / 100 AS price
+FROM customer c,
+     LATERAL (
+       SELECT o_orderkey, o_totalprice FROM orders o
+       WHERE o.o_custkey = c.c_custkey
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+     ) t
+ORDER BY c.c_custkey, price DESC, t.o_orderkey
+"""
+
+
+# --- P40 RANGE window frame --------------------------------------------------
+# Value-based frame (vs P21's ROWS frames): peers within 10000 price units.
+def p40_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"))
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.count("*").over(w).alias("near_cnt"),
+        _roundc(F.sum("o_totalprice").over(w), 2).alias("near_sum"),
+    ).orderBy("o_orderkey")
+
+
+P40_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       count(*) OVER w AS near_cnt,
+       floor(sum(o_totalprice) OVER w * 100 + 0.5) / 100 AS near_sum
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+ORDER BY o_orderkey
+"""
+
 PROBES_EXT = {
     "p33_cube": (p33_cube, P33_SQL),
     "p34_grouping_sets": (p34_grouping_sets, P34_SQL),
@@ -181,4 +244,6 @@ PROBES_EXT = {
     "p36_percentiles": (p36_percentiles, P36_SQL),
     "p37_filtered_agg": (p37_filtered_agg, P37_SQL),
     "p38_approx_distinct": (p38_approx_distinct, None),
+    "p39_lateral": (p39_lateral, P39_SQL),
+    "p40_range_frame": (p40_range_frame, P40_SQL),
 }
