@@ -20,6 +20,12 @@ from collections.abc import Callable
 Rule = Callable[[list[str]], str]
 
 
+def split_top_level(body: str) -> list[str]:
+    """Public alias of the top-level comma splitter (used by the engine's
+    UPDATE ... SET parser)."""
+    return _split_args(body)
+
+
 def _skip_string(sql: str, i: int, quote: str) -> int:
     """Return index just past the literal starting at sql[i] == quote."""
     i += 1

@@ -21,6 +21,7 @@ from collections.abc import Callable
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     BinaryType,
@@ -53,6 +54,19 @@ _DESCRIBE_RE = re.compile(r"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.`]+)$", re.IGN
 # `SELECT <cols> FROM <agent> WHERE question = '...'` — the reference treats
 # agents as virtual model tables with to_predict='answer'
 # (mindsdb/api/executor/sql_query/sql_query.py:148-161).
+_CTAS_RE = re.compile(
+    r"CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+([\w.`]+)\s+AS\s+(SELECT.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_RE = re.compile(
+    r"INSERT\s+INTO\s+([\w.`]+)\s+(VALUES\s*\(.+|SELECT\s+.+)$", re.IGNORECASE | re.DOTALL
+)
+_UPDATE_RE = re.compile(
+    r"UPDATE\s+([\w.`]+)\s+SET\s+(.+?)\s+WHERE\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
+_DELETE_RE = re.compile(
+    r"DELETE\s+FROM\s+([\w.`]+)\s+WHERE\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
 _CREATE_VIEW_RE = re.compile(
     r"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.`]+)\s+AS\s+(.+)$", re.IGNORECASE | re.DOTALL
 )
@@ -104,6 +118,7 @@ class EngineSession:
 
         self.jobs = JobScheduler()
         self._views: dict[str, str] = {}
+        self._writable: dict[str, object] = {}
         self._register_builtin_functions()
 
     # -- sources -------------------------------------------------------------
@@ -113,6 +128,37 @@ class EngineSession:
         else:
             self.catalog.register_parquet_source(name, directory, tables)
         self.catalog.register_views(name)
+
+    def register_writable_source(self, name: str, directory: str) -> None:
+        """Register a writable parquet source: its tables accept the SQL
+        write verbs (CREATE TABLE AS / INSERT / UPDATE / DELETE — the
+        reference's integration write path, insert_step.py:13-124,
+        update_step.py:16-127, delete_step.py:18-48)."""
+        from mindsdb_spark.sources.parquet_source import ParquetSource
+
+        self._writable[name.lower()] = ParquetSource(self.spark, directory)
+        self._refresh_writable_views(name.lower())
+
+    def _refresh_writable_views(self, source: str) -> None:
+        ps = self._writable[source]
+        for t in ps.tables():
+            df = ps.read(t)
+            df.createOrReplaceTempView(t)
+            df.createOrReplaceTempView(f"{source}_{t}")
+
+    def _resolve_writable(self, name: str):
+        """``source.table`` / ``source_table`` / bare table → (source, table)."""
+        n = name.lower().strip("`")
+        if "." in n:
+            srcname, table = n.rsplit(".", 1)
+            if srcname in self._writable:
+                return srcname, table
+        for srcname, ps in self._writable.items():
+            if n.startswith(f"{srcname}_") and ps.exists(n[len(srcname) + 1 :]):
+                return srcname, n[len(srcname) + 1 :]
+            if ps.exists(n):
+                return srcname, n
+        return None, None
 
     def register_file(self, name: str, path: str) -> None:
         """Register a data file as a queryable table (the reference's `files`
@@ -171,6 +217,58 @@ class EngineSession:
                 f"SELECT table_name AS `Tables_in_{db}` FROM information_schema_tables "
                 f"WHERE table_schema = '{db}' ORDER BY 1"
             )
+        m = _CTAS_RE.match(s)
+        if m:
+            srcname, table = self._resolve_writable(m.group(2))
+            if srcname is None and "." in m.group(2):
+                srcname = m.group(2).lower().split(".")[0]
+                table = m.group(2).lower().split(".")[-1]
+                srcname = srcname if srcname in self._writable else None
+            if srcname is not None:
+                df = self.spark.sql(self.rewrite(m.group(3)))
+                self._writable[srcname].create_table(table, df, replace=bool(m.group(1)))
+                self._refresh_writable_views(srcname)
+                return self.spark.createDataFrame([(table,)], "created string")
+        m = _INSERT_RE.match(s)
+        if m:
+            srcname, table = self._resolve_writable(m.group(1))
+            if srcname is not None:
+                ps = self._writable[srcname]
+                target = ps.read(table)
+                body = m.group(2)
+                if body.upper().startswith("VALUES"):
+                    rows = self.spark.sql(f"SELECT * FROM {body}")
+                else:
+                    rows = self.spark.sql(self.rewrite(body))
+                aligned = rows.toDF(*target.columns[: len(rows.columns)])
+                for f in target.schema.fields:
+                    if f.name in aligned.columns:
+                        aligned = aligned.withColumn(f.name, aligned[f.name].cast(f.dataType))
+                ps.insert(table, aligned)
+                self._refresh_writable_views(srcname)
+                return self.spark.createDataFrame([(table,)], "inserted string")
+        m = _UPDATE_RE.match(s)
+        if m:
+            srcname, table = self._resolve_writable(m.group(1))
+            if srcname is not None:
+                from mindsdb_spark.dialect.rewriter import split_top_level
+
+                set_map = {}
+                for assign in split_top_level(m.group(2)):
+                    colname, _, rhs = assign.partition("=")
+                    set_map[colname.strip().strip("`")] = F.expr(self.rewrite(rhs.strip()))
+                n = self._writable[srcname].update(
+                    table, set_map, F.expr(self.rewrite(m.group(3)))
+                )
+                self._refresh_writable_views(srcname)
+                return self.spark.createDataFrame([(n,)], "updated int")
+        m = _DELETE_RE.match(s)
+        if m:
+            srcname, table = self._resolve_writable(m.group(1))
+            if srcname is not None:
+                n = self._writable[srcname].delete(table, F.expr(self.rewrite(m.group(2))))
+                self._refresh_writable_views(srcname)
+                return self.spark.createDataFrame([(n,)], "deleted int")
         m = _CREATE_VIEW_RE.match(s)
         if m:
             # Views are stored SQL expanded per query, like the reference's
