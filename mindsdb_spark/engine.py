@@ -80,6 +80,14 @@ _CREATE_JOB_RE = re.compile(
 _DROP_JOB_RE = re.compile(r"DROP\s+JOB\s+(\w+)$", re.IGNORECASE)
 _PERIODS = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60, "hour": 3600,
             "hours": 3600, "day": 86400, "days": 86400}
+# `SELECT ... FROM <kb> WHERE content = '...' [LIMIT n]` — the reference's
+# KB semantic-search select (interfaces/knowledge_base/controller.py:258-380;
+# default limit 10, cap 100 at 356-360).
+_KB_RE = re.compile(
+    r"SELECT\s+(.+?)\s+FROM\s+([\w.`]+)\s+WHERE\s+content\s*=\s*'([^']*)'"
+    r"(?:\s+LIMIT\s+(\d+))?$",
+    re.IGNORECASE,
+)
 _AGENT_RE = re.compile(
     r"SELECT\s+(.+?)\s+FROM\s+([\w.`]+)\s+WHERE\s+question\s*=\s*'([^']*)'$",
     re.IGNORECASE,
@@ -119,6 +127,7 @@ class EngineSession:
         self.jobs = JobScheduler()
         self._views: dict[str, str] = {}
         self._writable: dict[str, object] = {}
+        self._kbs: dict[str, object] = {}
         self._register_builtin_functions()
 
     # -- sources -------------------------------------------------------------
@@ -170,6 +179,37 @@ class EngineSession:
         df = read_file(self.spark, path)
         df.createOrReplaceTempView(name.lower())
         df.createOrReplaceTempView(f"files_{name.lower()}")
+
+    def register_knowledge_base(self, name: str, documents: DataFrame, dim: int = 16) -> None:
+        """Build a knowledge base from a documents table: chunk → embed →
+        store. The SQL surface is the reference's KB select —
+        ``SELECT * FROM <kb> WHERE content = 'query' [LIMIT k]`` — served by
+        exact cosine top-k over the chunk store (controller.py:258-380)."""
+        from mindsdb_spark.operators.kb import chunk_documents, fake_embed
+
+        store = fake_embed(chunk_documents(documents), dim=dim).select(
+            "chunk_id", "doc_id", "chunk_text", "embedding"
+        )
+        self._kbs[name.lower()] = {"store": store, "dim": dim}
+
+    def _kb_search(self, name: str, query_text: str, k: int | None) -> DataFrame:
+        from mindsdb_spark.operators.kb import fake_embed
+        from mindsdb_spark.operators.search import KB_DEFAULT_LIMIT, KB_MAX_LIMIT
+        from mindsdb_spark.operators.vector import cosine_topk
+
+        kb = self._kbs[name]
+        k = min(k or KB_DEFAULT_LIMIT, KB_MAX_LIMIT)
+        qrow = fake_embed(
+            self.spark.createDataFrame([(query_text,)], "chunk_text string"), dim=kb["dim"]
+        ).head()
+        qvec = [float(x) for x in qrow["embedding"]]
+        hits = cosine_topk(kb["store"], "embedding", qvec, k=k, id_col="chunk_id")
+        return hits.select(
+            "chunk_id",
+            "doc_id",
+            F.col("chunk_text").alias("content"),
+            (1.0 - F.col("sim")).alias("distance"),
+        )
 
     def register_agent(self, agent) -> None:
         """Register an AgentSpec as a queryable virtual table."""
@@ -297,6 +337,15 @@ class EngineSession:
         if m:
             self.jobs.drop_job(m.group(1).lower())
             return self.spark.createDataFrame([(m.group(1).lower(),)], "job string")
+        m = _KB_RE.match(s)
+        if m:
+            name = m.group(2).lower().strip("`").split(".")[-1]
+            if name in self._kbs:
+                res = self._kb_search(name, m.group(3), int(m.group(4)) if m.group(4) else None)
+                cols = [c.strip(" `") for c in m.group(1).split(",")]
+                if cols == ["*"]:
+                    return res
+                return res.select(*cols)
         m = _AGENT_RE.match(s)
         if m:
             name = m.group(2).lower().strip("`").split(".")[-1]
