@@ -30,6 +30,16 @@ from pyspark.sql import functions as F
 col = F.col
 
 
+def _lit_vec(values) -> Column:
+    """Constant array<double> literal built as ONE SQL string parsed JVM-side.
+
+    ``F.array(*[F.lit(x) ...])`` costs one py4j round-trip per element —
+    ~1.7s of pure driver latency for 16×64 centroid arrays. A single
+    ``F.expr`` parse yields the identical literal (repr() round-trips the
+    exact double; the ``D`` suffix forces DoubleType, not decimal)."""
+    return F.expr("array(" + ",".join(f"{float(x)!r}D" for x in values) + ")")
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
@@ -44,7 +54,7 @@ def cosine_similarity(vec_col: Column, query: list[float]) -> Column:
     Stays entirely inside whole-stage codegen (no Python UDF): zip_with +
     aggregate are JVM higher-order functions.
     """
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = _lit_vec(query)
     import math
 
     q_norm = math.sqrt(sum(float(x) * float(x) for x in query))
@@ -79,7 +89,7 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     v = vec_col.cast("array<double>")
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
+        p = _lit_vec(plane)
         bit = F.when(_dot(v, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket
@@ -183,7 +193,7 @@ def ivf_assign(
     with_norm = df.withColumn("__vnorm", _norm(v))
     entries = []
     for cid, cvec in centroids:
-        q = F.array(*[F.lit(float(x)) for x in cvec])
+        q = _lit_vec(cvec)
         qn = math.sqrt(sum(float(x) * float(x) for x in cvec))
         sim = _dot(v, q) / (col("__vnorm") * F.lit(qn))
         entries.append(F.struct(sim.alias("s"), F.lit(cid).alias("c")))
@@ -194,11 +204,12 @@ def ivf_assign(
 def ivf_topk(
     df: DataFrame,
     vec_col: str,
-    query: list[float],
+    query: list[float] | None = None,
     k: int = 10,
     id_col: str = "vec_id",
     n_centroids: int = 16,
     n_probes: int = 4,
+    query_id: int | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: probe the n_probes nearest of
     n_centroids coarse cells, exact-rank only their members.
@@ -210,19 +221,36 @@ def ivf_topk(
     n_centroids of the corpus; at scale, write the table partitioned by
     cell id so probing prunes partitions instead of filtering.
     """
-    # One bounded collect fetches centroid vectors AND their query
-    # similarity; the sims are JVM-computed (same expression as the rest of
-    # the operator — no driver-side float arithmetic to diverge from the
-    # oracle), so picking the top n_probes in Python is a pure sort on
-    # already-agreed values.
-    cent_rows = (
-        df.filter(col(id_col) < n_centroids)
-        .select(id_col, vec_col, cosine_similarity(col(vec_col), query).alias("__s"))
-        .orderBy(id_col)
-        .collect()
-    )
-    centroids = [(r[0], [float(x) for x in r[1]]) for r in cent_rows]
-    probes = [r[0] for r in sorted(cent_rows, key=lambda r: (-r[2], -r[0]))[:n_probes]]
+    # One bounded collect fetches the centroid vectors; query similarity is
+    # then computed driver-side with the SAME sequential left-fold the JVM
+    # aggregate() and DuckDB list_sum() perform (IEEE doubles, identical
+    # operation order → bit-identical sims), so probe selection cannot
+    # diverge from the oracle and costs zero extra Spark jobs.
+    # (Passing query_id instead of a query vector folds the query fetch into
+    # this same collect — one Spark job instead of two.)
+    cond = col(id_col) < n_centroids
+    if query is None:
+        cond = cond | (col(id_col) == query_id)
+    rows = df.filter(cond).select(id_col, vec_col).orderBy(id_col).collect()
+    if query is None:
+        query = next([float(x) for x in r[1]] for r in rows if r[0] == query_id)
+    centroids = [(r[0], [float(x) for x in r[1]]) for r in rows if r[0] < n_centroids]
+
+    def _cos(cvec: list[float]) -> float:
+        import math
+
+        s = n = 0.0
+        for a, b in zip(cvec, query):
+            s += a * b
+        for a in cvec:
+            n += a * a
+        qn = 0.0
+        for b in query:
+            qn += b * b
+        return s / (math.sqrt(n) * math.sqrt(qn))
+
+    ranked = sorted(((cid, _cos(cvec)) for cid, cvec in centroids), key=lambda t: (-t[1], -t[0]))
+    probes = [cid for cid, _ in ranked[:n_probes]]
     cand = ivf_assign(df, vec_col, centroids).filter(col("__cid").isin(probes)).drop("__cid")
     return cosine_topk(cand, vec_col, query, k, id_col)
 

@@ -325,9 +325,8 @@ def d14_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.operators.vector import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(col("vec_id") == 42).select("embedding").head()[0]
     return ivf_topk(
-        emb, "embedding", [float(x) for x in q], k=10, n_centroids=16, n_probes=4
+        emb, "embedding", query_id=42, k=10, n_centroids=16, n_probes=4
     ).select("vec_id")
 
 
