@@ -220,39 +220,74 @@ def ivf_topk(
     use — the plan shape is unchanged. Scan cost drops to ~n_probes/
     n_centroids of the corpus; at scale, write the table partitioned by
     cell id so probing prunes partitions instead of filtering.
+
+    Fully in-plan: the centroid set (and optionally the query row) is packed
+    into ONE broadcast row — array<struct<c,cv,cn>> — and every per-centroid
+    computation is a single JVM higher-order ``transform`` over that array.
+    No driver collect, one Spark action, and plan size is independent of
+    n_centroids (the per-centroid-literal formulation cost ~1s of driver
+    latency building 2 lambda conversions per centroid). All dot/norm folds
+    are sequential left-folds, matching DuckDB list_sum exactly.
     """
-    # One bounded collect fetches the centroid vectors; query similarity is
-    # then computed driver-side with the SAME sequential left-fold the JVM
-    # aggregate() and DuckDB list_sum() perform (IEEE doubles, identical
-    # operation order → bit-identical sims), so probe selection cannot
-    # diverge from the oracle and costs zero extra Spark jobs.
-    # (Passing query_id instead of a query vector folds the query fetch into
-    # this same collect — one Spark job instead of two.)
-    cond = col(id_col) < n_centroids
+    sid = col(id_col)
+    v = col(vec_col).cast("array<double>")
+    side_filter = sid < n_centroids
+    aggs = [
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    col("__sid") < n_centroids,
+                    F.struct(col("__sid").alias("c"), col("__sv").alias("cv")),
+                )
+            )
+        ).alias("__cents")
+    ]
     if query is None:
-        cond = cond | (col(id_col) == query_id)
-    rows = df.filter(cond).select(id_col, vec_col).orderBy(id_col).collect()
-    if query is None:
-        query = next([float(x) for x in r[1]] for r in rows if r[0] == query_id)
-    centroids = [(r[0], [float(x) for x in r[1]]) for r in rows if r[0] < n_centroids]
+        side_filter = side_filter | (sid == query_id)
+        aggs.append(
+            F.first(F.when(col("__sid") == query_id, col("__sv")), ignorenulls=True).alias("__q")
+        )
+    side = (
+        df.filter(side_filter)
+        .select(sid.alias("__sid"), v.alias("__sv"))
+        .groupBy()
+        .agg(*aggs)
+    )
+    if query is not None:
+        side = side.withColumn("__q", _lit_vec(query))
+    # precompute centroid norms once (1 row), rank centroids by (sim desc,
+    # cid desc) against the query, keep the top n_probes cell ids
+    side = side.withColumn(
+        "__cents",
+        F.transform(
+            col("__cents"),
+            lambda c: F.struct(c["c"].alias("c"), c["cv"].alias("cv"), _norm(c["cv"]).alias("cn")),
+        ),
+    ).withColumn("__qn", _norm(col("__q")))
+    probe_sims = F.transform(
+        col("__cents"),
+        lambda c: F.struct((_dot(c["cv"], col("__q")) / (c["cn"] * col("__qn"))).alias("s"), c["c"].alias("c")),
+    )
+    side = side.withColumn(
+        "__probes",
+        F.transform(F.slice(F.reverse(F.array_sort(probe_sims)), 1, n_probes), lambda p: p["c"]),
+    )
 
-    def _cos(cvec: list[float]) -> float:
-        import math
-
-        s = n = 0.0
-        for a, b in zip(cvec, query):
-            s += a * b
-        for a in cvec:
-            n += a * a
-        qn = 0.0
-        for b in query:
-            qn += b * b
-        return s / (math.sqrt(n) * math.sqrt(qn))
-
-    ranked = sorted(((cid, _cos(cvec)) for cid, cvec in centroids), key=lambda t: (-t[1], -t[0]))
-    probes = [cid for cid, _ in ranked[:n_probes]]
-    cand = ivf_assign(df, vec_col, centroids).filter(col("__cid").isin(probes)).drop("__cid")
-    return cosine_topk(cand, vec_col, query, k, id_col)
+    # one broadcast crossJoin carries centroids + query + probe set to every
+    # row; assignment is array_max over a transform (identical struct-max
+    # semantics to greatest() over (sim, cid))
+    main = df.crossJoin(F.broadcast(side)).withColumn("__vnorm", _norm(v))
+    entries = F.transform(
+        col("__cents"),
+        lambda c: F.struct((_dot(v, c["cv"]) / (col("__vnorm") * c["cn"])).alias("s"), c["c"].alias("c")),
+    )
+    cand = main.filter(F.array_contains(col("__probes"), F.array_max(entries)["c"]))
+    sim = (_dot(v, col("__q")) / (col("__vnorm") * col("__qn"))).alias("sim")
+    return (
+        cand.select(*[col(c) for c in df.columns], sim)
+        .orderBy(col("sim").desc(), sid)
+        .limit(k)
+    )
 
 
 def kmeans_centroids(
