@@ -195,8 +195,13 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     algebraic, so they combine map-side inside whole-stage codegen and
     shuffle `bits` ints per doc. (A higher-order-function formulation was
     ~20× slower: bits × words interpreted lambda evals per row.)
+
+    No parallelize_input here, deliberately: unlike shingles(), the only
+    pre-shuffle work is one md5 per word (measured 0.15s at sf0.1) and the
+    groupBy redistributes everything anyway — the extra raw-text
+    repartition cost 0.45s for nothing. Input-splitting at real scale
+    comes from the source layout, not an injected shuffle.
     """
-    df = parallelize_input(df)
     w = words_expr(col(text_col))
     h = F.conv(F.substring(F.md5(col("__w")), 1, 8), 16, 10).cast("long")
     exploded = df.select(col(id_col), F.explode(w).alias("__w")).select(
