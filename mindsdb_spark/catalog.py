@@ -112,6 +112,17 @@ class SourceCatalog:
             raise KeyError(f"unknown table {name!r}")
         return load_table(self.spark, os.path.dirname(self._sources[source][table]), table)
 
+    def has_table(self, name: str) -> bool:
+        """True if ``table``, ``source.table`` or ``source_table`` resolves."""
+        n = name.lower()
+        parts = n.split(".")
+        if len(parts) == 2:
+            return parts[1] in self._sources.get(parts[0], {})
+        for src, tbls in self._sources.items():
+            if n in tbls or (n.startswith(f"{src}_") and n[len(src) + 1 :] in tbls):
+                return True
+        return False
+
     def register_views(self, source: str | None = None) -> None:
         """Expose registered tables as temp views (bare + ``source_table``)."""
         for src, tbls in self._sources.items():

@@ -92,6 +92,53 @@ _AGENT_RE = re.compile(
     r"SELECT\s+(.+?)\s+FROM\s+([\w.`]+)\s+WHERE\s+question\s*=\s*'([^']*)'$",
     re.IGNORECASE,
 )
+_IDENT_RE = re.compile(r"[A-Za-z_`][\w.`]*")
+
+
+def _table_refs(sql: str) -> list[str]:
+    """Identifiers in table position: the token after each FROM/JOIN, plus
+    comma-continued FROM lists. String literals are skipped; subqueries need
+    no special casing (their own FROM/JOIN tokens are found by the same
+    scan). CTE names and typos surface as unknown refs — the pushdown gate
+    treats unknowns as 'let the source or Spark decide'."""
+    from mindsdb_spark.dialect.rewriter import _skip_string
+
+    _enders = {"WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "ON", "SELECT",
+               "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "UNION",
+               "INTERSECT", "EXCEPT", "WINDOW", "QUALIFY", "USING"}
+    refs, i, n = [], 0, len(sql)
+    expect = False   # next identifier is a table name
+    in_from = False  # inside a FROM list, where a comma re-arms `expect`
+    while i < n:
+        c = sql[i]
+        if c in ("'", '"'):
+            i = _skip_string(sql, i, c)
+            continue
+        if c == "," and in_from:
+            expect = True
+            i += 1
+            continue
+        if c == "(":
+            expect = False  # subquery / function — its FROMs re-arm below
+            i += 1
+            continue
+        if not (c.isalpha() or c == "_" or c == "`"):
+            i += 1
+            continue
+        m = _IDENT_RE.match(sql, i)
+        word = m.group(0)
+        up = word.upper()
+        if up == "FROM":
+            expect, in_from = True, True
+        elif up == "JOIN":
+            expect, in_from = True, False
+        elif expect:
+            refs.append(word.strip("`").lower())
+            expect = False
+        elif up in _enders:
+            in_from = False
+        i = m.end()
+    return refs
 
 
 def _mock_llm(prompts: pd.Series) -> pd.Series:
@@ -128,6 +175,10 @@ class EngineSession:
         self._views: dict[str, str] = {}
         self._writable: dict[str, object] = {}
         self._kbs: dict[str, object] = {}
+        self._native: dict[str, object] = {}
+        self._user_functions: set[str] = set()
+        self.pushdown_enabled = True
+        self.last_execution: tuple[str, str | None] = ("spark", None)
         self._register_builtin_functions()
 
     # -- sources -------------------------------------------------------------
@@ -168,6 +219,81 @@ class EngineSession:
             if ps.exists(n):
                 return srcname, n
         return None, None
+
+    def register_native_source(self, name: str, source) -> None:
+        """Register a source whose engine can run SQL itself (DuckDBSource
+        exemplar; JDBC databases follow the same shape). Its tables join the
+        federated namespace like any other source, AND single-source queries
+        become eligible for whole-query pushdown (reference:
+        query_planner.py:787-807 check_single_integration)."""
+        n = name.lower()
+        self._native[n] = source
+        for t in source.tables():
+            df = source.read(t)
+            df.createOrReplaceTempView(t)
+            df.createOrReplaceTempView(f"{n}_{t}")
+
+    def _try_whole_query_pushdown(self, sql: str) -> DataFrame | None:
+        """Send the whole statement to a source engine when every referenced
+        table lives in exactly ONE native source — the reference's
+        single-integration fast path (query_planner.py:787-807: one
+        integration, no project objects, no user functions, not an API
+        source). Unknown refs (CTE names, aliases) don't block the decision;
+        if the source can't run the dialect, we fall back to the federated
+        Spark plan — correctness never depends on pushdown."""
+        if not self.pushdown_enabled or not self._native:
+            return None
+        s = sql.strip().rstrip(";")
+        if not s.upper().startswith(("SELECT", "WITH")):
+            return None
+        low = s.lower()
+        if "mindsdb_" in low or any(f in low for f in self._user_functions):
+            return None
+        hit_sources: set[str] = set()
+        rewrites: list[tuple[str, str]] = []
+        for ref in _table_refs(s):
+            parts = ref.split(".")
+            resolved = False
+            for srcname, src in self._native.items():
+                tables = {t.lower() for t in src.tables()}
+                if len(parts) == 2 and parts[0] == srcname and parts[1] in tables:
+                    hit_sources.add(srcname)
+                    rewrites.append((ref, parts[1]))
+                    resolved = True
+                elif len(parts) == 1 and parts[0].startswith(f"{srcname}_") and parts[0][len(srcname) + 1:] in tables:
+                    hit_sources.add(srcname)
+                    rewrites.append((ref, parts[0][len(srcname) + 1:]))
+                    resolved = True
+                elif len(parts) == 1 and parts[0] in tables:
+                    hit_sources.add(srcname)
+                    resolved = True
+            if resolved:
+                continue
+            # a ref known to any OTHER part of the engine forces the
+            # federated plan; truly unknown refs are CTEs/typos — let the
+            # source (or Spark, on fallback) decide
+            known_elsewhere = (
+                parts[-1] in self._views
+                or parts[-1] in self._kbs
+                or parts[-1] in self._agents
+                or ref.startswith("information_schema")
+            )
+            if not known_elsewhere:
+                known_elsewhere = self.catalog.has_table(ref) or self._resolve_writable(ref)[0] is not None
+            if known_elsewhere:
+                return None
+        if len(hit_sources) != 1:
+            return None
+        srcname = hit_sources.pop()
+        text = s
+        for old, new in sorted(set(rewrites), key=lambda p: -len(p[0])):
+            text = re.sub(rf"\b{re.escape(old)}\b", new, text, flags=re.IGNORECASE)
+        try:
+            out = self._native[srcname].query(text)
+        except Exception:
+            return None  # dialect the source can't run → federated plan
+        self.last_execution = ("pushdown", srcname)
+        return out
 
     def register_file(self, name: str, path: str) -> None:
         """Register a data file as a queryable table (the reference's `files`
@@ -227,9 +353,13 @@ class EngineSession:
         cmd = self._try_command(sql)
         if cmd is not None:
             return cmd
+        pushed = self._try_whole_query_pushdown(sql)
+        if pushed is not None:
+            return pushed
         text = self.rewrite(sql)
         if "information_schema_" in text:
             self._refresh_information_schema()
+        self.last_execution = ("spark", None)
         return self.spark.sql(text)
 
     # -- SHOW / DESCRIBE command layer ----------------------------------------
@@ -420,4 +550,5 @@ class EngineSession:
         for t in [*input_types, output_type]:
             if t not in _TYPE_MAP:
                 raise TypeError(f"unsupported type {t!r}; allowed: {list(_TYPE_MAP)}")
+        self._user_functions.add(name.lower())
         self.spark.udf.register(name, fn, _TYPE_MAP[output_type])

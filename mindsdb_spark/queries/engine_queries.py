@@ -152,9 +152,49 @@ FROM customer ORDER BY c_custkey
 """
 
 
+# --- E03: whole-query pushdown to a native-SQL source ------------------------
+def e03_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source query served by the source's own engine (reference:
+    query_planner.py:787-807 check_single_integration). The embedded
+    DuckDB source is the exemplar integration; the engine ships it the
+    whole statement and gets the aggregated result back as one Arrow
+    table. `tests/test_pushdown.py` proves the same statement produces
+    identical rows through the federated Spark plan."""
+    from mindsdb_spark.engine import EngineSession
+    from mindsdb_spark.sources.duckdb_source import DuckDBSource
+
+    key = ("e03", id(spark), sf_dir)
+    if key not in _SESSIONS:
+        sess = EngineSession(spark)
+        sess.register_native_source(
+            "duck", DuckDBSource.from_parquet_dir(spark, sf_dir, tables=["supplier", "nation"])
+        )
+        _SESSIONS[key] = sess
+    sess = _SESSIONS[key]
+    out = sess.sql(
+        """
+        SELECT n_name, COUNT(*) AS cnt,
+               FLOOR(SUM(s_acctbal) * 100 + 0.5) / 100 AS bal
+        FROM duck.supplier s JOIN duck.nation n ON s_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+        """
+    )
+    assert sess.last_execution == ("pushdown", "duck"), "pushdown gate regressed"
+    return out
+
+
+E03_SQL = """
+SELECT n_name, COUNT(*) AS cnt,
+       floor(SUM(s_acctbal) * 100 + 0.5) / 100 AS bal
+FROM supplier s JOIN nation n ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 ENGINE_QUERIES = {
     "e01_engine_sql": (e01_engine_sql, E01_SQL),
     "e02_engine_view": (e02_engine_view, E02_SQL),
+    "e03_pushdown": (e03_pushdown, E03_SQL),
     "m02_dialect_datetime": (m02_dialect_datetime, M02_SQL),
     "m03_dialect_string": (m03_dialect_string, M03_SQL),
 }
