@@ -93,6 +93,48 @@ _AGENT_RE = re.compile(
     re.IGNORECASE,
 )
 _IDENT_RE = re.compile(r"[A-Za-z_`][\w.`]*")
+# `SELECT ... FROM <table> [t] JOIN <model> [m] [WHERE ...] [ORDER BY ...]
+# [LIMIT n]` — the reference's signature "table JOIN predictor" statement
+# (planning: plan_join.py:760-818; execution: apply_predictor_step.py:
+# 103-233). A model join has no ON clause — it's a row-wise apply, not an
+# equi-join — so queries WITH an ON fall through to Catalyst untouched.
+_KW_STOP = r"(?!ON\b|WHERE\b|ORDER\b|LIMIT\b|JOIN\b|INNER\b|LEFT\b|GROUP\b)"
+_MODEL_JOIN_RE = re.compile(
+    r"SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<table>[\w.`]+)(?:\s+(?:AS\s+)?" + _KW_STOP + r"(?P<talias>\w+))?"
+    r"\s+JOIN\s+(?P<model>[\w.`]+)(?:\s+(?:AS\s+)?" + _KW_STOP + r"(?P<malias>\w+))?"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?(?:\s+ORDER\s+BY\s+(?P<order>.+?))?(?:\s+LIMIT\s+(?P<limit>\d+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_MODEL_RE = re.compile(r"DROP\s+MODEL\s+(?:IF\s+EXISTS\s+)?([\w.`]+)$", re.IGNORECASE)
+_COND_RE = re.compile(r"([\w.`]+)\s*(>=|<=|!=|<>|=|>|<)\s*(.+)$", re.DOTALL)
+
+
+def _split_and(text: str) -> list[str]:
+    """Split a WHERE body on top-level ANDs (strings and parens respected)."""
+    from mindsdb_spark.dialect.rewriter import _skip_string
+
+    parts, depth, start, i, n = [], 0, 0, 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in ("'", '"'):
+            i = _skip_string(text, i, c)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c.isalpha() or c == "_":
+            j = i
+            while j < n and (text[j].isalnum() or text[j] == "_"):
+                j += 1
+            if depth == 0 and text[i:j].upper() == "AND":
+                parts.append(text[start:i])
+                start = j
+            i = j
+            continue
+        i += 1
+    parts.append(text[start:])
+    return [p.strip() for p in parts if p.strip()]
 
 
 def _table_refs(sql: str) -> list[str]:
@@ -176,6 +218,7 @@ class EngineSession:
         self._writable: dict[str, object] = {}
         self._kbs: dict[str, object] = {}
         self._native: dict[str, object] = {}
+        self._models: dict[str, object] = {}
         self._user_functions: set[str] = set()
         self.pushdown_enabled = True
         self.last_execution: tuple[str, str | None] = ("spark", None)
@@ -341,6 +384,91 @@ class EngineSession:
         """Register an AgentSpec as a queryable virtual table."""
         self._agents[agent.name.lower()] = agent
 
+    def register_model(self, model) -> None:
+        """Register a ModelSpec as a joinable predictor — the engine analog
+        of a trained model living in a project (reference: models are
+        virtual tables resolved by the planner, plan_join.py:760-818).
+        Training lifecycle (CREATE/RETRAIN MODEL) is out of scope; anything
+        that yields a pandas-in/pandas-out callable plugs in here."""
+        self._models[model.name.lower()] = model
+
+    def _model_of(self, name: str):
+        n = name.lower().strip("`").split(".")[-1]
+        return self._models.get(n)
+
+    def _model_join(self, m: re.Match) -> DataFrame:
+        """Execute `SELECT ... FROM table [t] JOIN model [m] ...`.
+
+        Mirrors the reference's plan (plan_join.py:760-818 +
+        apply_predictor_step.py:103-233): fetch the table side through the
+        federated catalog with the table's share of the WHERE, apply the
+        predictor in-plan (mapInPandas — no row-id re-join), then evaluate
+        the outer projection/filter/sort over the joined columns. WHERE
+        equalities on predictor columns become model params (row_dict,
+        query_planner.py:569-648); other predictor-column conditions filter
+        after the apply."""
+        from mindsdb_spark.operators.model import apply_model, ts_apply_model
+
+        spec = self._model_of(m.group("model"))
+        talias, malias = m.group("talias"), m.group("malias")
+        model_cols = {
+            p.strip().split()[0].strip("`").lower()
+            for p in spec.output_schema.split(",")
+            if p.strip()
+        }
+        # aggregation over predictions runs in the outer query, over the
+        # flat joined view — peel `GROUP BY ...` off the WHERE tail
+        where_text, group_tail = m.group("where"), ""
+        if where_text:
+            gm = re.search(r"\bGROUP\s+BY\b", where_text, re.IGNORECASE)
+            if gm:
+                where_text, group_tail = where_text[: gm.start()].strip(), where_text[gm.start():]
+        mnames = {n.lower() for n in (malias, m.group("model").split(".")[-1]) if n}
+        table_conds, post_conds, params = [], [], {}
+        for cond in _split_and(where_text) if where_text else []:
+            cm = _COND_RE.match(cond)
+            colname = cm.group(1).strip("`").split(".")[-1].lower() if cm else None
+            prefix = cm.group(1).strip("`").split(".")[0].lower() if cm and "." in cm.group(1) else None
+            model_ns = colname in model_cols or prefix in mnames
+            if model_ns and cm.group(2) == "=":
+                # reference row_dict: model-namespace equality is a model
+                # param (an input the predictor sees), and additionally a
+                # post-filter when it names an output column
+                v = cm.group(3).strip()
+                params[colname] = v[1:-1] if v[:1] in "'\"" else (
+                    float(v) if "." in v else int(v) if v.lstrip("-").isdigit() else v
+                )
+                if colname in model_cols:
+                    post_conds.append(cond)
+            elif model_ns:
+                post_conds.append(cond)
+            else:
+                table_conds.append(cond)
+        inner_sql = f"SELECT * FROM {m.group('table')}" + (f" {talias}" if talias else "")
+        if table_conds:
+            inner_sql += " WHERE " + " AND ".join(table_conds)
+        inner = self.sql(inner_sql)
+        out = ts_apply_model(inner, spec) if spec.order_by else apply_model(inner, spec, params)
+
+        # outer projection over the flat joined schema: alias prefixes drop
+        strip = [a for a in (talias, malias, m.group("model").split(".")[-1]) if a]
+        def _flat(text: str) -> str:
+            for a in strip:
+                text = re.sub(rf"\b{re.escape(a)}\s*\.\s*", "", text, flags=re.IGNORECASE)
+            return self.rewrite(text)
+
+        out.createOrReplaceTempView("__model_join")
+        outer = f"SELECT {_flat(m.group('sel'))} FROM __model_join"
+        if post_conds:
+            outer += " WHERE " + " AND ".join(_flat(c) for c in post_conds)
+        if group_tail:
+            outer += " " + _flat(group_tail)
+        if m.group("order"):
+            outer += " ORDER BY " + _flat(m.group("order"))
+        if m.group("limit"):
+            outer += " LIMIT " + m.group("limit")
+        return self.spark.sql(outer)
+
     # -- SQL entry point -------------------------------------------------------
     def rewrite(self, sql: str) -> str:
         out = rewrite_sql(sql, self._rules, self._vars)
@@ -368,7 +496,7 @@ class EngineSession:
     def _try_command(self, sql: str) -> DataFrame | None:
         s = " ".join(sql.strip().rstrip(";").split())
         u = s.upper()
-        if u in ("SHOW JOBS", "SHOW VIEWS", "SHOW AGENTS"):
+        if u in ("SHOW JOBS", "SHOW VIEWS", "SHOW AGENTS", "SHOW MODELS"):
             self._refresh_information_schema()
             kind = u.split()[1].lower()
             return self.spark.sql(
@@ -467,6 +595,14 @@ class EngineSession:
         if m:
             self.jobs.drop_job(m.group(1).lower())
             return self.spark.createDataFrame([(m.group(1).lower(),)], "job string")
+        m = _DROP_MODEL_RE.match(s)
+        if m:
+            name = m.group(1).lower().strip("`").split(".")[-1]
+            self._models.pop(name, None)
+            return self.spark.createDataFrame([(name,)], "model string")
+        m = _MODEL_JOIN_RE.match(s)
+        if m and self._model_of(m.group("model")) is not None:
+            return self._model_join(m)
         m = _KB_RE.match(s)
         if m:
             name = m.group(2).lower().strip("`").split(".")[-1]
@@ -536,6 +672,11 @@ class EngineSession:
             or [("", "")],
             "name string, model string",
         ).filter("name != ''").createOrReplaceTempView("information_schema_agents")
+        self.spark.createDataFrame(
+            [(name, mm.output_schema, "ts" if mm.order_by else "row")
+             for name, mm in self._models.items()] or [("", "", "")],
+            "name string, predict_columns string, kind string",
+        ).filter("name != ''").createOrReplaceTempView("information_schema_models")
 
     # -- engine functions ------------------------------------------------------
     def _register_builtin_functions(self) -> None:

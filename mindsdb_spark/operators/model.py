@@ -66,16 +66,21 @@ def split_model_conditions(
     return table_conds, params
 
 
-def apply_model(df: DataFrame, model: ModelSpec) -> DataFrame:
+def apply_model(df: DataFrame, model: ModelSpec, params: dict | None = None) -> DataFrame:
     """Row-wise model application: input columns pass through, prediction
-    columns are appended. One Arrow-batched Python stage, no extra join."""
+    columns are appended. One Arrow-batched Python stage, no extra join.
+
+    ``params`` is the reference's row_dict (query_planner.py:569-648 —
+    WHERE equalities on predictor columns become fixed model inputs): the
+    values are visible to ``predict`` as constant columns on its input
+    frame, without joining the passthrough output."""
     in_cols = df.columns
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     full_schema = f"{schema}, {model.output_schema}"
 
     def run(batches):
         for pdf in batches:
-            preds = model.predict(pdf)
+            preds = model.predict(pdf.assign(**params) if params else pdf)
             yield pd.concat([pdf.reset_index(drop=True), preds.reset_index(drop=True)], axis=1)
 
     out = df.mapInPandas(run, schema=full_schema)

@@ -191,10 +191,59 @@ GROUP BY n_name ORDER BY n_name
 """
 
 
+# --- A03: `table JOIN model` through the SQL door ----------------------------
+def a03_model_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's signature statement — a predictor joined to a table
+    in SQL (plan_join.py:760-818) — through EngineSession: the WHERE is
+    split between the table fetch and the model, the predictor runs as an
+    in-plan mapInPandas stage, and the outer projection/sort runs over the
+    joined columns. Same deterministic risk model as a01."""
+    import numpy as np
+
+    from mindsdb_spark.operators.model import ModelSpec
+
+    sess = _session(spark, sf_dir)
+
+    def predict(pdf):
+        import pandas as pd
+
+        risk = np.minimum(pdf["o_totalprice"].to_numpy() / 500000.0, 1.0)
+        risk = np.floor(risk * 1e6 + 0.5) / 1e6
+        return pd.DataFrame(
+            {"predicted_risk": risk, "risk_band": np.where(risk > 0.5, "hi", "lo")}
+        )
+
+    sess.register_model(
+        ModelSpec(name="risk", predict=predict,
+                  output_schema="predicted_risk double, risk_band string")
+    )
+    return sess.sql(
+        """
+        SELECT t.o_orderkey, m.predicted_risk, m.risk_band
+        FROM tpch_orders t JOIN risk m
+        WHERE t.o_totalprice > 100000 AND m.predicted_risk > 0.3
+        ORDER BY t.o_orderkey
+        """
+    )
+
+
+A03_SQL = """
+WITH applied AS (
+  SELECT o_orderkey,
+         floor(least(o_totalprice / 500000.0, 1.0) * 1000000 + 0.5) / 1000000 AS predicted_risk
+  FROM orders WHERE o_totalprice > 100000
+)
+SELECT o_orderkey, predicted_risk,
+       CASE WHEN predicted_risk > 0.5 THEN 'hi' ELSE 'lo' END AS risk_band
+FROM applied WHERE predicted_risk > 0.3 ORDER BY o_orderkey
+"""
+
+
 ENGINE_QUERIES = {
     "e01_engine_sql": (e01_engine_sql, E01_SQL),
     "e02_engine_view": (e02_engine_view, E02_SQL),
     "e03_pushdown": (e03_pushdown, E03_SQL),
+    "a03_model_join_sql": (a03_model_join_sql, A03_SQL),
     "m02_dialect_datetime": (m02_dialect_datetime, M02_SQL),
     "m03_dialect_string": (m03_dialect_string, M03_SQL),
 }

@@ -1,0 +1,112 @@
+"""`table JOIN model` through the SQL door (reference:
+plan_join.py:760-818 planning, apply_predictor_step.py:103-233 execution,
+query_planner.py:569-648 condition split into model params)."""
+
+import pandas as pd
+import pytest
+
+from mindsdb_spark.engine import EngineSession, _split_and
+from mindsdb_spark.operators.model import ModelSpec
+
+
+@pytest.fixture(scope="module")
+def sess(spark, sf_dir):
+    s = EngineSession(spark)
+    s.register_parquet_source("tpch", sf_dir, tables=["orders", "customer", "events"])
+
+    def predict(pdf):
+        scale = float(pdf["scale"].iloc[0]) if "scale" in pdf.columns else 1.0
+        risk = (pdf["o_totalprice"] / 500000.0 * scale).clip(upper=1.0)
+        return pd.DataFrame({"risk": risk, "band": risk.map(lambda r: "hi" if r > 0.5 else "lo")})
+
+    s.register_model(ModelSpec(name="riskm", predict=predict, output_schema="risk double, band string"))
+    return s
+
+
+def test_split_and():
+    assert _split_and("a = 1 AND b > 2") == ["a = 1", "b > 2"]
+    assert _split_and("a = 'x AND y' AND (b = 1 AND c = 2)") == ["a = 'x AND y'", "(b = 1 AND c = 2)"]
+
+
+def test_model_join_basic(sess):
+    df = sess.sql(
+        "SELECT t.o_orderkey, m.risk, m.band FROM tpch_orders t JOIN riskm m "
+        "WHERE t.o_orderkey <= 10 ORDER BY t.o_orderkey"
+    )
+    rows = df.collect()
+    assert [r["o_orderkey"] for r in rows] == sorted(r["o_orderkey"] for r in rows)
+    assert all(r["band"] in ("hi", "lo") for r in rows)
+    assert set(df.columns) == {"o_orderkey", "risk", "band"}
+
+
+def test_model_join_without_aliases(sess):
+    df = sess.sql("SELECT o_orderkey, risk FROM tpch_orders JOIN riskm WHERE o_orderkey <= 5")
+    expected = sess.sql("SELECT COUNT(*) FROM tpch_orders WHERE o_orderkey <= 5").collect()[0][0]
+    assert df.count() == expected > 0
+
+
+def test_model_param_from_where_equality(sess):
+    # scale is not a table column; `m.scale = 2.0` becomes a model param
+    # (the reference's row_dict) visible to predict() as a constant column
+    base = {r["o_orderkey"]: r["risk"] for r in sess.sql(
+        "SELECT t.o_orderkey, m.risk FROM tpch_orders t JOIN riskm m WHERE t.o_orderkey <= 5"
+    ).collect()}
+    scaled = {r["o_orderkey"]: r["risk"] for r in sess.sql(
+        "SELECT t.o_orderkey, m.risk FROM tpch_orders t JOIN riskm m "
+        "WHERE t.o_orderkey <= 5 AND m.scale = 2.0"
+    ).collect()}
+    for k in base:
+        assert scaled[k] == pytest.approx(min(base[k] * 2.0, 1.0))
+
+
+def test_model_output_condition_filters_after_apply(sess):
+    rows = sess.sql(
+        "SELECT t.o_orderkey, m.risk FROM tpch_orders t JOIN riskm m "
+        "WHERE t.o_orderkey <= 100 AND m.risk > 0.5"
+    ).collect()
+    assert all(r["risk"] > 0.5 for r in rows)
+
+
+def test_model_join_group_by(sess):
+    rows = sess.sql(
+        "SELECT m.band, COUNT(*) AS cnt FROM tpch_orders t JOIN riskm m "
+        "WHERE t.o_orderkey <= 1000 GROUP BY m.band ORDER BY m.band"
+    ).collect()
+    expected = sess.sql("SELECT COUNT(*) FROM tpch_orders WHERE o_orderkey <= 1000").collect()[0][0]
+    assert sum(r["cnt"] for r in rows) == expected > 0
+    assert [r["band"] for r in rows] == sorted(r["band"] for r in rows)
+
+
+def test_ts_model_join(sess):
+    def forecast(pdf):
+        base = float(pdf["value"].mean())
+        return pd.DataFrame({"user_id": [int(pdf["user_id"].iloc[0])] * 2,
+                             "h": [1, 2], "value_pred": [base] * 2})
+
+    sess.register_model(ModelSpec(
+        name="fcast", predict=forecast,
+        output_schema="user_id long, h int, value_pred double",
+        order_by=["ts", "event_id"], group_by=["user_id"], window=3, horizon=2,
+    ))
+    rows = sess.sql(
+        "SELECT m.user_id, m.h, m.value_pred FROM tpch_events t JOIN fcast m "
+        "ORDER BY m.user_id, m.h"
+    ).collect()
+    assert len(rows) > 0 and len(rows) % 2 == 0
+    assert rows[0]["h"] == 1 and rows[1]["h"] == 2
+
+
+def test_plain_join_unaffected(sess):
+    rows = sess.sql(
+        "SELECT COUNT(*) AS c FROM tpch_orders o JOIN tpch_customer c "
+        "ON o.o_custkey = c.c_custkey"
+    ).collect()
+    assert rows[0][0] > 0
+
+
+def test_show_and_drop_model(sess):
+    names = [r[0] for r in sess.sql("SHOW MODELS").collect()]
+    assert "riskm" in names
+    sess.register_model(ModelSpec(name="tmp", predict=lambda p: p, output_schema="x int"))
+    sess.sql("DROP MODEL tmp")
+    assert "tmp" not in [r[0] for r in sess.sql("SHOW MODELS").collect()]
