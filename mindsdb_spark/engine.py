@@ -106,6 +106,18 @@ _MODEL_JOIN_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_MODEL_RE = re.compile(r"DROP\s+MODEL\s+(?:IF\s+EXISTS\s+)?([\w.`]+)$", re.IGNORECASE)
+_CREATE_KB_RE = re.compile(
+    r"CREATE\s+KNOWLEDGE[_ ]BASE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)(?:\s+USING\s+(.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_KB_RE = re.compile(
+    r"DROP\s+KNOWLEDGE[_ ]BASE\s+(?:IF\s+EXISTS\s+)?([\w.`]+)$", re.IGNORECASE
+)
+# `FROM <integration> ( <raw native query> )` — the reference's NativeQuery
+# passthrough (query_planner.py:825-831: FetchDataframeStep(raw_query); AST
+# node mindsdb_sql NativeQuery). The raw text runs verbatim on the source's
+# own engine; everything around it stays a Spark plan.
+_NATIVE_FROM_RE = re.compile(r"\b(FROM|JOIN)\s+([\w`]+)\s*\(", re.IGNORECASE)
 _COND_RE = re.compile(r"([\w.`]+)\s*(>=|<=|!=|<>|=|>|<)\s*(.+)$", re.DOTALL)
 
 
@@ -218,6 +230,7 @@ class EngineSession:
         self._writable: dict[str, object] = {}
         self._kbs: dict[str, object] = {}
         self._native: dict[str, object] = {}
+        self._native_seq = 0
         self._models: dict[str, object] = {}
         self._user_functions: set[str] = set()
         self.pushdown_enabled = True
@@ -361,6 +374,28 @@ class EngineSession:
         )
         self._kbs[name.lower()] = {"store": store, "dim": dim}
 
+    def _kb_insert(self, name: str, docs: DataFrame) -> DataFrame:
+        """INSERT INTO <kb> <select>: chunk → embed → upsert by content hash
+        (reference: controller.py:647-983 — re-inserting unchanged content
+        is a no-op because chunk ids are content hashes)."""
+        from mindsdb_spark.operators.kb import chunk_documents, fake_embed, kb_upsert
+
+        kb = self._kbs[name]
+        cols = {c.lower(): c for c in docs.columns}
+        id_col = next((cols[c] for c in ("doc_id", "id") if c in cols), docs.columns[0])
+        text_col = next(
+            (cols[c] for c in ("text", "content", "chunk_text") if c in cols), docs.columns[-1]
+        )
+        prepared = docs.select(
+            F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+        )
+        incoming = fake_embed(chunk_documents(prepared), dim=kb["dim"]).select(
+            "chunk_id", "doc_id", "chunk_text", "embedding"
+        )
+        kb["store"] = kb_upsert(kb["store"], incoming)
+        n = incoming.count()
+        return self.spark.createDataFrame([(n,)], "inserted_chunks long")
+
     def _kb_search(self, name: str, query_text: str, k: int | None) -> DataFrame:
         from mindsdb_spark.operators.kb import fake_embed
         from mindsdb_spark.operators.search import KB_DEFAULT_LIMIT, KB_MAX_LIMIT
@@ -477,7 +512,42 @@ class EngineSession:
         # system_tables.py:48-782); dotted names become view names.
         return _IS_RE.sub("information_schema_", out)
 
+    def _resolve_native_queries(self, s: str) -> str:
+        """Replace every ``FROM/JOIN <native_src> ( raw )`` with a temp view
+        holding the raw query's result, executed on the source engine."""
+        from mindsdb_spark.dialect.rewriter import _skip_string
+
+        while True:
+            hit = None
+            for m in _NATIVE_FROM_RE.finditer(s):
+                if m.group(2).strip("`").lower() in self._native:
+                    hit = m
+                    break
+            if hit is None:
+                return s
+            src = hit.group(2).strip("`").lower()
+            depth, i, n = 0, hit.end() - 1, len(s)
+            while i < n:
+                c = s[i]
+                if c in ("'", '"'):
+                    i = _skip_string(s, i, c)
+                    continue
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                i += 1
+            raw = s[hit.end() : i]
+            self._native_seq += 1
+            view = f"__native_{src}_{self._native_seq}"
+            self._native[src].query(raw).createOrReplaceTempView(view)
+            s = s[: hit.start()] + f"{hit.group(1)} {view}" + s[i + 1 :]
+
     def sql(self, sql: str) -> DataFrame:
+        if self._native and _NATIVE_FROM_RE.search(sql):
+            sql = self._resolve_native_queries(sql)
         cmd = self._try_command(sql)
         if cmd is not None:
             return cmd
@@ -496,7 +566,8 @@ class EngineSession:
     def _try_command(self, sql: str) -> DataFrame | None:
         s = " ".join(sql.strip().rstrip(";").split())
         u = s.upper()
-        if u in ("SHOW JOBS", "SHOW VIEWS", "SHOW AGENTS", "SHOW MODELS"):
+        if u in ("SHOW JOBS", "SHOW VIEWS", "SHOW AGENTS", "SHOW MODELS",
+                 "SHOW KNOWLEDGE_BASES"):
             self._refresh_information_schema()
             kind = u.split()[1].lower()
             return self.spark.sql(
@@ -545,6 +616,15 @@ class EngineSession:
                 ps.insert(table, aligned)
                 self._refresh_writable_views(srcname)
                 return self.spark.createDataFrame([(table,)], "inserted string")
+            kbname = m.group(1).lower().strip("`").split(".")[-1]
+            if kbname in self._kbs:
+                body = m.group(2)
+                rows = (
+                    self.spark.sql(f"SELECT * FROM {body}")
+                    if body.upper().startswith("VALUES")
+                    else self.sql(body.strip().strip("()"))
+                )
+                return self._kb_insert(kbname, rows)
         m = _UPDATE_RE.match(s)
         if m:
             srcname, table = self._resolve_writable(m.group(1))
@@ -595,6 +675,28 @@ class EngineSession:
         if m:
             self.jobs.drop_job(m.group(1).lower())
             return self.spark.createDataFrame([(m.group(1).lower(),)], "job string")
+        m = _CREATE_KB_RE.match(s)
+        if m:
+            # CREATE KNOWLEDGE_BASE name [USING dim = N, ...] — an empty
+            # chunk store; INSERT INTO <kb> <select> fills it through the
+            # chunk → embed → content-hash-upsert pipeline
+            # (controller.py:647-983)
+            name = m.group(1).lower().strip("`").split(".")[-1]
+            using = dict(
+                (kv.partition("=")[0].strip().lower(), kv.partition("=")[2].strip().strip("'\""))
+                for kv in (m.group(2) or "").split(",")
+                if "=" in kv
+            )
+            store = self.spark.createDataFrame(
+                [], "chunk_id string, doc_id long, chunk_text string, embedding array<float>"
+            )
+            self._kbs[name] = {"store": store, "dim": int(using.get("dim", 16))}
+            return self.spark.createDataFrame([(name,)], "knowledge_base string")
+        m = _DROP_KB_RE.match(s)
+        if m:
+            name = m.group(1).lower().strip("`").split(".")[-1]
+            self._kbs.pop(name, None)
+            return self.spark.createDataFrame([(name,)], "knowledge_base string")
         m = _DROP_MODEL_RE.match(s)
         if m:
             name = m.group(1).lower().strip("`").split(".")[-1]
@@ -677,6 +779,10 @@ class EngineSession:
              for name, mm in self._models.items()] or [("", "", "")],
             "name string, predict_columns string, kind string",
         ).filter("name != ''").createOrReplaceTempView("information_schema_models")
+        self.spark.createDataFrame(
+            [(name, kb["dim"]) for name, kb in self._kbs.items()] or [("", 0)],
+            "name string, dim int",
+        ).filter("name != ''").createOrReplaceTempView("information_schema_knowledge_bases")
 
     # -- engine functions ------------------------------------------------------
     def _register_builtin_functions(self) -> None:

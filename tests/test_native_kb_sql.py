@@ -1,0 +1,61 @@
+"""Native-query passthrough (`FROM src (raw sql)`, reference NativeQuery —
+query_planner.py:825-831) and the KB SQL lifecycle
+(CREATE KNOWLEDGE_BASE / INSERT INTO kb / search / DROP —
+controller.py:647-983)."""
+
+import pytest
+
+from mindsdb_spark.engine import EngineSession
+from mindsdb_spark.sources.duckdb_source import DuckDBSource
+
+
+@pytest.fixture(scope="module")
+def sess(spark, sf_dir):
+    s = EngineSession(spark)
+    s.register_parquet_source("tpch", sf_dir, tables=["documents", "orders"])
+    s._duck = DuckDBSource.from_parquet_dir(spark, sf_dir, tables=["nation", "region"])
+    s.register_native_source("duck", s._duck)
+    return s
+
+
+def test_native_query_passthrough(sess):
+    df = sess.sql(
+        "SELECT n_name, c FROM duck "
+        "(SELECT n_name, n_nationkey % 3 AS c FROM nation WHERE n_nationkey < 10) t "
+        "WHERE c > 0 ORDER BY n_name"
+    )
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r["c"] > 0 for r in rows)
+
+
+def test_native_query_joined_with_spark_table(sess):
+    # the native result participates in a normal Catalyst join
+    df = sess.sql(
+        "SELECT COUNT(*) AS cnt FROM tpch_orders o JOIN duck "
+        "(SELECT n_nationkey FROM nation) n ON o.o_custkey % 5 = n.n_nationkey"
+    )
+    assert df.collect()[0][0] > 0
+
+
+def test_kb_sql_lifecycle(sess):
+    sess.sql("CREATE KNOWLEDGE_BASE kbtest USING dim = 8")
+    names = [r[0] for r in sess.sql("SHOW KNOWLEDGE_BASES").collect()]
+    assert "kbtest" in names
+
+    inserted = sess.sql(
+        "INSERT INTO kbtest SELECT doc_id, text FROM tpch_documents WHERE doc_id < 50"
+    ).collect()[0][0]
+    assert inserted > 0
+
+    hits = sess.sql("SELECT * FROM kbtest WHERE content = 'spark engine' LIMIT 5").collect()
+    assert 0 < len(hits) <= 5
+    assert {"chunk_id", "doc_id", "content", "distance"} <= set(hits[0].asDict())
+
+    # content-hash upsert: re-inserting identical docs does not grow the store
+    before = sess._kbs["kbtest"]["store"].count()
+    sess.sql("INSERT INTO kbtest SELECT doc_id, text FROM tpch_documents WHERE doc_id < 50")
+    assert sess._kbs["kbtest"]["store"].count() == before
+
+    sess.sql("DROP KNOWLEDGE_BASE kbtest")
+    assert "kbtest" not in [r[0] for r in sess.sql("SHOW KNOWLEDGE_BASES").collect()]
