@@ -46,6 +46,35 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _duckdb_baseline(names: list[str], registry: dict) -> dict[str, float]:
+    """Best-of-RUNS timings for the identical oracle SQL in DuckDB, measured
+    in the SAME window — this host carries variable co-tenant load (absolute
+    totals swing ±30%), so only same-window ratios are meaningful."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    out: dict[str, float] = {}
+    for name in names:
+        sql = registry[name][1]
+        if not sql:
+            continue
+        con.execute(sql).fetchall()  # warmup: page cache
+        best = min(
+            (lambda t0: (con.execute(sql).fetchall(), time.perf_counter() - t0)[1])(
+                time.perf_counter()
+            )
+            for _ in range(RUNS)
+        )
+        out[name] = round(best, 4)
+    return out
+
+
 def main() -> None:
     from mindsdb_spark import get_spark
     from mindsdb_spark.queries.pipeline import PIPELINE
@@ -68,7 +97,13 @@ def main() -> None:
         )
         timings[name] = round(best, 4)
 
+    baseline = _duckdb_baseline(names, registry)
+    base_total = round(sum(baseline.values()), 4)
     total = round(sum(timings.values()), 4)
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
     print(
         json.dumps(
             {
@@ -77,6 +112,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "duckdb_same_window": {"total": base_total, "queries": baseline},
+                "ratio_vs_duckdb": round(total / base_total, 3) if base_total else None,
+                "load1": load1,
             }
         )
     )
