@@ -106,6 +106,16 @@ _MODEL_JOIN_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_MODEL_RE = re.compile(r"DROP\s+MODEL\s+(?:IF\s+EXISTS\s+)?([\w.`]+)$", re.IGNORECASE)
+# `CREATE [OR REPLACE] MODEL name [FROM src] (SELECT ...) PREDICT col
+# [USING engine = '...', ...]` — reference: command_executor.py:1532-1567
+# (ML engine resolved from USING, training query runs on the integration).
+_CREATE_MODEL_RE = re.compile(
+    r"CREATE\s+(OR\s+REPLACE\s+)?MODEL\s+([\w.`]+)"
+    r"(?:\s+FROM\s+([\w`]+))?\s*\((.+)\)\s*PREDICT\s+([\w`]+)"
+    r"(?:\s+USING\s+(.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_RETRAIN_MODEL_RE = re.compile(r"RETRAIN\s+(?:MODEL\s+)?([\w.`]+)$", re.IGNORECASE)
 _CREATE_KB_RE = re.compile(
     r"CREATE\s+KNOWLEDGE[_ ]BASE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)(?:\s+USING\s+(.+))?$",
     re.IGNORECASE | re.DOTALL,
@@ -232,6 +242,10 @@ class EngineSession:
         self._native: dict[str, object] = {}
         self._native_seq = 0
         self._models: dict[str, object] = {}
+        from mindsdb_spark.operators.ml_engines import BUILTIN_ML_ENGINES
+
+        self._ml_engines: dict = dict(BUILTIN_ML_ENGINES)
+        self._model_recipes: dict[str, tuple] = {}
         self._user_functions: set[str] = set()
         self.pushdown_enabled = True
         self.last_execution: tuple[str, str | None] = ("spark", None)
@@ -427,9 +441,46 @@ class EngineSession:
         that yields a pandas-in/pandas-out callable plugs in here."""
         self._models[model.name.lower()] = model
 
+    def register_ml_engine(self, name: str, factory) -> None:
+        """Register a training engine for CREATE MODEL: ``factory(name,
+        train_df, target, params) -> ModelSpec`` (the reference's
+        CREATE ML_ENGINE surface, command_executor.py:1171-1258)."""
+        self._ml_engines[name.lower()] = factory
+
     def _model_of(self, name: str):
         n = name.lower().strip("`").split(".")[-1]
         return self._models.get(n)
+
+    def _create_model(self, m: re.Match) -> DataFrame:
+        """CREATE [OR REPLACE] MODEL — train via the USING-named ML engine
+        on the FROM-integration's query result (reference:
+        command_executor.py:1532-1567). Training stays a distributed
+        DataFrame job; the recipe is kept for RETRAIN MODEL."""
+        from mindsdb_spark.dialect.rewriter import split_top_level
+
+        replace, name, src, raw, target, using = m.groups()
+        name = name.lower().strip("`").split(".")[-1]
+        if name in self._models and not replace:
+            raise ValueError(f"model {name!r} already exists (use CREATE OR REPLACE MODEL)")
+        params = {}
+        for kv in split_top_level(using) if using else []:
+            k, _, v = kv.partition("=")
+            params[k.strip().lower()] = v.strip().strip("'\"")
+        engine = params.pop("engine", None)
+        if engine is None or engine.lower() not in self._ml_engines:
+            raise ValueError(
+                f"USING engine = <one of {sorted(self._ml_engines)}> is required"
+            )
+        src = src.lower().strip("`") if src else None
+        target = target.strip("`").lower()
+        if src and src in self._native:
+            train_df = self._native[src].query(raw)
+        else:
+            train_df = self.sql(raw)
+        spec = self._ml_engines[engine.lower()](name, train_df, target, params)
+        self._models[name] = spec
+        self._model_recipes[name] = (src, raw, target, engine, dict(params))
+        return self.spark.createDataFrame([(name, engine)], "model string, engine string")
 
     def _model_join(self, m: re.Match) -> DataFrame:
         """Execute `SELECT ... FROM table [t] JOIN model [m] ...`.
@@ -546,7 +597,12 @@ class EngineSession:
             s = s[: hit.start()] + f"{hit.group(1)} {view}" + s[i + 1 :]
 
     def sql(self, sql: str) -> DataFrame:
-        if self._native and _NATIVE_FROM_RE.search(sql):
+        if (
+            self._native
+            and sql.lstrip().upper().startswith(("SELECT", "WITH", "INSERT"))
+            and _NATIVE_FROM_RE.search(sql)
+        ):
+            # CREATE MODEL handles its own `FROM src (raw)` clause
             sql = self._resolve_native_queries(sql)
         cmd = self._try_command(sql)
         if cmd is not None:
@@ -697,10 +753,21 @@ class EngineSession:
             name = m.group(1).lower().strip("`").split(".")[-1]
             self._kbs.pop(name, None)
             return self.spark.createDataFrame([(name,)], "knowledge_base string")
+        m = _CREATE_MODEL_RE.match(s)
+        if m:
+            return self._create_model(m)
+        m = _RETRAIN_MODEL_RE.match(s)
+        if m and m.group(1).lower().strip("`").split(".")[-1] in self._model_recipes:
+            name = m.group(1).lower().strip("`").split(".")[-1]
+            src, raw, target, engine, params = self._model_recipes[name]
+            train_df = self._native[src].query(raw) if src and src in self._native else self.sql(raw)
+            self._models[name] = self._ml_engines[engine.lower()](name, train_df, target, params)
+            return self.spark.createDataFrame([(name,)], "retrained string")
         m = _DROP_MODEL_RE.match(s)
         if m:
             name = m.group(1).lower().strip("`").split(".")[-1]
             self._models.pop(name, None)
+            self._model_recipes.pop(name, None)
             return self.spark.createDataFrame([(name,)], "model string")
         m = _MODEL_JOIN_RE.match(s)
         if m and self._model_of(m.group("model")) is not None:

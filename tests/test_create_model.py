@@ -1,0 +1,82 @@
+"""CREATE MODEL / RETRAIN MODEL through the SQL door (reference:
+command_executor.py:1532-1567 — engine from USING, training query on the
+integration; ML engines are pluggable, command_executor.py:1171-1258).
+Training runs as a distributed MLlib job; inference composes with the
+model-join path."""
+
+import pandas as pd
+import pytest
+
+from mindsdb_spark.engine import EngineSession
+
+
+@pytest.fixture(scope="module")
+def sess(spark, sf_dir):
+    s = EngineSession(spark)
+    s.register_parquet_source("tpch", sf_dir, tables=["orders", "lineitem"])
+    return s
+
+
+def test_create_model_linreg_recovers_plane(sess, spark):
+    # exact linear ground truth: y = 3x1 - 2x2 + 5 must be recovered
+    rows = [(float(i % 17), float((i * 7) % 13), 3.0 * (i % 17) - 2.0 * ((i * 7) % 13) + 5.0)
+            for i in range(200)]
+    spark.createDataFrame(rows, "x1 double, x2 double, y double").createOrReplaceTempView(
+        "train_plane"
+    )
+    out = sess.sql(
+        "CREATE MODEL planem (SELECT x1, x2, y FROM train_plane) PREDICT y "
+        "USING engine = 'spark_ml_linreg'"
+    ).collect()
+    assert out[0]["engine"] == "spark_ml_linreg"
+
+    spark.createDataFrame([(1.0, 1.0), (2.0, 0.0)], "x1 double, x2 double").createOrReplaceTempView(
+        "infer_plane"
+    )
+    preds = {
+        (r["x1"], r["x2"]): r["y"]
+        for r in sess.sql(
+            "SELECT t.x1, t.x2, m.y FROM infer_plane t JOIN planem m"
+        ).collect()
+    }
+    assert preds[(1.0, 1.0)] == pytest.approx(6.0, abs=1e-6)
+    assert preds[(2.0, 0.0)] == pytest.approx(11.0, abs=1e-6)
+
+
+def test_create_model_requires_engine(sess):
+    with pytest.raises(ValueError, match="engine"):
+        sess.sql("CREATE MODEL nope (SELECT o_orderkey FROM tpch_orders) PREDICT o_orderkey")
+
+
+def test_create_model_no_replace_without_flag(sess, spark):
+    spark.createDataFrame([(1.0, 1.0)], "a double, b double").createOrReplaceTempView("tiny")
+    sess.sql("CREATE MODEL dupm (SELECT a, b FROM tiny) PREDICT b USING engine='spark_ml_linreg'")
+    with pytest.raises(ValueError, match="already exists"):
+        sess.sql("CREATE MODEL dupm (SELECT a, b FROM tiny) PREDICT b USING engine='spark_ml_linreg'")
+    sess.sql("CREATE OR REPLACE MODEL dupm (SELECT a, b FROM tiny) PREDICT b "
+             "USING engine='spark_ml_linreg'")
+
+
+def test_retrain_uses_stored_recipe(sess, spark):
+    spark.createDataFrame([(float(i), 2.0 * i) for i in range(50)],
+                          "x double, y double").createOrReplaceTempView("retrain_t")
+    sess.sql("CREATE OR REPLACE MODEL rem (SELECT x, y FROM retrain_t) PREDICT y "
+             "USING engine='spark_ml_linreg'")
+    # change the training data, retrain, the model must follow
+    spark.createDataFrame([(float(i), 10.0 * i) for i in range(50)],
+                          "x double, y double").createOrReplaceTempView("retrain_t")
+    sess.sql("RETRAIN MODEL rem")
+    spark.createDataFrame([(4.0,)], "x double").createOrReplaceTempView("infer_one")
+    r = sess.sql("SELECT m.y FROM infer_one t JOIN rem m").collect()[0]["y"]
+    assert r == pytest.approx(40.0, abs=1e-6)
+
+
+def test_kmeans_engine_labels(sess, spark):
+    pts = [(0.0 + i * 0.01, 0.0) for i in range(20)] + [(10.0 + i * 0.01, 10.0) for i in range(20)]
+    spark.createDataFrame(pts, "px double, py double").createOrReplaceTempView("clust")
+    sess.sql("CREATE OR REPLACE MODEL cm (SELECT px, py FROM clust) PREDICT cluster "
+             "USING engine='spark_ml_kmeans', k=2")
+    rows = sess.sql("SELECT t.px, m.cluster FROM clust t JOIN cm m").collect()
+    lo = {r["cluster"] for r in rows if r["px"] < 5}
+    hi = {r["cluster"] for r in rows if r["px"] > 5}
+    assert len(lo) == 1 and len(hi) == 1 and lo != hi
