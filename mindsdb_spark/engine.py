@@ -116,6 +116,18 @@ _CREATE_MODEL_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _RETRAIN_MODEL_RE = re.compile(r"RETRAIN\s+(?:MODEL\s+)?([\w.`]+)$", re.IGNORECASE)
+# `CREATE AGENT name USING model = '...'` / DROP AGENT (reference:
+# command_executor.py:1484-1512 — agents_controller.add/delete_agent).
+_CREATE_AGENT_RE = re.compile(
+    r"CREATE\s+AGENT\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)(?:\s+USING\s+(.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_AGENT_RE = re.compile(r"DROP\s+AGENT\s+(?:IF\s+EXISTS\s+)?([\w.`]+)$", re.IGNORECASE)
+# `EVALUATE KNOWLEDGE_BASE kb USING test_table = t [, k = N]` (reference:
+# command_executor.py:975-981 → kb_controller.evaluate, evaluate.py:82-560).
+_EVAL_KB_RE = re.compile(
+    r"EVALUATE\s+KNOWLEDGE[_ ]BASE\s+([\w.`]+)\s+USING\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
 _CREATE_KB_RE = re.compile(
     r"CREATE\s+KNOWLEDGE[_ ]BASE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)(?:\s+USING\s+(.+))?$",
     re.IGNORECASE | re.DOTALL,
@@ -246,6 +258,11 @@ class EngineSession:
 
         self._ml_engines: dict = dict(BUILTIN_ML_ENGINES)
         self._model_recipes: dict[str, tuple] = {}
+        # batched LLM transport for SQL-created agents; deployments swap in
+        # a real client via set_agent_transport (tests need determinism)
+        self._agent_transport = lambda prompts: [
+            f"llm:{hashlib.md5(str(p).encode()).hexdigest()[:12]}" for p in prompts
+        ]
         self._user_functions: set[str] = set()
         self.pushdown_enabled = True
         self.last_execution: tuple[str, str | None] = ("spark", None)
@@ -409,6 +426,50 @@ class EngineSession:
         kb["store"] = kb_upsert(kb["store"], incoming)
         n = incoming.count()
         return self.spark.createDataFrame([(n,)], "inserted_chunks long")
+
+    def set_agent_transport(self, complete) -> None:
+        """Swap the LLM completion backend used by SQL-created agents:
+        ``complete(list[str]) -> list[str]`` (batched, Arrow-block-sized)."""
+        self._agent_transport = complete
+
+    def _kb_evaluate(self, name: str, test_table: str, k: int = 10) -> DataFrame:
+        """EVALUATE KNOWLEDGE_BASE: retrieval quality against a labeled test
+        table (columns: query_id, query_text, rel_doc_id) — the Spark form
+        of the reference's KB evaluation (evaluate.py:82-560): embed the
+        queries in-plan, broadcast them against the chunk store, rank by
+        cosine, score hit@k / MRR@k / NDCG@k, average over queries."""
+        from pyspark.sql.window import Window
+
+        from mindsdb_spark.operators.kb import fake_embed, retrieval_metrics
+        from mindsdb_spark.operators.vector import _dot, _norm
+
+        kb = self._kbs[name]
+        q = fake_embed(
+            self.spark.table(test_table).withColumnRenamed("query_text", "chunk_text"),
+            dim=kb["dim"],
+        ).select("query_id", "rel_doc_id", F.col("embedding").alias("__qe"))
+        pairs = kb["store"].crossJoin(F.broadcast(q))
+        sim = _dot(F.col("embedding").cast("array<double>"), F.col("__qe").cast("array<double>")) / (
+            _norm(F.col("embedding").cast("array<double>")) * _norm(F.col("__qe").cast("array<double>"))
+        )
+        ranked = (
+            pairs.withColumn("__sim", sim)
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("chunk_id"))
+                ),
+            )
+            .filter(F.col("rank") <= k)
+            .withColumn("rel", (F.col("doc_id") == F.col("rel_doc_id")).cast("int"))
+        )
+        per_q = retrieval_metrics(ranked, k=k)
+        return per_q.agg(
+            F.count("*").alias("queries"),
+            F.avg("hit").alias("hit_at_k"),
+            F.avg("mrr").alias("mrr"),
+            F.avg("ndcg").alias("ndcg"),
+        )
 
     def _kb_search(self, name: str, query_text: str, k: int | None) -> DataFrame:
         from mindsdb_spark.operators.kb import fake_embed
@@ -753,6 +814,41 @@ class EngineSession:
             name = m.group(1).lower().strip("`").split(".")[-1]
             self._kbs.pop(name, None)
             return self.spark.createDataFrame([(name,)], "knowledge_base string")
+        m = _CREATE_AGENT_RE.match(s)
+        if m:
+            from mindsdb_spark.dialect.rewriter import split_top_level
+            from mindsdb_spark.operators.agent import AgentSpec
+
+            name = m.group(1).lower().strip("`").split(".")[-1]
+            params = {}
+            for kv in split_top_level(m.group(2)) if m.group(2) else []:
+                k, _, v = kv.partition("=")
+                params[k.strip().lower()] = v.strip().strip("'\"")
+            transport = self._agent_transport
+            self._agents[name] = AgentSpec(
+                name=name,
+                complete=transport,
+                output_col=params.get("output_col", "answer"),
+                model_name=params.get("model", "mock-llm"),
+            )
+            return self.spark.createDataFrame([(name,)], "agent string")
+        m = _DROP_AGENT_RE.match(s)
+        if m:
+            self._agents.pop(m.group(1).lower().strip("`").split(".")[-1], None)
+            return self.spark.createDataFrame([(m.group(1).lower(),)], "agent string")
+        m = _EVAL_KB_RE.match(s)
+        if m and m.group(1).lower().strip("`").split(".")[-1] in self._kbs:
+            from mindsdb_spark.dialect.rewriter import split_top_level
+
+            params = {}
+            for kv in split_top_level(m.group(2)):
+                k, _, v = kv.partition("=")
+                params[k.strip().lower()] = v.strip().strip("'\"")
+            return self._kb_evaluate(
+                m.group(1).lower().strip("`").split(".")[-1],
+                params["test_table"],
+                int(params.get("k", 10)),
+            )
         m = _CREATE_MODEL_RE.match(s)
         if m:
             return self._create_model(m)

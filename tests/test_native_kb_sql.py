@@ -59,3 +59,30 @@ def test_kb_sql_lifecycle(sess):
 
     sess.sql("DROP KNOWLEDGE_BASE kbtest")
     assert "kbtest" not in [r[0] for r in sess.sql("SHOW KNOWLEDGE_BASES").collect()]
+
+
+def test_create_agent_and_ask(sess):
+    sess.sql("CREATE AGENT helper USING model = 'mock-llm'")
+    assert "helper" in [r[0] for r in sess.sql("SHOW AGENTS").collect()]
+    rows = sess.sql("SELECT answer FROM helper WHERE question = 'hi there'").collect()
+    assert len(rows) == 1 and rows[0]["answer"].startswith("llm:")
+    sess.sql("DROP AGENT helper")
+    assert "helper" not in [r[0] for r in sess.sql("SHOW AGENTS").collect()]
+
+
+def test_evaluate_knowledge_base(sess, spark):
+    sess.sql("CREATE KNOWLEDGE_BASE evkb USING dim = 8")
+    sess.sql("INSERT INTO evkb SELECT doc_id, text FROM tpch_documents WHERE doc_id < 30")
+    # self-retrieval test set: each query is a prefix of its own document,
+    # the relevant doc is itself
+    docs = sess.sql("SELECT doc_id, text FROM tpch_documents WHERE doc_id < 5")
+    docs.selectExpr(
+        "doc_id AS query_id", "substring(text, 1, 40) AS query_text", "doc_id AS rel_doc_id"
+    ).createOrReplaceTempView("kb_testset")
+    row = sess.sql(
+        "EVALUATE KNOWLEDGE_BASE evkb USING test_table = kb_testset, k = 5"
+    ).collect()[0]
+    assert row["queries"] == 5
+    for m in ("hit_at_k", "mrr", "ndcg"):
+        assert 0.0 <= row[m] <= 1.0
+    sess.sql("DROP KNOWLEDGE_BASE evkb")
