@@ -237,6 +237,64 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
 ORDER BY o_orderkey
 """
 
+def p41_dist_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist / nth_value."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"), col("o_orderkey"))
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        _roundc(F.percent_rank().over(w), 6).alias("pr"),
+        _roundc(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+    ).orderBy("o_orderkey")
+
+
+P41_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pr,
+       floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cd,
+       nth_value(o_orderkey, 2) OVER
+         (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+"""
+
+
+def p42_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one column per return flag, summed revenue per status.
+
+    Spark's relational `groupBy().pivot()` compiles to the same
+    conditional-aggregate plan DuckDB builds from CASE; values are
+    enumerated so the output schema is static (required for a
+    deterministic contract — and for any SQL engine's PIVOT)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = col("l_extendedprice") * (1 - col("l_discount"))
+    out = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(rev))
+    )
+    return out.select(
+        "l_linestatus",
+        *[_roundc(col(c), 2).alias(f"rev_{c.lower()}") for c in ("A", "N", "R")],
+    ).orderBy("l_linestatus")
+
+
+P42_SQL = """
+SELECT l_linestatus,
+       floor(sum(CASE WHEN l_returnflag = 'A' THEN l_extendedprice * (1 - l_discount) END) * 100 + 0.5) / 100 AS rev_a,
+       floor(sum(CASE WHEN l_returnflag = 'N' THEN l_extendedprice * (1 - l_discount) END) * 100 + 0.5) / 100 AS rev_n,
+       floor(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1 - l_discount) END) * 100 + 0.5) / 100 AS rev_r
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
 PROBES_EXT = {
     "p33_cube": (p33_cube, P33_SQL),
     "p34_grouping_sets": (p34_grouping_sets, P34_SQL),
@@ -246,4 +304,6 @@ PROBES_EXT = {
     "p38_approx_distinct": (p38_approx_distinct, None),
     "p39_lateral": (p39_lateral, P39_SQL),
     "p40_range_frame": (p40_range_frame, P40_SQL),
+    "p41_dist_windows": (p41_dist_windows, P41_SQL),
+    "p42_pivot": (p42_pivot, P42_SQL),
 }
