@@ -75,3 +75,29 @@ def salted_join(
     rsalted = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     out = lsalted.join(rsalted, [*keys, "__salt"], how)
     return out.drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: str | list[str],
+    n_buckets: int = 32,
+    sort_cols: str | list[str] | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by its join key.
+
+    The co-located-join layout: two tables bucketed on the same key with
+    the same bucket count join WITHOUT a shuffle — each task reads bucket
+    i from both sides (Exchange disappears from the plan; with sort_cols
+    the per-bucket Sort disappears too). This is the storage-side answer
+    to repeated large-to-large joins at 100 TB: pay one write-time
+    partitioning, then every downstream join on that key is shuffle-free.
+    `tests/test_plans.py::test_bucketed_join_has_no_exchange` pins the
+    plan shape.
+    """
+    bcols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = df.write.format("parquet").mode("overwrite").bucketBy(n_buckets, *bcols)
+    if sort_cols:
+        scols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(*scols)
+    w.saveAsTable(table)

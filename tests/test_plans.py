@@ -65,3 +65,34 @@ def test_semi_anti_joins_native(spark, sf_dir):
 def test_whole_stage_codegen_active(spark, sf_dir):
     plan = _plan(PROBES["p04_math_case"][0](spark, sf_dir))
     assert "[codegen id :" in plan  # expressions stay inside whole-stage codegen
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Tables bucketed on the join key join with ZERO shuffles — the
+    co-located large-to-large join layout for repeated joins at scale."""
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.operators.joins import write_bucketed
+
+    write_bucketed(
+        load_table(spark, sf_dir, "orders"), "b_orders", "o_custkey", 8, "o_custkey"
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "customer"), "b_customer", "c_custkey", 8, "c_custkey"
+    )
+    try:
+        joined = (
+            spark.table("b_orders")
+            .hint("merge")  # force SMJ so the exchange-free shape is provable
+            .join(
+                spark.table("b_customer"),
+                spark.table("b_orders")["o_custkey"] == spark.table("b_customer")["c_custkey"],
+            )
+            .select("o_orderkey", "c_name")
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
