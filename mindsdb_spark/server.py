@@ -1,0 +1,94 @@
+"""HTTP SQL entry point — `POST /api/sql/query {"query": "..."}`.
+
+The reference's primary programmatic door (reference:
+mindsdb/api/http/namespaces/sql.py:41-190 — Flask-RESTX resource →
+ExecuteCommands → answer as column names + row lists;
+result_set.py:400-424 JSON type coercion). Here the same contract sits on
+the stdlib ThreadingHTTPServer in front of one EngineSession: every
+request body runs through the full SQL door (dialect rewrite → commands /
+pushdown / federated Catalyst plan) and the result serializes as
+
+    {"type": "table", "column_names": [...], "data": [[...], ...]}
+    {"type": "error", "error_message": "..."}
+
+Only the FINAL result crosses the driver (`.collect()` on the answer —
+same boundary the reference draws); everything upstream is a distributed
+plan. The server is a thin shell by design: multi-user sessions, auth,
+and wire-protocol compatibility are out of scope (SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def _json_value(v):
+    """JSON-type coercion at the result edge (result_set.py:400-424 role):
+    dates/times → ISO strings, Decimal → float, bytes → hex."""
+    if isinstance(v, (_dt.datetime, _dt.date, _dt.time)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, list):
+        return [_json_value(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _json_value(x) for k, x in v.items()}
+    return v
+
+
+class SQLServer:
+    """One EngineSession behind an HTTP door. start() binds an ephemeral
+    (or given) port; stop() shuts the listener down."""
+
+    def __init__(self, session, host: str = "127.0.0.1", port: int = 0):
+        self.session = session
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet: tests and embedded use
+                pass
+
+            def do_POST(self):
+                if self.path.rstrip("/") != "/api/sql/query":
+                    self._reply(404, {"type": "error", "error_message": "not found"})
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(length) or b"{}")
+                    df = outer.session.sql(body["query"])
+                    rows = df.collect()
+                    payload = {
+                        "type": "table",
+                        "column_names": list(df.columns),
+                        "data": [[_json_value(v) for v in row] for row in rows],
+                    }
+                    self._reply(200, payload)
+                except Exception as e:  # the reference returns errors in-band
+                    self._reply(200, {"type": "error", "error_message": str(e)})
+
+            def _reply(self, code: int, payload: dict) -> None:
+                data = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self._httpd.server_address[:2]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "SQLServer":
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
