@@ -28,7 +28,11 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 def _json_value(v):
     """JSON-type coercion at the result edge (result_set.py:400-424 role):
-    dates/times → ISO strings, Decimal → float, bytes → hex."""
+    dates/times → ISO strings, Decimal → float, bytes → hex, NaN/±inf →
+    NULL (the reference's edge normalization, sql.py:350 — and json.dumps
+    would otherwise emit non-standard JSON)."""
+    if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+        return None
     if isinstance(v, (_dt.datetime, _dt.date, _dt.time)):
         return v.isoformat()
     if isinstance(v, decimal.Decimal):

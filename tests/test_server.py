@@ -48,3 +48,9 @@ def test_commands_and_errors_in_band(server):
     assert _post(server, "SHOW DATABASES")["type"] == "table"
     err = _post(server, "SELECT FROM nowhere_at_all !!")
     assert err["type"] == "error" and err["error_message"]
+
+
+def test_nan_normalizes_to_null(server):
+    out = _post(server, "SELECT CAST('nan' AS DOUBLE) AS bad, sqrt(-1) AS worse, 1.5 AS ok")
+    assert out["type"] == "table"
+    assert out["data"][0] == [None, None, 1.5]
