@@ -28,6 +28,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from mindsdb_spark.queries.kb_queries import KB_QUERIES
     from mindsdb_spark.queries.temporal_queries import TEMPORAL_QUERIES
     from mindsdb_spark.queries.engine_queries import ENGINE_QUERIES
+    from mindsdb_spark.queries.streaming_queries import STREAMING_QUERIES
 
     out = {name: fn for name, (fn, _sql) in PROBES.items()}
     out.update({name: fn for name, (fn, _sql) in PROBES_EXT.items()})
@@ -35,6 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update({name: fn for name, (fn, _sql) in KB_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in TEMPORAL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in ENGINE_QUERIES.items()})
+    out.update({name: fn for name, (fn, _sql) in STREAMING_QUERIES.items()})
     return out
 
 
@@ -46,6 +48,7 @@ def oracle_sql() -> dict[str, str]:
     from mindsdb_spark.queries.kb_queries import KB_QUERIES
     from mindsdb_spark.queries.temporal_queries import TEMPORAL_QUERIES
     from mindsdb_spark.queries.engine_queries import ENGINE_QUERIES
+    from mindsdb_spark.queries.streaming_queries import STREAMING_QUERIES
 
     out = {name: sql for name, (_fn, sql) in PROBES.items() if sql is not None}
     out.update({name: sql for name, (_fn, sql) in PROBES_EXT.items() if sql is not None})
@@ -53,4 +56,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in KB_QUERIES.items() if sql is not None})
     out.update({name: sql for name, (_fn, sql) in TEMPORAL_QUERIES.items() if sql is not None})
     out.update({name: sql for name, (_fn, sql) in ENGINE_QUERIES.items() if sql is not None})
+    out.update({name: sql for name, (_fn, sql) in STREAMING_QUERIES.items() if sql is not None})
     return out

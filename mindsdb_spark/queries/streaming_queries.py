@@ -1,0 +1,92 @@
+"""Driver-contract queries that execute through Structured Streaming.
+
+The reference approximates streams with polling jobs + LAST
+(jobs/README.md:1-60, last_query.py:21-120); these queries run the SAME
+aggregations the batch probes compute, but as incremental streaming plans
+(file source → watermarked stateful agg → available-now drain), and are
+oracle-checked against the batch SQL — streaming execution, batch truth.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# events.ts is parquet TIMESTAMP(NANOS): the streaming source uses the same
+# vectorized reader as batch, so it reads as long (nanosAsLong) and converts
+# in-plan with integer div (see catalog.load_table).
+_EVENTS_STREAM_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.streaming.windows import stream_from_parquet
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = stream_from_parquet(
+        spark, sf_dir, _EVENTS_STREAM_SCHEMA, path_glob="events.parquet"
+    )
+    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def st01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P27's tumbling-hour aggregation, executed as a STREAM: file source →
+    watermark → windowed stateful agg → available-now drain to a memory
+    sink. window('1 hour').start == date_trunc('hour'), so the batch SQL is
+    the exact oracle."""
+    from mindsdb_spark.streaming.windows import run_available_now, tumbling_counts
+
+    out = run_available_now(tumbling_counts(_event_stream(spark, sf_dir)), "complete")
+    return out.orderBy("h", "event_type")
+
+
+ST01_SQL = """
+SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
+       round(sum(value), 2) AS sv
+FROM events GROUP BY date_trunc('hour', ts), event_type ORDER BY h, event_type
+"""
+
+
+def st02_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user as a stream (session_window +
+    watermarked state). Oracle: the classic lag/cumsum island SQL — a
+    session's start/end/count must agree exactly with the batch
+    formulation."""
+    from mindsdb_spark.streaming.windows import run_available_now, session_counts
+
+    out = run_available_now(
+        session_counts(_event_stream(spark, sf_dir), gap="30 minutes"), "complete"
+    )
+    return out.select("user_id", "session_start", "n_events", "sv").orderBy(
+        "user_id", "session_start"
+    )
+
+
+ST02_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+       round(sum(value), 2) AS sv
+FROM numbered GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+
+STREAMING_QUERIES = {
+    "st01_stream_tumbling": (st01_stream_tumbling, ST01_SQL),
+    "st02_stream_sessions": (st02_stream_sessions, ST02_SQL),
+}

@@ -24,11 +24,22 @@ from pyspark.sql import functions as F
 col = F.col
 
 
-def stream_from_parquet(spark: SparkSession, directory: str, schema, max_files_per_trigger: int | None = None) -> DataFrame:
-    """File-source stream over a parquet directory (new files = new data)."""
+def stream_from_parquet(
+    spark: SparkSession,
+    directory: str,
+    schema,
+    max_files_per_trigger: int | None = None,
+    path_glob: str | None = None,
+) -> DataFrame:
+    """File-source stream over a parquet directory (new files = new data).
+    ``path_glob`` restricts to matching files — the file-stream source
+    requires a directory basePath, so streaming one table out of a shared
+    directory is directory + glob."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
     return reader.parquet(directory)
 
 
