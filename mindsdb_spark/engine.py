@@ -78,6 +78,14 @@ _CREATE_JOB_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_JOB_RE = re.compile(r"DROP\s+JOB\s+(\w+)$", re.IGNORECASE)
+# `CREATE TRIGGER name ON <table> [COLUMN <col>] AS (sql)` — the
+# reference's table-change trigger (triggers_controller.py:13-88: poll the
+# table, run the stored query on change).
+_CREATE_TRIGGER_RE = re.compile(
+    r"CREATE\s+TRIGGER\s+(\w+)\s+ON\s+([\w.`]+)(?:\s+COLUMN\s+([\w`]+))?\s+AS\s+\((.+)\)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_TRIGGER_RE = re.compile(r"DROP\s+TRIGGER\s+(\w+)$", re.IGNORECASE)
 _PERIODS = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60, "hour": 3600,
             "hours": 3600, "day": 86400, "days": 86400}
 # `SELECT ... FROM <kb> WHERE content = '...' [LIMIT n]` — the reference's
@@ -258,6 +266,7 @@ class EngineSession:
 
         self._ml_engines: dict = dict(BUILTIN_ML_ENGINES)
         self._model_recipes: dict[str, tuple] = {}
+        self._triggers: dict[str, object] = {}
         # batched LLM transport for SQL-created agents; deployments swap in
         # a real client via set_agent_transport (tests need determinism)
         self._agent_transport = lambda prompts: [
@@ -426,6 +435,13 @@ class EngineSession:
         kb["store"] = kb_upsert(kb["store"], incoming)
         n = incoming.count()
         return self.spark.createDataFrame([(n,)], "inserted_chunks long")
+
+    def check_triggers(self) -> list[str]:
+        """Poll all SQL-created triggers once; fire those whose watched
+        column advanced (the host drives the cadence — the reference runs
+        the same poll inside its scheduler, triggers_controller.py:13-88).
+        Returns the names that fired."""
+        return [name for name, tr in self._triggers.items() if tr.check()]
 
     def set_agent_transport(self, complete) -> None:
         """Swap the LLM completion backend used by SQL-created agents:
@@ -684,7 +700,7 @@ class EngineSession:
         s = " ".join(sql.strip().rstrip(";").split())
         u = s.upper()
         if u in ("SHOW JOBS", "SHOW VIEWS", "SHOW AGENTS", "SHOW MODELS",
-                 "SHOW KNOWLEDGE_BASES"):
+                 "SHOW KNOWLEDGE_BASES", "SHOW TRIGGERS"):
             self._refresh_information_schema()
             kind = u.split()[1].lower()
             return self.spark.sql(
@@ -792,6 +808,26 @@ class EngineSession:
         if m:
             self.jobs.drop_job(m.group(1).lower())
             return self.spark.createDataFrame([(m.group(1).lower(),)], "job string")
+        m = _CREATE_TRIGGER_RE.match(s)
+        if m:
+            from mindsdb_spark.streaming.incremental import TableChangeTrigger
+
+            name, table, column, body = (
+                m.group(1).lower(),
+                m.group(2).lower().strip("`"),
+                (m.group(3) or "").strip("`"),
+                m.group(4),
+            )
+            factory = lambda t=table: self.sql(f"SELECT * FROM {t}")  # noqa: E731
+            watch = column or factory().columns[0]
+            self._triggers[name] = TableChangeTrigger(
+                factory, watch, lambda _old, _new, b=body: self.sql(b).collect()
+            )
+            return self.spark.createDataFrame([(name,)], "trigger string")
+        m = _DROP_TRIGGER_RE.match(s)
+        if m:
+            self._triggers.pop(m.group(1).lower(), None)
+            return self.spark.createDataFrame([(m.group(1).lower(),)], "trigger string")
         m = _CREATE_KB_RE.match(s)
         if m:
             # CREATE KNOWLEDGE_BASE name [USING dim = N, ...] — an empty
@@ -946,6 +982,10 @@ class EngineSession:
             [(name, kb["dim"]) for name, kb in self._kbs.items()] or [("", 0)],
             "name string, dim int",
         ).filter("name != ''").createOrReplaceTempView("information_schema_knowledge_bases")
+        self.spark.createDataFrame(
+            [(name, tr.column) for name, tr in self._triggers.items()] or [("", "")],
+            "name string, watch_column string",
+        ).filter("name != ''").createOrReplaceTempView("information_schema_triggers")
 
     # -- engine functions ------------------------------------------------------
     def _register_builtin_functions(self) -> None:

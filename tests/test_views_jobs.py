@@ -70,3 +70,29 @@ def test_show_session_objects(sess):
     assert n == 1
     sess.sql("DROP JOB show_probe_j")
     sess.sql("DROP VIEW show_probe_v")
+
+
+def test_create_trigger_sql(spark, sf_dir, tmp_path):
+    """CREATE TRIGGER name ON table COLUMN c AS (sql): fires when the
+    watched column's max advances (triggers_controller.py:13-88)."""
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    src_dir = str(tmp_path / "trig_src")
+    spark.createDataFrame([(1, "a")], "id int, v string").write.parquet(src_dir)
+    sess.register_writable_source("trg", str(tmp_path))
+    spark.read.parquet(src_dir).createOrReplaceTempView("watched")
+
+    sess.sql("CREATE TRIGGER bump ON watched COLUMN id AS "
+             "(SELECT COUNT(*) AS c FROM watched)")
+    assert "bump" in [r[0] for r in sess.sql("SHOW TRIGGERS").collect()]
+    assert sess.check_triggers() == []  # first poll only records the baseline
+    assert sess.check_triggers() == []  # unchanged
+
+    spark.createDataFrame([(2, "b")], "id int, v string").write.mode("append").parquet(src_dir)
+    spark.read.parquet(src_dir).createOrReplaceTempView("watched")
+    assert sess.check_triggers() == ["bump"]
+    assert sess.check_triggers() == []  # consumed
+
+    sess.sql("DROP TRIGGER bump")
+    assert "bump" not in [r[0] for r in sess.sql("SHOW TRIGGERS").collect()]
