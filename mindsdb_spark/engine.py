@@ -86,6 +86,15 @@ _CREATE_TRIGGER_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_TRIGGER_RE = re.compile(r"DROP\s+TRIGGER\s+(\w+)$", re.IGNORECASE)
+# `SET [SESSION] @@x = v` / `USE db` — MySQL session-state commands the
+# wire clients send (reference: command_executor.py handles SET/USE as
+# session updates; unknown vars are accepted silently, MySQL-style).
+_SET_RE = re.compile(
+    r"SET\s+(?:SESSION\s+|GLOBAL\s+)?@?@?([\w.]+)\s*=\s*(.+)$", re.IGNORECASE | re.DOTALL
+)
+_USE_RE = re.compile(r"USE\s+`?(\w+)`?$", re.IGNORECASE)
+_EXPLAIN_RE = re.compile(r"EXPLAIN\s+(?:FORMATTED\s+|EXTENDED\s+)?(SELECT\b.+|WITH\b.+)$",
+                         re.IGNORECASE | re.DOTALL)
 _PERIODS = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60, "hour": 3600,
             "hours": 3600, "day": 86400, "days": 86400}
 # `SELECT ... FROM <kb> WHERE content = '...' [LIMIT n]` — the reference's
@@ -250,8 +259,7 @@ class EngineSession:
         self.spark = spark or get_spark()
         self.catalog = SourceCatalog(self.spark)
         self.session_vars = {"database": database, "user": user}
-        self._rules = build_rules(self.session_vars)
-        self._vars = build_vars(self.session_vars)
+        self._rebuild_vars()
         self._agents: dict[str, object] = {}
         from mindsdb_spark.streaming.jobs import JobScheduler
 
@@ -276,6 +284,18 @@ class EngineSession:
         self.pushdown_enabled = True
         self.last_execution: tuple[str, str | None] = ("spark", None)
         self._register_builtin_functions()
+
+    def _rebuild_vars(self) -> None:
+        """Dialect rules + @@variable literals from current session state;
+        user-SET vars read back via @@name (MySQL session semantics)."""
+        self._rules = build_rules(self.session_vars)
+        base = build_vars(self.session_vars)
+        for k, v in self.session_vars.items():
+            if k in ("database", "user"):
+                continue
+            s = str(v)
+            base[k] = s if s.replace(".", "", 1).lstrip("-").isdigit() else f"'{s}'"
+        self._vars = base
 
     # -- sources -------------------------------------------------------------
     def register_parquet_source(self, name: str, directory: str, tables=None) -> None:
@@ -719,6 +739,27 @@ class EngineSession:
                 f"SELECT table_name AS `Tables_in_{db}` FROM information_schema_tables "
                 f"WHERE table_schema = '{db}' ORDER BY 1"
             )
+        m = _EXPLAIN_RE.match(s)
+        if m:
+            plan = self.sql(m.group(1))._jdf.queryExecution().explainString(
+                self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+            )
+            return self.spark.createDataFrame([(plan,)], "plan string")
+        m = _USE_RE.match(s)
+        if m:
+            self.session_vars["database"] = m.group(1).lower()
+            self._rebuild_vars()
+            return self.spark.createDataFrame([(m.group(1).lower(),)], "database string")
+        if u.startswith("SET NAMES") or u in ("SET AUTOCOMMIT=0", "SET AUTOCOMMIT=1"):
+            return self.spark.createDataFrame([("ok",)], "status string")
+        m = _SET_RE.match(s)
+        if m and not u.startswith("SET TRANSACTION"):
+            name = m.group(1).lower().split(".")[-1]
+            v = m.group(2).strip()
+            self.session_vars[name] = v[1:-1] if v[:1] in "'\"" else v
+            self._rebuild_vars()
+            # MySQL accepts unknown session vars silently; so do we
+            return self.spark.createDataFrame([(name,)], "variable string")
         m = _CTAS_RE.match(s)
         if m:
             srcname, table = self._resolve_writable(m.group(2))

@@ -94,3 +94,24 @@ def test_engine_sql_over_source(engine, sf_dir):
     )
     rows = df.collect()
     assert len(rows) == 3 and all(r.dn for r in rows)
+
+
+def test_set_use_explain(spark, sf_dir):
+    """MySQL session commands: SET @@var round-trips through @@reads, USE
+    switches the default database, EXPLAIN returns the formatted plan."""
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir, tables=["nation"])
+
+    sess.sql("SET @@my_limit = 7")
+    assert sess.sql("SELECT @@my_limit AS v").collect()[0][0] == 7
+    sess.sql("SET @@greeting = 'hello'")
+    assert sess.sql("SELECT @@greeting AS g").collect()[0][0] == "hello"
+    sess.sql("SET NAMES utf8mb4").collect()  # accepted silently
+
+    sess.sql("USE tpch")
+    assert sess.sql("SELECT DATABASE() AS db").collect()[0][0] == "tpch"
+
+    plan = sess.sql("EXPLAIN SELECT n_name FROM tpch_nation WHERE n_nationkey > 3").collect()[0][0]
+    assert "Physical Plan" in plan and "PushedFilters" in plan
