@@ -97,14 +97,18 @@ _EXPLAIN_RE = re.compile(r"EXPLAIN\s+(?:FORMATTED\s+|EXTENDED\s+)?(SELECT\b.+|WI
                          re.IGNORECASE | re.DOTALL)
 _PERIODS = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60, "hour": 3600,
             "hours": 3600, "day": 86400, "days": 86400}
-# `SELECT ... FROM <kb> WHERE content = '...' [LIMIT n]` — the reference's
-# KB semantic-search select (interfaces/knowledge_base/controller.py:258-380;
-# default limit 10, cap 100 at 356-360).
+# `SELECT ... FROM <kb> WHERE content = '...' [AND meta-filters]
+# [ORDER BY ...] [LIMIT n]` — the reference's KB semantic-search select
+# (interfaces/knowledge_base/controller.py:258-380; default limit 10, cap
+# 100 at 356-360; metadata conditions pre-filter the vector search,
+# vectordatabase_handler.py:103-176; residual SQL over the output,
+# controller.py:239-256).
 _KB_RE = re.compile(
-    r"SELECT\s+(.+?)\s+FROM\s+([\w.`]+)\s+WHERE\s+content\s*=\s*'([^']*)'"
-    r"(?:\s+LIMIT\s+(\d+))?$",
-    re.IGNORECASE,
+    r"SELECT\s+(.+?)\s+FROM\s+([\w.`]+)\s+WHERE\s+(.+?)"
+    r"(?:\s+ORDER\s+BY\s+(.+?))?(?:\s+LIMIT\s+(\d+))?$",
+    re.IGNORECASE | re.DOTALL,
 )
+_CONTENT_EQ_RE = re.compile(r"^content\s*=\s*'([^']*)'$", re.IGNORECASE)
 _AGENT_RE = re.compile(
     r"SELECT\s+(.+?)\s+FROM\s+([\w.`]+)\s+WHERE\s+question\s*=\s*'([^']*)'$",
     re.IGNORECASE,
@@ -507,7 +511,9 @@ class EngineSession:
             F.avg("ndcg").alias("ndcg"),
         )
 
-    def _kb_search(self, name: str, query_text: str, k: int | None) -> DataFrame:
+    def _kb_search(
+        self, name: str, query_text: str, k: int | None, prefilter: str | None = None
+    ) -> DataFrame:
         from mindsdb_spark.operators.kb import fake_embed
         from mindsdb_spark.operators.search import KB_DEFAULT_LIMIT, KB_MAX_LIMIT
         from mindsdb_spark.operators.vector import cosine_topk
@@ -518,7 +524,14 @@ class EngineSession:
             self.spark.createDataFrame([(query_text,)], "chunk_text string"), dim=kb["dim"]
         ).head()
         qvec = [float(x) for x in qrow["embedding"]]
-        hits = cosine_topk(kb["store"], "embedding", qvec, k=k, id_col="chunk_id")
+        store = kb["store"]
+        if prefilter:
+            # metadata conditions narrow the candidate set BEFORE top-k —
+            # the reference extracts them into vector-store FilterConditions
+            # (vectordatabase_handler.py:103-176), so k results come from
+            # the filtered space, not filtered out of the top k
+            store = store.filter(F.expr(self.rewrite(prefilter)))
+        hits = cosine_topk(store, "embedding", qvec, k=k, id_col="chunk_id")
         return hits.select(
             "chunk_id",
             "doc_id",
@@ -949,11 +962,25 @@ class EngineSession:
         if m:
             name = m.group(2).lower().strip("`").split(".")[-1]
             if name in self._kbs:
-                res = self._kb_search(name, m.group(3), int(m.group(4)) if m.group(4) else None)
-                cols = [c.strip(" `") for c in m.group(1).split(",")]
-                if cols == ["*"]:
-                    return res
-                return res.select(*cols)
+                content, meta = None, []
+                for cond in _split_and(m.group(3)):
+                    cm = _CONTENT_EQ_RE.match(cond.strip())
+                    if cm:
+                        content = cm.group(1)
+                    else:
+                        meta.append(cond)
+                if content is not None:
+                    res = self._kb_search(
+                        name,
+                        content,
+                        int(m.group(5)) if m.group(5) else None,
+                        prefilter=" AND ".join(meta) if meta else None,
+                    )
+                    res.createOrReplaceTempView("__kb_select")
+                    outer = f"SELECT {self.rewrite(m.group(1))} FROM __kb_select"
+                    if m.group(4):
+                        outer += " ORDER BY " + self.rewrite(m.group(4))
+                    return self.spark.sql(outer)
         m = _AGENT_RE.match(s)
         if m:
             name = m.group(2).lower().strip("`").split(".")[-1]

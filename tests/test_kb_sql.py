@@ -50,3 +50,16 @@ def test_non_kb_content_filter_untouched(kbsess):
     kbsess.spark.sql("SELECT 'a' AS content").createOrReplaceTempView("plain_t")
     rows = kbsess.sql("SELECT * FROM plain_t WHERE content = 'a'").collect()
     assert len(rows) == 1
+
+
+def test_kb_meta_prefilter_and_order(kbsess):
+    """Metadata conditions pre-filter the search space (k results FROM the
+    filtered set); residual ORDER BY runs over the search output."""
+    hits = kbsess.sql(
+        "SELECT doc_id, distance FROM docs_kb "
+        "WHERE content = 'spark engine' AND doc_id < 20 "
+        "ORDER BY doc_id LIMIT 5"
+    ).collect()
+    assert 0 < len(hits) <= 5
+    assert all(r["doc_id"] < 20 for r in hits)
+    assert [r["doc_id"] for r in hits] == sorted(r["doc_id"] for r in hits)
