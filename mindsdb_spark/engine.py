@@ -993,6 +993,20 @@ class EngineSession:
                 if cols == ["*"]:
                     return res
                 return res.select(*cols)
+        dm = re.match(r"(?:DESCRIBE|DESC)\s+MODEL\s+([\w.`]+)$", s, re.IGNORECASE)
+        if dm and self._model_of(dm.group(1)) is not None:
+            spec = self._model_of(dm.group(1))
+            recipe = self._model_recipes.get(spec.name.lower())
+            return self.spark.createDataFrame(
+                [(
+                    spec.name,
+                    spec.output_schema,
+                    "ts" if spec.order_by else "row",
+                    recipe[3] if recipe else "registered",
+                    recipe[1] if recipe else "",
+                )],
+                "name string, predict_columns string, kind string, engine string, training_query string",
+            )
         m = _DESCRIBE_RE.match(s)
         if m:
             self._refresh_information_schema()

@@ -80,3 +80,14 @@ def test_kmeans_engine_labels(sess, spark):
     lo = {r["cluster"] for r in rows if r["px"] < 5}
     hi = {r["cluster"] for r in rows if r["px"] > 5}
     assert len(lo) == 1 and len(hi) == 1 and lo != hi
+
+
+def test_describe_model(sess, spark):
+    spark.createDataFrame([(1.0, 2.0)], "a double, b double").createOrReplaceTempView("desc_t")
+    sess.sql("CREATE OR REPLACE MODEL descm (SELECT a, b FROM desc_t) PREDICT b "
+             "USING engine='spark_ml_linreg'")
+    row = sess.sql("DESCRIBE MODEL descm").collect()[0]
+    assert row["name"] == "descm"
+    assert row["engine"] == "spark_ml_linreg"
+    assert "b double" in row["predict_columns"]
+    assert "desc_t" in row["training_query"]
