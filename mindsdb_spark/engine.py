@@ -59,7 +59,8 @@ _CTAS_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_RE = re.compile(
-    r"INSERT\s+INTO\s+([\w.`]+)\s+(VALUES\s*\(.+|SELECT\s+.+)$", re.IGNORECASE | re.DOTALL
+    r"INSERT\s+INTO\s+([\w.`]+)\s*(?:\(([\w`,\s]+)\)\s*)?(VALUES\s*\(.+|SELECT\s+.+)$",
+    re.IGNORECASE | re.DOTALL,
 )
 _UPDATE_RE = re.compile(
     r"UPDATE\s+([\w.`]+)\s+SET\s+(.+?)\s+WHERE\s+(.+)$", re.IGNORECASE | re.DOTALL
@@ -293,6 +294,13 @@ class EngineSession:
         """Dialect rules + @@variable literals from current session state;
         user-SET vars read back via @@name (MySQL session semantics)."""
         self._rules = build_rules(self.session_vars)
+        # any dialect-table function used as a call blocks whole-query
+        # pushdown: both dialects may define it with different semantics
+        # (LENGTH bytes-vs-chars, HASH md5-vs-native) and a silent divergence
+        # from the federated Spark path is worse than losing the fast path
+        self._dialect_fn_re = re.compile(
+            r"\b(" + "|".join(sorted(self._rules)) + r")\s*\(", re.IGNORECASE
+        )
         base = build_vars(self.session_vars)
         for k, v in self.session_vars.items():
             if k in ("database", "user"):
@@ -368,6 +376,8 @@ class EngineSession:
             return None
         low = s.lower()
         if "mindsdb_" in low or any(f in low for f in self._user_functions):
+            return None
+        if self._dialect_fn_re.search(s):
             return None
         hit_sources: set[str] = set()
         rewrites: list[tuple[str, str]] = []
@@ -791,21 +801,45 @@ class EngineSession:
             if srcname is not None:
                 ps = self._writable[srcname]
                 target = ps.read(table)
-                body = m.group(2)
+                body = m.group(3)
                 if body.upper().startswith("VALUES"):
                     rows = self.spark.sql(f"SELECT * FROM {body}")
                 else:
                     rows = self.spark.sql(self.rewrite(body))
-                aligned = rows.toDF(*target.columns[: len(rows.columns)])
-                for f in target.schema.fields:
-                    if f.name in aligned.columns:
+                if m.group(2):
+                    # explicit column list: map by name, NULL-fill the rest —
+                    # never append a narrower-schema file
+                    listed = [c.strip().strip("`").lower() for c in m.group(2).split(",")]
+                    if len(listed) != len(rows.columns):
+                        raise ValueError(
+                            f"INSERT column list has {len(listed)} columns but the "
+                            f"source produces {len(rows.columns)}"
+                        )
+                    named = rows.toDF(*listed)
+                    aligned = named.select(
+                        *[
+                            (named[f.name] if f.name in listed else F.lit(None)).cast(
+                                f.dataType
+                            ).alias(f.name)
+                            for f in target.schema.fields
+                        ]
+                    )
+                else:
+                    if len(rows.columns) != len(target.columns):
+                        raise ValueError(
+                            f"INSERT has {len(rows.columns)} columns but table "
+                            f"{table!r} has {len(target.columns)} (use an explicit "
+                            "column list)"
+                        )
+                    aligned = rows.toDF(*target.columns)
+                    for f in target.schema.fields:
                         aligned = aligned.withColumn(f.name, aligned[f.name].cast(f.dataType))
                 ps.insert(table, aligned)
                 self._refresh_writable_views(srcname)
                 return self.spark.createDataFrame([(table,)], "inserted string")
             kbname = m.group(1).lower().strip("`").split(".")[-1]
             if kbname in self._kbs:
-                body = m.group(2)
+                body = m.group(3)
                 rows = (
                     self.spark.sql(f"SELECT * FROM {body}")
                     if body.upper().startswith("VALUES")

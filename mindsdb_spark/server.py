@@ -52,6 +52,11 @@ class SQLServer:
 
     def __init__(self, session, host: str = "127.0.0.1", port: int = 0):
         self.session = session
+        # one EngineSession + fixed-name intermediate temp views
+        # (__kb_select, __model_join, information_schema_*) are shared across
+        # handler threads — serialize execute+collect so parallel POSTs never
+        # observe each other's intermediates or race session-var mutations
+        self._exec_lock = threading.Lock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -65,8 +70,9 @@ class SQLServer:
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     body = json.loads(self.rfile.read(length) or b"{}")
-                    df = outer.session.sql(body["query"])
-                    rows = df.collect()
+                    with outer._exec_lock:
+                        df = outer.session.sql(body["query"])
+                        rows = df.collect()
                     payload = {
                         "type": "table",
                         "column_names": list(df.columns),

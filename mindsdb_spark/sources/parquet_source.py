@@ -71,7 +71,9 @@ class ParquetSource:
         """
         df = self.read(table)
         total = df.count()
-        survivors = df.filter(~condition)
+        # SQL deletes only condition=TRUE rows; a bare ~condition would also
+        # drop NULL-predicate rows under three-valued logic
+        survivors = df.filter(~F.coalesce(condition, F.lit(False)))
         kept = self._rewrite(table, survivors)
         return total - kept
 

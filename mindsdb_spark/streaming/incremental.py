@@ -127,10 +127,14 @@ class TableChangeTrigger:
         self.column = column
         self.on_change = on_change
         self._seen = None
+        self._initialized = False
 
     def check(self) -> bool:
         mx = self.df_factory().agg(F.max(self.column).alias("m")).head().m
-        if self._seen is None:
+        if not self._initialized:
+            # only the FIRST poll is initialization — a table that starts
+            # empty must still fire on its first rows (None -> value)
+            self._initialized = True
             self._seen = mx
             return False
         if mx is not None and (self._seen is None or mx > self._seen):

@@ -61,6 +61,20 @@ def test_table_change_trigger(spark, sf_dir):
     assert trig.check() is False  # change consumed
 
 
+def test_trigger_fires_on_first_rows_of_empty_table(spark, sf_dir):
+    # a watched table that STARTS empty must fire when its first rows land —
+    # the None->value transition is a change, not initialization
+    e = load_table(spark, sf_dir, "events")
+    empty = e.filter(F.lit(False))
+    grown = {"df": empty}
+    fired = []
+    trig = TableChangeTrigger(lambda: grown["df"], "event_id", lambda old, new: fired.append((old, new)))
+    assert trig.check() is False  # initialization snapshot (max = None)
+    grown["df"] = e.limit(5)
+    assert trig.check() is True
+    assert fired and fired[0][0] is None
+
+
 def test_job_scheduler():
     sched = JobScheduler()
     runs = []

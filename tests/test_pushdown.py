@@ -86,6 +86,16 @@ def test_unpushable_dialect_falls_back(sess):
     assert sess.last_execution == ("spark", None)
 
 
+def test_dialect_function_blocks_pushdown(sess):
+    # LENGTH exists in both dialects with different semantics (MySQL bytes
+    # vs chars) — the gate must refuse pushdown rather than silently diverge
+    before = sess._duck.pushdowns
+    df = sess.sql("SELECT LENGTH(n_name) AS lb FROM duck_nation WHERE n_nationkey = 0")
+    assert df.collect()[0][0] > 0
+    assert sess._duck.pushdowns == before  # never attempted
+    assert sess.last_execution == ("spark", None)
+
+
 def test_cte_over_single_source_pushes(sess):
     before = sess._duck.pushdowns
     df = sess.sql(

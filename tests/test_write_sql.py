@@ -55,6 +55,37 @@ def test_insert_from_select(wsess):
     assert after == before + extra and extra > 0
 
 
+def test_delete_null_predicate_keeps_rows(wsess):
+    # SQL deletes only condition=TRUE rows: a NULL-evaluating predicate must
+    # NOT delete the row (three-valued logic trap in survivors = ~cond)
+    wsess.sql("CREATE OR REPLACE TABLE wh.nullable AS SELECT * FROM VALUES "
+              "(1, 10), (2, NULL), (3, 30) AS t(id, v)")
+    n = wsess.sql("DELETE FROM wh.nullable WHERE v > 15").collect()[0]["deleted"]
+    assert n == 1  # only (3, 30); (2, NULL) survives
+    left = sorted(r["id"] for r in wsess.sql("SELECT id FROM wh_nullable").collect())
+    assert left == [1, 2]
+
+
+def test_insert_column_count_mismatch_raises(wsess):
+    wsess.sql("CREATE OR REPLACE TABLE wh.wide AS SELECT * FROM VALUES "
+              "(1, 'a', 1.5) AS t(id, name, score)")
+    with pytest.raises(ValueError, match="column"):
+        wsess.sql("INSERT INTO wh.wide SELECT 2, 'b'")
+    # table unchanged — no narrower-schema file appended
+    assert wsess.sql("SELECT count(*) AS n FROM wh_wide").collect()[0]["n"] == 1
+
+
+def test_insert_with_column_list(wsess):
+    wsess.sql("CREATE OR REPLACE TABLE wh.wide2 AS SELECT * FROM VALUES "
+              "(1, 'a', 1.5) AS t(id, name, score)")
+    wsess.sql("INSERT INTO wh.wide2 (id, score) VALUES (2, 2.5)")
+    rows = {r["id"]: (r["name"], r["score"]) for r in
+            wsess.sql("SELECT * FROM wh_wide2").collect()}
+    assert rows[2] == (None, 2.5)
+    with pytest.raises(ValueError, match="column list"):
+        wsess.sql("INSERT INTO wh.wide2 (id, name, score) VALUES (3, 'c')")
+
+
 def test_delete_without_writable_source_falls_through(wsess):
     # DELETE against a non-writable table is not hijacked; Spark rejects it
     with pytest.raises(Exception):
