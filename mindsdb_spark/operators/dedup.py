@@ -155,7 +155,9 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_topk_pairs(sh: DataFrame, id_col: str = "doc_id", k: int = 20) -> DataFrame:
+def jaccard_topk_pairs(
+    sh: DataFrame, id_col: str = "doc_id", k: int = 20, max_df: int = 1000
+) -> DataFrame:
     """Top-k most-similar document pairs by exact shingle Jaccard.
 
     Inverted-index self-join over hashed shingles (id, sh): pairs are
@@ -164,10 +166,23 @@ def jaccard_topk_pairs(sh: DataFrame, id_col: str = "doc_id", k: int = 20) -> Da
     shingle string shrinks the shuffle ~4× and makes the join key
     fixed-width; orderBy+limit compiles to TakeOrderedAndProject — no
     global sort.
+
+    ``max_df`` caps shingle document frequency BEFORE the self-join: a
+    stopword shingle shared by 1M docs would alone generate ~10^12 join
+    rows, so shingles appearing in more than max_df documents are dropped
+    from the index entirely — standard near-dup practice ("common-shingle
+    blind"). Semantics are consistent: set sizes |A|, |B| are computed over
+    the SAME filtered shingle space, so jac stays a true Jaccard of the
+    capped sets. The hot list is tiny by construction (few shingles exceed
+    max_df) and broadcasts; only its discovery groupBy touches the full
+    index, with map-side partial counts.
     """
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    a = sh.select(col(id_col).alias("doc_a"), "sh")
-    b = sh.select(col(id_col).alias("doc_b"), "sh")
+    freq = sh.groupBy("sh").agg(F.count("*").alias("__df"))
+    hot = freq.filter(col("__df") > max_df).select("sh")
+    kept = sh.join(F.broadcast(hot), "sh", "left_anti")
+    sizes = kept.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = kept.select(col(id_col).alias("doc_a"), "sh")
+    b = kept.select(col(id_col).alias("doc_b"), "sh")
     shared = (
         a.join(b, "sh")
         .filter(col("doc_a") < col("doc_b"))

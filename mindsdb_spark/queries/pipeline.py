@@ -138,15 +138,21 @@ FROM exh GROUP BY doc_id ORDER BY doc_id
 
 # --- D06 n-gram Jaccard top-k near-dup pairs --------------------------------
 def d06_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.jaccard_topk_pairs(D.shingle_hashes(_t(spark, sf_dir, "documents")), k=20)
+    return D.jaccard_topk_pairs(
+        D.shingle_hashes(_t(spark, sf_dir, "documents")), k=20, max_df=1000
+    )
 
 
+# the oracle applies the same max_df=1000 hot-shingle cap, over the same
+# filtered shingle space (sizes AND intersections both common-shingle blind)
 D06_SQL = f"""
 WITH {_WORDS}, {_EX}, {_EXH},
-sizes AS (SELECT doc_id, count(*) AS n FROM exh GROUP BY doc_id),
+hot AS (SELECT sh FROM exh GROUP BY sh HAVING count(*) > 1000),
+kept AS (SELECT e.doc_id, e.sh FROM exh e WHERE e.sh NOT IN (SELECT sh FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-  FROM exh a JOIN exh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,

@@ -136,3 +136,24 @@ def test_kmeans_ivf_partial_probe_recall(spark, sf_dir):
     assert len(got) == 10
     assert 3 in got
     assert len(got & exact) >= 3
+
+
+def test_jaccard_hot_shingle_cap(spark):
+    # pathological skew: one stopword shingle shared by EVERY doc. Without
+    # the max_df cap the self-join alone generates n^2/2 pairs from that
+    # single key; with the cap, only genuine overlap survives.
+    from mindsdb_spark.operators.dedup import jaccard_topk_pairs, shingle_hashes
+
+    rows = [(i, f"common phrase here u{i}a u{i}b u{i}c") for i in range(300)]
+    rows += [(300, "alpha beta gamma delta epsilon"),
+             (301, "alpha beta gamma delta epsilon")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingle_hashes(docs)
+    got = jaccard_topk_pairs(sh, k=50, max_df=100).collect()
+    # the only surviving pair is the true near-dup; the 300-doc clique
+    # induced solely by the hot shingle is gone
+    assert [(r.doc_a, r.doc_b, r.jac) for r in got] == [(300, 301, 1.0)]
+    # uncapped (max_df above corpus size): the hot shingle creates ~45k
+    # weak pairs that drown the ranking — proves the cap is load-bearing
+    uncapped = jaccard_topk_pairs(sh, k=50, max_df=10_000)
+    assert uncapped.filter(F.col("jac") < 0.5).count() + 2 >= 50
