@@ -133,5 +133,9 @@ class SourceCatalog:
                 df.createOrReplaceTempView(t)
                 df.createOrReplaceTempView(f"{src}_{t}")
 
+    def drop_source(self, source: str) -> list[str]:
+        """Unregister a source; returns its table names for view cleanup."""
+        return list(self._sources.pop(source.lower(), {}))
+
     def tables(self) -> list[tuple[str, str]]:
         return [(src, t) for src, tbls in self._sources.items() for t in tbls]

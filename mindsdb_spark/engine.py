@@ -16,6 +16,7 @@ registration with the reference's type map.
 from __future__ import annotations
 
 import hashlib
+import json
 import re
 from collections.abc import Callable
 
@@ -157,12 +158,39 @@ _CREATE_KB_RE = re.compile(
 _DROP_KB_RE = re.compile(
     r"DROP\s+KNOWLEDGE[_ ]BASE\s+(?:IF\s+EXISTS\s+)?([\w.`]+)$", re.IGNORECASE
 )
+# `CREATE DATABASE name WITH ENGINE = 'x' [, PARAMETERS = {json}]` — how
+# every reference user attaches a source (command_executor.py CreateDatabase
+# branch; integration params land in the integrations registry). Engines
+# here map onto the session's register_* doors; PARAMETERS is a JSON object.
+_CREATE_DB_RE = re.compile(
+    r"CREATE\s+(?:DATABASE|PROJECT)\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)"
+    r"(?:\s+(?:WITH\s+)?ENGINE\s*=?\s*'([^']+)')?"
+    r"(?:\s*,\s*PARAMETERS\s*=?\s*(\{.+\}))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_DB_RE = re.compile(
+    r"DROP\s+(?:DATABASE|PROJECT)\s+(?:IF\s+EXISTS\s+)?(\w+)$", re.IGNORECASE
+)
+# `CREATE ML_ENGINE name FROM handler` (command_executor.py:1171-1258:
+# instantiate the named handler as an engine usable in CREATE MODEL USING).
+_CREATE_MLE_RE = re.compile(
+    r"CREATE\s+ML_ENGINE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+FROM\s+(\w+)"
+    r"(?:\s+USING\s+.+)?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_MLE_RE = re.compile(r"DROP\s+ML_ENGINE\s+(?:IF\s+EXISTS\s+)?(\w+)$", re.IGNORECASE)
 # `FROM <integration> ( <raw native query> )` — the reference's NativeQuery
 # passthrough (query_planner.py:825-831: FetchDataframeStep(raw_query); AST
 # node mindsdb_sql NativeQuery). The raw text runs verbatim on the source's
 # own engine; everything around it stays a Spark plan.
 _NATIVE_FROM_RE = re.compile(r"\b(FROM|JOIN)\s+([\w`]+)\s*\(", re.IGNORECASE)
 _COND_RE = re.compile(r"([\w.`]+)\s*(>=|<=|!=|<>|=|>|<)\s*(.+)$", re.DOTALL)
+# `WHERE <col> > LAST` — the reference's incremental-consumption keyword
+# (mindsdb/interfaces/query_context/last_query.py:21-120: first run pins the
+# watermark to the current max and yields nothing; later runs yield only
+# newer rows and advance it; state keyed by query text + column,
+# context_controller.py:293-345).
+_LAST_RE = re.compile(r"([\w.`]+)\s*>\s*LAST\b", re.IGNORECASE)
 
 
 def _split_and(text: str) -> list[str]:
@@ -260,8 +288,11 @@ class EngineSession:
         spark: SparkSession | None = None,
         database: str = "mindsdb",
         user: str = "mindsdb",
+        state_dir: str | None = None,
     ):
         self.spark = spark or get_spark()
+        self._state_dir = state_dir
+        self._last_state = None  # lazy: most sessions never use LAST
         self.catalog = SourceCatalog(self.spark)
         self.session_vars = {"database": database, "user": user}
         self._rebuild_vars()
@@ -286,6 +317,7 @@ class EngineSession:
             f"llm:{hashlib.md5(str(p).encode()).hexdigest()[:12]}" for p in prompts
         ]
         self._user_functions: set[str] = set()
+        self._query_log: list[tuple[str, str]] = []
         self.pushdown_enabled = True
         self.last_execution: tuple[str, str | None] = ("spark", None)
         self._register_builtin_functions()
@@ -424,6 +456,80 @@ class EngineSession:
             return None  # dialect the source can't run → federated plan
         self.last_execution = ("pushdown", srcname)
         return out
+
+    def create_database(self, name: str, engine: str | None, params: dict) -> None:
+        """The CREATE DATABASE surface: attach a source by engine name
+        (reference command_executor.py CreateDatabase → integration
+        registry). Engine → registration door:
+
+        * ``parquet``            — read-only parquet dir (``directory``,
+                                   optional ``tables``)
+        * ``parquet_writable``   — writable parquet dir, accepts the SQL
+                                   write verbs (``directory``)
+        * ``duckdb``             — embedded DuckDB over a parquet dir;
+                                   whole-query pushdown eligible
+        * ``jdbc``               — remote database via spark.read.jdbc
+                                   (``url``, ``tables``, optional
+                                   ``properties``/``partition_options``)
+        * none (a *project*)     — writable workspace in a managed temp dir
+        """
+        name = name.lower()
+        eng = (engine or "project").lower()
+        if eng == "parquet":
+            self.register_parquet_source(
+                name, params["directory"], params.get("tables")
+            )
+        elif eng in ("parquet_writable", "writable"):
+            self.register_writable_source(name, params["directory"])
+        elif eng == "duckdb":
+            from mindsdb_spark.catalog import TPCH_TABLES
+            from mindsdb_spark.sources.duckdb_source import DuckDBSource
+
+            self.register_native_source(
+                name,
+                DuckDBSource.from_parquet_dir(
+                    self.spark, params["directory"], params.get("tables", TPCH_TABLES)
+                ),
+            )
+        elif eng == "jdbc":
+            from mindsdb_spark.sources.jdbc_source import JDBCSource
+
+            self.register_native_source(
+                name,
+                JDBCSource(
+                    self.spark,
+                    params["url"],
+                    params["tables"],
+                    params.get("properties"),
+                    params.get("partition_options"),
+                ),
+            )
+        elif eng == "project":
+            import tempfile
+
+            self.register_writable_source(
+                name, params.get("directory") or tempfile.mkdtemp(prefix=f"mindsdb_{name}_")
+            )
+        else:
+            raise ValueError(
+                f"unknown engine {engine!r}; supported: parquet, parquet_writable, "
+                "duckdb, jdbc (or omit ENGINE for a project workspace)"
+            )
+
+    def drop_database(self, name: str) -> None:
+        """Detach a source and its ``source_table`` views. Bare-name views
+        are left in place: Spark temp views are global to the SparkSession
+        (shared by every EngineSession on it), so dropping a bare name a
+        sibling source also provides would break unrelated queries — the
+        next registration overwrites it anyway."""
+        n = name.lower()
+        dropped: list[str] = list(self.catalog.drop_source(n))
+        for reg in (self._native, self._writable):
+            src = reg.pop(n, None)
+            if src is not None:
+                dropped.extend(src.tables())
+        for t in dropped:
+            self.spark.catalog.dropTempView(f"{n}_{t}")
 
     def register_file(self, name: str, path: str) -> None:
         """Register a data file as a queryable table (the reference's `files`
@@ -716,7 +822,62 @@ class EngineSession:
             self._native[src].query(raw).createOrReplaceTempView(view)
             s = s[: hit.start()] + f"{hit.group(1)} {view}" + s[i + 1 :]
 
+    @property
+    def last_state(self):
+        from mindsdb_spark.streaming.incremental import LastState
+
+        if self._last_state is None:
+            if self._state_dir is None:
+                import tempfile
+
+                self._state_dir = tempfile.mkdtemp(prefix="mindsdb_spark_state_")
+            self._last_state = LastState(self._state_dir)
+        return self._last_state
+
+    def _apply_last(self, s: str) -> str:
+        """Rewrite `<col> > LAST` into a watermark comparison and advance
+        the stored watermark — the SQL door for LastState.filter_last.
+
+        State is keyed by (normalized query text, column), mirroring the
+        reference's per-query context (context_controller.py:293-345). The
+        watermark source is `SELECT MAX(col) FROM <owning table>` — the
+        same probe the reference issues (last_query.py:21-120); the owning
+        table is the column's qualifier when it names a table, else the
+        statement's first FROM reference.
+        """
+        from mindsdb_spark.streaming.incremental import _to_json_value
+
+        m = _LAST_RE.search(s)
+        colref = m.group(1).strip("`")
+        colname = colref.split(".")[-1].lower()
+        key = (
+            hashlib.md5(" ".join(s.split()).lower().encode()).hexdigest()
+            + ":" + colname
+        )
+        refs = _table_refs(s)
+        qual = colref.split(".")[0].lower() if "." in colref else None
+        table = qual if qual in refs else (refs[0] if refs else None)
+        if table is None:
+            raise ValueError("LAST requires a FROM table to track")
+        cur = self.sql(f"SELECT MAX({colname}) AS m FROM {table}").head().m
+        state = self.last_state._load()
+        if key not in state:
+            # first run initializes the watermark and yields nothing
+            if cur is not None:
+                state[key] = _to_json_value(cur)
+                self.last_state._save(state)
+            return s[: m.start()] + "1 = 0" + s[m.end():]
+        last = state[key]
+        if cur is not None and _to_json_value(cur) > last:
+            state[key] = _to_json_value(cur)
+            self.last_state._save(state)
+        lit = f"'{last}'" if isinstance(last, str) else repr(last)
+        return s[: m.start()] + f"{m.group(1)} > {lit}" + s[m.end():]
+
     def sql(self, sql: str) -> DataFrame:
+        self._query_log.append((" ".join(sql.split())[:500], "complete"))
+        if sql.lstrip().upper().startswith(("SELECT", "WITH")) and _LAST_RE.search(sql):
+            sql = self._apply_last(sql)
         if (
             self._native
             and sql.lstrip().upper().startswith(("SELECT", "WITH", "INSERT"))
@@ -742,6 +903,12 @@ class EngineSession:
     def _try_command(self, sql: str) -> DataFrame | None:
         s = " ".join(sql.strip().rstrip(";").split())
         u = s.upper()
+        if u in ("SHOW ML_ENGINES", "SHOW HANDLERS"):
+            self._refresh_information_schema()
+            kind = u.split()[1].lower()
+            return self.spark.sql(
+                f"SELECT name AS `{kind.capitalize()}` FROM information_schema_{kind} ORDER BY 1"
+            )
         if u in ("SHOW JOBS", "SHOW VIEWS", "SHOW AGENTS", "SHOW MODELS",
                  "SHOW KNOWLEDGE_BASES", "SHOW TRIGGERS"):
             self._refresh_information_schema()
@@ -783,6 +950,32 @@ class EngineSession:
             self._rebuild_vars()
             # MySQL accepts unknown session vars silently; so do we
             return self.spark.createDataFrame([(name,)], "variable string")
+        m = _CREATE_DB_RE.match(s)
+        if m:
+            name = m.group(1).lower()
+            params = json.loads(m.group(3)) if m.group(3) else {}
+            self.create_database(name, m.group(2), params)
+            return self.spark.createDataFrame([(name,)], "database string")
+        m = _DROP_DB_RE.match(s)
+        if m:
+            self.drop_database(m.group(1))
+            return self.spark.createDataFrame([(m.group(1).lower(),)], "database string")
+        m = _CREATE_MLE_RE.match(s)
+        if m:
+            name, handler = m.group(1).lower(), m.group(2).lower()
+            from mindsdb_spark.operators.ml_engines import BUILTIN_ML_ENGINES
+
+            if handler not in BUILTIN_ML_ENGINES and handler not in self._ml_engines:
+                raise ValueError(
+                    f"unknown handler {handler!r}; available: "
+                    f"{sorted(set(BUILTIN_ML_ENGINES) | set(self._ml_engines))}"
+                )
+            self._ml_engines[name] = BUILTIN_ML_ENGINES.get(handler) or self._ml_engines[handler]
+            return self.spark.createDataFrame([(name,)], "ml_engine string")
+        m = _DROP_MLE_RE.match(s)
+        if m:
+            self._ml_engines.pop(m.group(1).lower(), None)
+            return self.spark.createDataFrame([(m.group(1).lower(),)], "ml_engine string")
         m = _CTAS_RE.match(s)
         if m:
             srcname, table = self._resolve_writable(m.group(2))
@@ -1056,24 +1249,39 @@ class EngineSession:
         return None
 
     def _refresh_information_schema(self) -> None:
-        tables = self.catalog.tables()
-        sources = sorted({src for src, _ in tables})
+        # every attached source is a database, whatever door attached it —
+        # catalog parquet, native SQL engines, writable workspaces
+        # (reference: system_tables.py:48-782 SCHEMATA over the registry)
+        tables = [(src, t, "BASE TABLE") for src, t in self.catalog.tables()]
+        tables += [(src, t, "BASE TABLE") for src, ns in self._native.items()
+                   for t in ns.tables()]
+        tables += [(src, t, "BASE TABLE") for src, ps in self._writable.items()
+                   for t in ps.tables()]
+        sources = sorted({src for src, _t, _k in tables}
+                         | set(self._native) | set(self._writable))
         self.spark.createDataFrame(
-            [(s,) for s in sources] + [("information_schema",)], "schema_name string"
+            [(s, "utf8mb4", "utf8mb4_general_ci") for s in sources]
+            + [("information_schema", "utf8mb4", "utf8mb4_general_ci")],
+            "schema_name string, default_character_set_name string, "
+            "default_collation_name string",
         ).createOrReplaceTempView("information_schema_databases")
         self.spark.createDataFrame(
-            [(src, t, "BASE TABLE") for src, t in tables],
+            tables or [("", "", "")],
             "table_schema string, table_name string, table_type string",
-        ).createOrReplaceTempView("information_schema_tables")
+        ).filter("table_schema != ''").createOrReplaceTempView("information_schema_tables")
         cols = []
-        for src, t in tables:
+        for src, t in self.catalog.tables():
             for i, f in enumerate(self.catalog.table(f"{src}.{t}").schema.fields):
                 cols.append((src, t, f.name, i + 1, f.dataType.simpleString()))
+        for src, ps in self._writable.items():
+            for t in ps.tables():
+                for i, f in enumerate(ps.read(t).schema.fields):
+                    cols.append((src, t, f.name, i + 1, f.dataType.simpleString()))
         self.spark.createDataFrame(
-            cols,
+            cols or [("", "", "", 0, "")],
             "table_schema string, table_name string, column_name string, "
             "ordinal_position int, data_type string",
-        ).createOrReplaceTempView("information_schema_columns")
+        ).filter("table_schema != ''").createOrReplaceTempView("information_schema_columns")
         # session objects (reference: mindsdb_tables.py:42-459 JOBS/VIEWS/AGENTS)
         self.spark.createDataFrame(
             [(n, sql) for n, sql in self._views.items()] or [("", "")],
@@ -1102,6 +1310,35 @@ class EngineSession:
             [(name, tr.column) for name, tr in self._triggers.items()] or [("", "")],
             "name string, watch_column string",
         ).filter("name != ''").createOrReplaceTempView("information_schema_triggers")
+        # reference high-traffic system tables (system_tables.py:48-782,
+        # mindsdb_tables.py:42-459): ML_ENGINES, HANDLERS, QUERIES,
+        # STATISTICS, CHARACTER_SETS
+        self.spark.createDataFrame(
+            [(name, getattr(f, "__name__", str(f))) for name, f in self._ml_engines.items()]
+            or [("", "")],
+            "name string, handler string",
+        ).filter("name != ''").createOrReplaceTempView("information_schema_ml_engines")
+        self.spark.createDataFrame(
+            [("parquet", "data"), ("parquet_writable", "data"), ("duckdb", "data"),
+             ("jdbc", "data"), ("files", "data"), ("api", "data"),
+             ("spark_ml_linreg", "ml"), ("spark_ml_kmeans", "ml")],
+            "name string, type string",
+        ).createOrReplaceTempView("information_schema_handlers")
+        self.spark.createDataFrame(
+            [(i, q, st) for i, (q, st) in enumerate(self._query_log[-100:])]
+            or [(0, "", "")],
+            "id int, query string, status string",
+        ).filter("query != ''").createOrReplaceTempView("information_schema_queries")
+        self.spark.createDataFrame(
+            [(src, t, "") for src, t, _k in tables] or [("", "", "")],
+            "table_schema string, table_name string, index_name string",
+        ).filter("table_schema != ''").createOrReplaceTempView("information_schema_statistics")
+        self.spark.createDataFrame(
+            [("utf8mb4", "utf8mb4_general_ci", "UTF-8 Unicode", 4),
+             ("binary", "binary", "Binary pseudo charset", 1)],
+            "character_set_name string, default_collate_name string, "
+            "description string, maxlen int",
+        ).createOrReplaceTempView("information_schema_character_sets")
 
     # -- engine functions ------------------------------------------------------
     def _register_builtin_functions(self) -> None:

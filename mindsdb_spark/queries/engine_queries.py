@@ -239,7 +239,72 @@ FROM applied WHERE predicted_risk > 0.3 ORDER BY o_orderkey
 """
 
 
+# --- E04: CREATE DATABASE lifecycle through the SQL door ----------------------
+def e04_create_database(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach a source the way every reference user does — `CREATE DATABASE
+    ... WITH ENGINE` (command_executor.py CreateDatabase) — then query it,
+    and prove DROP DATABASE detaches it."""
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    sess.sql(
+        "CREATE DATABASE lakehouse WITH ENGINE = 'parquet', "
+        f'PARAMETERS = {{"directory": "{sf_dir}"}}'
+    )
+    dbs = {r[0] for r in sess.sql("SHOW DATABASES").collect()}
+    assert "lakehouse" in dbs
+    out = sess.sql(
+        "SELECT n_nationkey, n_name, n_regionkey FROM lakehouse_nation ORDER BY n_nationkey"
+    )
+    rows = out.collect()
+    sess.sql("DROP DATABASE lakehouse")
+    assert "lakehouse" not in {r[0] for r in sess.sql("SHOW DATABASES").collect()}
+    return spark.createDataFrame(rows, out.schema)
+
+
+E04_SQL = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+"""
+
+
+# --- I01: LAST incremental keyword through the SQL door ----------------------
+def i01_last_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`WHERE col > LAST` (reference: last_query.py:21-120) — two-call
+    lifecycle in one query: call 1 over a view exposing only the "old" rows
+    initializes the watermark (and returns nothing); the view then grows to
+    the full table and the SAME query text returns exactly the new rows.
+    A fresh state dir per invocation keeps the driver's repeated runs
+    deterministic."""
+    import tempfile
+
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark, state_dir=tempfile.mkdtemp(prefix="i01_last_"))
+    sess.register_parquet_source("tpch", sf_dir)
+    sess.sql(
+        "CREATE OR REPLACE VIEW ev_stream AS "
+        "SELECT event_id, event_type, user_id FROM tpch_events WHERE event_id < 500"
+    )
+    q = "SELECT event_id, event_type, user_id FROM ev_stream WHERE event_id > LAST ORDER BY event_id"
+    init = sess.sql(q)
+    assert init.count() == 0, "first LAST run must initialize and yield nothing"
+    sess.sql(
+        "CREATE OR REPLACE VIEW ev_stream AS "
+        "SELECT event_id, event_type, user_id FROM tpch_events"
+    )
+    return sess.sql(q)
+
+
+I01_SQL = """
+SELECT event_id, event_type, user_id FROM events
+WHERE event_id > (SELECT max(event_id) FROM events WHERE event_id < 500)
+ORDER BY event_id
+"""
+
+
 ENGINE_QUERIES = {
+    "i01_last_sql": (i01_last_sql, I01_SQL),
+    "e04_create_database": (e04_create_database, E04_SQL),
     "e01_engine_sql": (e01_engine_sql, E01_SQL),
     "e02_engine_view": (e02_engine_view, E02_SQL),
     "e03_pushdown": (e03_pushdown, E03_SQL),

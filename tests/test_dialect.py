@@ -115,3 +115,68 @@ def test_set_use_explain(spark, sf_dir):
 
     plan = sess.sql("EXPLAIN SELECT n_name FROM tpch_nation WHERE n_nationkey > 3").collect()[0][0]
     assert "Physical Plan" in plan and "PushedFilters" in plan
+
+
+def test_create_drop_database_lifecycle(spark, sf_dir, tmp_path):
+    # CREATE DATABASE ... WITH ENGINE (reference command_executor.py
+    # CreateDatabase): attach parquet / duckdb / writable sources by SQL,
+    # SHOW DATABASES reflects, DROP DATABASE detaches
+    sess = EngineSession(spark)
+    sess.sql("CREATE DATABASE lake WITH ENGINE = 'parquet', "
+             f'PARAMETERS = {{"directory": "{sf_dir}"}}')
+    assert sess.sql("SELECT count(*) AS n FROM lake_nation").collect()[0]["n"] == 25
+    sess.sql("CREATE DATABASE ducky WITH ENGINE = 'duckdb', "
+             f'PARAMETERS = {{"directory": "{sf_dir}", "tables": ["region"]}}')
+    assert sess.sql("SELECT count(*) AS n FROM ducky.region").collect()[0]["n"] == 5
+    assert sess.last_execution == ("pushdown", "ducky")
+    sess.sql("CREATE DATABASE scratch WITH ENGINE = 'parquet_writable', "
+             f'PARAMETERS = {{"directory": "{tmp_path / "scratch"}"}}')
+    sess.sql("CREATE TABLE scratch.t1 AS SELECT 1 AS x")
+    assert sess.sql("SELECT x FROM scratch_t1").collect()[0]["x"] == 1
+    dbs = {r[0] for r in sess.sql("SHOW DATABASES").collect()}
+    assert {"lake", "ducky", "scratch"} <= dbs
+    sess.sql("DROP DATABASE ducky")
+    dbs = {r[0] for r in sess.sql("SHOW DATABASES").collect()}
+    assert "ducky" not in dbs and "lake" in dbs
+    # project (no engine) is a writable workspace
+    sess.sql("CREATE DATABASE myproj")
+    sess.sql("CREATE TABLE myproj.notes AS SELECT 'hi' AS note")
+    assert sess.sql("SELECT note FROM myproj_notes").collect()[0][0] == "hi"
+
+
+def test_create_ml_engine_sql(spark, sf_dir):
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir)
+    sess.sql("CREATE ML_ENGINE my_regressor FROM spark_ml_linreg")
+    engines = {r[0] for r in sess.sql("SHOW ML_ENGINES").collect()}
+    assert "my_regressor" in engines
+    sess.sql(
+        "CREATE MODEL bal (SELECT c_acctbal AS pred_bal, c_custkey, c_nationkey "
+        "FROM tpch_customer) PREDICT pred_bal USING engine = 'my_regressor'"
+    )
+    got = sess.sql(
+        "SELECT t.c_custkey, m.pred_bal FROM tpch_customer t JOIN bal m "
+        "ORDER BY t.c_custkey LIMIT 5"
+    ).collect()
+    assert len(got) == 5 and all(r["pred_bal"] is not None for r in got)
+    sess.sql("DROP ML_ENGINE my_regressor")
+    assert "my_regressor" not in {r[0] for r in sess.sql("SHOW ML_ENGINES").collect()}
+    with pytest.raises(ValueError, match="unknown handler"):
+        sess.sql("CREATE ML_ENGINE bad FROM nonexistent_handler")
+
+
+def test_information_schema_breadth(spark, sf_dir):
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir)
+    sess.sql("SELECT 1 AS warmup").collect()
+    hs = {r[0] for r in sess.sql("SELECT name FROM information_schema.handlers").collect()}
+    assert {"parquet", "duckdb", "jdbc"} <= hs
+    qlog = sess.sql("SELECT query FROM information_schema.queries").collect()
+    assert any("warmup" in r[0] for r in qlog)
+    cs = {r[0] for r in sess.sql(
+        "SELECT character_set_name FROM information_schema.character_sets").collect()}
+    assert "utf8mb4" in cs
+    st = sess.sql("SELECT DISTINCT table_schema FROM information_schema.statistics").collect()
+    assert {r[0] for r in st} == {"tpch"}
+    mle = {r[0] for r in sess.sql("SELECT name FROM information_schema.ml_engines").collect()}
+    assert {"spark_ml_linreg", "spark_ml_kmeans"} <= mle

@@ -89,3 +89,25 @@ def test_job_scheduler():
     assert "late" not in sched.run_pending(now=50.0)
     assert "late" in sched.run_pending(now=150.0)
     assert "late" not in sched.run_pending(now=250.0)
+
+
+def test_last_keyword_sql_door(spark, sf_dir, tmp_path):
+    # `WHERE col > LAST` parsed from SQL text (reference last_query.py):
+    # init run pins the watermark and yields nothing; growth yields only
+    # new rows; watermark advances so a re-run yields nothing again
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark, state_dir=str(tmp_path))
+    sess.register_parquet_source("tpch", sf_dir)
+    sess.sql("CREATE OR REPLACE VIEW lw AS SELECT event_id FROM tpch_events WHERE event_id < 100")
+    q = "SELECT event_id FROM lw WHERE event_id > LAST ORDER BY event_id"
+    assert sess.sql(q).count() == 0
+    sess.sql("CREATE OR REPLACE VIEW lw AS SELECT event_id FROM tpch_events WHERE event_id < 150")
+    got = [r[0] for r in sess.sql(q).collect()]
+    assert got == list(range(100, 150))
+    assert sess.sql(q).count() == 0  # watermark advanced
+    # qualified column form
+    q2 = "SELECT e.event_id FROM lw e WHERE e.event_id > LAST"
+    assert sess.sql(q2).count() == 0  # separate key: its own init
+    sess.sql("CREATE OR REPLACE VIEW lw AS SELECT event_id FROM tpch_events WHERE event_id < 160")
+    assert sess.sql(q2).count() == 10
