@@ -111,6 +111,13 @@ _KB_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _CONTENT_EQ_RE = re.compile(r"^content\s*=\s*'([^']*)'$", re.IGNORECASE)
+# trailing `USING k = v, ...` on a KB select (controller.py:316-330 — the
+# hybrid/rerank/threshold flags ride the USING clause). Values are literals,
+# so `JOIN ... USING (col)` never matches.
+_KB_USING_RE = re.compile(
+    r"\bUSING\s+(\w+\s*=\s*(?:'[^']*'|[-\w.]+)(?:\s*,\s*\w+\s*=\s*(?:'[^']*'|[-\w.]+))*)",
+    re.IGNORECASE,
+)
 _AGENT_RE = re.compile(
     r"SELECT\s+(.+?)\s+FROM\s+([\w.`]+)\s+WHERE\s+question\s*=\s*'([^']*)'$",
     re.IGNORECASE,
@@ -139,6 +146,18 @@ _CREATE_MODEL_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _RETRAIN_MODEL_RE = re.compile(r"RETRAIN\s+(?:MODEL\s+)?([\w.`]+)$", re.IGNORECASE)
+# `FINETUNE MODEL name [FROM src] (SELECT ...)` — incremental retrain on new
+# rows (reference: command_executor.py:1042-1130 answer_finetune_predictor:
+# the finetune query's rows extend the training data; a NEW model version is
+# created and becomes active).
+_FINETUNE_RE = re.compile(
+    r"FINETUNE\s+(?:MODEL\s+)?([\w.`]+)(?:\s+FROM\s+([\w`]+))?\s*\((.+)\)"
+    r"(?:\s+USING\s+(.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+# `SET ACTIVE model.version` (reference: command_executor.py:616-617 →
+# answer_update_model_version / set_model_active_version).
+_SET_ACTIVE_RE = re.compile(r"SET\s+ACTIVE\s+([\w.`]+)\.(\d+)$", re.IGNORECASE)
 # `CREATE AGENT name USING model = '...'` / DROP AGENT (reference:
 # command_executor.py:1484-1512 — agents_controller.add/delete_agent).
 _CREATE_AGENT_RE = re.compile(
@@ -306,6 +325,11 @@ class EngineSession:
         self._native: dict[str, object] = {}
         self._native_seq = 0
         self._models: dict[str, object] = {}
+        # model versioning (reference: mindsdb/interfaces/model/ — every
+        # CREATE/RETRAIN/FINETUNE appends a version; _models holds the
+        # ACTIVE spec so every join/describe path needs no version logic)
+        self._model_versions: dict[str, list] = {}
+        self._model_active: dict[str, int] = {}
         from mindsdb_spark.operators.ml_engines import BUILTIN_ML_ENGINES
 
         self._ml_engines: dict = dict(BUILTIN_ML_ENGINES)
@@ -542,25 +566,55 @@ class EngineSession:
         df.createOrReplaceTempView(name.lower())
         df.createOrReplaceTempView(f"files_{name.lower()}")
 
-    def register_knowledge_base(self, name: str, documents: DataFrame, dim: int = 16) -> None:
+    def register_knowledge_base(
+        self,
+        name: str,
+        documents: DataFrame,
+        dim: int = 16,
+        embedder: str = "xxhash",
+        chunk: bool = True,
+    ) -> None:
         """Build a knowledge base from a documents table: chunk → embed →
         store. The SQL surface is the reference's KB select —
         ``SELECT * FROM <kb> WHERE content = 'query' [LIMIT k]`` — served by
-        exact cosine top-k over the chunk store (controller.py:258-380)."""
-        from mindsdb_spark.operators.kb import chunk_documents, fake_embed
+        exact cosine top-k over the chunk store (controller.py:258-380).
 
-        store = fake_embed(chunk_documents(documents), dim=dim).select(
+        ``embedder``: 'xxhash' (default test embedder) or 'md5' (slower but
+        reproducible on any engine with md5 — used by conformance oracles).
+        ``chunk=False`` stores each document as a single chunk."""
+        from mindsdb_spark.operators.kb import chunk_documents, fake_embed, md5_embed
+
+        embed = md5_embed if embedder == "md5" else fake_embed
+        if chunk:
+            chunks = chunk_documents(documents)
+        else:
+            chunks = documents.select(
+                "doc_id",
+                F.col("text").alias("chunk_text"),
+                F.md5(F.col("doc_id").cast("string")).alias("chunk_id"),
+            )
+        store = embed(chunks, dim=dim).select(
             "chunk_id", "doc_id", "chunk_text", "embedding"
         )
-        self._kbs[name.lower()] = {"store": store, "dim": dim}
+        self._kbs[name.lower()] = {"store": store, "dim": dim, "embedder": embedder}
+
+    def _kb_embed_query(self, kb: dict, query_text: str) -> list[float]:
+        from mindsdb_spark.operators.kb import fake_embed, md5_embed
+
+        embed = md5_embed if kb.get("embedder") == "md5" else fake_embed
+        qrow = embed(
+            self.spark.createDataFrame([(query_text,)], "chunk_text string"), dim=kb["dim"]
+        ).head()
+        return [float(x) for x in qrow["embedding"]]
 
     def _kb_insert(self, name: str, docs: DataFrame) -> DataFrame:
         """INSERT INTO <kb> <select>: chunk → embed → upsert by content hash
         (reference: controller.py:647-983 — re-inserting unchanged content
         is a no-op because chunk ids are content hashes)."""
-        from mindsdb_spark.operators.kb import chunk_documents, fake_embed, kb_upsert
+        from mindsdb_spark.operators.kb import chunk_documents, fake_embed, kb_upsert, md5_embed
 
         kb = self._kbs[name]
+        embed = md5_embed if kb.get("embedder") == "md5" else fake_embed
         cols = {c.lower(): c for c in docs.columns}
         id_col = next((cols[c] for c in ("doc_id", "id") if c in cols), docs.columns[0])
         text_col = next(
@@ -569,7 +623,7 @@ class EngineSession:
         prepared = docs.select(
             F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
         )
-        incoming = fake_embed(chunk_documents(prepared), dim=kb["dim"]).select(
+        incoming = embed(chunk_documents(prepared), dim=kb["dim"]).select(
             "chunk_id", "doc_id", "chunk_text", "embedding"
         )
         kb["store"] = kb_upsert(kb["store"], incoming)
@@ -628,18 +682,34 @@ class EngineSession:
         )
 
     def _kb_search(
-        self, name: str, query_text: str, k: int | None, prefilter: str | None = None
+        self,
+        name: str,
+        query_text: str,
+        k: int | None,
+        prefilter: str | None = None,
+        using: dict | None = None,
     ) -> DataFrame:
-        from mindsdb_spark.operators.kb import fake_embed
-        from mindsdb_spark.operators.search import KB_DEFAULT_LIMIT, KB_MAX_LIMIT
+        """KB semantic search with the reference's USING flags
+        (controller.py:316-330,360-370,404-424):
+
+        * ``hybrid_search = true`` + ``hybrid_search_alpha`` — distance =
+          α·d_keyword + (1-α)·d_vector over the chunk store
+        * ``relevance_threshold`` — keep hits with 1 - distance ≥ threshold
+        * ``rerank = true`` — over-fetch min(2k, k+30), score with the
+          (deterministic mock) reranker, threshold + top-k by relevance
+        """
+        from mindsdb_spark.operators.search import (
+            KB_DEFAULT_LIMIT,
+            KB_MAX_LIMIT,
+            hybrid_topk,
+            rerank_candidates,
+        )
         from mindsdb_spark.operators.vector import cosine_topk
 
+        using = using or {}
         kb = self._kbs[name]
         k = min(k or KB_DEFAULT_LIMIT, KB_MAX_LIMIT)
-        qrow = fake_embed(
-            self.spark.createDataFrame([(query_text,)], "chunk_text string"), dim=kb["dim"]
-        ).head()
-        qvec = [float(x) for x in qrow["embedding"]]
+        qvec = self._kb_embed_query(kb, query_text)
         store = kb["store"]
         if prefilter:
             # metadata conditions narrow the candidate set BEFORE top-k —
@@ -647,13 +717,56 @@ class EngineSession:
             # (vectordatabase_handler.py:103-176), so k results come from
             # the filtered space, not filtered out of the top k
             store = store.filter(F.expr(self.rewrite(prefilter)))
-        hits = cosine_topk(store, "embedding", qvec, k=k, id_col="chunk_id")
-        return hits.select(
-            "chunk_id",
-            "doc_id",
-            F.col("chunk_text").alias("content"),
-            (1.0 - F.col("sim")).alias("distance"),
-        )
+        rerank = str(using.get("rerank", "")).lower() == "true"
+        threshold = using.get("relevance_threshold")
+        threshold = float(threshold) if threshold is not None else None
+        fetch = rerank_candidates(k) if rerank else k
+        if str(using.get("hybrid_search", "")).lower() == "true":
+            alpha = float(using.get("hybrid_search_alpha", 0.5))
+            # keyword side scores bm25 rounded to 6dp BEFORE the blend: the
+            # contribution-sum order is engine-dependent in the last ulp
+            # (see queries/pipeline.py s03), and the KB door is a
+            # conformance surface
+            terms = query_text.lower().split()
+            hits = hybrid_topk(
+                store.select(F.col("chunk_id"), F.col("chunk_text")),
+                store.select("chunk_id", "embedding"),
+                terms,
+                qvec,
+                k=fetch,
+                alpha=alpha,
+                text_col="chunk_text",
+                doc_id="chunk_id",
+                vec_id="chunk_id",
+                round_keyword=True,
+            )
+            hits = hits.join(
+                store.select("chunk_id", "doc_id", "chunk_text"), "chunk_id"
+            ).select(
+                "chunk_id", "doc_id", F.col("chunk_text").alias("content"), "distance"
+            )
+        else:
+            hits = cosine_topk(store, "embedding", qvec, k=fetch, id_col="chunk_id").select(
+                "chunk_id",
+                "doc_id",
+                F.col("chunk_text").alias("content"),
+                (1.0 - F.col("sim")).alias("distance"),
+            )
+        if rerank:
+            # deterministic mock relevance (production: pandas-UDF LLM
+            # scorer, controller.py:426-436 shape) — first 4 md5 hex chars
+            # of the content / 65535
+            rel = (
+                F.conv(F.substring(F.md5(F.col("content")), 1, 4), 16, 10).cast("double")
+                / 65535.0
+            )
+            hits = hits.withColumn("relevance", rel)
+            if threshold is not None:
+                hits = hits.filter(F.col("relevance") >= threshold)
+            return hits.orderBy(F.col("relevance").desc(), "chunk_id").limit(k)
+        if threshold is not None:
+            hits = hits.filter((1.0 - F.col("distance")) >= threshold)
+        return hits.orderBy(F.col("distance").asc(), "chunk_id").limit(k)
 
     def register_agent(self, agent) -> None:
         """Register an AgentSpec as a queryable virtual table."""
@@ -663,9 +776,11 @@ class EngineSession:
         """Register a ModelSpec as a joinable predictor — the engine analog
         of a trained model living in a project (reference: models are
         virtual tables resolved by the planner, plan_join.py:760-818).
-        Training lifecycle (CREATE/RETRAIN MODEL) is out of scope; anything
-        that yields a pandas-in/pandas-out callable plugs in here."""
-        self._models[model.name.lower()] = model
+        Anything that yields a pandas-in/pandas-out callable plugs in here."""
+        n = model.name.lower()
+        self._models[n] = model
+        self._model_versions[n] = [model]
+        self._model_active[n] = 1
 
     def register_ml_engine(self, name: str, factory) -> None:
         """Register a training engine for CREATE MODEL: ``factory(name,
@@ -674,8 +789,27 @@ class EngineSession:
         self._ml_engines[name.lower()] = factory
 
     def _model_of(self, name: str):
-        n = name.lower().strip("`").split(".")[-1]
-        return self._models.get(n)
+        """Resolve a model reference, honoring a numeric version suffix —
+        ``model.2`` selects version 2 the way the reference resolves
+        ``project.model.version`` identifiers (command_executor.py:
+        1963-1983); a bare name resolves to the ACTIVE version."""
+        parts = name.lower().strip("`").split(".")
+        if (
+            len(parts) >= 2
+            and parts[-1].isdigit()
+            and parts[-2] in self._model_versions
+        ):
+            specs = self._model_versions[parts[-2]]
+            v = int(parts[-1])
+            return specs[v - 1] if 1 <= v <= len(specs) else None
+        return self._models.get(parts[-1])
+
+    def _add_model_version(self, name: str, spec) -> int:
+        self._model_versions.setdefault(name, []).append(spec)
+        v = len(self._model_versions[name])
+        self._model_active[name] = v
+        self._models[name] = spec
+        return v
 
     def _create_model(self, m: re.Match) -> DataFrame:
         """CREATE [OR REPLACE] MODEL — train via the USING-named ML engine
@@ -705,6 +839,8 @@ class EngineSession:
             train_df = self.sql(raw)
         spec = self._ml_engines[engine.lower()](name, train_df, target, params)
         self._models[name] = spec
+        self._model_versions[name] = [spec]
+        self._model_active[name] = 1
         self._model_recipes[name] = (src, raw, target, engine, dict(params))
         return self.spark.createDataFrame([(name, engine)], "model string, engine string")
 
@@ -1169,18 +1305,69 @@ class EngineSession:
         m = _CREATE_MODEL_RE.match(s)
         if m:
             return self._create_model(m)
+        m = _SET_ACTIVE_RE.match(s)
+        if m:
+            name = m.group(1).lower().strip("`").split(".")[-1]
+            v = int(m.group(2))
+            specs = self._model_versions.get(name)
+            if not specs or not 1 <= v <= len(specs):
+                raise ValueError(f"model {name!r} has no version {v}")
+            self._model_active[name] = v
+            self._models[name] = specs[v - 1]
+            return self.spark.createDataFrame([(name, v)], "model string, active_version int")
         m = _RETRAIN_MODEL_RE.match(s)
         if m and m.group(1).lower().strip("`").split(".")[-1] in self._model_recipes:
             name = m.group(1).lower().strip("`").split(".")[-1]
             src, raw, target, engine, params = self._model_recipes[name]
             train_df = self._native[src].query(raw) if src and src in self._native else self.sql(raw)
-            self._models[name] = self._ml_engines[engine.lower()](name, train_df, target, params)
-            return self.spark.createDataFrame([(name,)], "retrained string")
+            spec = self._ml_engines[engine.lower()](name, train_df, target, params)
+            v = self._add_model_version(name, spec)
+            return self.spark.createDataFrame([(name, v)], "retrained string, version int")
+        m = _FINETUNE_RE.match(s)
+        if m and m.group(1).lower().strip("`").split(".")[-1] in self._model_recipes:
+            # incremental retrain: base training query ∪ the finetune slice,
+            # through the SAME engine/params → a new ACTIVE version (the
+            # engines are closed-form fits, so "more rows" IS the faithful
+            # finetune; reference answer_finetune_predictor extends the
+            # training data the same way)
+            name = m.group(1).lower().strip("`").split(".")[-1]
+            src0, raw0, target, engine, params = self._model_recipes[name]
+            fsrc, fraw = (m.group(2) or "").lower().strip("`") or None, m.group(3)
+            base = self._native[src0].query(raw0) if src0 and src0 in self._native else self.sql(raw0)
+            new = self._native[fsrc].query(fraw) if fsrc and fsrc in self._native else self.sql(fraw)
+            train_df = base.unionByName(new.select(*base.columns))
+            if m.group(4):
+                from mindsdb_spark.dialect.rewriter import split_top_level
+
+                params = dict(params)
+                for kv in split_top_level(m.group(4)):
+                    uk, _, uv = kv.partition("=")
+                    params[uk.strip().lower()] = uv.strip().strip("'\"")
+            spec = self._ml_engines[engine.lower()](name, train_df, target, params)
+            v = self._add_model_version(name, spec)
+            return self.spark.createDataFrame([(name, v)], "finetuned string, version int")
         m = _DROP_MODEL_RE.match(s)
         if m:
-            name = m.group(1).lower().strip("`").split(".")[-1]
+            parts = m.group(1).lower().strip("`").split(".")
+            if (
+                len(parts) >= 2
+                and parts[-1].isdigit()
+                and parts[-2] in self._model_versions
+            ):
+                # DROP MODEL name.v removes one version (reference
+                # answer_drop_model); the active version is protected
+                name, v = parts[-2], int(parts[-1])
+                if v == self._model_active.get(name):
+                    raise ValueError(f"cannot drop active version {v} of {name!r}")
+                specs = self._model_versions[name]
+                if 1 <= v <= len(specs):
+                    specs[v - 1] = None  # version numbers stay stable
+                return self.spark.createDataFrame([(name, v)], "model string, version int")
+            name = parts[-1]
             self._models.pop(name, None)
             self._model_recipes.pop(name, None)
+            self._model_versions.pop(name, None)
+            self._model_active.pop(name, None)
             return self.spark.createDataFrame([(name,)], "model string")
         m = _MODEL_JOIN_RE.match(s)
         if m and self._model_of(m.group("model")) is not None:
@@ -1189,6 +1376,19 @@ class EngineSession:
         if m:
             name = m.group(2).lower().strip("`").split(".")[-1]
             if name in self._kbs:
+                from mindsdb_spark.dialect.rewriter import split_top_level
+
+                kb_using: dict[str, str] = {}
+                um = _KB_USING_RE.search(s)
+                if um:
+                    for kv in split_top_level(um.group(1)):
+                        uk, _, uv = kv.partition("=")
+                        kb_using[uk.strip().lower()] = uv.strip().strip("'\"")
+                    m = _KB_RE.match(
+                        " ".join((s[: um.start()] + " " + s[um.end():]).split())
+                    )
+                if m is None:
+                    raise ValueError("malformed knowledge-base SELECT")
                 content, meta = None, []
                 for cond in _split_and(m.group(3)):
                     cm = _CONTENT_EQ_RE.match(cond.strip())
@@ -1202,6 +1402,7 @@ class EngineSession:
                         content,
                         int(m.group(5)) if m.group(5) else None,
                         prefilter=" AND ".join(meta) if meta else None,
+                        using=kb_using,
                     )
                     res.createOrReplaceTempView("__kb_select")
                     outer = f"SELECT {self.rewrite(m.group(1))} FROM __kb_select"
@@ -1222,17 +1423,30 @@ class EngineSession:
                 return res.select(*cols)
         dm = re.match(r"(?:DESCRIBE|DESC)\s+MODEL\s+([\w.`]+)$", s, re.IGNORECASE)
         if dm and self._model_of(dm.group(1)) is not None:
-            spec = self._model_of(dm.group(1))
-            recipe = self._model_recipes.get(spec.name.lower())
-            return self.spark.createDataFrame(
-                [(
-                    spec.name,
+            # one row per surviving version, newest last; `active` marks the
+            # version bare-name joins resolve to (reference DESCRIBE MODEL
+            # surfaces the versions table, mindsdb/interfaces/model/)
+            name = dm.group(1).lower().strip("`").split(".")[-1]
+            if name.isdigit():
+                name = dm.group(1).lower().strip("`").split(".")[-2]
+            recipe = self._model_recipes.get(name)
+            rows = [
+                (
+                    name,
+                    v + 1,
+                    v + 1 == self._model_active.get(name),
                     spec.output_schema,
                     "ts" if spec.order_by else "row",
                     recipe[3] if recipe else "registered",
                     recipe[1] if recipe else "",
-                )],
-                "name string, predict_columns string, kind string, engine string, training_query string",
+                )
+                for v, spec in enumerate(self._model_versions.get(name, []))
+                if spec is not None
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "name string, version int, active boolean, predict_columns string, "
+                "kind string, engine string, training_query string",
             )
         m = _DESCRIBE_RE.match(s)
         if m:
@@ -1298,9 +1512,12 @@ class EngineSession:
             "name string, model string",
         ).filter("name != ''").createOrReplaceTempView("information_schema_agents")
         self.spark.createDataFrame(
-            [(name, mm.output_schema, "ts" if mm.order_by else "row")
-             for name, mm in self._models.items()] or [("", "", "")],
-            "name string, predict_columns string, kind string",
+            [(name, mm.output_schema, "ts" if mm.order_by else "row",
+              self._model_active.get(name, 1),
+              sum(s is not None for s in self._model_versions.get(name, [mm])))
+             for name, mm in self._models.items()] or [("", "", "", 0, 0)],
+            "name string, predict_columns string, kind string, "
+            "active_version int, versions int",
         ).filter("name != ''").createOrReplaceTempView("information_schema_models")
         self.spark.createDataFrame(
             [(name, kb["dim"]) for name, kb in self._kbs.items()] or [("", 0)],

@@ -92,6 +92,29 @@ def fake_embed(df: DataFrame, text_col: str = "chunk_text", dim: int = 16) -> Da
     return df.withColumn("embedding", F.array(*lanes))
 
 
+def md5_embed(df: DataFrame, text_col: str = "chunk_text", dim: int = 8) -> DataFrame:
+    """Deterministic embedder both engines can compute: lane i is the first
+    8 hex chars of md5(text || ':' || i), mod 1000, scaled to [-1, 1).
+
+    Functionally identical role to fake_embed, but md5 is the one hash
+    Spark and DuckDB share — so a KB built with this embedder is fully
+    oracle-checkable end-to-end (query embedding included), which xxhash64
+    can never be. Still whole-stage codegen; use for conformance surfaces.
+    """
+    lanes = [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(col(text_col), F.lit(f":{i}"))), 1, 8), 16, 10
+            ).cast("long")
+            % 1000
+            / 500.0
+            - 1.0
+        ).cast("float")
+        for i in range(dim)
+    ]
+    return df.withColumn("embedding", F.array(*lanes))
+
+
 def embed_with(df: DataFrame, embed_fn, text_col: str = "chunk_text") -> DataFrame:
     """Embed with a user model via an Arrow-batched pandas iterator UDF.
 

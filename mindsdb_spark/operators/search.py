@@ -149,6 +149,7 @@ def hybrid_topk(
     text_col: str = "text",
     doc_id: str = "doc_id",
     vec_id: str = "vec_id",
+    round_keyword: bool = False,
 ) -> DataFrame:
     """Hybrid search: distance = α·d_kw + (1-α)·d_vec (controller.py:404-424).
 
@@ -156,12 +157,20 @@ def hybrid_topk(
     decreasing in keyword relevance, 0-1 bounded). Documents missing from
     either side take the worst distance for that side (1.0) so the blend is
     total over the corpus.
+
+    ``round_keyword`` rounds bm25 to 6dp before deriving d_kw: the
+    contribution-sum order is engine-dependent in the last ulp, so
+    conformance surfaces (the KB SQL door) pin it; ranking is unaffected
+    beyond 1e-6 ties.
     """
     from mindsdb_spark.operators.vector import cosine_similarity
 
     k = min(k, KB_MAX_LIMIT)
+    bm25 = col("bm25")
+    if round_keyword:
+        bm25 = F.floor(bm25 * 1e6 + F.lit(0.5)) / 1e6
     kw = bm25_scores(docs, query_terms, text_col, doc_id).select(
-        col(doc_id).alias("__id"), (1.0 / (1.0 + col("bm25"))).alias("d_kw")
+        col(doc_id).alias("__id"), (1.0 / (1.0 + bm25)).alias("d_kw")
     )
     vec = emb.select(
         col(vec_id).alias("__id"),

@@ -557,6 +557,58 @@ ORDER BY relevance DESC, doc_id LIMIT 10
 """
 
 
+# --- S06 hybrid search through the KB SQL door -------------------------------
+# `SELECT ... FROM kb WHERE content = '...' USING hybrid_search = true, ...`
+# (reference: controller.py:316-330,404-424). The KB is built with the
+# md5 embedder and whole-doc chunks so EVERY stage — query embedding, store
+# embeddings, bm25, blend, top-k tie-breaks — is reproducible in DuckDB.
+def s06_hybrid_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    sess.register_knowledge_base(
+        "kbh", _t(spark, sf_dir, "documents"), dim=8, embedder="md5", chunk=False
+    )
+    return sess.sql(
+        "SELECT doc_id, FLOOR(distance * 1000000 + 0.5) / 1000000 AS distance "
+        "FROM kbh WHERE content = 'spark join fast' "
+        "ORDER BY distance, doc_id LIMIT 10 "
+        "USING hybrid_search = true, hybrid_search_alpha = 0.5"
+    )
+
+
+def _md5_lane(text_sql: str, i: int) -> str:
+    """DuckDB mirror of kb.md5_embed's lane i (same md5, mod, scale, FLOAT)."""
+    return (
+        f"CAST((('0x' || substr(md5({text_sql} || ':{i}'), 1, 8))::UBIGINT % 1000)"
+        " / 500.0 - 1.0 AS FLOAT)"
+    )
+
+
+def _s06_sql() -> str:
+    store_lanes = ", ".join(_md5_lane("text", i) for i in range(8))
+    q_lanes = ", ".join(_md5_lane("'spark join fast'", i) for i in range(8))
+    return f"""
+WITH {_bm25_cte(_Q_TERMS)},
+emb AS (SELECT doc_id, [{store_lanes}] AS embedding FROM documents),
+q AS (SELECT [{q_lanes}] AS qe),
+vec AS (SELECT doc_id, 1.0 - ({_COS}) AS d_vec FROM emb, q),
+kw AS (SELECT doc_id, 1.0 / (1.0 + bm25) AS d_kw FROM bm25),
+blend AS (
+  SELECT doc_id,
+         0.5 * coalesce(d_kw, 1.0) + 0.5 * coalesce(d_vec, 1.0) AS dist_raw
+  FROM vec FULL OUTER JOIN kw USING (doc_id)
+),
+top AS (SELECT doc_id, dist_raw FROM blend
+        ORDER BY dist_raw, md5(CAST(doc_id AS VARCHAR)) LIMIT 10)
+SELECT doc_id, floor(dist_raw * 1000000 + 0.5) / 1000000 AS distance
+FROM top ORDER BY distance, doc_id
+"""
+
+
+S06_SQL = _s06_sql()
+
+
 # --- M01 MySQL-dialect SQL through EngineSession -----------------------------
 def m01_mysql_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.engine import EngineSession
@@ -692,6 +744,7 @@ PIPELINE = {
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),
     "s04_metadata_search": (s04_metadata_search, S04_SQL),
     "s05_rerank": (s05_rerank, S05_SQL),
+    "s06_hybrid_sql": (s06_hybrid_sql, S06_SQL),
     "m01_mysql_dialect": (m01_mysql_dialect, M01_SQL),
     "a01_model_apply": (a01_model_apply, A01_SQL),
     "a02_ts_forecast": (a02_ts_forecast, A02_SQL),

@@ -91,3 +91,43 @@ def test_describe_model(sess, spark):
     assert row["engine"] == "spark_ml_linreg"
     assert "b double" in row["predict_columns"]
     assert "desc_t" in row["training_query"]
+
+
+def test_finetune_and_versions_lifecycle(sess, spark):
+    # create → finetune → both versions queryable → SET ACTIVE switches →
+    # DROP MODEL name.v removes one version (reference
+    # command_executor.py:1042-1130, 1963-1983)
+    spark.createDataFrame([(float(i), 2.0 * i) for i in range(60)],
+                          "x double, y double").createOrReplaceTempView("ft_base")
+    spark.createDataFrame([(float(i), 2.0 * i) for i in range(200, 800)],
+                          "x double, y double").createOrReplaceTempView("ft_more")
+    sess.sql("CREATE OR REPLACE MODEL ftm (SELECT x, y FROM ft_base) PREDICT y "
+             "USING engine='spark_ml_linreg'")
+    out = sess.sql("FINETUNE MODEL ftm (SELECT x, y FROM ft_more)").collect()[0]
+    assert out["version"] == 2
+    desc = sess.sql("DESCRIBE MODEL ftm").collect()
+    assert [(r["version"], r["active"]) for r in desc] == [(1, False), (2, True)]
+    spark.createDataFrame([(4.0,)], "x double").createOrReplaceTempView("ft_probe")
+    # both versions fit y=2x exactly; each version is individually queryable
+    v1 = sess.sql("SELECT m.y FROM ft_probe t JOIN ftm.1 m").collect()[0]["y"]
+    v2 = sess.sql("SELECT m.y FROM ft_probe t JOIN ftm.2 m").collect()[0]["y"]
+    assert v1 == pytest.approx(8.0, abs=1e-6) and v2 == pytest.approx(8.0, abs=1e-6)
+    # active switch
+    sess.sql("SET ACTIVE ftm.1")
+    assert sess.sql("DESCRIBE MODEL ftm").collect()[0]["active"] is True
+    with pytest.raises(ValueError, match="active"):
+        sess.sql("DROP MODEL ftm.1")
+    sess.sql("DROP MODEL ftm.2")
+    assert [r["version"] for r in sess.sql("DESCRIBE MODEL ftm").collect()] == [1]
+    row = sess.sql("SELECT versions, active_version FROM information_schema.models "
+                   "WHERE name = 'ftm'").collect()[0]
+    assert row["versions"] == 1 and row["active_version"] == 1
+
+
+def test_retrain_appends_version(sess, spark):
+    spark.createDataFrame([(float(i), 3.0 * i) for i in range(50)],
+                          "x double, y double").createOrReplaceTempView("rv_t")
+    sess.sql("CREATE OR REPLACE MODEL rvm (SELECT x, y FROM rv_t) PREDICT y "
+             "USING engine='spark_ml_linreg'")
+    sess.sql("RETRAIN MODEL rvm")
+    assert [r["version"] for r in sess.sql("DESCRIBE MODEL rvm").collect()] == [1, 2]

@@ -63,3 +63,58 @@ def test_kb_meta_prefilter_and_order(kbsess):
     assert 0 < len(hits) <= 5
     assert all(r["doc_id"] < 20 for r in hits)
     assert [r["doc_id"] for r in hits] == sorted(r["doc_id"] for r in hits)
+
+
+def test_kb_hybrid_search_flag(kbsess):
+    # USING hybrid_search = true blends keyword + vector distance
+    # (controller.py:316-330,404-424); alpha=1 is pure keyword, alpha=0
+    # pure vector
+    rows = kbsess.sql(
+        "SELECT * FROM docs_kb WHERE content = 'spark join fast' "
+        "USING hybrid_search = true, hybrid_search_alpha = 0.5 LIMIT 5"
+    ).collect()
+    assert len(rows) == 5
+    dists = [r["distance"] for r in rows]
+    assert dists == sorted(dists)
+    vec_only = kbsess.sql(
+        "SELECT * FROM docs_kb WHERE content = 'spark join fast' "
+        "USING hybrid_search = true, hybrid_search_alpha = 0.0 LIMIT 5"
+    ).collect()
+    pure_vec = kbsess.sql(
+        "SELECT * FROM docs_kb WHERE content = 'spark join fast' LIMIT 5"
+    ).collect()
+    assert [r["chunk_id"] for r in vec_only] == [r["chunk_id"] for r in pure_vec]
+
+
+def test_kb_relevance_threshold(kbsess):
+    all_rows = kbsess.sql(
+        "SELECT * FROM docs_kb WHERE content = 'table scan' LIMIT 20"
+    ).collect()
+    thr = 1.0 - all_rows[len(all_rows) // 2]["distance"]  # mid-pack cutoff
+    kept = kbsess.sql(
+        "SELECT * FROM docs_kb WHERE content = 'table scan' "
+        f"USING relevance_threshold = {thr} LIMIT 20"
+    ).collect()
+    assert 0 < len(kept) < len(all_rows)
+    assert all(1.0 - r["distance"] >= thr - 1e-12 for r in kept)
+
+
+def test_kb_rerank_flag(kbsess):
+    rows = kbsess.sql(
+        "SELECT * FROM docs_kb WHERE content = 'spark join fast' "
+        "USING rerank = true, relevance_threshold = 0.1 LIMIT 5"
+    ).collect()
+    assert 0 < len(rows) <= 5
+    assert "relevance" in rows[0].asDict()
+    rels = [r["relevance"] for r in rows]
+    assert rels == sorted(rels, reverse=True)
+    assert all(r["relevance"] >= 0.1 for r in rows)
+
+
+def test_kb_using_with_metadata_prefilter(kbsess):
+    rows = kbsess.sql(
+        "SELECT * FROM docs_kb WHERE content = 'spark' AND doc_id < 50 "
+        "USING hybrid_search = true LIMIT 10"
+    ).collect()
+    assert len(rows) == 10
+    assert all(r["doc_id"] < 50 for r in rows)
