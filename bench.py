@@ -20,6 +20,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+# The driver fixtures are single-row-group parquet, which pins every scan
+# stage to ONE task in BOTH engines. The primary metric keeps that layout
+# (the BASELINE.md protocol, comparable round-over-round); a secondary
+# split32 variant re-times the headline subset on a 32-file copy of the
+# same data — both engines read the split copy, so it measures how each
+# engine scales when scans can actually parallelize. Measured effect: the
+# split unlocks DuckDB's per-row-group threading far more than it helps
+# Spark locally (Spark's ~0.2-0.3 s/query scheduling floor dominates at
+# sf0.1), which is itself a result worth recording.
+# SPARK_GRAFT_BENCH_SPLIT=1 makes split32 the primary layout instead.
+SPLIT = os.environ.get("SPARK_GRAFT_BENCH_SPLIT", "0") == "1"
+SPLIT_DIR = os.environ.get("SPARK_GRAFT_BENCH_SPLIT_DIR", "/tmp/spark_graft_bench")
 
 # Headline set: one per operator family — scan+filter, Q1 aggregation,
 # having+countd, join+agg, outer join, windows (rank + analytic), rollup,
@@ -46,7 +58,32 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _duckdb_baseline(names: list[str], registry: dict) -> dict[str, float]:
+def _prepare_split(spark) -> str:
+    """One-time rewrite of the fixtures as 32-file parquet per table, cached
+    under SPLIT_DIR keyed by source dir. Scan stages then split across
+    files the way a real multi-row-group/multi-file layout does at scale."""
+    import hashlib
+
+    from mindsdb_spark.catalog import TPCH_TABLES, load_table
+
+    tag = hashlib.md5(SF_DIR.encode()).hexdigest()[:8]
+    out_dir = os.path.join(
+        SPLIT_DIR, os.path.basename(SF_DIR.rstrip("/")) + "_" + tag
+    )
+    done = os.path.join(out_dir, "_SPLIT_DONE")
+    if not os.path.exists(done):
+        for t in TPCH_TABLES:
+            if not os.path.exists(os.path.join(SF_DIR, f"{t}.parquet")):
+                continue
+            load_table(spark, SF_DIR, t).repartition(32).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, f"{t}.parquet"))
+        with open(done, "w") as f:
+            f.write("ok")
+    return out_dir
+
+
+def _duckdb_baseline(names: list[str], registry: dict, data_dir: str) -> dict[str, float]:
     """Best-of-RUNS timings for the identical oracle SQL in DuckDB, measured
     in the SAME window — this host carries variable co-tenant load (absolute
     totals swing ±30%), so only same-window ratios are meaningful."""
@@ -56,8 +93,12 @@ def _duckdb_baseline(names: list[str], registry: dict) -> dict[str, float]:
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
-        path = os.path.join(SF_DIR, f"{t}.parquet")
-        if os.path.exists(path):
+        path = os.path.join(data_dir, f"{t}.parquet")
+        if os.path.isdir(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}/*.parquet')"
+            )
+        elif os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     out: dict[str, float] = {}
     for name in names:
@@ -87,19 +128,46 @@ def main() -> None:
     spark = get_spark(app_name="mindsdb-spark-bench")
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
 
-    timings: dict[str, float] = {}
-    for name in names:
-        fn = registry[name][0]
-        _force(fn(spark, SF_DIR))  # warmup: codegen + page cache
-        best = min(
-            (lambda t0: (_force(fn(spark, SF_DIR)), time.perf_counter() - t0)[1])(time.perf_counter())
-            for _ in range(RUNS)
-        )
-        timings[name] = round(best, 4)
+    def _time_set(qnames: list[str], data_dir: str, runs: int) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in qnames:
+            fn = registry[name][0]
+            _force(fn(spark, data_dir))  # warmup: codegen + page cache
+            best = min(
+                (lambda t0: (_force(fn(spark, data_dir)), time.perf_counter() - t0)[1])(
+                    time.perf_counter()
+                )
+                for _ in range(runs)
+            )
+            out[name] = round(best, 4)
+        return out
 
-    baseline = _duckdb_baseline(names, registry)
+    primary_dir = _prepare_split(spark) if SPLIT else SF_DIR
+    if SPLIT:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+        spark.conf.set("spark.sql.files.openCostInBytes", "1m")
+    timings = _time_set(names, primary_dir, RUNS)
+    baseline = _duckdb_baseline(names, registry, primary_dir)
     base_total = round(sum(baseline.values()), 4)
     total = round(sum(timings.values()), 4)
+
+    # secondary: the other layout over the headline subset, both engines
+    split_variant = None
+    if not SPLIT:
+        split_dir = _prepare_split(spark)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+        spark.conf.set("spark.sql.files.openCostInBytes", "1m")
+        head = [n for n in HEADLINE if n in registry]
+        sp = _time_set(head, split_dir, 1)
+        du = _duckdb_baseline(head, registry, split_dir)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+        spark.conf.set("spark.sql.files.openCostInBytes", "4194304")
+        sp_t, du_t = round(sum(sp.values()), 4), round(sum(du.values()), 4)
+        split_variant = {
+            "spark_total": sp_t,
+            "duckdb_total": du_t,
+            "ratio": round(sp_t / du_t, 3) if du_t else None,
+        }
     try:
         load1 = round(os.getloadavg()[0], 2)
     except OSError:
@@ -114,6 +182,8 @@ def main() -> None:
                 "sf": sf,
                 "duckdb_same_window": {"total": base_total, "queries": baseline},
                 "ratio_vs_duckdb": round(total / base_total, 3) if base_total else None,
+                "layout": "split32" if SPLIT else "single_file",
+                "split32_headline": split_variant,
                 "load1": load1,
             }
         )

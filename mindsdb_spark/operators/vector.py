@@ -95,12 +95,34 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _estimate_rows(df: DataFrame, vec_col: str) -> int:
+    """Row-count estimate WITHOUT a corpus pass.
+
+    Prefers the optimizer's plan statistics rowCount (exact under CBO /
+    cached plans, driver-side only); otherwise divides the plan's
+    sizeInBytes (parquet footer metadata) by a per-row byte estimate whose
+    vector dimension comes from a single-row probe — a 1-task job, not a
+    scan. Block sizing tolerates a few-× estimation error, so a compressed
+    source just shifts block sizes, never correctness.
+    """
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    rc = stats.rowCount()
+    if rc.isDefined():
+        return max(1, int(str(rc.get())))
+    head = df.select(F.size(col(vec_col)).alias("d")).head()
+    if head is None:
+        return 0
+    row_bytes = 4 * int(head["d"]) + 24
+    return max(1, int(str(stats.sizeInBytes())) // row_bytes)
+
+
 def allpairs_topk(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 20,
     block_target: int = 256,
+    nblocks: int | None = None,
 ) -> DataFrame:
     """Top-k most-similar vector pairs (cosine) over the whole table.
 
@@ -118,8 +140,12 @@ def allpairs_topk(
     import numpy as np
     import pandas as pd
 
-    n = df.count()
-    nblocks = max(1, math.ceil(n / block_target))
+    if nblocks is None:
+        # metadata-derived sizing: the old eager df.count() here was a full
+        # corpus pass run as a separate job on every invocation — at 100 TB
+        # that is a job over every row just to choose a block count
+        n = _estimate_rows(df, vec_col)
+        nblocks = max(1, math.ceil(n / block_target))
     blocks = (
         df.select(
             (F.pmod(F.xxhash64(col(id_col)), F.lit(nblocks))).alias("__b"),

@@ -157,3 +157,29 @@ def test_jaccard_hot_shingle_cap(spark):
     # weak pairs that drown the ranking — proves the cap is load-bearing
     uncapped = jaccard_topk_pairs(sh, k=50, max_df=10_000)
     assert uncapped.filter(F.col("jac") < 0.5).count() + 2 >= 50
+
+
+def test_allpairs_no_corpus_pass(spark, sf_dir):
+    # sizing must come from plan metadata, not an eager count(): building
+    # the operator may run at most the 1-task single-row dim probe
+    from mindsdb_spark.operators.vector import allpairs_topk, _estimate_rows
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    est = _estimate_rows(emb, "embedding")
+    true_n = emb.count()
+    assert 0.1 * true_n <= est <= 10 * true_n  # order-of-magnitude is enough
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    plan = allpairs_topk(emb, k=5)  # construction only — no action
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    new_jobs = after - before
+    assert len(new_jobs) <= 1  # the dim probe, never a count
+    for j in new_jobs:
+        info = tracker.getJobInfo(j)
+        ntasks = sum(tracker.getStageInfo(s).numTasks for s in info.stageIds
+                     if tracker.getStageInfo(s) is not None)
+        assert ntasks <= 1
+    # and the result is still the exact top-k
+    got = {(r.id_a, r.id_b) for r in plan.collect()}
+    exact = {(r.id_a, r.id_b) for r in allpairs_topk(emb, k=5, nblocks=1).collect()}
+    assert got == exact
