@@ -1,0 +1,176 @@
+"""Corpus-curation operators for the training-data pipeline: benchmark
+contamination checking, stopword scrubbing, deterministic stratified
+sampling, sequence packing, and embedding quantization.
+
+These are the pipeline stages that sit between "raw crawl" and "training
+mix" (the reference has no analog — its KB insert is the closest surface,
+mindsdb/interfaces/knowledge_base/controller.py:647-983). Everything stays
+in JVM expressions / shuffle-bounded joins so each operator scales with
+executors; each has an exact DuckDB oracle twin in queries/pipeline.py.
+
+Scale posture per operator:
+
+* contamination — the benchmark shingle set is small by definition (eval
+  sets are thousands of docs); it broadcasts, so the corpus side is one
+  map-side semi-probe + per-doc aggregate, no corpus-vs-corpus join.
+* stopword scrub / sampling / quantization — pure map stages.
+* packing — one window over (stratum, doc order): a running token sum,
+  the exact Spark shape of greedy fixed-budget sequence packing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mindsdb_spark.catalog import parallelize_input
+from mindsdb_spark.operators.dedup import words_expr
+
+col = F.col
+
+
+def _round6(c):
+    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def contamination_check(
+    train_sh: DataFrame, bench_sh: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-train-doc n-gram overlap against a benchmark shingle set.
+
+    Inputs are hashed shingle tables (id, sh) from dedup.shingle_hashes.
+    Output: (id, n_sh, n_hit, contamination) where contamination =
+    |shingles(doc) ∩ bench| / |shingles(doc)| — the standard "does my
+    training set contain my eval set" screen (n-gram-overlap
+    decontamination as popularized by the GPT-3/C4 reports).
+
+    The benchmark side is deduped and BROADCAST (eval sets are small);
+    the train side is probed map-side, then one partial-aggregated
+    groupBy per doc. No shuffle of the corpus.
+    """
+    bench = bench_sh.select("sh").distinct()
+    hit = (
+        train_sh.join(F.broadcast(bench.withColumn("__hit", F.lit(1))), "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum(F.coalesce(col("__hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    return hit.select(
+        col(id_col),
+        "n_sh",
+        "n_hit",
+        _round6(col("n_hit") / col("n_sh")).alias("contamination"),
+    )
+
+
+def stopword_scrub(
+    df: DataFrame,
+    stopwords: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove stopword tokens; report kept text + removal stats.
+
+    (id, clean_text, n_tokens, n_removed, removed_ratio). One JVM
+    filter-lambda over the token array — the map-stage shape of any
+    token-level scrub (PII redaction swaps the predicate for regexes).
+    """
+    df = parallelize_input(df)
+    w = words_expr(col(text_col))
+    sw = [s.lower() for s in stopwords]
+    kept = F.filter(w, lambda x: ~x.isin(*sw))
+    n_tokens = F.size(w)
+    n_removed = n_tokens - F.size(kept)
+    return df.select(
+        col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        n_tokens.alias("n_tokens"),
+        n_removed.alias("n_removed"),
+        _round6(n_removed / n_tokens).alias("removed_ratio"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum percentage sampling.
+
+    ``rates`` maps stratum → keep-percentage (0..100). A doc is kept iff
+    md5(id) mod 100 < rate[stratum] — the hash-bucket sampling every
+    data-mixing pipeline uses so reruns, engines, and workers agree on the
+    sample without coordination (df.sample() is seed- AND partitioning-
+    dependent, so it can never be cross-engine reproducible). Pure map
+    stage; unknown strata default to rate 0.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(col(id_col).cast("string")), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+    rate = None
+    for stratum, r in rates.items():
+        branch = F.when(col(stratum_col) == stratum, F.lit(int(r)))
+        rate = branch if rate is None else rate.when(col(stratum_col) == stratum, F.lit(int(r)))
+    rate = rate.otherwise(F.lit(0)) if rate is not None else F.lit(0)
+    return df.filter(bucket < rate)
+
+
+def pack_sequences(
+    tokens: DataFrame,
+    budget: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget bins per stratum.
+
+    (id, stratum, n_tokens, bin): bin = floor(cumulative tokens BEFORE this
+    doc / budget) over docs ordered by id within the stratum — the running-
+    sum formulation of greedy sequence packing (docs may straddle budget
+    edges; packers that forbid it re-chunk afterwards). One window whose
+    partition key is the stratum: at 100 TB the partition count is the
+    stratum count, so for few giant strata pre-bucket by a coarse salt and
+    pack within buckets — the bin ids stay deterministic because the order
+    key is still (id).
+    """
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(count_col).over(w), F.lit(0))
+    return tokens.select(
+        col(id_col),
+        col(stratum_col),
+        col(count_col),
+        F.floor(cum_before / F.lit(budget)).cast("long").alias("bin"),
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: q = round(x / amax * 127).
+
+    (id, amax, q) — the storage-shrink step before shipping embeddings to
+    an ANN index (4 bytes → 1 byte per lane; recall loss is negligible at
+    8 bits for cosine). amax ties to the float32 max-magnitude lane;
+    rounding is floor(x+0.5) so both engines agree on .5 ties. Pure map
+    stage over the corpus.
+    """
+    v = col(vec_col).cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.transform(v, lambda x: F.floor(x / col("__amax") * 127 + 0.5).cast("int"))
+    return (
+        df.withColumn("__amax", amax)
+        .select(
+            col(id_col),
+            _round6(col("__amax")).alias("amax"),
+            q.alias("q"),
+        )
+    )

@@ -378,6 +378,123 @@ FROM documents ORDER BY doc_id
 """
 
 
+# --- D16 benchmark contamination check ---------------------------------------
+# bench set = docs 0..19 (stand-in eval set); every train doc reports its
+# 3-gram overlap fraction against the bench shingle union.
+def d16_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.curation import contamination_check
+
+    sh = D.shingle_hashes(_t(spark, sf_dir, "documents"))
+    return contamination_check(
+        sh.filter(col("doc_id") >= 20), sh.filter(col("doc_id") < 20)
+    ).orderBy("doc_id")
+
+
+D16_SQL = f"""
+WITH {_WORDS}, {_EX}, {_EXH},
+bench AS (SELECT DISTINCT sh FROM exh WHERE doc_id < 20),
+tr AS (SELECT doc_id, sh FROM exh WHERE doc_id >= 20),
+agg AS (
+  SELECT doc_id, count(*) AS n_sh,
+         CAST(sum(CASE WHEN sh IN (SELECT sh FROM bench) THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+  FROM tr GROUP BY doc_id
+)
+SELECT doc_id, n_sh, n_hit,
+       floor(n_hit / n_sh * 1000000 + 0.5) / 1000000 AS contamination
+FROM agg ORDER BY doc_id
+"""
+
+
+# --- D17 stopword scrub -------------------------------------------------------
+def d17_stopword_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.curation import stopword_scrub
+
+    return stopword_scrub(
+        _t(spark, sf_dir, "documents"), ["a", "the"]
+    ).orderBy("doc_id")
+
+
+D17_SQL = f"""
+WITH {_WORDS},
+k AS (SELECT doc_id, list_filter(w, x -> x NOT IN ('a', 'the')) AS kept,
+             len(w) AS n_tokens
+      FROM words)
+SELECT doc_id, array_to_string(kept, ' ') AS clean_text, n_tokens,
+       n_tokens - len(kept) AS n_removed,
+       floor((n_tokens - len(kept)) / n_tokens * 1000000 + 0.5) / 1000000 AS removed_ratio
+FROM k ORDER BY doc_id
+"""
+
+
+# --- D18 deterministic stratified sampling -----------------------------------
+_D18_RATES = {"en": 50, "fr": 30, "zh": 20}  # es/de default to 0
+
+
+def d18_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.curation import stratified_sample
+
+    return (
+        stratified_sample(_t(spark, sf_dir, "documents"), _D18_RATES)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+D18_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100) <
+      CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 30 WHEN 'zh' THEN 20 ELSE 0 END
+ORDER BY doc_id
+"""
+
+
+# --- D19 sequence packing into fixed token budgets ----------------------------
+def d19_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.curation import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = T.token_stats(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    return pack_sequences(toks, budget=512).orderBy("doc_id")
+
+
+D19_SQL = f"""
+WITH {_WORDS},
+tok AS (SELECT doc_id, len(w) AS n_tokens FROM words),
+j AS (SELECT t.doc_id, d.lang, t.n_tokens
+      FROM tok t JOIN documents d USING (doc_id))
+SELECT doc_id, lang, n_tokens,
+       CAST(floor(coalesce(sum(n_tokens) OVER (
+              PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512)
+            AS BIGINT) AS bin
+FROM j ORDER BY doc_id
+"""
+
+
+# --- D20 int8 embedding quantization (exploded lanes) ------------------------
+def d20_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.curation import quantize_embeddings
+
+    q = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id", "amax", F.posexplode("q").alias("lane", "qv")
+    ).orderBy("vec_id", "lane")
+
+
+D20_SQL = """
+WITH a AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS am,
+         embedding
+  FROM embeddings
+)
+SELECT vec_id, floor(am * 1000000 + 0.5) / 1000000 AS amax, i - 1 AS lane,
+       CAST(floor(CAST(embedding[i] AS DOUBLE) / am * 127 + 0.5) AS INT) AS qv
+FROM a, UNNEST(generate_series(1, len(embedding))) AS t(i)
+ORDER BY vec_id, lane
+"""
+
+
 # --- S01 BM25 keyword search -------------------------------------------------
 _Q_TERMS = ["spark", "join", "fast"]
 _TOKS = "toks AS (SELECT doc_id, unnest(w) AS term FROM words)"
@@ -739,6 +856,11 @@ PIPELINE = {
     "d13_multimodal": (d13_multimodal, D13_SQL),
     "d14_ivf_topk": (d14_ivf_topk, D14_SQL),
     "d15_bpe_tokens": (d15_bpe_tokens, D15_SQL),
+    "d16_contamination": (d16_contamination, D16_SQL),
+    "d17_stopword_scrub": (d17_stopword_scrub, D17_SQL),
+    "d18_stratified_sample": (d18_stratified_sample, D18_SQL),
+    "d19_pack_sequences": (d19_pack_sequences, D19_SQL),
+    "d20_quantize": (d20_quantize, D20_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),
