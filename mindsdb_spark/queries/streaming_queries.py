@@ -86,7 +86,52 @@ FROM numbered GROUP BY user_id, sid ORDER BY user_id, session_start
 """
 
 
+def st03_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h wide, 30 min slide) as a stream —
+    every event lands in width/slide = 2 overlapping windows. Oracle:
+    fan each event out to its 2 window starts and aggregate (both engines
+    epoch-align 30-minute buckets)."""
+    from mindsdb_spark.streaming.windows import run_available_now, sliding_counts
+
+    out = run_available_now(
+        sliding_counts(_event_stream(spark, sf_dir), "1 hour", "30 minutes"), "complete"
+    )
+    return out.orderBy("ws", "event_type")
+
+
+ST03_SQL = """
+WITH x AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k.k * INTERVAL 30 MINUTE AS ws,
+         event_type
+  FROM events, (SELECT unnest([0, 1]) AS k) k
+)
+SELECT ws, ws + INTERVAL 60 MINUTE AS we, event_type, count(*) AS n
+FROM x GROUP BY ws, event_type ORDER BY ws, event_type
+"""
+
+
+def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with bounded watermark state. Only the key
+    columns are projected: WHICH row survives per key is arrival-order-
+    dependent (nondeterministic across partitions), but the surviving key
+    SET equals batch DISTINCT exactly."""
+    from mindsdb_spark.streaming.windows import run_available_now, streaming_dedup
+
+    out = run_available_now(
+        streaming_dedup(_event_stream(spark, sf_dir), ["user_id", "event_type"]),
+        "append",
+    )
+    return out.select("user_id", "event_type").orderBy("user_id", "event_type")
+
+
+ST04_SQL = """
+SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
+"""
+
+
 STREAMING_QUERIES = {
     "st01_stream_tumbling": (st01_stream_tumbling, ST01_SQL),
     "st02_stream_sessions": (st02_stream_sessions, ST02_SQL),
+    "st03_stream_sliding": (st03_stream_sliding, ST03_SQL),
+    "st04_stream_dedup": (st04_stream_dedup, ST04_SQL),
 }
