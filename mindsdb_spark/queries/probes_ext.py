@@ -295,6 +295,104 @@ FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
 """
 
 
+# --- P43 Q17 shape: correlated aggregate subquery ----------------------------
+# `l_quantity < 0.2 * per-part average` — Catalyst decorrelates the
+# correlated scalar agg into an aggregate + join (the reference relies on
+# DuckDB's decorrelation for the same SQL; sql.py:160-205 delegation).
+def p43_q17_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_p43")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part_p43")
+    return spark.sql(
+        """
+        SELECT p.p_size,
+               FLOOR(SUM(l.l_extendedprice) / 7.0 * 100 + 0.5) / 100 AS avg_yearly
+        FROM li_p43 l JOIN part_p43 p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size <= 3
+          AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                              FROM li_p43 l2 WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY p.p_size ORDER BY p.p_size
+        """
+    )
+
+
+P43_SQL = """
+SELECT p.p_size,
+       FLOOR(SUM(l.l_extendedprice) / 7.0 * 100 + 0.5) / 100 AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size <= 3
+  AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+GROUP BY p.p_size ORDER BY p.p_size
+"""
+
+
+# --- P44 Q18 shape: IN over GROUP BY ... HAVING -------------------------------
+def p44_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_p44")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("ord_p44")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("cust_p44")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey,
+               FLOOR(o.o_totalprice * 100 + 0.5) / 100 AS price,
+               FLOOR(t.sq * 100 + 0.5) / 100 AS sq
+        FROM ord_p44 o
+        JOIN cust_p44 c ON c.c_custkey = o.o_custkey
+        JOIN (SELECT l_orderkey, SUM(l_quantity) AS sq
+              FROM li_p44 GROUP BY l_orderkey
+              HAVING SUM(l_quantity) > 150) t
+          ON t.l_orderkey = o.o_orderkey
+        ORDER BY o.o_orderkey
+        """
+    )
+
+
+P44_SQL = """
+SELECT c.c_custkey, o.o_orderkey,
+       FLOOR(o.o_totalprice * 100 + 0.5) / 100 AS price,
+       FLOOR(t.sq * 100 + 0.5) / 100 AS sq
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN (SELECT l_orderkey, SUM(l_quantity) AS sq
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150) t
+  ON t.l_orderkey = o.o_orderkey
+ORDER BY o.o_orderkey
+"""
+
+
+# --- P45 Q22 shape: scalar subquery + NOT EXISTS anti-join --------------------
+# "dormant" = no order since 2000-07-01 (order dates span 1995..2001; a
+# plain no-orders-at-all predicate is empty at every SF — dense fixtures)
+def p45_q22_dormant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("cust_p45")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("ord_p45")
+    return spark.sql(
+        """
+        SELECT c.c_nationkey, COUNT(*) AS numcust,
+               FLOOR(SUM(c.c_acctbal) * 100 + 0.5) / 100 AS totacct
+        FROM cust_p45 c
+        WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM cust_p45 c2
+                             WHERE c2.c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM ord_p45 o WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= DATE '2000-07-01')
+        GROUP BY c.c_nationkey ORDER BY c.c_nationkey
+        """
+    )
+
+
+P45_SQL = """
+SELECT c.c_nationkey, COUNT(*) AS numcust,
+       FLOOR(SUM(c.c_acctbal) * 100 + 0.5) / 100 AS totacct
+FROM customer c
+WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                     WHERE c2.c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= DATE '2000-07-01')
+GROUP BY c.c_nationkey ORDER BY c.c_nationkey
+"""
+
+
 PROBES_EXT = {
     "p33_cube": (p33_cube, P33_SQL),
     "p34_grouping_sets": (p34_grouping_sets, P34_SQL),
@@ -306,4 +404,7 @@ PROBES_EXT = {
     "p40_range_frame": (p40_range_frame, P40_SQL),
     "p41_dist_windows": (p41_dist_windows, P41_SQL),
     "p42_pivot": (p42_pivot, P42_SQL),
+    "p43_q17_correlated": (p43_q17_correlated, P43_SQL),
+    "p44_q18_big_orders": (p44_q18_big_orders, P44_SQL),
+    "p45_q22_dormant": (p45_q22_dormant, P45_SQL),
 }
