@@ -1052,6 +1052,52 @@ class EngineSession:
             return self.spark.sql(
                 f"SELECT name AS `{kind.capitalize()}` FROM information_schema_{kind} ORDER BY 1"
             )
+        # MySQL-client introspection commands (command_executor.py:283-570
+        # answers these from constants/session state so clients connect)
+        vm = re.match(r"SHOW\s+(?:SESSION\s+|GLOBAL\s+)?VARIABLES(?:\s+LIKE\s+'([^']*)')?$",
+                      s, re.IGNORECASE)
+        if vm:
+            rows = sorted(
+                {**{k: v.strip("'") for k, v in self._vars.items()},
+                 **{k: str(v) for k, v in self.session_vars.items()}}.items()
+            )
+            if vm.group(1):
+                pat = re.compile(vm.group(1).replace("%", ".*").replace("_", ".") + "$",
+                                 re.IGNORECASE)
+                rows = [r for r in rows if pat.match(r[0])]
+            return self.spark.createDataFrame(
+                rows or [("", "")], "Variable_name string, Value string"
+            ).filter("Variable_name != ''")
+        if u in ("SHOW STATUS", "SHOW SESSION STATUS", "SHOW GLOBAL STATUS",
+                 "SHOW FUNCTION STATUS", "SHOW PROCEDURE STATUS"):
+            return self.spark.createDataFrame([], "Variable_name string, Value string")
+        if u == "SHOW ENGINES":
+            return self.spark.createDataFrame(
+                [("Spark", "DEFAULT", "Apache Spark via mindsdb_spark")],
+                "Engine string, Support string, Comment string",
+            )
+        if u in ("SHOW CHARSET", "SHOW CHARACTER SET"):
+            self._refresh_information_schema()
+            return self.spark.sql(
+                "SELECT character_set_name AS `Charset`, description AS `Description`, "
+                "default_collate_name AS `Default collation`, maxlen AS `Maxlen` "
+                "FROM information_schema_character_sets ORDER BY 1"
+            )
+        if u == "SHOW COLLATION":
+            return self.spark.createDataFrame(
+                [("utf8mb4_general_ci", "utf8mb4", 45, "Yes"), ("binary", "binary", 63, "Yes")],
+                "Collation string, Charset string, Id int, Default string",
+            )
+        cm = re.match(r"SHOW\s+CREATE\s+TABLE\s+([\w.`]+)$", s, re.IGNORECASE)
+        if cm:
+            name = cm.group(1).strip("`")
+            tbl = name.split(".")[-1].lower()
+            fields = self.spark.table(self.rewrite(name)).schema.fields
+            cols = ",\n".join(f"  `{f.name}` {f.dataType.simpleString()}" for f in fields)
+            ddl = f"CREATE TABLE `{tbl}` (\n{cols}\n)"
+            return self.spark.createDataFrame(
+                [(tbl, ddl)], "Table string, `Create Table` string"
+            )
         if u == "SHOW DATABASES" or u == "SHOW SCHEMAS":
             self._refresh_information_schema()
             return self.spark.sql(

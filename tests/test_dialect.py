@@ -180,3 +180,22 @@ def test_information_schema_breadth(spark, sf_dir):
     assert {r[0] for r in st} == {"tpch"}
     mle = {r[0] for r in sess.sql("SELECT name FROM information_schema.ml_engines").collect()}
     assert {"spark_ml_linreg", "spark_ml_kmeans"} <= mle
+
+
+def test_mysql_client_show_commands(spark, sf_dir):
+    # the introspection statements every MySQL client fires on connect
+    # (command_executor.py:283-570)
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir)
+    vs = {r["Variable_name"]: r["Value"] for r in sess.sql("SHOW VARIABLES").collect()}
+    assert vs["version_comment"] == "mindsdb-spark" and "autocommit" in vs
+    like = sess.sql("SHOW VARIABLES LIKE 'version%'").collect()
+    assert {r["Variable_name"] for r in like} >= {"version", "version_comment"}
+    assert sess.sql("SHOW STATUS").count() == 0
+    assert sess.sql("SHOW ENGINES").collect()[0]["Engine"] == "Spark"
+    cs = {r["Charset"] for r in sess.sql("SHOW CHARACTER SET").collect()}
+    assert "utf8mb4" in cs
+    assert sess.sql("SHOW COLLATION").count() == 2
+    row = sess.sql("SHOW CREATE TABLE tpch_nation").collect()[0]
+    assert row["Table"] == "tpch_nation"
+    assert "`n_name` string" in row["Create Table"]
