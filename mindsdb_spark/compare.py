@@ -26,11 +26,16 @@ from mindsdb_spark.catalog import TPCH_TABLES
 
 def duckdb_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
     """Run an oracle query on a fresh DuckDB with fixture views registered."""
+    import os
+
     import duckdb
 
     con = duckdb.connect()
     for t in TPCH_TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # split multi-file layout (bench._prepare_split)
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con.sql(sql).df()
 
 

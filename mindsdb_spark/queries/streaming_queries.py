@@ -26,6 +26,16 @@ _EVENTS_STREAM_SCHEMA = (
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.streaming.windows import stream_from_parquet
 
+    split_dir = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(split_dir):
+        # multi-file copy (bench split layout): ts is already a proper
+        # timestamp column, and every part file is a stream input
+        return stream_from_parquet(
+            spark,
+            split_dir,
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string",
+        )
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = stream_from_parquet(
         spark, sf_dir, _EVENTS_STREAM_SCHEMA, path_glob="events.parquet"

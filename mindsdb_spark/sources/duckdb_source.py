@@ -50,7 +50,12 @@ class DuckDBSource:
         src = cls(spark)
         for t in tables:
             path = os.path.join(directory, f"{t}.parquet")
-            if os.path.exists(path):
+            if os.path.isdir(path):  # multi-file table (split layout)
+                src.con.execute(
+                    f"CREATE OR REPLACE VIEW {t} AS "
+                    f"SELECT * FROM read_parquet('{path}/*.parquet')"
+                )
+            elif os.path.exists(path):
                 src.con.execute(
                     f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
                 )

@@ -68,10 +68,28 @@ def read_file(spark: SparkSession, path: str, **options) -> DataFrame:
             ) from ex
         return spark.createDataFrame(pdf)
     if fmt == "pdf":
-        raise NotImplementedError(
-            "pdf text extraction requires a pdf library not present in this "
-            "container; the reference uses pymupdf (file_reader.py:27-214)"
-        )
+        # one row per page, (page, text) — activates when a pdf lib exists
+        # (the reference uses pymupdf, file_reader.py:27-214)
+        pages = None
+        try:
+            import pypdf
+
+            reader = pypdf.PdfReader(path)
+            pages = [(i + 1, p.extract_text() or "") for i, p in enumerate(reader.pages)]
+        except ImportError:
+            try:
+                import fitz  # pymupdf
+
+                with fitz.open(path) as doc:
+                    pages = [(i + 1, page.get_text()) for i, page in enumerate(doc)]
+            except ImportError:
+                pass
+        if pages is None:
+            raise NotImplementedError(
+                "pdf text extraction requires pypdf or pymupdf; neither is "
+                "present in this container (reference: file_reader.py:27-214)"
+            )
+        return spark.createDataFrame(pages, "page int, text string")
     sep = "\t" if path.endswith(".tsv") else options.pop("sep", ",")
     return (
         spark.read.options(header=True, inferSchema=True, sep=sep, **options).csv(path)

@@ -10,6 +10,7 @@ import pandas as pd
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from mindsdb_spark.operators.temporal import asof_join, range_join
 
@@ -86,3 +87,57 @@ def test_range_join_matches_bruteforce(spark, points, ivs):
         if pk == ik and s <= pt <= e
     )
     assert got == exp
+
+
+@st.composite
+def _docs(draw, max_rows=10):
+    n = draw(st.integers(min_value=1, max_value=max_rows))
+    words = ["alpha", "beta", "gamma", "delta", "x"]
+    return [
+        (i, " ".join(draw(st.lists(st.sampled_from(words), min_size=0, max_size=8))))
+        for i in range(n)
+    ]
+
+
+@_settings
+@given(docs=_docs(), budget=st.integers(min_value=1, max_value=20))
+def test_pack_sequences_matches_running_sum(spark, docs, budget):
+    # bin assignment must equal the python running-sum reference, and bins
+    # within a stratum must be contiguous starting at 0
+    from mindsdb_spark.operators.curation import pack_sequences
+
+    rows = [(i, "s", max(len(t.split()), 0) if t.strip() else 0) for i, t in docs]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    got = {r.doc_id: r.bin for r in pack_sequences(df, budget).collect()}
+    cum = 0
+    for i, _lang, n in sorted(rows):
+        assert got[i] == cum // budget
+        cum += n
+
+
+@_settings
+@given(docs=_docs())
+def test_contamination_matches_set_overlap(spark, docs):
+    # contamination == python-set overlap of 3-gram shingles
+    from mindsdb_spark.operators.curation import contamination_check
+    from mindsdb_spark.operators.dedup import shingle_hashes
+
+    def sh_set(text):
+        w = text.lower().split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    bench_ids = [i for i, _t in docs][: max(1, len(docs) // 2)]
+    rows = [(i, t) for i, t in docs if len(t.split()) >= 3]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingle_hashes(df)
+    bench = sh.filter(F.col("doc_id").isin(bench_ids))
+    train = sh.filter(~F.col("doc_id").isin(bench_ids))
+    got = {r.doc_id: (r.n_hit, r.n_sh) for r in contamination_check(train, bench).collect()}
+    bench_set = set().union(*[sh_set(t) for i, t in rows if i in bench_ids], set())
+    for i, t in rows:
+        if i in bench_ids:
+            continue
+        s = sh_set(t)
+        assert got[i] == (len(s & bench_set), len(s))
