@@ -393,6 +393,291 @@ GROUP BY c.c_nationkey ORDER BY c.c_nationkey
 """
 
 
+# --- P46 Q7 shape: volume shipping between two nations ------------------------
+# Classic bidirectional nation-pair filter; the disjunctive pair predicate
+# lands on the joined row, revenue grouped by (supp_nation, cust_nation, yr).
+# Reference reaches this via DuckDB delegation (sql.py:160-205).
+def p46_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"{t}_p46")
+    return spark.sql(
+        """
+        SELECT supp_nation, cust_nation, yr,
+               FLOOR(SUM(volume) * 100 + 0.5) / 100 AS revenue
+        FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     YEAR(l.l_shipdate) AS yr,
+                     l.l_extendedprice * (1 - l.l_discount) AS volume
+              FROM supplier_p46 s
+              JOIN lineitem_p46 l ON s.s_suppkey = l.l_suppkey
+              JOIN orders_p46 o ON o.o_orderkey = l.l_orderkey
+              JOIN customer_p46 c ON c.c_custkey = o.o_custkey
+              JOIN nation_p46 n1 ON s.s_nationkey = n1.n_nationkey
+              JOIN nation_p46 n2 ON c.c_nationkey = n2.n_nationkey
+              WHERE (n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+                 OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20')) shipping
+        GROUP BY supp_nation, cust_nation, yr
+        ORDER BY supp_nation, cust_nation, yr
+        """
+    )
+
+
+P46_SQL = """
+SELECT supp_nation, cust_nation, yr,
+       FLOOR(SUM(volume) * 100 + 0.5) / 100 AS revenue
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             YEAR(l.l_shipdate) AS yr,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+         OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20')) shipping
+GROUP BY supp_nation, cust_nation, yr
+ORDER BY supp_nation, cust_nation, yr
+"""
+
+
+# --- P47 Q8 shape: market share of one nation in a region ---------------------
+# Conditional-sum-over-sum ratio per year; 6-way join with region pruning.
+def p47_q8_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "orders", "customer", "supplier", "nation", "region", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"{t}_p47")
+    return spark.sql(
+        """
+        SELECT yr,
+               FLOOR(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
+                     / SUM(volume) * 10000 + 0.5) / 10000 AS mkt_share
+        FROM (SELECT YEAR(o.o_orderdate) AS yr,
+                     l.l_extendedprice * (1 - l.l_discount) AS volume,
+                     n1.n_name AS supp_nation
+              FROM part_p47 p
+              JOIN lineitem_p47 l ON p.p_partkey = l.l_partkey
+              JOIN supplier_p47 s ON s.s_suppkey = l.l_suppkey
+              JOIN orders_p47 o ON o.o_orderkey = l.l_orderkey
+              JOIN customer_p47 c ON c.c_custkey = o.o_custkey
+              JOIN nation_p47 n2 ON c.c_nationkey = n2.n_nationkey
+              JOIN region_p47 r ON n2.n_regionkey = r.r_regionkey
+              JOIN nation_p47 n1 ON s.s_nationkey = n1.n_nationkey
+              WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO') t
+        GROUP BY yr ORDER BY yr
+        """
+    )
+
+
+P47_SQL = """
+SELECT yr,
+       FLOOR(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
+             / SUM(volume) * 10000 + 0.5) / 10000 AS mkt_share
+FROM (SELECT YEAR(o.o_orderdate) AS yr,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n1.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      JOIN region r ON n2.n_regionkey = r.r_regionkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO') t
+GROUP BY yr ORDER BY yr
+"""
+
+
+# --- P48 Q9 shape: profit by supplier nation and year -------------------------
+# (fixtures carry no partsupp/ps_supplycost, so profit = discounted revenue;
+# the operator shape — LIKE-filtered part join, 5-way, two-key group — holds)
+def p48_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "orders", "supplier", "nation", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"{t}_p48")
+    return spark.sql(
+        """
+        SELECT nation, yr, FLOOR(SUM(amount) * 100 + 0.5) / 100 AS sum_profit
+        FROM (SELECT n.n_name AS nation, YEAR(o.o_orderdate) AS yr,
+                     l.l_extendedprice * (1 - l.l_discount) AS amount
+              FROM part_p48 p
+              JOIN lineitem_p48 l ON p.p_partkey = l.l_partkey
+              JOIN supplier_p48 s ON s.s_suppkey = l.l_suppkey
+              JOIN orders_p48 o ON o.o_orderkey = l.l_orderkey
+              JOIN nation_p48 n ON s.s_nationkey = n.n_nationkey
+              WHERE p.p_name LIKE '%red%') profit
+        GROUP BY nation, yr ORDER BY nation, yr DESC
+        """
+    )
+
+
+P48_SQL = """
+SELECT nation, yr, FLOOR(SUM(amount) * 100 + 0.5) / 100 AS sum_profit
+FROM (SELECT n.n_name AS nation, YEAR(o.o_orderdate) AS yr,
+             l.l_extendedprice * (1 - l.l_discount) AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%red%') profit
+GROUP BY nation, yr ORDER BY nation, yr DESC
+"""
+
+
+# --- P49 Q14 shape: promo revenue share per month -----------------------------
+def p49_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"{t}_p49")
+    return spark.sql(
+        """
+        SELECT DATE_TRUNC('month', l.l_shipdate) AS mon,
+               FLOOR(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                      THEN l.l_extendedprice * (1 - l.l_discount)
+                                      ELSE 0 END)
+                     / SUM(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5)
+               / 100 AS promo_revenue
+        FROM lineitem_p49 l JOIN part_p49 p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01'
+        GROUP BY DATE_TRUNC('month', l.l_shipdate) ORDER BY mon
+        """
+    )
+
+
+P49_SQL = """
+SELECT CAST(DATE_TRUNC('month', l.l_shipdate) AS TIMESTAMP) AS mon,
+       FLOOR(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5)
+       / 100 AS promo_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01'
+GROUP BY DATE_TRUNC('month', l.l_shipdate) ORDER BY mon
+"""
+
+
+# --- P50 Q19 shape: disjunction of conjunctive brand/size/qty predicates ------
+# Catalyst splits the common p_partkey = l_partkey conjunct out of the OR so
+# the join stays equi; the residual disjunction filters post-join.
+def p50_q19_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"{t}_p50")
+    return spark.sql(
+        """
+        SELECT FLOOR(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5)
+               / 100 AS revenue,
+               COUNT(*) AS nrows
+        FROM lineitem_p50 l JOIN part_p50 p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 20)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+               AND l.l_quantity BETWEEN 10 AND 40)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 5 AND 50
+               AND l.l_quantity BETWEEN 20 AND 50)
+        """
+    )
+
+
+P50_SQL = """
+SELECT FLOOR(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5)
+       / 100 AS revenue,
+       COUNT(*) AS nrows
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 40)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 5 AND 50
+       AND l.l_quantity BETWEEN 20 AND 50)
+"""
+
+
+# --- P51 Q20 shape: nested IN subqueries with HAVING threshold ----------------
+# (partsupp absent: availability is derived from shipped quantity per
+# supplier×part — same nested-IN + correlated-threshold operator shape)
+def p51_q20_nested_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "supplier", "nation", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"{t}_p51")
+    return spark.sql(
+        """
+        SELECT s.s_name, FLOOR(s.s_acctbal * 100 + 0.5) / 100 AS acctbal
+        FROM supplier_p51 s
+        JOIN nation_p51 n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_3'
+          AND s.s_suppkey IN (
+              SELECT l.l_suppkey FROM lineitem_p51 l
+              WHERE l.l_partkey IN (SELECT p.p_partkey FROM part_p51 p
+                                    WHERE p.p_name LIKE 'small%')
+                AND l.l_shipdate >= DATE '1996-01-01'
+              GROUP BY l.l_suppkey, l.l_partkey
+              HAVING SUM(l.l_quantity) > 50)
+        ORDER BY s.s_name
+        """
+    )
+
+
+P51_SQL = """
+SELECT s.s_name, FLOOR(s.s_acctbal * 100 + 0.5) / 100 AS acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_3'
+  AND s.s_suppkey IN (
+      SELECT l.l_suppkey FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p.p_partkey FROM part p
+                            WHERE p.p_name LIKE 'small%')
+        AND l.l_shipdate >= DATE '1996-01-01'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING SUM(l.l_quantity) > 50)
+ORDER BY s.s_name
+"""
+
+
+# --- P52 Q21 shape: EXISTS + NOT EXISTS against the same fact table -----------
+# "the only supplier whose returned line blocked a multi-supplier order":
+# EXISTS another supplier on the order, NOT EXISTS another supplier who also
+# returned — the reference reaches the same shape through DuckDB delegation.
+def p52_q21_multi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "orders", "supplier", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"{t}_p52")
+    return spark.sql(
+        """
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM supplier_p52 s
+        JOIN lineitem_p52 l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders_p52 o ON o.o_orderkey = l1.l_orderkey
+        JOIN nation_p52 n ON s.s_nationkey = n.n_nationkey
+        WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+          AND EXISTS (SELECT 1 FROM lineitem_p52 l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem_p52 l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name ORDER BY numwait DESC, s.s_name
+        """
+    )
+
+
+P52_SQL = """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name ORDER BY numwait DESC, s.s_name
+"""
+
+
 PROBES_EXT = {
     "p33_cube": (p33_cube, P33_SQL),
     "p34_grouping_sets": (p34_grouping_sets, P34_SQL),
@@ -407,4 +692,11 @@ PROBES_EXT = {
     "p43_q17_correlated": (p43_q17_correlated, P43_SQL),
     "p44_q18_big_orders": (p44_q18_big_orders, P44_SQL),
     "p45_q22_dormant": (p45_q22_dormant, P45_SQL),
+    "p46_q7_volume": (p46_q7_volume, P46_SQL),
+    "p47_q8_share": (p47_q8_share, P47_SQL),
+    "p48_q9_profit": (p48_q9_profit, P48_SQL),
+    "p49_q14_promo": (p49_q14_promo, P49_SQL),
+    "p50_q19_disjunct": (p50_q19_disjunct, P50_SQL),
+    "p51_q20_nested_in": (p51_q20_nested_in, P51_SQL),
+    "p52_q21_multi_exists": (p52_q21_multi_exists, P52_SQL),
 }
