@@ -174,3 +174,41 @@ def quantize_embeddings(
             q.alias("q"),
         )
     )
+
+
+def source_mixture(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Corpus-composition report: per-source docs, tokens, token share.
+
+    The "data mixture" table every pretraining run is configured from:
+    (source, n_docs, n_tokens, avg_tokens, token_share). Token share
+    divides by the corpus total carried on a single-row broadcast join —
+    the per-source aggregate is one map-side-combinable groupBy over the
+    (bounded) source domain, never a second corpus pass. Training-data
+    extension; no reference analog.
+    """
+    df = parallelize_input(df)
+    per_doc = df.select(
+        col(group_col), F.size(words_expr(col(text_col))).alias("__nt")
+    )
+    per_src = per_doc.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__nt").alias("n_tokens"),
+        _round6(F.avg("__nt")).alias("avg_tokens"),
+    )
+    total = per_src.agg(F.sum("n_tokens").alias("__total"))
+    return (
+        per_src.crossJoin(F.broadcast(total))
+        .select(
+            col(group_col),
+            "n_docs",
+            "n_tokens",
+            "avg_tokens",
+            _round6(col("n_tokens") / col("__total")).alias("token_share"),
+        )
+        .orderBy(group_col)
+    )

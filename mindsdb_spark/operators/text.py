@@ -141,3 +141,69 @@ def fingerprint_bottom_k(sh: DataFrame, id_col: str = "doc_id", k: int = 4) -> D
         .agg(topk.alias("__fps"))
         .select(col(id_col), F.explode("__fps").alias("fp"))
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition filters: duplicate / top n-gram fractions.
+
+    Per doc: (n_grams, n_distinct, dup_frac = 1 - distinct/total,
+    top_frac = most-frequent-gram count / total). Pretraining pipelines drop
+    docs with high duplicate-n-gram mass (the "repetition" rows of the
+    Gopher quality table; the reference has no equivalent — training-data
+    extension). One explode + one (doc, gram) hash-aggregate with map-side
+    combine; no cross-doc shuffle key skew since the key includes the doc id.
+    """
+    df = parallelize_input(df)
+    t = df.select(
+        col(id_col).alias(id_col), words_expr(col(text_col)).alias("__ws")
+    ).where(F.size("__ws") >= n)
+    gram = F.explode(
+        F.expr(
+            f"transform(sequence(1, size(__ws) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(__ws, i, {n})))"
+        )
+    ).alias("__g")
+    per = t.select(col(id_col), gram).groupBy(id_col, "__g").agg(F.count("*").alias("__c"))
+    total, dis, top = F.sum("__c"), F.count("*"), F.max("__c")
+    return per.groupBy(id_col).agg(
+        total.alias("n_grams"),
+        dis.alias("n_distinct"),
+        _round6(F.lit(1.0) - dis / total).alias("dup_frac"),
+        _round6(top / total).alias("top_frac"),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame, vocab_size: int = 100, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus top-V vocabulary coverage: per-doc OOV fraction.
+
+    Pass 1 builds the top-`vocab_size` token list (count desc, token asc —
+    the tie-break makes the vocabulary deterministic across engines and
+    partitionings); pass 2 broadcast-joins it back to the exploded tokens.
+    The vocabulary is bounded by V, so the join side is always
+    broadcastable no matter the corpus size; the token count aggregate is
+    map-side combinable. Training-data extension (no reference analog).
+    """
+    df = parallelize_input(df)
+    tok = df.select(
+        col(id_col), F.explode(words_expr(col(text_col))).alias("__tok")
+    )
+    vocab = (
+        tok.groupBy("__tok")
+        .agg(F.count("*").alias("__c"))
+        .orderBy(F.desc("__c"), F.asc("__tok"))
+        .limit(vocab_size)
+        .select("__tok")
+    )
+    joined = tok.join(
+        F.broadcast(vocab.withColumn("__in", F.lit(1))), on="__tok", how="left"
+    )
+    n_tok, in_v = F.count("*"), F.sum(F.coalesce(col("__in"), F.lit(0)))
+    return joined.groupBy(id_col).agg(
+        n_tok.alias("n_tokens"),
+        in_v.alias("in_vocab"),
+        _round6(F.lit(1.0) - in_v / n_tok).alias("oov_frac"),
+    )

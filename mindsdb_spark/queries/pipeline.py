@@ -495,6 +495,68 @@ ORDER BY vec_id, lane
 """
 
 
+# --- D21 repetition signals (Gopher-style duplicate n-gram fractions) --------
+def d21_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.text import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+D21_SQL = f"""
+WITH {_WORDS},
+g AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i + 1])) AS g
+      FROM words WHERE len(w) >= 2),
+per AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
+SELECT doc_id, sum(c) AS n_grams, count(*) AS n_distinct,
+       floor((1.0 - count(*) / CAST(sum(c) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS dup_frac,
+       floor((max(c) / CAST(sum(c) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS top_frac
+FROM per GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --- D22 corpus top-V vocabulary coverage / OOV fraction ---------------------
+def d22_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.text import vocab_coverage
+
+    return vocab_coverage(_t(spark, sf_dir, "documents"), vocab_size=50).orderBy("doc_id")
+
+
+D22_SQL = f"""
+WITH {_WORDS},
+tok AS (SELECT doc_id, unnest(w) AS tok FROM words),
+tf AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+vocab AS (SELECT tok FROM tf ORDER BY c DESC, tok LIMIT 50),
+j AS (SELECT t.doc_id, CASE WHEN v.tok IS NULL THEN 0 ELSE 1 END AS iv
+      FROM tok t LEFT JOIN vocab v USING (tok))
+SELECT doc_id, count(*) AS n_tokens, sum(iv) AS in_vocab,
+       floor((1.0 - sum(iv) / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS oov_frac
+FROM j GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --- D23 corpus composition (data-mixture report per source) -----------------
+def d23_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.curation import source_mixture
+
+    return source_mixture(_t(spark, sf_dir, "documents"))
+
+
+D23_SQL = r"""
+WITH s AS (SELECT source,
+                  len(string_split_regex(lower(trim(text)), '\s+')) AS nt
+           FROM documents),
+per AS (SELECT source, count(*) AS n_docs, sum(nt) AS n_tokens,
+               floor(avg(nt) * 1000000 + 0.5) / 1000000 AS avg_tokens
+        FROM s GROUP BY source),
+tot AS (SELECT sum(n_tokens) AS total FROM per)
+SELECT source, n_docs, n_tokens, avg_tokens,
+       floor((n_tokens / CAST(total AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS token_share
+FROM per, tot ORDER BY source
+"""
+
+
 # --- S01 BM25 keyword search -------------------------------------------------
 _Q_TERMS = ["spark", "join", "fast"]
 _TOKS = "toks AS (SELECT doc_id, unnest(w) AS term FROM words)"
@@ -861,6 +923,9 @@ PIPELINE = {
     "d18_stratified_sample": (d18_stratified_sample, D18_SQL),
     "d19_pack_sequences": (d19_pack_sequences, D19_SQL),
     "d20_quantize": (d20_quantize, D20_SQL),
+    "d21_repetition": (d21_repetition, D21_SQL),
+    "d22_vocab_oov": (d22_vocab_oov, D22_SQL),
+    "d23_source_mix": (d23_source_mix, D23_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),
