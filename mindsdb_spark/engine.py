@@ -73,6 +73,9 @@ _CREATE_VIEW_RE = re.compile(
     r"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.`]+)\s+AS\s+(.+)$", re.IGNORECASE | re.DOTALL
 )
 _DROP_VIEW_RE = re.compile(r"DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.`]+)$", re.IGNORECASE)
+_DROP_TABLE_RE = re.compile(
+    r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.`]+)$", re.IGNORECASE
+)
 # `CREATE JOB name AS (sql) EVERY n unit` — the reference's polling job
 # surface (mindsdb/interfaces/jobs/README.md:1-60, jobs_controller.py).
 _CREATE_JOB_RE = re.compile(
@@ -1243,6 +1246,20 @@ class EngineSession:
                 n = self._writable[srcname].delete(table, F.expr(self.rewrite(m.group(2))))
                 self._refresh_writable_views(srcname)
                 return self.spark.createDataFrame([(n,)], "deleted int")
+        m = _DROP_TABLE_RE.match(s)
+        if m:
+            # reference: command_executor.py DropTables branch — drop against
+            # the owning integration; views are dropped from both namespaces
+            if_exists = bool(m.group(1))
+            srcname, table = self._resolve_writable(m.group(2))
+            if srcname is None:
+                if if_exists:
+                    return self.spark.createDataFrame([(m.group(2).lower(),)], "dropped string")
+                raise KeyError(f"table {m.group(2)!r} does not exist in any writable source")
+            self._writable[srcname].drop_table(table, if_exists=if_exists)
+            for v in (table, f"{srcname}_{table}"):
+                self.spark.catalog.dropTempView(v)
+            return self.spark.createDataFrame([(table,)], "dropped string")
         m = _CREATE_VIEW_RE.match(s)
         if m:
             # Views are stored SQL expanded per query, like the reference's

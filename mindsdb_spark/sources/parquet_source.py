@@ -63,6 +63,15 @@ class ParquetSource:
         """INSERT INTO … (append)."""
         df.write.mode("append").parquet(self._path(table))
 
+    def drop_table(self, table: str, if_exists: bool = False) -> None:
+        """DROP TABLE [IF EXISTS] (reference: command_executor.py DropTables
+        branch — drops against the integration; here the parquet dir)."""
+        if not self.exists(table):
+            if if_exists:
+                return
+            raise KeyError(f"table {table!r} does not exist")
+        shutil.rmtree(self._path(table))
+
     def delete(self, table: str, condition) -> int:
         """DELETE FROM table WHERE condition; returns rows deleted.
 

@@ -90,3 +90,15 @@ def test_delete_without_writable_source_falls_through(wsess):
     # DELETE against a non-writable table is not hijacked; Spark rejects it
     with pytest.raises(Exception):
         wsess.sql("DELETE FROM tpch_orders WHERE o_orderkey = 1").collect()
+
+
+def test_drop_table_lifecycle(wsess):
+    wsess.sql("CREATE TABLE wh.tmp_t AS SELECT 1 AS a")
+    assert wsess.sql("SELECT count(*) AS n FROM wh_tmp_t").collect()[0]["n"] == 1
+    wsess.sql("DROP TABLE wh.tmp_t")
+    with pytest.raises(Exception):
+        wsess.sql("SELECT * FROM wh_tmp_t").collect()
+    # idempotent under IF EXISTS, error without
+    wsess.sql("DROP TABLE IF EXISTS wh.tmp_t")
+    with pytest.raises(KeyError):
+        wsess.sql("DROP TABLE wh.tmp_t")
