@@ -96,3 +96,32 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_q7_volume_broadcasts_dims_no_cartesian(spark, sf_dir):
+    from mindsdb_spark.queries.probes_ext import PROBES_EXT
+
+    plan = _plan(PROBES_EXT["p46_q7_volume"][0](spark, sf_dir))
+    # the disjunctive nation-pair predicate must not degrade the 5 equi
+    # joins into a nested-loop plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q9_like_filter_pushed_to_part_scan(spark, sf_dir):
+    from mindsdb_spark.queries.probes_ext import PROBES_EXT
+
+    plan = _plan(PROBES_EXT["p48_q9_profit"][0](spark, sf_dir))
+    assert "StringContains(p_name,red)" in plan  # LIKE '%red%' reaches the scan
+
+
+def test_q19_disjunction_keeps_equi_join(spark, sf_dir):
+    from mindsdb_spark.queries.probes_ext import PROBES_EXT
+
+    plan = _plan(PROBES_EXT["p50_q19_disjunct"][0](spark, sf_dir))
+    # Catalyst factors the common p_partkey equi-conjunct out of the OR:
+    # the join must stay hash-based with the residual OR as post-filter
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
