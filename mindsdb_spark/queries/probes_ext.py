@@ -678,6 +678,46 @@ GROUP BY s.s_name ORDER BY numwait DESC, s.s_name
 """
 
 
+# --- P53 ordered funnel over the event stream ---------------------------------
+# view → click → purchase with strictly increasing timestamps per user; each
+# stage joins the previous stage's first-reach time and takes the first
+# qualifying event after it. Three bounded aggregates (one row per user per
+# stage) — at scale each stage is a map-side-combinable groupBy plus an
+# equi-join on user_id; no window over the whole stream is needed.
+def p53_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("ev_p53")
+    return spark.sql(
+        """
+        WITH a AS (SELECT user_id, MIN(ts) AS t1 FROM ev_p53
+                   WHERE event_type = 'view' GROUP BY user_id),
+        b AS (SELECT e.user_id, MIN(e.ts) AS t2
+              FROM ev_p53 e JOIN a ON a.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > a.t1 GROUP BY e.user_id),
+        c AS (SELECT e.user_id, MIN(e.ts) AS t3
+              FROM ev_p53 e JOIN b ON b.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > b.t2 GROUP BY e.user_id)
+        SELECT (SELECT COUNT(*) FROM a) AS n_view,
+               (SELECT COUNT(*) FROM b) AS n_click,
+               (SELECT COUNT(*) FROM c) AS n_purchase
+        """
+    )
+
+
+P53_SQL = """
+WITH a AS (SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+b AS (SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN a ON a.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > a.t1 GROUP BY e.user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN b ON b.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > b.t2 GROUP BY e.user_id)
+SELECT (SELECT COUNT(*) FROM a) AS n_view,
+       (SELECT COUNT(*) FROM b) AS n_click,
+       (SELECT COUNT(*) FROM c) AS n_purchase
+"""
+
+
 PROBES_EXT = {
     "p33_cube": (p33_cube, P33_SQL),
     "p34_grouping_sets": (p34_grouping_sets, P34_SQL),
@@ -699,4 +739,5 @@ PROBES_EXT = {
     "p50_q19_disjunct": (p50_q19_disjunct, P50_SQL),
     "p51_q20_nested_in": (p51_q20_nested_in, P51_SQL),
     "p52_q21_multi_exists": (p52_q21_multi_exists, P52_SQL),
+    "p53_funnel": (p53_funnel, P53_SQL),
 }

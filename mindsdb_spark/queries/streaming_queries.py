@@ -139,9 +139,43 @@ SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
 """
 
 
+def st05_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins the static
+    customer dimension (broadcast by Catalyst — the static side is planned
+    like any batch relation), then a watermarked tumbling aggregation per
+    market segment. The reference has no streaming joins at all; this is
+    the canonical Structured Streaming enrichment shape. Oracle: the same
+    join+agg as batch SQL."""
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.streaming.windows import run_available_now
+
+    ev = _event_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        ev.join(cust, "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .select(
+            F.col("w.start").alias("h"), F.col("c_mktsegment").alias("seg"), "n", "sv"
+        )
+    )
+    return run_available_now(agg, "complete").orderBy("h", "seg")
+
+
+ST05_SQL = """
+SELECT date_trunc('hour', e.ts) AS h, c.c_mktsegment AS seg,
+       count(*) AS n, round(sum(e.value), 2) AS sv
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY date_trunc('hour', e.ts), c.c_mktsegment ORDER BY h, seg
+"""
+
+
 STREAMING_QUERIES = {
     "st01_stream_tumbling": (st01_stream_tumbling, ST01_SQL),
     "st02_stream_sessions": (st02_stream_sessions, ST02_SQL),
     "st03_stream_sliding": (st03_stream_sliding, ST03_SQL),
     "st04_stream_dedup": (st04_stream_dedup, ST04_SQL),
+    "st05_stream_enrich": (st05_stream_enrich, ST05_SQL),
 }
