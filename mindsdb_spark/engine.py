@@ -52,6 +52,12 @@ MAX_UDF_ARGS = 4
 _IS_RE = re.compile(r"\binformation_schema\s*\.\s*", re.IGNORECASE)
 _SHOW_TABLES_RE = re.compile(r"SHOW\s+(?:FULL\s+)?TABLES(?:\s+(?:FROM|IN)\s+`?(\w+)`?)?$", re.IGNORECASE)
 _DESCRIBE_RE = re.compile(r"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.`]+)$", re.IGNORECASE)
+# MySQL-client alias for DESCRIBE (mysql CLI tab-completion issues these)
+_SHOW_COLUMNS_RE = re.compile(
+    r"SHOW\s+(?:FULL\s+)?COLUMNS\s+(?:FROM|IN)\s+([\w.`]+)"
+    r"(?:\s+(?:FROM|IN)\s+([\w`]+))?$",
+    re.IGNORECASE,
+)
 # `SELECT <cols> FROM <agent> WHERE question = '...'` — the reference treats
 # agents as virtual model tables with to_predict='answer'
 # (mindsdb/api/executor/sql_query/sql_query.py:148-161).
@@ -1511,10 +1517,12 @@ class EngineSession:
                 "name string, version int, active boolean, predict_columns string, "
                 "kind string, engine string, training_query string",
             )
-        m = _DESCRIBE_RE.match(s)
+        m = _DESCRIBE_RE.match(s) or _SHOW_COLUMNS_RE.match(s)
         if m:
             self._refresh_information_schema()
             name = m.group(1).lower().strip("`")
+            if m.re is _SHOW_COLUMNS_RE and m.group(2):
+                name = f"{m.group(2).lower().strip('`')}.{name}"
             parts = name.split(".")
             cond = f"table_name = '{parts[-1]}'"
             if len(parts) > 1:

@@ -477,7 +477,12 @@ def d20_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
     return q.select(
-        "vec_id", "amax", F.posexplode("q").alias("lane", "qv")
+        # posexplode_outer: plain posexplode injects a `size(q)>0 AND q IS
+        # NOT NULL` pre-filter that re-evaluates the whole quantization
+        # lambda twice more per row after project-collapse; vectors are
+        # never empty, so outer semantics are identical and the transform
+        # runs once
+        "vec_id", "amax", F.posexplode_outer("q").alias("lane", "qv")
     ).orderBy("vec_id", "lane")
 
 

@@ -199,3 +199,6 @@ def test_mysql_client_show_commands(spark, sf_dir):
     row = sess.sql("SHOW CREATE TABLE tpch_nation").collect()[0]
     assert row["Table"] == "tpch_nation"
     assert "`n_name` string" in row["Create Table"]
+    cols = [r["Field"] for r in sess.sql("SHOW COLUMNS FROM region").collect()]
+    assert cols == ["r_regionkey", "r_name"]
+    assert sess.sql("SHOW FULL COLUMNS IN nation FROM tpch").count() == 3
