@@ -172,10 +172,61 @@ GROUP BY date_trunc('hour', e.ts), c.c_mktsegment ORDER BY h, seg
 """
 
 
+def st06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join: clicks joined to purchases by the same
+    user within the following 30 minutes. Both sides are watermarked so the
+    join state is bounded (Spark retains only the watermark horizon per
+    side); the time-range conjunct is what makes state eviction possible —
+    the canonical funnel-attribution shape. Far beyond the reference's
+    polling-job approximation. Oracle: the identical batch interval join —
+    inner stream-stream joins emit exactly the pair set batch computes."""
+    from mindsdb_spark.streaming.windows import run_available_now
+
+    ev = _event_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    pairs = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.user_id)
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        clicks.user_id.alias("user_id"), "click_id", "purchase_id"
+    )
+    return run_available_now(pairs, "append").orderBy("user_id", "click_id", "purchase_id")
+
+
+ST06_SQL = """
+SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+ORDER BY user_id, click_id, purchase_id
+"""
+
+
 STREAMING_QUERIES = {
     "st01_stream_tumbling": (st01_stream_tumbling, ST01_SQL),
     "st02_stream_sessions": (st02_stream_sessions, ST02_SQL),
     "st03_stream_sliding": (st03_stream_sliding, ST03_SQL),
     "st04_stream_dedup": (st04_stream_dedup, ST04_SQL),
     "st05_stream_enrich": (st05_stream_enrich, ST05_SQL),
+    "st06_stream_stream_join": (st06_stream_stream_join, ST06_SQL),
 }
