@@ -141,3 +141,51 @@ def test_contamination_matches_set_overlap(spark, docs):
             continue
         s = sh_set(t)
         assert got[i] == (len(s & bench_set), len(s))
+
+
+@_settings
+@given(docs=_docs())
+def test_repetition_signals_match_counter(spark, docs):
+    # dup/top n-gram fractions == python collections.Counter reference;
+    # docs with fewer than n tokens are excluded on both sides
+    from collections import Counter
+
+    from mindsdb_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_signals(df).collect()}
+    import math
+
+    for i, t in docs:
+        ws = t.lower().strip().split() if t.strip() else [""]
+        grams = [" ".join(ws[j:j + 2]) for j in range(len(ws) - 1)]
+        if len(ws) < 2:
+            assert i not in got
+            continue
+        c = Counter(grams)
+        r = got[i]
+        assert r.n_grams == len(grams) and r.n_distinct == len(c)
+        assert r.dup_frac == math.floor((1.0 - len(c) / len(grams)) * 1e6 + 0.5) / 1e6
+        assert r.top_frac == math.floor((max(c.values()) / len(grams)) * 1e6 + 0.5) / 1e6
+
+
+@_settings
+@given(docs=_docs(), v=st.integers(min_value=1, max_value=4))
+def test_vocab_coverage_matches_python(spark, docs, v):
+    # top-V vocab with (count desc, token asc) tie-break, then OOV fractions
+    from collections import Counter
+
+    import math
+
+    from mindsdb_spark.operators.text import vocab_coverage
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in vocab_coverage(df, vocab_size=v).collect()}
+    toks = {i: (t.lower().strip().split() if t.strip() else [""]) for i, t in docs}
+    cnt = Counter(tok for ws in toks.values() for tok in ws)
+    vocab = {t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:v]}
+    for i, ws in toks.items():
+        r = got[i]
+        in_v = sum(1 for tok in ws if tok in vocab)
+        assert (r.n_tokens, r.in_vocab) == (len(ws), in_v)
+        assert r.oov_frac == math.floor((1.0 - in_v / len(ws)) * 1e6 + 0.5) / 1e6
