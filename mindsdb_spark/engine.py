@@ -65,6 +65,37 @@ _CTAS_RE = re.compile(
     r"CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+([\w.`]+)\s+AS\s+(SELECT.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+# CREATE TABLE with an explicit column list (empty table for later INSERTs;
+# reference: integration_datanode.py:162-244 renders the same DDL remotely)
+_CREATE_EMPTY_RE = re.compile(
+    r"CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s*"
+    r"\(\s*([\w`\s,()]+)\)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_TRUNCATE_RE = re.compile(r"TRUNCATE\s+(?:TABLE\s+)?([\w.`]+)$", re.IGNORECASE)
+
+_SQL_TYPE_MAP = {
+    "int": "int", "integer": "int", "mediumint": "int",
+    "bigint": "long", "smallint": "short", "tinyint": "byte",
+    "float": "float", "real": "float", "double": "double",
+    "text": "string", "varchar": "string", "char": "string", "string": "string",
+    "json": "string", "enum": "string",
+    "date": "date", "datetime": "timestamp", "timestamp": "timestamp",
+    "boolean": "boolean", "bool": "boolean",
+    "blob": "binary", "binary": "binary", "varbinary": "binary",
+}
+
+
+def _sql_type_to_spark(t: str) -> str:
+    """MySQL column type → Spark SQL type (reference type map shape:
+    integrations/libs/handler_helpers + integration_datanode DDL render)."""
+    t = t.strip().lower()
+    # strip trailing column attributes (NOT NULL, DEFAULT ..., PRIMARY KEY)
+    head = t.split("(")[0].split()[0] if t else "string"
+    if head in ("decimal", "numeric"):
+        inner = t[t.find("("):t.find(")") + 1] if "(" in t else "(10,0)"
+        return f"decimal{inner}"
+    return _SQL_TYPE_MAP.get(head, "string")
 _INSERT_RE = re.compile(
     r"INSERT\s+INTO\s+([\w.`]+)\s*(?:\(([\w`,\s]+)\)\s*)?(VALUES\s*\(.+|SELECT\s+.+)$",
     re.IGNORECASE | re.DOTALL,
@@ -1167,6 +1198,36 @@ class EngineSession:
         if m:
             self._ml_engines.pop(m.group(1).lower(), None)
             return self.spark.createDataFrame([(m.group(1).lower(),)], "ml_engine string")
+        m = _CREATE_EMPTY_RE.match(s)
+        if m and " AS " not in s.upper():
+            srcname, table = self._resolve_writable(m.group(2))
+            if srcname is None and "." in m.group(2):
+                cand = m.group(2).lower().strip("`").split(".")[0]
+                srcname = cand if cand in self._writable else None
+                table = m.group(2).lower().strip("`").split(".")[-1]
+            if srcname is not None:
+                from mindsdb_spark.dialect.rewriter import split_top_level
+
+                fields = []
+                for item in split_top_level(m.group(3)):
+                    toks = item.strip().split(None, 1)
+                    if not toks or toks[0].lower() in ("primary", "unique", "key", "index", "constraint"):
+                        continue  # table-level constraints: no-op on parquet
+                    typ = toks[1] if len(toks) > 1 else "string"
+                    fields.append(f"{toks[0].strip('`')} {_sql_type_to_spark(typ)}")
+                df = self.spark.createDataFrame([], ", ".join(fields))
+                self._writable[srcname].create_table(table, df, replace=bool(m.group(1)))
+                self._refresh_writable_views(srcname)
+                return self.spark.createDataFrame([(table,)], "created string")
+        m = _TRUNCATE_RE.match(s)
+        if m:
+            srcname, table = self._resolve_writable(m.group(1))
+            if srcname is None:
+                raise KeyError(f"table {m.group(1)!r} does not exist in any writable source")
+            ps = self._writable[srcname]
+            ps.create_table(table, ps.read(table).limit(0), replace=True)
+            self._refresh_writable_views(srcname)
+            return self.spark.createDataFrame([(table,)], "truncated string")
         m = _CTAS_RE.match(s)
         if m:
             srcname, table = self._resolve_writable(m.group(2))

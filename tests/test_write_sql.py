@@ -102,3 +102,22 @@ def test_drop_table_lifecycle(wsess):
     wsess.sql("DROP TABLE IF EXISTS wh.tmp_t")
     with pytest.raises(KeyError):
         wsess.sql("DROP TABLE wh.tmp_t")
+
+
+def test_create_empty_table_then_insert(wsess):
+    wsess.sql(
+        "CREATE TABLE wh.ledger (id BIGINT, name VARCHAR(40) NOT NULL, "
+        "amount DECIMAL(10,2), created DATETIME, ok BOOLEAN, PRIMARY KEY (id))"
+    )
+    empty = wsess.sql("SELECT * FROM wh_ledger")
+    assert empty.count() == 0
+    types = dict(empty.dtypes)
+    assert types == {
+        "id": "bigint", "name": "string", "amount": "decimal(10,2)",
+        "created": "timestamp", "ok": "boolean",
+    }
+    wsess.sql("INSERT INTO wh.ledger VALUES (1, 'a', 9.50, timestamp '2024-01-01 00:00:00', true)")
+    assert wsess.sql("SELECT count(*) AS n FROM wh_ledger").collect()[0]["n"] == 1
+    wsess.sql("TRUNCATE TABLE wh.ledger")
+    t = wsess.sql("SELECT * FROM wh_ledger")
+    assert t.count() == 0 and dict(t.dtypes)["amount"] == "decimal(10,2)"
