@@ -73,6 +73,10 @@ _CREATE_EMPTY_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _TRUNCATE_RE = re.compile(r"TRUNCATE\s+(?:TABLE\s+)?([\w.`]+)$", re.IGNORECASE)
+_ALTER_RE = re.compile(
+    r"ALTER\s+TABLE\s+([\w.`]+)\s+(ADD|DROP|RENAME)\s+(?:COLUMN\s+)?(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 _SQL_TYPE_MAP = {
     "int": "int", "integer": "int", "mediumint": "int",
@@ -1164,6 +1168,10 @@ class EngineSession:
             return self.spark.createDataFrame([(m.group(1).lower(),)], "database string")
         if u.startswith("SET NAMES") or u in ("SET AUTOCOMMIT=0", "SET AUTOCOMMIT=1"):
             return self.spark.createDataFrame([("ok",)], "status string")
+        if u in ("BEGIN", "COMMIT", "ROLLBACK") or u.startswith("START TRANSACTION"):
+            # accepted no-ops, like the reference's transaction commands
+            # (command_executor.py StartTransaction/Commit/Rollback branches)
+            return self.spark.createDataFrame([("ok",)], "status string")
         m = _SET_RE.match(s)
         if m and not u.startswith("SET TRANSACTION"):
             name = m.group(1).lower().split(".")[-1]
@@ -1225,9 +1233,36 @@ class EngineSession:
             if srcname is None:
                 raise KeyError(f"table {m.group(1)!r} does not exist in any writable source")
             ps = self._writable[srcname]
-            ps.create_table(table, ps.read(table).limit(0), replace=True)
+            ps.overwrite(table, ps.read(table).limit(0))
             self._refresh_writable_views(srcname)
             return self.spark.createDataFrame([(table,)], "truncated string")
+        m = _ALTER_RE.match(s)
+        if m:
+            srcname, table = self._resolve_writable(m.group(1))
+            if srcname is not None:
+                ps = self._writable[srcname]
+                df = ps.read(table)
+                action, rest = m.group(2).upper(), m.group(3).strip()
+                if action == "ADD":
+                    cname, _, ctype = rest.partition(" ")
+                    df = df.withColumn(
+                        cname.strip("`"), F.lit(None).cast(_sql_type_to_spark(ctype or "string"))
+                    )
+                elif action == "DROP":
+                    target = rest.strip().strip("`")
+                    if target not in df.columns:
+                        raise KeyError(f"column {target!r} not in {table!r}")
+                    df = df.drop(target)
+                else:  # RENAME COLUMN a TO b
+                    parts = re.split(r"\s+TO\s+", rest, flags=re.IGNORECASE)
+                    if len(parts) != 2:
+                        raise ValueError(f"unsupported RENAME syntax: {rest!r}")
+                    df = df.withColumnRenamed(
+                        parts[0].strip().strip("`"), parts[1].strip().strip("`")
+                    )
+                ps.overwrite(table, df)
+                self._refresh_writable_views(srcname)
+                return self.spark.createDataFrame([(table,)], "altered string")
         m = _CTAS_RE.match(s)
         if m:
             srcname, table = self._resolve_writable(m.group(2))

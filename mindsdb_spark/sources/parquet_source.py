@@ -63,6 +63,12 @@ class ParquetSource:
         """INSERT INTO … (append)."""
         df.write.mode("append").parquet(self._path(table))
 
+    def overwrite(self, table: str, df: DataFrame) -> int:
+        """Replace a table's contents with ``df`` (copy-on-write + atomic
+        swap — safe when ``df`` reads from the table itself, unlike a
+        direct overwrite of the path being scanned)."""
+        return self._rewrite(table, df)
+
     def drop_table(self, table: str, if_exists: bool = False) -> None:
         """DROP TABLE [IF EXISTS] (reference: command_executor.py DropTables
         branch — drops against the integration; here the parquet dir)."""

@@ -121,3 +121,22 @@ def test_create_empty_table_then_insert(wsess):
     wsess.sql("TRUNCATE TABLE wh.ledger")
     t = wsess.sql("SELECT * FROM wh_ledger")
     assert t.count() == 0 and dict(t.dtypes)["amount"] == "decimal(10,2)"
+
+
+def test_alter_table_add_drop_rename(wsess):
+    wsess.sql("CREATE TABLE wh.alt AS SELECT r_regionkey, r_name FROM tpch_region")
+    wsess.sql("ALTER TABLE wh.alt ADD COLUMN score DOUBLE")
+    df = wsess.sql("SELECT * FROM wh_alt")
+    assert dict(df.dtypes)["score"] == "double"
+    assert df.filter("score IS NOT NULL").count() == 0
+    wsess.sql("ALTER TABLE wh.alt RENAME COLUMN score TO rating")
+    assert "rating" in wsess.sql("SELECT * FROM wh_alt").columns
+    wsess.sql("ALTER TABLE wh.alt DROP COLUMN rating")
+    assert wsess.sql("SELECT * FROM wh_alt").columns == ["r_regionkey", "r_name"]
+    with pytest.raises(KeyError):
+        wsess.sql("ALTER TABLE wh.alt DROP COLUMN nope")
+
+
+def test_transaction_noops(wsess):
+    for stmt in ("BEGIN", "START TRANSACTION", "COMMIT", "ROLLBACK"):
+        assert wsess.sql(stmt).collect()[0]["status"] == "ok"
