@@ -139,3 +139,26 @@ class SourceCatalog:
 
     def tables(self) -> list[tuple[str, str]]:
         return [(src, t) for src, tbls in self._sources.items() for t in tbls]
+
+
+def write_bucketed(
+    df: DataFrame, name: str, key: str | list[str], buckets: int = 16
+) -> None:
+    """Persist ``df`` as a bucketed, bucket-sorted parquet table in the
+    session catalog.
+
+    Bucketing pre-shuffles the data ONCE at write time: every later join
+    or aggregation keyed on ``key`` between tables with the same bucket
+    count reads co-located buckets and plans with NO Exchange — the
+    standard way to amortize the dominant shuffle of a repeated big-table
+    join at 100 TB (asserted in tests/test_plans.py). The reference has no
+    layout control at all; its federated frames always re-hash in memory.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(buckets, *keys)
+        .sortBy(*keys)
+        .saveAsTable(name)
+    )

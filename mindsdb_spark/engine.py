@@ -62,7 +62,8 @@ _SHOW_COLUMNS_RE = re.compile(
 # agents as virtual model tables with to_predict='answer'
 # (mindsdb/api/executor/sql_query/sql_query.py:148-161).
 _CTAS_RE = re.compile(
-    r"CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+([\w.`]+)\s+AS\s+(SELECT.+)$",
+    r"CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+([\w.`]+)"
+    r"(?:\s+PARTITIONED\s+BY\s*\(([\w`,\s]+)\))?\s+AS\s+(SELECT.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 # CREATE TABLE with an explicit column list (empty table for later INSERTs;
@@ -1271,8 +1272,15 @@ class EngineSession:
                 table = m.group(2).lower().split(".")[-1]
                 srcname = srcname if srcname in self._writable else None
             if srcname is not None:
-                df = self.spark.sql(self.rewrite(m.group(3)))
-                self._writable[srcname].create_table(table, df, replace=bool(m.group(1)))
+                df = self.spark.sql(self.rewrite(m.group(4)))
+                part = (
+                    [c.strip().strip("`").lower() for c in m.group(3).split(",")]
+                    if m.group(3)
+                    else None
+                )
+                self._writable[srcname].create_table(
+                    table, df, replace=bool(m.group(1)), partition_by=part
+                )
                 self._refresh_writable_views(srcname)
                 return self.spark.createDataFrame([(table,)], "created string")
         m = _INSERT_RE.match(s)

@@ -54,10 +54,24 @@ class ParquetSource:
         return self.spark.read.parquet(self._path(table))
 
     # -- sinks ---------------------------------------------------------------
-    def create_table(self, table: str, df: DataFrame, replace: bool = False) -> None:
-        """CREATE TABLE [OR REPLACE] … AS SELECT."""
+    def create_table(
+        self,
+        table: str,
+        df: DataFrame,
+        replace: bool = False,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """CREATE TABLE [OR REPLACE] … AS SELECT.
+
+        ``partition_by`` writes hive-style partition directories so later
+        filters on the partition columns prune at file-listing time
+        (PartitionFilters in the scan) — the layout decision that matters
+        most at 100 TB."""
         mode = "overwrite" if replace else "errorifexists"
-        df.write.mode(mode).parquet(self._path(table))
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self._path(table))
 
     def insert(self, table: str, df: DataFrame) -> None:
         """INSERT INTO … (append)."""

@@ -125,3 +125,51 @@ def test_q19_disjunction_keeps_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    # bucketed co-located join: the shuffle is paid once at write time,
+    # joins on the bucket key then plan with zero Exchange nodes
+    from mindsdb_spark.catalog import load_table, write_bucketed
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(o.select("o_orderkey", "o_totalprice"), "b_orders", "o_orderkey", 8)
+    write_bucketed(
+        li.select("l_orderkey", "l_quantity"), "b_lineitem", "l_orderkey", 8
+    )
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.sql(
+            "SELECT o.o_orderkey, sum(l.l_quantity) AS sq "
+            "FROM b_orders o JOIN b_lineitem l ON l.l_orderkey = o.o_orderkey "
+            "GROUP BY o.o_orderkey"
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle for join OR agg
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_ctas_prunes(spark, sf_dir, tmp_path):
+    # hive-style partition layout written by PARTITIONED BY CTAS; a filter
+    # on the partition column prunes at file-listing time
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir)
+    sess.register_writable_source("whp", str(tmp_path / "whp"))
+    sess.sql(
+        "CREATE TABLE whp.orders_p PARTITIONED BY (o_orderpriority) AS "
+        "SELECT o_orderkey, o_totalprice, o_orderpriority FROM tpch_orders"
+    )
+    df = sess.sql(
+        "SELECT count(*) AS n FROM whp_orders_p WHERE o_orderpriority = '2-HIGH'"
+    )
+    plan = _plan(df)
+    assert "PartitionFilters" in plan and "o_orderpriority" in plan.split("PartitionFilters")[1].splitlines()[0]
+    assert df.collect()[0]["n"] > 0
