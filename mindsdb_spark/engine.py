@@ -1121,6 +1121,24 @@ class EngineSession:
                 [("Spark", "DEFAULT", "Apache Spark via mindsdb_spark")],
                 "Engine string, Support string, Comment string",
             )
+        sm = re.match(
+            r"SHOW\s+TABLE\s+STATUS(?:\s+(?:FROM|IN)\s+`?(\w+)`?)?$", s, re.IGNORECASE
+        )
+        if sm:
+            self._refresh_information_schema()
+            cond = f"WHERE table_schema = '{sm.group(1).lower()}'" if sm.group(1) else ""
+            return self.spark.sql(
+                "SELECT table_name AS `Name`, 'Spark' AS `Engine`, "
+                "CAST(NULL AS BIGINT) AS `Rows`, 'utf8mb4_general_ci' AS `Collation` "
+                f"FROM information_schema_tables {cond} ORDER BY `Name`"
+            )
+        if re.match(r"SHOW\s+(?:INDEX|INDEXES|KEYS)\s+(?:FROM|IN)\s+", s, re.IGNORECASE):
+            # parquet tables carry no indexes; clients expect the shape
+            return self.spark.createDataFrame(
+                [],
+                "Table string, Non_unique int, Key_name string, "
+                "Seq_in_index int, Column_name string",
+            )
         if u in ("SHOW CHARSET", "SHOW CHARACTER SET"):
             self._refresh_information_schema()
             return self.spark.sql(

@@ -212,3 +212,45 @@ def source_mixture(
         )
         .orderBy(group_col)
     )
+
+
+# Redaction patterns: conservative, high-precision shapes (emails, phone
+# numbers, IPv4, credit-card-ish digit runs). Order matters — cards before
+# phones so a 16-digit run isn't half-eaten by the phone pattern.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("card", r"\b(?:\d[ -]?){13,16}\b", "<CARD>"),
+    ("phone", r"\+?\d{1,3}[ -.]?\(?\d{2,4}\)?[ -.]?\d{3,4}[ -.]?\d{3,4}\b", "<PHONE>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact common PII shapes, reporting per-kind hit counts.
+
+    (id, text_scrubbed, n_email, n_card, n_phone, n_ipv4) — every
+    pretraining pipeline runs a pass like this before release. Pure map
+    stage: chained JVM regexp_replace (no Python in the hot path); counts
+    come from regexp_count on the ORIGINAL text so later rewrites can't
+    mask earlier kinds. Training-data extension; the reference has no
+    redaction surface.
+    """
+    df = parallelize_input(df)
+    out = df.select(
+        col(id_col),
+        col(text_col).alias("__t"),
+        *[
+            F.regexp_count(col(text_col), F.lit(pat)).alias(f"n_{kind}")
+            for kind, pat, _repl in PII_PATTERNS
+        ],
+    )
+    scrubbed = col("__t")
+    for _kind, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return out.select(
+        col(id_col),
+        scrubbed.alias("text_scrubbed"),
+        *[col(f"n_{kind}") for kind, _p, _r in PII_PATTERNS],
+    )

@@ -202,3 +202,6 @@ def test_mysql_client_show_commands(spark, sf_dir):
     cols = [r["Field"] for r in sess.sql("SHOW COLUMNS FROM region").collect()]
     assert cols == ["r_regionkey", "r_name"]
     assert sess.sql("SHOW FULL COLUMNS IN nation FROM tpch").count() == 3
+    st = sess.sql("SHOW TABLE STATUS FROM tpch").collect()
+    assert {r["Name"] for r in st} >= {"region", "nation"} and st[0]["Engine"] == "Spark"
+    assert sess.sql("SHOW INDEX FROM tpch_region").count() == 0

@@ -231,3 +231,22 @@ def test_stratified_sample_deterministic(spark, sf_dir):
     en_total = docs.filter(F.col("lang") == "en").count()
     assert full == en_total
     assert 0.3 * en_total < half < 0.7 * en_total  # hash buckets ≈ uniform
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from mindsdb_spark.operators.curation import pii_scrub
+
+    rows = [
+        (0, "contact bob@example.com or +1 (555) 123-4567 today"),
+        (1, "server at 192.168.0.1 charged 4111 1111 1111 1111"),
+        (2, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert "<EMAIL>" in got[0].text_scrubbed and "<PHONE>" in got[0].text_scrubbed
+    assert "bob@" not in got[0].text_scrubbed
+    assert got[0].n_email == 1 and got[0].n_phone == 1 and got[0].n_card == 0
+    assert "<IP>" in got[1].text_scrubbed and "<CARD>" in got[1].text_scrubbed
+    assert got[1].n_ipv4 == 1 and got[1].n_card == 1
+    assert got[2].text_scrubbed == "no pii here at all"
+    assert got[2].n_email == got[2].n_phone == got[2].n_ipv4 == got[2].n_card == 0
