@@ -235,3 +235,50 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     ]
     sig = reduce(lambda x, y: x + y, bit_terms).cast("long")
     return votes.select(col(id_col), sig.alias("simhash"))
+
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup clusters from candidate pairs: hash-min label propagation.
+
+    The keep-one-per-cluster step after LSH: (node, cluster) where cluster
+    is the min doc id reachable through the pair graph — docs keep iff
+    node == cluster. Each iteration is one equi-join + map-side-combinable
+    min aggregate; lineage is truncated per iteration (localCheckpoint, the
+    Pregel pattern) so plans stay bounded. Iterations = graph diameter —
+    near-dup components are shallow (pairs share content), so this
+    converges in a handful of rounds; the per-iteration driver scalar is
+    the single convergence count. Deterministic: min is order-free.
+    """
+    edges = pairs.select(col(a_col).alias("a"), col(b_col).alias("b")).union(
+        pairs.select(col(b_col).alias("a"), col(a_col).alias("b"))
+    )
+    labels = nodes.select(col(id_col).alias("node"), col(id_col).alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .select(col("a").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("nl"))
+        )
+        new = labels.join(neigh, "node", "left").select(
+            "node", F.least(col("label"), F.coalesce(col("nl"), col("label"))).alias("label")
+        )
+        new = new.localCheckpoint(eager=True)
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(col("n.label") != col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(col("node").alias(id_col), col("label").alias("cluster"))

@@ -170,7 +170,9 @@ def d07_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_sql() -> str:
+def _lsh_pairs_ctes() -> str:
+    """Shared CTE chain ending in ``pairs`` — the LSH candidate-pair set
+    (used by D07 directly and by D24's connected-components oracle)."""
     from mindsdb_spark.operators.dedup import MINHASH_PRIME
 
     mins = ", ".join(f"{_lane_sql(i)} AS h{i}" for i in range(16))
@@ -184,18 +186,20 @@ def _lsh_sql() -> str:
     bands = "\n  UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, {_band(b)} AS band_sig FROM sig" for b in range(4)
     )
-    return f"""
-WITH {_WORDS}, {_EX}, {_EXH},
+    return f"""{_WORDS}, {_EX}, {_EXH},
 sig AS (SELECT doc_id, {mins} FROM exh GROUP BY doc_id),
-bands AS ({bands})
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
-                         AND a.doc_id < b.doc_id
-ORDER BY doc_a, doc_b
+bands AS ({bands}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                           AND a.doc_id < b.doc_id
+)"""
+
+
+D07_SQL = f"""
+WITH {_lsh_pairs_ctes()}
+SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
 """
-
-
-D07_SQL = _lsh_sql()
 
 
 # --- D08 bottom-k fingerprint ------------------------------------------------
@@ -559,6 +563,26 @@ tot AS (SELECT sum(n_tokens) AS total FROM per)
 SELECT source, n_docs, n_tokens, avg_tokens,
        floor((n_tokens / CAST(total AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS token_share
 FROM per, tot ORDER BY source
+"""
+
+
+# --- D24 near-dup clusters (connected components over LSH pairs) -------------
+def d24_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(D.shingle_hashes(docs))
+    return D.connected_components(docs.select("doc_id"), pairs).orderBy("doc_id")
+
+
+D24_SQL = f"""
+WITH RECURSIVE {_lsh_pairs_ctes()},
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+)
+SELECT node AS doc_id, min(label) AS cluster FROM walk GROUP BY node ORDER BY doc_id
 """
 
 
@@ -931,6 +955,7 @@ PIPELINE = {
     "d21_repetition": (d21_repetition, D21_SQL),
     "d22_vocab_oov": (d22_vocab_oov, D22_SQL),
     "d23_source_mix": (d23_source_mix, D23_SQL),
+    "d24_dedup_clusters": (d24_dedup_clusters, D24_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),

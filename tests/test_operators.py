@@ -250,3 +250,16 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert got[1].n_ipv4 == 1 and got[1].n_card == 1
     assert got[2].text_scrubbed == "no pii here at all"
     assert got[2].n_email == got[2].n_phone == got[2].n_ipv4 == got[2].n_card == 0
+
+
+def test_connected_components_chain_triangle_singleton(spark):
+    from mindsdb_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    # chain 0-1-2-3 (diameter > 1 forces multiple propagation rounds),
+    # triangle 4-5-6, singleton 7
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (4, 6)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster for r in connected_components(nodes, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7}
