@@ -718,6 +718,74 @@ SELECT (SELECT COUNT(*) FROM a) AS n_view,
 """
 
 
+# --- P54 Q13 shape: outer-join count distribution -----------------------------
+# LEFT JOIN with a join-level filter (not WHERE — NULL rows must survive),
+# two stacked aggregations: per-customer order count, then histogram.
+def p54_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("cust_p54")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("ord_p54")
+    return spark.sql(
+        """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+              FROM cust_p54 c LEFT JOIN ord_p54 o
+                ON o.o_custkey = c.c_custkey
+               AND o.o_orderpriority <> '1-URGENT'
+              GROUP BY c.c_custkey) t
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+        """
+    )
+
+
+P54_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey) t
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --- P55 Q15 shape: aggregate CTE + scalar-max self-reference ------------------
+# revenue rounds to 2dp INSIDE the CTE so the max-equality comparison is on
+# bit-identical doubles in both engines.
+def p55_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_p55")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("sup_p55")
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+                   AS total_revenue
+          FROM li_p55
+          WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM sup_p55 s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s.s_suppkey
+        """
+    )
+
+
+P55_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
 PROBES_EXT = {
     "p33_cube": (p33_cube, P33_SQL),
     "p34_grouping_sets": (p34_grouping_sets, P34_SQL),
@@ -740,4 +808,6 @@ PROBES_EXT = {
     "p51_q20_nested_in": (p51_q20_nested_in, P51_SQL),
     "p52_q21_multi_exists": (p52_q21_multi_exists, P52_SQL),
     "p53_funnel": (p53_funnel, P53_SQL),
+    "p54_q13_custdist": (p54_q13_custdist, P54_SQL),
+    "p55_q15_top_supplier": (p55_q15_top_supplier, P55_SQL),
 }
