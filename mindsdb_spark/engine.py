@@ -222,6 +222,9 @@ _CREATE_KB_RE = re.compile(
 _DROP_KB_RE = re.compile(
     r"DROP\s+KNOWLEDGE[_ ]BASE\s+(?:IF\s+EXISTS\s+)?([\w.`]+)$", re.IGNORECASE
 )
+_KB_INDEX_RE = re.compile(
+    r"CREATE\s+INDEX\s+ON\s+KNOWLEDGE[_ ]BASE\s+([\w.`]+)$", re.IGNORECASE
+)
 # `CREATE DATABASE name WITH ENGINE = 'x' [, PARAMETERS = {json}]` — how
 # every reference user attaches a source (command_executor.py CreateDatabase
 # branch; integration params land in the integrations registry). Engines
@@ -791,7 +794,21 @@ class EngineSession:
                 "chunk_id", "doc_id", F.col("chunk_text").alias("content"), "distance"
             )
         else:
-            hits = cosine_topk(store, "embedding", qvec, k=fetch, id_col="chunk_id").select(
+            if kb.get("index") is not None:
+                # CREATE INDEX ON KNOWLEDGE_BASE built IVF centroids
+                # (reference: command_executor.py answer_create_kb_index →
+                # vector store index build). Probing every cell is exact;
+                # USING n_probes narrows for speed at recall cost.
+                from mindsdb_spark.operators.vector import ivf_search
+
+                n_probes = int(using.get("n_probes", len(kb["index"])))
+                ranked = ivf_search(
+                    store, "embedding", qvec, kb["index"], k=fetch,
+                    id_col="chunk_id", n_probes=n_probes,
+                )
+            else:
+                ranked = cosine_topk(store, "embedding", qvec, k=fetch, id_col="chunk_id")
+            hits = ranked.select(
                 "chunk_id",
                 "doc_id",
                 F.col("chunk_text").alias("content"),
@@ -1458,6 +1475,27 @@ class EngineSession:
             name = m.group(1).lower().strip("`").split(".")[-1]
             self._kbs.pop(name, None)
             return self.spark.createDataFrame([(name,)], "knowledge_base string")
+        m = _KB_INDEX_RE.match(s)
+        if m:
+            # reference: CREATE INDEX ON KNOWLEDGE_BASE kb delegates the
+            # index build to the vector store (command_executor.py
+            # answer_create_kb_index, controller.py:985-992). Spark analog:
+            # fit IVF coarse-quantizer centroids over the chunk store; KB
+            # selects then probe cells instead of scanning the corpus.
+            from mindsdb_spark.operators.vector import kmeans_centroids
+
+            name = m.group(1).lower().strip("`").split(".")[-1]
+            if name not in self._kbs:
+                raise KeyError(f"knowledge base {name!r} does not exist")
+            kb = self._kbs[name]
+            n_rows = kb["store"].count()  # one-time index build pass
+            n_centroids = max(1, min(16, n_rows))
+            kb["index"] = kmeans_centroids(
+                kb["store"], vec_col="embedding", n_centroids=n_centroids
+            )
+            return self.spark.createDataFrame(
+                [(name, n_centroids)], "knowledge_base string, n_centroids int"
+            )
         m = _CREATE_AGENT_RE.match(s)
         if m:
             from mindsdb_spark.dialect.rewriter import split_top_level

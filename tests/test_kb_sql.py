@@ -118,3 +118,34 @@ def test_kb_using_with_metadata_prefilter(kbsess):
     ).collect()
     assert len(rows) == 10
     assert all(r["doc_id"] < 50 for r in rows)
+
+
+def test_create_index_on_knowledge_base(spark, sf_dir):
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    sess.register_knowledge_base(
+        "kbi", load_table(spark, sf_dir, "documents"), dim=8, embedder="md5", chunk=False
+    )
+    exact = [
+        (r["chunk_id"], r["distance"])
+        for r in sess.sql(
+            "SELECT * FROM kbi WHERE content = 'spark join fast' LIMIT 5"
+        ).collect()
+    ]
+    row = sess.sql("CREATE INDEX ON KNOWLEDGE_BASE kbi").collect()[0]
+    assert row["knowledge_base"] == "kbi" and row["n_centroids"] >= 1
+    # probing every cell is exhaustive: indexed search == exact search
+    indexed = [
+        (r["chunk_id"], r["distance"])
+        for r in sess.sql(
+            "SELECT * FROM kbi WHERE content = 'spark join fast' LIMIT 5"
+        ).collect()
+    ]
+    assert indexed == exact
+    # narrowed probing still returns k rows (approximate path)
+    few = sess.sql(
+        "SELECT * FROM kbi WHERE content = 'spark join fast' LIMIT 5 USING n_probes = 2"
+    )
+    assert few.count() == 5
