@@ -74,6 +74,9 @@ _CREATE_EMPTY_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _TRUNCATE_RE = re.compile(r"TRUNCATE\s+(?:TABLE\s+)?([\w.`]+)$", re.IGNORECASE)
+_OPTIMIZE_RE = re.compile(
+    r"OPTIMIZE\s+TABLE\s+([\w.`]+)(?:\s+INTO\s+(\d+)\s+FILES?)?$", re.IGNORECASE
+)
 _ALTER_RE = re.compile(
     r"ALTER\s+TABLE\s+([\w.`]+)\s+(ADD|DROP|RENAME)\s+(?:COLUMN\s+)?(.+)$",
     re.IGNORECASE | re.DOTALL,
@@ -1272,6 +1275,22 @@ class EngineSession:
             ps.overwrite(table, ps.read(table).limit(0))
             self._refresh_writable_views(srcname)
             return self.spark.createDataFrame([(table,)], "truncated string")
+        m = _OPTIMIZE_RE.match(s)
+        if m:
+            # small-file compaction: INSERT appends accumulate one file per
+            # write; rewrite to N files (default sized at ~128 MB targets)
+            # through the same atomic swap. Lakehouse table maintenance the
+            # reference (pandas-frames-in-memory) never needs.
+            srcname, table = self._resolve_writable(m.group(1))
+            if srcname is None:
+                raise KeyError(f"table {m.group(1)!r} does not exist in any writable source")
+            ps = self._writable[srcname]
+            n_files = int(m.group(2)) if m.group(2) else ps.suggest_file_count(table)
+            ps.overwrite(table, ps.read(table).repartition(n_files))
+            self._refresh_writable_views(srcname)
+            return self.spark.createDataFrame(
+                [(table, n_files)], "optimized string, n_files int"
+            )
         m = _ALTER_RE.match(s)
         if m:
             srcname, table = self._resolve_writable(m.group(1))

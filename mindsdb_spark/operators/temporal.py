@@ -117,3 +117,41 @@ def range_join(
         (col(point_col) >= col(start_col)) & (col(point_col) <= col(end_col))
     )
     return joined.drop("__bucket")
+
+
+def resample_fill(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    step: str = "1 hour",
+) -> DataFrame:
+    """Time-series resample with gap filling: per key, a dense bucket grid
+    from its first to last bucket, missing buckets filled with 0.
+
+    The hypertable-rollup / gap-fill operator (reference has no temporal
+    surface at all). Three map-side-combinable aggregates plus one
+    per-key `sequence` explode — grid size is (span / step) per key, never
+    materialized globally; the final left join shuffles on (key, bucket),
+    the same key the aggregation already produced. At 100 TB the only
+    care is a key whose span/step is pathological (one user spanning
+    years at 1s steps) — cap with a WHERE on the span if that can occur.
+    """
+    bucket = F.date_trunc("hour", col(ts_col)) if step == "1 hour" else F.date_trunc(
+        "day", col(ts_col)
+    )
+    per = df.groupBy(col(key_col), bucket.alias("bucket")).agg(
+        F.round(F.sum(value_col), 2).alias("sv")
+    )
+    bounds = per.groupBy(key_col).agg(
+        F.min("bucket").alias("__mn"), F.max("bucket").alias("__mx")
+    )
+    grid = bounds.select(
+        col(key_col),
+        F.explode(
+            F.sequence(col("__mn"), col("__mx"), F.expr(f"interval {step}"))
+        ).alias("bucket"),
+    )
+    return grid.join(per, [key_col, "bucket"], "left").select(
+        col(key_col), col("bucket"), F.coalesce(col("sv"), F.lit(0.0)).alias("sv")
+    )

@@ -98,8 +98,32 @@ ORDER BY p.event_id, w.err_id
 """
 
 
+
+
+# --- T04 resample + gap fill (hypertable rollup shape) -----------------------
+def t04_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.temporal import resample_fill
+
+    e = _t(spark, sf_dir, "events")
+    return resample_fill(e).orderBy("user_id", "bucket")
+
+
+T04_SQL = """
+WITH per AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, round(sum(value), 2) AS sv
+  FROM events GROUP BY user_id, date_trunc('hour', ts)
+),
+b AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM per GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket FROM b)
+SELECT g.user_id, g.bucket, coalesce(p.sv, 0.0) AS sv
+FROM grid g LEFT JOIN per p ON p.user_id = g.user_id AND p.bucket = g.bucket
+ORDER BY g.user_id, g.bucket
+"""
+
+
 TEMPORAL_QUERIES = {
     "t01_asof_join": (t01_asof_join, T01_SQL),
     "t02_asof_forward": (t02_asof_forward, T02_SQL),
     "t03_range_join": (t03_range_join, T03_SQL),
+    "t04_resample": (t04_resample, T04_SQL),
 }

@@ -77,6 +77,17 @@ class ParquetSource:
         """INSERT INTO … (append)."""
         df.write.mode("append").parquet(self._path(table))
 
+    def suggest_file_count(self, table: str, target_bytes: int = 128 * 1024 * 1024) -> int:
+        """Files needed to hit ~target_bytes per file (from directory
+        metadata only — no data scan)."""
+        total = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(self._path(table))
+            for f in files
+            if f.endswith(".parquet")
+        )
+        return max(1, -(-total // target_bytes))
+
     def overwrite(self, table: str, df: DataFrame) -> int:
         """Replace a table's contents with ``df`` (copy-on-write + atomic
         swap — safe when ``df`` reads from the table itself, unlike a

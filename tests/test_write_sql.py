@@ -140,3 +140,21 @@ def test_alter_table_add_drop_rename(wsess):
 def test_transaction_noops(wsess):
     for stmt in ("BEGIN", "START TRANSACTION", "COMMIT", "ROLLBACK"):
         assert wsess.sql(stmt).collect()[0]["status"] == "ok"
+
+
+def test_optimize_table_compacts_files(wsess, tmp_path):
+    import glob
+    import os
+
+    wsess.sql("CREATE TABLE wh.frag AS SELECT r_regionkey AS k FROM tpch_region")
+    for i in range(5):  # each INSERT appends its own file(s)
+        wsess.sql(f"INSERT INTO wh.frag VALUES ({100 + i})")
+    root = str(tmp_path / "wh" / "frag")
+    before = len(glob.glob(os.path.join(root, "*.parquet")))
+    assert before >= 6
+    row = wsess.sql("OPTIMIZE TABLE wh.frag INTO 1 FILE").collect()[0]
+    assert (row["optimized"], row["n_files"]) == ("frag", 1)
+    assert len(glob.glob(os.path.join(root, "*.parquet"))) == 1
+    assert wsess.sql("SELECT count(*) AS n FROM wh_frag").collect()[0]["n"] == 10
+    # metadata-derived default (tiny table -> 1 file)
+    assert wsess.sql("OPTIMIZE TABLE wh.frag").collect()[0]["n_files"] == 1
