@@ -1104,6 +1104,13 @@ class EngineSession:
     def _try_command(self, sql: str) -> DataFrame | None:
         s = " ".join(sql.strip().rstrip(";").split())
         u = s.upper()
+        if u in ("SHOW PROCESSLIST", "SHOW FULL PROCESSLIST"):
+            self._refresh_information_schema()
+            return self.spark.sql(
+                "SELECT id AS Id, 'mindsdb' AS User, 'localhost' AS Host, "
+                "NULL AS db, 'Query' AS Command, 0 AS Time, status AS State, "
+                "query AS Info FROM information_schema_queries ORDER BY id"
+            )
         if u in ("SHOW ML_ENGINES", "SHOW HANDLERS"):
             self._refresh_information_schema()
             kind = u.split()[1].lower()

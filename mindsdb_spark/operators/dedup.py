@@ -260,7 +260,6 @@ def connected_components(
         pairs.select(col(b_col).alias("a"), col(a_col).alias("b"))
     )
     labels = nodes.select(col(id_col).alias("node"), col(id_col).alias("label"))
-    labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges["b"] == labels["node"])
@@ -268,17 +267,17 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("nl"))
         )
+        merged = F.least(col("label"), F.coalesce(col("nl"), col("label")))
         new = labels.join(neigh, "node", "left").select(
-            "node", F.least(col("label"), F.coalesce(col("nl"), col("label"))).alias("label")
+            "node",
+            merged.alias("label"),
+            (merged < col("label")).cast("int").alias("__moved"),
         )
         new = new.localCheckpoint(eager=True)
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(col("n.label") != col("o.label"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        # convergence scalar reads the just-materialized checkpoint — no
+        # second join against the previous labels
+        changed = new.agg(F.sum("__moved")).first()[0]
+        labels = new.drop("__moved")
+        if not changed:
             break
     return labels.select(col("node").alias(id_col), col("label").alias("cluster"))

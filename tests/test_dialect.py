@@ -205,3 +205,12 @@ def test_mysql_client_show_commands(spark, sf_dir):
     st = sess.sql("SHOW TABLE STATUS FROM tpch").collect()
     assert {r["Name"] for r in st} >= {"region", "nation"} and st[0]["Engine"] == "Spark"
     assert sess.sql("SHOW INDEX FROM tpch_region").count() == 0
+
+
+def test_show_processlist(spark, sf_dir):
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir)
+    sess.sql("SELECT count(*) AS n FROM tpch_region").collect()
+    rows = sess.sql("SHOW PROCESSLIST").collect()
+    assert any("tpch_region" in (r["Info"] or "") for r in rows)
+    assert rows[0]["Command"] == "Query"
