@@ -77,6 +77,16 @@ _TRUNCATE_RE = re.compile(r"TRUNCATE\s+(?:TABLE\s+)?([\w.`]+)$", re.IGNORECASE)
 _OPTIMIZE_RE = re.compile(
     r"OPTIMIZE\s+TABLE\s+([\w.`]+)(?:\s+INTO\s+(\d+)\s+FILES?)?$", re.IGNORECASE
 )
+# Simplified ANSI MERGE: UPDATE-on-match plus optional INSERT * on no-match.
+# Standard MERGE precondition applies: at most one source row per target row.
+_MERGE_RE = re.compile(
+    r"MERGE\s+INTO\s+([\w.`]+)(?:\s+AS\s+(\w+))?"
+    r"\s+USING\s+(\(.+?\)|[\w.`]+)(?:\s+AS\s+(\w+))?"
+    r"\s+ON\s+(.+?)"
+    r"\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)"
+    r"(\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\*)?$",
+    re.IGNORECASE | re.DOTALL,
+)
 _ALTER_RE = re.compile(
     r"ALTER\s+TABLE\s+([\w.`]+)\s+(ADD|DROP|RENAME)\s+(?:COLUMN\s+)?(.+)$",
     re.IGNORECASE | re.DOTALL,
@@ -1282,6 +1292,65 @@ class EngineSession:
             ps.overwrite(table, ps.read(table).limit(0))
             self._refresh_writable_views(srcname)
             return self.spark.createDataFrame([(table,)], "truncated string")
+        m = _MERGE_RE.match(s)
+        if m:
+            # upsert as one Catalyst plan: LEFT JOIN applies the matched
+            # updates (CASE on a source marker), anti-join appends the
+            # not-matched source rows; the result replaces the table via
+            # the copy-on-write swap. The reference has no MERGE; its KB
+            # upsert (kb.kb_upsert here) is the nearest shape.
+            from mindsdb_spark.dialect.rewriter import split_top_level
+
+            srcname, table = self._resolve_writable(m.group(1))
+            if srcname is None:
+                raise KeyError(f"table {m.group(1)!r} does not exist in any writable source")
+            ps = self._writable[srcname]
+            t_alias = (m.group(2) or "t").lower()
+            s_alias = (m.group(4) or "s").lower()
+            src_ref = m.group(3).strip()
+            src_sql = (
+                src_ref[1:-1]
+                if src_ref.startswith("(")
+                else f"SELECT * FROM {src_ref.lower().strip('`')}"
+            )
+            sdf = self.spark.sql(self.rewrite(src_sql))
+            tdf = ps.read(table)
+            tdf.createOrReplaceTempView("__merge_t")
+            sdf.createOrReplaceTempView("__merge_s")
+            cond = self.rewrite(m.group(5).strip())
+            assigns = {}
+            for item in split_top_level(m.group(6)):
+                cname, _, rhs = item.partition("=")
+                assigns[cname.strip().strip("`").lower()] = self.rewrite(rhs.strip())
+            sel = []
+            for c in tdf.columns:
+                if c.lower() in assigns:
+                    sel.append(
+                        f"CASE WHEN {s_alias}.__m = 1 THEN ({assigns[c.lower()]}) "
+                        f"ELSE {t_alias}.`{c}` END AS `{c}`"
+                    )
+                else:
+                    sel.append(f"{t_alias}.`{c}` AS `{c}`")
+            updated = self.spark.sql(
+                f"SELECT {', '.join(sel)} FROM __merge_t {t_alias} "
+                f"LEFT JOIN (SELECT *, 1 AS __m FROM __merge_s) {s_alias} ON {cond}"
+            )
+            result = updated
+            if m.group(7):
+                proj = ", ".join(
+                    f"{s_alias}.`{c}` AS `{c}`"
+                    if c in sdf.columns
+                    else f"CAST(NULL AS {f.dataType.simpleString()}) AS `{c}`"
+                    for c, f in zip(tdf.columns, tdf.schema.fields)
+                )
+                inserts = self.spark.sql(
+                    f"SELECT {proj} FROM __merge_s {s_alias} WHERE NOT EXISTS "
+                    f"(SELECT 1 FROM __merge_t {t_alias} WHERE {cond})"
+                )
+                result = updated.unionByName(inserts)
+            n = ps.overwrite(table, result)
+            self._refresh_writable_views(srcname)
+            return self.spark.createDataFrame([(table, n)], "merged string, n_rows int")
         m = _OPTIMIZE_RE.match(s)
         if m:
             # small-file compaction: INSERT appends accumulate one file per

@@ -158,3 +158,30 @@ def test_optimize_table_compacts_files(wsess, tmp_path):
     assert wsess.sql("SELECT count(*) AS n FROM wh_frag").collect()[0]["n"] == 10
     # metadata-derived default (tiny table -> 1 file)
     assert wsess.sql("OPTIMIZE TABLE wh.frag").collect()[0]["n_files"] == 1
+
+
+def test_merge_into_upsert(wsess):
+    wsess.sql(
+        "CREATE TABLE wh.inv AS SELECT 1 AS id, 10.0 AS v, 'a' AS tag "
+        "UNION ALL SELECT 2, 20.0, 'b'"
+    )
+    row = wsess.sql(
+        "MERGE INTO wh.inv AS t USING "
+        "(SELECT 2 AS id, 99.0 AS v, 'bb' AS tag UNION ALL SELECT 3, 30.0, 'c') AS s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v, tag = s.tag "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).collect()[0]
+    assert (row["merged"], row["n_rows"]) == ("inv", 3)
+    got = {r.id: (r.v, r.tag) for r in wsess.sql("SELECT * FROM wh_inv").collect()}
+    assert got == {1: (10.0, "a"), 2: (99.0, "bb"), 3: (30.0, "c")}
+
+
+def test_merge_update_only(wsess):
+    wsess.sql("CREATE TABLE wh.up AS SELECT 1 AS id, 5.0 AS v UNION ALL SELECT 2, 6.0")
+    wsess.sql(
+        "MERGE INTO wh.up AS t USING (SELECT 1 AS id, 50.0 AS v) AS s "
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v"
+    )
+    got = {r.id: r.v for r in wsess.sql("SELECT * FROM wh_up").collect()}
+    assert got == {1: 50.0, 2: 6.0}
