@@ -786,6 +786,72 @@ ORDER BY s.s_suppkey
 """
 
 
+# --- P56 bag-semantics set ops: EXCEPT ALL / INTERSECT ALL --------------------
+# Multiplicity-preserving variants (Spark exceptAll/intersectAll); counts per
+# key make the multiplicities visible to the hash compare.
+def p56_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(col("s_nationkey").alias("k"))
+    ex = c.exceptAll(s).groupBy("k").agg(F.count("*").alias("n_except"))
+    inter = c.intersectAll(s).groupBy("k").agg(F.count("*").alias("n_intersect"))
+    return (
+        ex.join(inter, "k", "full_outer")
+        .select(
+            "k",
+            F.coalesce("n_except", F.lit(0)).alias("n_except"),
+            F.coalesce("n_intersect", F.lit(0)).alias("n_intersect"),
+        )
+        .orderBy("k")
+    )
+
+
+P56_SQL = """
+WITH ex AS (
+  SELECT k, count(*) AS n_except FROM (
+    SELECT c_nationkey AS k FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+  ) GROUP BY k
+),
+inter AS (
+  SELECT k, count(*) AS n_intersect FROM (
+    SELECT c_nationkey AS k FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+  ) GROUP BY k
+)
+SELECT k, coalesce(n_except, 0) AS n_except, coalesce(n_intersect, 0) AS n_intersect
+FROM ex FULL OUTER JOIN inter USING (k) ORDER BY k
+"""
+
+
+# --- P57 fuzzy matching: levenshtein self-join on a small dimension -----------
+# The record-linkage primitive (same edit-distance definition in both
+# engines). Self-join restricted to the 25-row nation dimension — at scale
+# fuzzy joins go through blocking (LSH/n-gram) first, not all-pairs;
+# dedup.py's LSH family is that path.
+def p57_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    a = n.select(col("n_name").alias("name_a"))
+    b = n.select(col("n_name").alias("name_b"))
+    return (
+        a.crossJoin(b)
+        .filter(col("name_a") < col("name_b"))
+        .select("name_a", "name_b", F.levenshtein("name_a", "name_b").alias("dist"))
+        .filter(col("dist") <= 2)
+        .orderBy("name_a", "name_b")
+    )
+
+
+P57_SQL = """
+SELECT a.n_name AS name_a, b.n_name AS name_b,
+       levenshtein(a.n_name, b.n_name) AS dist
+FROM nation a, nation b
+WHERE a.n_name < b.n_name AND levenshtein(a.n_name, b.n_name) <= 2
+ORDER BY name_a, name_b
+"""
+
+
 PROBES_EXT = {
     "p33_cube": (p33_cube, P33_SQL),
     "p34_grouping_sets": (p34_grouping_sets, P34_SQL),
@@ -809,5 +875,7 @@ PROBES_EXT = {
     "p52_q21_multi_exists": (p52_q21_multi_exists, P52_SQL),
     "p53_funnel": (p53_funnel, P53_SQL),
     "p54_q13_custdist": (p54_q13_custdist, P54_SQL),
+    "p56_set_ops_all": (p56_set_ops_all, P56_SQL),
+    "p57_fuzzy_match": (p57_fuzzy_match, P57_SQL),
     "p55_q15_top_supplier": (p55_q15_top_supplier, P55_SQL),
 }
