@@ -134,7 +134,11 @@ _DROP_TABLE_RE = re.compile(
 # `CREATE JOB name AS (sql) EVERY n unit` — the reference's polling job
 # surface (mindsdb/interfaces/jobs/README.md:1-60, jobs_controller.py).
 _CREATE_JOB_RE = re.compile(
-    r"CREATE\s+JOB\s+(\w+)\s+AS\s+\((.+)\)\s+EVERY\s+(\d+)\s+(\w+)$",
+    r"CREATE\s+JOB\s+(\w+)\s+AS\s+\((.+?)\)"
+    r"(?:\s+START\s+'([^']+)')?"
+    r"(?:\s+END\s+'([^']+)')?"
+    r"\s+EVERY\s+(\d+)\s+(\w+)"
+    r"(?:\s+IF\s+\((.+)\))?$",
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_JOB_RE = re.compile(r"DROP\s+JOB\s+(\w+)$", re.IGNORECASE)
@@ -1518,11 +1522,31 @@ class EngineSession:
             return self.spark.createDataFrame([(name,)], "view string")
         m = _CREATE_JOB_RE.match(s)
         if m:
-            name, body, n, unit = m.group(1).lower(), m.group(2), int(m.group(3)), m.group(4).lower()
+            # START/END bound the schedule window; IF (query) gates each run
+            # on the query returning rows (jobs/README.md:9-17 semantics)
+            from datetime import datetime
+
+            name, body = m.group(1).lower(), m.group(2)
+            n, unit = int(m.group(5)), m.group(6).lower()
+            cond = m.group(7)
             if unit not in _PERIODS:
                 raise ValueError(f"unknown period {unit!r}")
-            self.jobs.create_job(name, lambda sql=body: self.sql(sql).collect(),
-                                 every_seconds=n * _PERIODS[unit])
+
+            def _epoch(txt):
+                return datetime.fromisoformat(txt).timestamp() if txt else None
+
+            def _run(sql=body, cond=cond):
+                if cond is not None and not self.sql(cond).take(1):
+                    return "skipped"
+                return self.sql(sql).collect()
+
+            self.jobs.create_job(
+                name,
+                _run,
+                every_seconds=n * _PERIODS[unit],
+                start_at=_epoch(m.group(3)),
+                end_at=_epoch(m.group(4)),
+            )
             return self.spark.createDataFrame([(name,)], "job string")
         m = _DROP_JOB_RE.match(s)
         if m:

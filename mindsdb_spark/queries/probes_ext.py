@@ -852,6 +852,44 @@ ORDER BY name_a, name_b
 """
 
 
+# --- P58 forward fill (IGNORE NULLS last_value) -------------------------------
+# The time-series imputation primitive: carry the last non-null observation
+# forward per key. error events are masked to NULL, then filled from the
+# preceding non-null value — one window, no self-join.
+def p58_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("ev_p58")
+    return spark.sql(
+        """
+        SELECT user_id, event_id,
+               COALESCE(masked, 0.0) AS v_raw,
+               COALESCE(
+                 LAST_VALUE(masked) IGNORE NULLS OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 0.0) AS v_filled
+        FROM (SELECT user_id, event_id, ts,
+                     CASE WHEN event_type = 'error' THEN NULL ELSE value END AS masked
+              FROM ev_p58)
+        ORDER BY user_id, event_id
+        """
+    )
+
+
+P58_SQL = """
+SELECT user_id, event_id,
+       COALESCE(masked, 0.0) AS v_raw,
+       COALESCE(
+         LAST_VALUE(masked IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         0.0) AS v_filled
+FROM (SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS masked
+      FROM events)
+ORDER BY user_id, event_id
+"""
+
+
 PROBES_EXT = {
     "p33_cube": (p33_cube, P33_SQL),
     "p34_grouping_sets": (p34_grouping_sets, P34_SQL),
@@ -877,5 +915,6 @@ PROBES_EXT = {
     "p54_q13_custdist": (p54_q13_custdist, P54_SQL),
     "p56_set_ops_all": (p56_set_ops_all, P56_SQL),
     "p57_fuzzy_match": (p57_fuzzy_match, P57_SQL),
+    "p58_forward_fill": (p58_forward_fill, P58_SQL),
     "p55_q15_top_supplier": (p55_q15_top_supplier, P55_SQL),
 }

@@ -96,3 +96,35 @@ def test_create_trigger_sql(spark, sf_dir, tmp_path):
 
     sess.sql("DROP TRIGGER bump")
     assert "bump" not in [r[0] for r in sess.sql("SHOW TRIGGERS").collect()]
+
+
+def test_job_start_end_if_condition(spark, sf_dir, tmp_path):
+    from datetime import datetime
+
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir)
+    sess.register_writable_source("whj", str(tmp_path / "whj"))
+    sess.sql("CREATE TABLE whj.gate AS SELECT 1 AS go WHERE 1 = 0")  # empty gate
+
+    sess.sql(
+        "CREATE JOB windowed AS (SELECT count(*) FROM tpch_region) "
+        "START '2030-01-01' EVERY 1 hour"
+    )
+    t_2029 = datetime.fromisoformat("2029-12-31").timestamp()
+    t_2030 = datetime.fromisoformat("2030-01-02").timestamp()
+    assert "windowed" not in sess.jobs.run_pending(t_2029)  # before START
+    assert "windowed" in sess.jobs.run_pending(t_2030)
+
+    sess.sql(
+        "CREATE JOB gated AS (SELECT count(*) FROM tpch_region) "
+        "EVERY 1 hour IF (SELECT go FROM whj_gate)"
+    )
+    ran = sess.jobs.run_pending(t_2030 + 10)
+    assert "gated" in ran  # it ran, but the gate made it a no-op
+    job = sess.jobs.jobs["gated"]
+    assert job.history[-1][2] == "skipped"
+    sess.sql("INSERT INTO whj.gate VALUES (1)")
+    sess.jobs.run_pending(t_2030 + 7200)
+    assert job.history[-1][2] != "skipped"
