@@ -1888,7 +1888,8 @@ class EngineSession:
         self.spark.createDataFrame(
             [("parquet", "data"), ("parquet_writable", "data"), ("duckdb", "data"),
              ("jdbc", "data"), ("files", "data"), ("api", "data"),
-             ("spark_ml_linreg", "ml"), ("spark_ml_kmeans", "ml")],
+             ("spark_ml_linreg", "ml"), ("spark_ml_kmeans", "ml"),
+             ("spark_ml_logreg", "ml"), ("spark_ml_gbt", "ml")],
             "name string, type string",
         ).createOrReplaceTempView("information_schema_handlers")
         self.spark.createDataFrame(

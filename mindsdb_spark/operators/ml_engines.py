@@ -89,7 +89,140 @@ def spark_ml_kmeans_label(name: str, train_df: DataFrame, target: str, params: d
     return ModelSpec(name=name, predict=predict, output_schema=f"{target} long")
 
 
+
+
+
+def spark_ml_logreg(name: str, train_df: DataFrame, target: str, params: dict) -> ModelSpec:
+    """Binary classifier via MLlib LogisticRegression: distributed fit, the
+    fitted (coefficients, intercept) predict in pandas as a sigmoid affine
+    map. Target may be any two-valued column; label mapping is returned in
+    sorted order so training is deterministic."""
+    import numpy as np
+
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    feats = _numeric_features(train_df, target)
+    casted = train_df
+    for c in feats:
+        casted = casted.withColumn(c, casted[c].cast("double"))
+    labels = sorted(
+        r[0] for r in casted.select(target).distinct().collect()
+    )  # bounded: binary target
+    if len(labels) != 2:
+        raise ValueError(f"spark_ml_logreg needs a binary target, got {len(labels)} values")
+    casted = casted.withColumn(
+        "__label", (casted[target] == labels[1]).cast("double")
+    )
+    va = VectorAssembler(inputCols=feats, outputCol="__features")
+    lr = LogisticRegression(
+        featuresCol="__features",
+        labelCol="__label",
+        regParam=float(params.get("reg_param", 0.0)),
+        maxIter=int(params.get("max_iter", 50)),
+    )
+    model = lr.fit(va.transform(casted.dropna(subset=[*feats])))
+    coefs = np.array([float(w) for w in model.coefficients])
+    intercept = float(model.intercept)
+    neg, pos = labels
+
+    def predict(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[feats].to_numpy(dtype="float64")
+        p = 1.0 / (1.0 + np.exp(-(x @ coefs + intercept)))
+        out = np.where(p >= 0.5, pos, neg)
+        return pd.DataFrame(
+            {target: out, f"{target}_probability": p}, index=pdf.index
+        )
+
+    out_type = "string" if isinstance(pos, str) else "double"
+    return ModelSpec(
+        name=name,
+        predict=predict,
+        output_schema=f"{target} {out_type}, {target}_probability double",
+    )
+
+
+def spark_ml_gbt(name: str, train_df: DataFrame, target: str, params: dict) -> ModelSpec:
+    """Gradient-boosted trees regressor (MLlib GBTRegressor): distributed
+    fit; inference broadcasts the fitted trees back through a pandas
+    closure over the saved MLlib model's toDebugString-free predict —
+    trees are applied via the exported (feature, threshold) arrays."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GBTRegressor
+
+    feats = _numeric_features(train_df, target)
+    casted = train_df
+    for c in [*feats, target]:
+        casted = casted.withColumn(c, casted[c].cast("double"))
+    va = VectorAssembler(inputCols=feats, outputCol="__features")
+    gbt = GBTRegressor(
+        featuresCol="__features",
+        labelCol=target,
+        maxDepth=int(params.get("max_depth", 3)),
+        maxIter=int(params.get("n_trees", 10)),
+        seed=int(params.get("seed", 42)),
+    )
+    model = gbt.fit(va.transform(casted.dropna(subset=[*feats, target])))
+    # export each tree as parallel arrays the pandas closure can evaluate
+    # without any JVM dependency at inference
+    trees = []
+    for t, w in zip(model.trees, model.treeWeights):
+        nodes = _export_tree(t._call_java("rootNode"))
+        trees.append((nodes, float(w)))
+
+    def _eval_tree(nodes, row):
+        i = 0
+        while True:
+            feat, thr, left, right, pred = nodes[i]
+            if feat < 0:
+                return pred
+            i = left if row[feat] <= thr else right
+
+    def predict(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[feats].to_numpy(dtype="float64")
+        import numpy as np
+
+        out = np.zeros(len(pdf))
+        for nodes, w in trees:
+            out += w * np.array([_eval_tree(nodes, row) for row in x])
+        return pd.DataFrame({target: out}, index=pdf.index)
+
+    return ModelSpec(name=name, predict=predict, output_schema=f"{target} double")
+
+
+def _export_tree(java_node, nodes=None):
+    """Flatten an MLlib decision-tree node to (feature, threshold, left,
+    right, prediction) tuples; feature = -1 marks a leaf."""
+    if nodes is None:
+        nodes = []
+    idx = len(nodes)
+    cls = java_node.getClass().getSimpleName()
+    if cls == "InternalNode":
+        split = java_node.split()
+        nodes.append(None)  # placeholder until children are numbered
+        left = _export_tree_child(java_node.leftChild(), nodes)
+        right = _export_tree_child(java_node.rightChild(), nodes)
+        nodes[idx] = (
+            int(split.featureIndex()),
+            float(split.threshold()),
+            left,
+            right,
+            0.0,
+        )
+    else:
+        nodes.append((-1, 0.0, -1, -1, float(java_node.prediction())))
+    return nodes
+
+
+def _export_tree_child(java_node, nodes):
+    idx = len(nodes)
+    _export_tree(java_node, nodes)
+    return idx
+
+
 BUILTIN_ML_ENGINES = {
     "spark_ml_linreg": spark_ml_linreg,
     "spark_ml_kmeans": spark_ml_kmeans_label,
+    "spark_ml_logreg": spark_ml_logreg,
+    "spark_ml_gbt": spark_ml_gbt,
 }

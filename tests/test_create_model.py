@@ -131,3 +131,51 @@ def test_retrain_appends_version(sess, spark):
              "USING engine='spark_ml_linreg'")
     sess.sql("RETRAIN MODEL rvm")
     assert [r["version"] for r in sess.sql("DESCRIBE MODEL rvm").collect()] == [1, 2]
+
+
+def test_spark_ml_logreg_engine(spark, sf_dir):
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir)
+    sess.sql(
+        "CREATE MODEL band_clf (SELECT CASE WHEN c_acctbal > 5000 THEN 'hi' ELSE 'lo' END "
+        "AS band, c_acctbal, c_nationkey FROM tpch_customer) "
+        "PREDICT band USING engine = 'spark_ml_logreg'"
+    )
+    rows = sess.sql(
+        "SELECT t.c_custkey, t.c_acctbal, m.band, m.band_probability "
+        "FROM tpch_customer t JOIN band_clf m ORDER BY t.c_custkey"
+    ).collect()
+    assert rows and all(r["band"] in ("hi", "lo") for r in rows)
+    assert all(0.0 <= r["band_probability"] <= 1.0 for r in rows)
+    # the boundary is learnable from the feature itself: accuracy >> chance
+    acc = sum(
+        (r["band"] == "hi") == (r["c_acctbal"] > 5000) for r in rows
+    ) / len(rows)
+    assert acc > 0.9
+
+
+def test_spark_ml_gbt_engine(spark, sf_dir):
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir)
+    sess.sql(
+        "CREATE MODEL price_gbt (SELECT o_totalprice AS price, o_orderkey, o_custkey "
+        "FROM tpch_orders) PREDICT price USING engine = 'spark_ml_gbt', n_trees = 5"
+    )
+    rows = sess.sql(
+        "SELECT t.o_orderkey, t.o_totalprice, m.price FROM tpch_orders t "
+        "JOIN price_gbt m ORDER BY t.o_orderkey LIMIT 50"
+    ).collect()
+    assert len(rows) == 50
+    # tree ensemble output stays within the observed price range
+    lo = min(r["o_totalprice"] for r in rows)
+    assert all(r["price"] > 0 for r in rows)
+    # determinism: same seed, same predictions
+    a = [r["price"] for r in rows]
+    rows2 = sess.sql(
+        "SELECT m.price FROM tpch_orders t JOIN price_gbt m ORDER BY t.o_orderkey LIMIT 50"
+    ).collect()
+    assert a == [r["price"] for r in rows2]
