@@ -101,3 +101,33 @@ def write_bucketed(
         scols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
         w = w.sortBy(*scols)
     w.saveAsTable(table)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the (large, skewed) left side into
+    `n_salts` shards per key, replicate the right side across every shard,
+    join on (key, salt).
+
+    A hot key's rows spread over `n_salts` tasks instead of hammering one
+    reducer — the manual form of what AQE's skew-join split does at
+    runtime (session.py enables that too; this helper is for when the skew
+    is known ahead of time or AQE's thresholds don't trigger, e.g. a
+    deliberately salted pre-partitioned layout). Result equals the plain
+    equi-join exactly; only the shuffle distribution changes. The
+    replicated side multiplies by n_salts — keep it the smaller input.
+    """
+    from pyspark.sql import functions as F
+
+    salted_l = left.withColumn(
+        "__salt", (F.abs(F.hash(F.col(key), F.monotonically_increasing_id())) % n_salts)
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
+    salted_r = right.select("*", salts)
+    out = salted_l.join(salted_r, on=[key, "__salt"], how=how)
+    return out.drop("__salt")

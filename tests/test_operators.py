@@ -263,3 +263,16 @@ def test_connected_components_chain_triangle_singleton(spark):
     )
     got = {r.doc_id: r.cluster for r in connected_components(nodes, pairs).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7}
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(o, "l_orderkey").groupBy("l_orderkey").count()
+    salted = salted_join(li, o, "l_orderkey", n_salts=4).groupBy("l_orderkey").count()
+    assert sorted(plain.collect()) == sorted(salted.collect())
