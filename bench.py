@@ -53,6 +53,20 @@ HEADLINE = [
 ]
 
 
+# The round-1 headline set (BENCH_r01.json) — kept frozen so every later
+# round can report an apples-to-apples subset total alongside the growing
+# full-inventory headline.
+R1_QUERIES = [
+    "p01_scan_filter", "p04_math_case", "p05_groupby_agg", "p06_having_countd",
+    "p07_join_agg", "p08_left_join", "p20_rank_windows", "p21_analytic_windows",
+    "p23_rollup", "p27_time_bucket", "p28_session_flag", "p31_q5_join",
+    "p32_vector_topk", "d01_dedup_exact", "d02_token_stats", "d03_text_quality",
+    "d04_lang_id", "d05_minhash_sig", "d06_jaccard_topk", "d07_lsh_pairs",
+    "d08_fingerprint", "d09_simhash", "d10_knn_join", "d11_embedding_pairs",
+    "d12_json_extract", "d13_multimodal", "d14_ivf_topk", "d15_bpe_tokens",
+]
+
+
 def _force(df) -> None:
     """Execute the full plan JVM-side without materializing to the driver."""
     df.write.format("noop").mode("overwrite").save()
@@ -172,6 +186,12 @@ def main() -> None:
         load1 = round(os.getloadavg()[0], 2)
     except OSError:
         load1 = None
+    # same-set round-over-round comparison: the headline grows with the
+    # operator inventory, so also report totals restricted to the ROUND-1
+    # query set (BENCH_r01.json) — the apples-to-apples delta
+    r1_set = [n for n in R1_QUERIES if n in timings and n in baseline]
+    r1_spark = round(sum(timings[n] for n in r1_set), 4)
+    r1_duck = round(sum(baseline[n] for n in r1_set), 4)
     print(
         json.dumps(
             {
@@ -184,6 +204,11 @@ def main() -> None:
                 "ratio_vs_duckdb": round(total / base_total, 3) if base_total else None,
                 "layout": "split32" if SPLIT else "single_file",
                 "split32_headline": split_variant,
+                "r1_subset": {
+                    "spark_total": r1_spark,
+                    "duckdb_total": r1_duck,
+                    "ratio": round(r1_spark / r1_duck, 3) if r1_duck else None,
+                },
                 "load1": load1,
             }
         )
