@@ -586,6 +586,31 @@ SELECT node AS doc_id, min(label) AS cluster FROM walk GROUP BY node ORDER BY do
 """
 
 
+# --- D25 per-label embedding centroids (class-separability diagnostic) -------
+def d25_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode_outer(col("embedding").cast("array<double>")).alias("lane", "v")
+        )
+        .groupBy("label", "lane")
+        .agg(
+            (F.floor(F.avg("v") * 1e6 + F.lit(0.5)) / 1e6).alias("c"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("label", "lane")
+    )
+
+
+D25_SQL = """
+SELECT label, i - 1 AS lane,
+       floor(avg(CAST(embedding[i] AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS c,
+       count(*) AS n
+FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)
+GROUP BY label, i ORDER BY label, lane
+"""
+
+
 # --- S01 BM25 keyword search -------------------------------------------------
 _Q_TERMS = ["spark", "join", "fast"]
 _TOKS = "toks AS (SELECT doc_id, unnest(w) AS term FROM words)"
@@ -956,6 +981,7 @@ PIPELINE = {
     "d22_vocab_oov": (d22_vocab_oov, D22_SQL),
     "d23_source_mix": (d23_source_mix, D23_SQL),
     "d24_dedup_clusters": (d24_dedup_clusters, D24_SQL),
+    "d25_label_centroids": (d25_label_centroids, D25_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),
