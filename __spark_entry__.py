@@ -48,12 +48,22 @@ def _registries() -> list[dict]:
 
 
 def _interleaved() -> list[tuple[str, tuple]]:
-    """Round-robin over the family registries so any prefix of the dict
-    covers every family (see module docstring)."""
+    """Round-robin across query FAMILIES (key prefix: p/d/s/k/t/e/m/a/i/st),
+    each family iterating NEWEST-FIRST, so any recorded prefix of the dict
+    covers every family and prefers the queries added most recently —
+    the ones no previous round's driver file has verified. The key SET is
+    stable across rounds; only iteration order changes."""
+    import re
     from itertools import zip_longest
 
+    families: dict[str, list[tuple[str, tuple]]] = {}
+    for reg in _registries():
+        for key, val in reg.items():
+            fam = re.match(r"[a-z]+", key).group(0)[: 2 if key.startswith("st") else 1]
+            families.setdefault(fam, []).append((key, val))
+    ordered = [list(reversed(items)) for _fam, items in sorted(families.items())]
     merged: list[tuple[str, tuple]] = []
-    for tup in zip_longest(*[list(r.items()) for r in _registries()]):
+    for tup in zip_longest(*ordered):
         merged.extend(kv for kv in tup if kv is not None)
     return merged
 
