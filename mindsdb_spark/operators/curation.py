@@ -254,3 +254,27 @@ def pii_scrub(
         scrubbed.alias("text_scrubbed"),
         *[col(f"n_{kind}") for kind, _p, _r in PII_PATTERNS],
     )
+
+
+def split_assign(
+    df: DataFrame,
+    fractions: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by id hash.
+
+    bucket = md5(id) mod 1000; thresholds at cumulative fractions. The
+    same hash-bucket trick as stratified_sample: engines, reruns, and
+    workers agree with no coordination and no stored split table — the
+    split IS a pure function of the id. Pure map stage.
+    """
+    train, val, _test = fractions
+    bucket = (
+        F.conv(F.substring(F.md5(col(id_col).cast("string")), 1, 8), 16, 10).cast("long")
+        % 1000
+    )
+    t1, t2 = int(train * 1000), int((train + val) * 1000)
+    return df.withColumn(
+        "split",
+        F.when(bucket < t1, "train").when(bucket < t2, "val").otherwise("test"),
+    )

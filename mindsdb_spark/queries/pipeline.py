@@ -611,6 +611,25 @@ GROUP BY label, i ORDER BY label, lane
 """
 
 
+# --- D26 deterministic train/val/test split assignment ------------------------
+def d26_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.curation import split_assign
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return split_assign(docs).orderBy("doc_id")
+
+
+D26_SQL = """
+SELECT doc_id, lang,
+       CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 1000) < 800
+            THEN 'train'
+            WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 1000) < 900
+            THEN 'val'
+            ELSE 'test' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
 # --- S01 BM25 keyword search -------------------------------------------------
 _Q_TERMS = ["spark", "join", "fast"]
 _TOKS = "toks AS (SELECT doc_id, unnest(w) AS term FROM words)"
@@ -982,6 +1001,7 @@ PIPELINE = {
     "d23_source_mix": (d23_source_mix, D23_SQL),
     "d24_dedup_clusters": (d24_dedup_clusters, D24_SQL),
     "d25_label_centroids": (d25_label_centroids, D25_SQL),
+    "d26_split_assign": (d26_split_assign, D26_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),
