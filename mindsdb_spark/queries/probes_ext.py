@@ -890,6 +890,31 @@ ORDER BY user_id, event_id
 """
 
 
+# --- P59 keep-latest-per-key dedup (QUALIFY idiom) ----------------------------
+# The daily-driver CDC/dedup idiom: one ranked window, filter rn = 1.
+# Spark plans a single window over the (user_id) shuffle — no self-join.
+def p59_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(col("ts").desc(), col("event_id").desc())
+    return (
+        e.withColumn("__rn", F.row_number().over(w))
+        .filter(col("__rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 2).alias("v"))
+        .orderBy("user_id")
+    )
+
+
+P59_SQL = """
+SELECT user_id, event_id, event_type, round(value, 2) AS v
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1 ORDER BY user_id
+"""
+
+
 PROBES_EXT = {
     "p33_cube": (p33_cube, P33_SQL),
     "p34_grouping_sets": (p34_grouping_sets, P34_SQL),
@@ -916,5 +941,6 @@ PROBES_EXT = {
     "p56_set_ops_all": (p56_set_ops_all, P56_SQL),
     "p57_fuzzy_match": (p57_fuzzy_match, P57_SQL),
     "p58_forward_fill": (p58_forward_fill, P58_SQL),
+    "p59_keep_latest": (p59_keep_latest, P59_SQL),
     "p55_q15_top_supplier": (p55_q15_top_supplier, P55_SQL),
 }
