@@ -207,3 +207,28 @@ def vocab_coverage(
         in_v.alias("in_vocab"),
         _round6(F.lit(1.0) - in_v / n_tok).alias("oov_frac"),
     )
+
+
+def unigram_nll(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc negative log-likelihood under the corpus unigram LM — the
+    cheap perplexity proxy quality filters use before a real LM pass.
+
+    Pass 1: global token frequencies (map-side-combinable groupBy) with the
+    corpus total carried on a 1-row broadcast; pass 2: tokens re-join their
+    frequencies (shuffle keyed on the token — scale-safe, no driver state)
+    and average -ln p per doc. Training-data extension; no reference analog.
+    """
+    df = parallelize_input(df)
+    tok = df.select(col(id_col), F.explode(words_expr(col(text_col))).alias("__tok"))
+    tf = tok.groupBy("__tok").agg(F.count("*").alias("__c"))
+    total = tok.agg(F.count("*").alias("__t"))
+    scored = (
+        tok.join(tf, "__tok")
+        .crossJoin(F.broadcast(total))
+        .select(col(id_col), (-F.log(col("__c") / col("__t"))).alias("__nll"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"), _round6(F.avg("__nll")).alias("nll")
+    )

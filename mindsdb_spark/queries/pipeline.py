@@ -630,6 +630,25 @@ FROM documents ORDER BY doc_id
 """
 
 
+# --- D27 unigram-LM NLL (perplexity-proxy quality score) ----------------------
+def d27_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.text import unigram_nll
+
+    return unigram_nll(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+D27_SQL = f"""
+WITH {_WORDS},
+tok AS (SELECT doc_id, unnest(w) AS tok FROM words),
+tf AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+tot AS (SELECT count(*) AS t FROM tok)
+SELECT doc_id, count(*) AS n_tokens,
+       floor(avg(-ln(c / CAST(t AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS nll
+FROM tok JOIN tf USING (tok), tot
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # --- S01 BM25 keyword search -------------------------------------------------
 _Q_TERMS = ["spark", "join", "fast"]
 _TOKS = "toks AS (SELECT doc_id, unnest(w) AS term FROM words)"
@@ -1002,6 +1021,7 @@ PIPELINE = {
     "d24_dedup_clusters": (d24_dedup_clusters, D24_SQL),
     "d25_label_centroids": (d25_label_centroids, D25_SQL),
     "d26_split_assign": (d26_split_assign, D26_SQL),
+    "d27_unigram_nll": (d27_unigram_nll, D27_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),
