@@ -302,12 +302,57 @@ ORDER BY event_id
 """
 
 
+
+# --- E05: raw native query federated into the Catalyst plan ------------------
+def e05_native_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``FROM <src> (raw sql)`` — the raw text runs verbatim on the source
+    engine (reference NativeQuery, query_planner.py:825-831); its result
+    becomes a view the surrounding Spark plan joins like any table. Here
+    DuckDB pre-aggregates supplier balances per nation; Spark joins the
+    parquet nation dim and filters."""
+    from mindsdb_spark.engine import EngineSession
+    from mindsdb_spark.sources.duckdb_source import DuckDBSource
+
+    key = ("e05", id(spark), sf_dir)
+    if key not in _SESSIONS:
+        sess = EngineSession(spark)
+        sess.register_parquet_source("tpch", sf_dir)
+        sess.register_native_source(
+            "duck", DuckDBSource.from_parquet_dir(spark, sf_dir, tables=["supplier"])
+        )
+        _SESSIONS[key] = sess
+    sess = _SESSIONS[key]
+    return sess.sql(
+        """
+        SELECT n.n_name, t.n_supp,
+               FLOOR(t.total_bal * 100 + 0.5) / 100 AS bal
+        FROM duck (SELECT s_nationkey, COUNT(*) AS n_supp,
+                          SUM(s_acctbal) AS total_bal
+                   FROM supplier GROUP BY s_nationkey) t
+        JOIN tpch_nation n ON n.n_nationkey = t.s_nationkey
+        WHERE t.n_supp >= 1
+        ORDER BY n.n_name
+        """
+    )
+
+
+E05_SQL = """
+SELECT n.n_name, t.n_supp, floor(t.total_bal * 100 + 0.5) / 100 AS bal
+FROM (SELECT s_nationkey, COUNT(*) AS n_supp, SUM(s_acctbal) AS total_bal
+      FROM supplier GROUP BY s_nationkey) t
+JOIN nation n ON n.n_nationkey = t.s_nationkey
+WHERE t.n_supp >= 1
+ORDER BY n.n_name
+"""
+
+
 ENGINE_QUERIES = {
     "i01_last_sql": (i01_last_sql, I01_SQL),
     "e04_create_database": (e04_create_database, E04_SQL),
     "e01_engine_sql": (e01_engine_sql, E01_SQL),
     "e02_engine_view": (e02_engine_view, E02_SQL),
     "e03_pushdown": (e03_pushdown, E03_SQL),
+    "e05_native_query": (e05_native_query, E05_SQL),
     "a03_model_join_sql": (a03_model_join_sql, A03_SQL),
     "m02_dialect_datetime": (m02_dialect_datetime, M02_SQL),
     "m03_dialect_string": (m03_dialect_string, M03_SQL),

@@ -880,6 +880,50 @@ FROM top ORDER BY distance, doc_id
 S06_SQL = _s06_sql()
 
 
+# --- S07 rerank + relevance threshold through the KB SQL door -----------------
+# `USING rerank = true, relevance_threshold = x` — over-fetch min(2k, k+30)
+# vector candidates, score with the deterministic mock reranker, threshold,
+# top-k by relevance (reference: controller.py:360-370,404-424). Same
+# md5-embedder KB as s06 so every stage reproduces in DuckDB.
+def s07_rerank_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    sess.register_knowledge_base(
+        "kbr", _t(spark, sf_dir, "documents"), dim=8, embedder="md5", chunk=False
+    )
+    return sess.sql(
+        "SELECT doc_id, FLOOR(distance * 1000000 + 0.5) / 1000000 AS distance, "
+        "FLOOR(relevance * 1000000 + 0.5) / 1000000 AS relevance "
+        "FROM kbr WHERE content = 'spark join fast' "
+        "ORDER BY relevance DESC, doc_id LIMIT 10 "
+        "USING rerank = true, relevance_threshold = 0.2"
+    )
+
+
+def _s07_sql() -> str:
+    store_lanes = ", ".join(_md5_lane("text", i) for i in range(8))
+    q_lanes = ", ".join(_md5_lane("'spark join fast'", i) for i in range(8))
+    return f"""
+WITH emb AS (SELECT doc_id, text, [{store_lanes}] AS embedding FROM documents),
+q AS (SELECT [{q_lanes}] AS qe),
+scored AS (SELECT doc_id, text, ({_COS}) AS sim FROM emb, q),
+cand AS (SELECT doc_id, text, 1.0 - sim AS dist FROM scored
+         ORDER BY sim DESC, md5(CAST(doc_id AS VARCHAR)) LIMIT 20),
+rel AS (SELECT doc_id, dist,
+               ('0x' || substr(md5(text), 1, 4))::INTEGER / 65535.0 AS relevance
+        FROM cand),
+top AS (SELECT doc_id, dist, relevance FROM rel WHERE relevance >= 0.2
+        ORDER BY relevance DESC, md5(CAST(doc_id AS VARCHAR)) LIMIT 10)
+SELECT doc_id, floor(dist * 1000000 + 0.5) / 1000000 AS distance,
+       floor(relevance * 1000000 + 0.5) / 1000000 AS relevance
+FROM top ORDER BY relevance DESC, doc_id
+"""
+
+
+S07_SQL = _s07_sql()
+
+
 # --- M01 MySQL-dialect SQL through EngineSession -----------------------------
 def m01_mysql_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.engine import EngineSession
@@ -1028,6 +1072,7 @@ PIPELINE = {
     "s04_metadata_search": (s04_metadata_search, S04_SQL),
     "s05_rerank": (s05_rerank, S05_SQL),
     "s06_hybrid_sql": (s06_hybrid_sql, S06_SQL),
+    "s07_rerank_sql": (s07_rerank_sql, S07_SQL),
     "m01_mysql_dialect": (m01_mysql_dialect, M01_SQL),
     "a01_model_apply": (a01_model_apply, A01_SQL),
     "a02_ts_forecast": (a02_ts_forecast, A02_SQL),
