@@ -173,3 +173,26 @@ def test_partitioned_ctas_prunes(spark, sf_dir, tmp_path):
     plan = _plan(df)
     assert "PartitionFilters" in plan and "o_orderpriority" in plan.split("PartitionFilters")[1].splitlines()[0]
     assert df.collect()[0]["n"] > 0
+
+
+def test_vocab_coverage_plan_shape(spark, sf_dir):
+    # top-V vocabulary must compile to TakeOrderedAndProject (no global
+    # sort of the token counts) and join back as a broadcast
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.operators.text import vocab_coverage
+
+    plan = _plan(vocab_coverage(load_table(spark, sf_dir, "documents"), 50))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_signals_no_global_sort(spark, sf_dir):
+    # both aggregates key on doc_id (+gram): partial aggregation map-side,
+    # never a whole-corpus sort
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.operators.text import repetition_signals
+
+    plan = _plan(repetition_signals(load_table(spark, sf_dir, "documents")))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "Sort [" not in plan  # no global Sort operator in the agg path
