@@ -53,9 +53,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos_cols:
-        if dict(df.dtypes).get(c) == "bigint":
+        dt = dict(df.dtypes).get(c)
+        if dt == "bigint":
             # integer `div`, not `/`: double division rounds the low digit
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        elif dt == "timestamp_ntz":
+            # fixtures written as timestamp[us] (no tz): with the session
+            # pinned to UTC this cast is instant-preserving and matches the
+            # DuckDB oracle's naive-UTC reading
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

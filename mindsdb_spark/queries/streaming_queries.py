@@ -14,33 +14,45 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# events.ts is parquet TIMESTAMP(NANOS): the streaming source uses the same
-# vectorized reader as batch, so it reads as long (nanosAsLong) and converts
-# in-plan with integer div (see catalog.load_table).
-_EVENTS_STREAM_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+# Streaming file sources need an explicit schema; events.ts has shipped as
+# both TIMESTAMP(NANOS) (reads as long under nanosAsLong) and TIMESTAMP(MICROS)
+# across fixture generations, so sniff the parquet footer and adapt — same
+# normalization batch reads get in catalog.load_table.
+_EVENTS_COLS = (
+    "event_id bigint, {ts}, user_id bigint, event_type string, "
     "value double, props string"
 )
+
+
+def _events_ts_is_int64(path: str) -> bool:
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        import glob
+
+        files = glob.glob(os.path.join(path, "*.parquet")) or [path]
+        path = files[0]
+    return str(pq.read_schema(path).field("ts").type) == "int64"
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.streaming.windows import stream_from_parquet
 
     split_dir = os.path.join(sf_dir, "events.parquet")
-    if os.path.isdir(split_dir):
-        # multi-file copy (bench split layout): ts is already a proper
-        # timestamp column, and every part file is a stream input
-        return stream_from_parquet(
-            spark,
-            split_dir,
-            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
-            "value double, props string",
-        )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = stream_from_parquet(
-        spark, sf_dir, _EVENTS_STREAM_SCHEMA, path_glob="events.parquet"
-    )
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    is_split = os.path.isdir(split_dir)
+    nanos = _events_ts_is_int64(split_dir)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = _EVENTS_COLS.format(ts="ts bigint")
+    else:
+        schema = _EVENTS_COLS.format(ts="ts timestamp")
+    if is_split:
+        stream = stream_from_parquet(spark, split_dir, schema)
+    else:
+        stream = stream_from_parquet(spark, sf_dir, schema, path_glob="events.parquet")
+    if nanos:
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
 
 
 def st01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
