@@ -75,6 +75,19 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
         return False, f"columns differ: spark={sorted(got.columns)} duckdb={sorted(exp.columns)}"
     exp.columns = [c.lower() for c in exp.columns]
     got.columns = [c.lower() for c in got.columns]
+    # The driver's value hash is exact on representation: an all-non-null
+    # int64 column on one side vs float64 on the other (e.g. DuckDB
+    # sum(BIGINT) -> HUGEINT -> pandas float64) hashes differently even when
+    # every value is numerically identical. Surface that here so rounding in
+    # _norm_value can't mask it (round 2: d21/d22/d23).
+    for c in sorted(got.columns):
+        kinds = {got[c].dtype.kind, exp[c].dtype.kind}
+        if kinds in ({"i", "f"}, {"u", "f"}):
+            return False, (
+                f"dtype kind mismatch on '{c}': spark={got[c].dtype} "
+                f"duckdb={exp[c].dtype} (int vs float breaks the driver hash "
+                f"even when values match — CAST the oracle aggregate)"
+            )
     g, e = normalize(got), normalize(exp)
     if len(g) != len(e):
         return False, f"row count differs: spark={len(g)} duckdb={len(e)}"

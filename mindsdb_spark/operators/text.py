@@ -182,27 +182,30 @@ def vocab_coverage(
 
     Pass 1 builds the top-`vocab_size` token list (count desc, token asc —
     the tie-break makes the vocabulary deterministic across engines and
-    partitionings); pass 2 broadcast-joins it back to the exploded tokens.
-    The vocabulary is bounded by V, so the join side is always
-    broadcastable no matter the corpus size; the token count aggregate is
-    map-side combinable. Training-data extension (no reference analog).
+    partitionings) and collapses it to ONE array row. Pass 2 broadcast-joins
+    that single row to the tokenized docs and computes per-doc membership
+    with higher-order functions — no second corpus explode and no
+    token-keyed shuffle: the only shuffle over corpus-sized data is the
+    map-side-combinable vocab groupBy. The vocabulary is bounded by V, so
+    the broadcast is one row of V strings no matter the corpus size.
+    Training-data extension (no reference analog).
     """
     df = parallelize_input(df)
-    tok = df.select(
-        col(id_col), F.explode(words_expr(col(text_col))).alias("__tok")
-    )
-    vocab = (
-        tok.groupBy("__tok")
+    ws = df.select(
+        col(id_col), words_expr(col(text_col)).alias("__ws")
+    ).where(F.size("__ws") >= 1)
+    vocab_arr = (
+        ws.select(F.explode("__ws").alias("__tok"))
+        .groupBy("__tok")
         .agg(F.count("*").alias("__c"))
         .orderBy(F.desc("__c"), F.asc("__tok"))
         .limit(vocab_size)
-        .select("__tok")
+        .agg(F.collect_list("__tok").alias("__vocab"))
     )
-    joined = tok.join(
-        F.broadcast(vocab.withColumn("__in", F.lit(1))), on="__tok", how="left"
-    )
-    n_tok, in_v = F.count("*"), F.sum(F.coalesce(col("__in"), F.lit(0)))
-    return joined.groupBy(id_col).agg(
+    n_tok = F.size("__ws").cast("long")
+    in_v = F.size(F.expr("filter(__ws, t -> array_contains(__vocab, t))")).cast("long")
+    return ws.join(F.broadcast(vocab_arr)).select(
+        col(id_col),
         n_tok.alias("n_tokens"),
         in_v.alias("in_vocab"),
         _round6(F.lit(1.0) - in_v / n_tok).alias("oov_frac"),

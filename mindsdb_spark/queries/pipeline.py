@@ -518,7 +518,7 @@ g AS (SELECT doc_id,
                                    i -> w[i] || ' ' || w[i + 1])) AS g
       FROM words WHERE len(w) >= 2),
 per AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
-SELECT doc_id, sum(c) AS n_grams, count(*) AS n_distinct,
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, count(*) AS n_distinct,
        floor((1.0 - count(*) / CAST(sum(c) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS dup_frac,
        floor((max(c) / CAST(sum(c) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS top_frac
 FROM per GROUP BY doc_id ORDER BY doc_id
@@ -539,7 +539,7 @@ tf AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
 vocab AS (SELECT tok FROM tf ORDER BY c DESC, tok LIMIT 50),
 j AS (SELECT t.doc_id, CASE WHEN v.tok IS NULL THEN 0 ELSE 1 END AS iv
       FROM tok t LEFT JOIN vocab v USING (tok))
-SELECT doc_id, count(*) AS n_tokens, sum(iv) AS in_vocab,
+SELECT doc_id, count(*) AS n_tokens, CAST(sum(iv) AS BIGINT) AS in_vocab,
        floor((1.0 - sum(iv) / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS oov_frac
 FROM j GROUP BY doc_id ORDER BY doc_id
 """
@@ -556,7 +556,7 @@ D23_SQL = r"""
 WITH s AS (SELECT source,
                   len(string_split_regex(lower(trim(text)), '\s+')) AS nt
            FROM documents),
-per AS (SELECT source, count(*) AS n_docs, sum(nt) AS n_tokens,
+per AS (SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
                floor(avg(nt) * 1000000 + 0.5) / 1000000 AS avg_tokens
         FROM s GROUP BY source),
 tot AS (SELECT sum(n_tokens) AS total FROM per)
