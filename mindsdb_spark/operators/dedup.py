@@ -237,6 +237,34 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     return votes.select(col(id_col), sig.alias("simhash"))
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node connects its strictly-larger
+    neighbors to the minimum of its closed neighborhood."""
+    sym = edges.union(edges.select(col("v").alias("u"), col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("__mn"))
+    return (
+        sym.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").alias("u"), F.least(col("u"), col("__mn")).alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient edges high→low, then connect every
+    smaller neighbor (and the node itself) to the minimum neighbor."""
+    e = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = e.groupBy("u").agg(F.min("v").alias("__m"))
+    relinked = (
+        e.join(mins, "u")
+        .select(col("v").alias("u"), col("__m").alias("v"))
+        .where(col("u") != col("v"))
+    )
+    return relinked.union(mins.select(col("u"), col("__m").alias("v"))).distinct()
+
+
 def connected_components(
     nodes: DataFrame,
     pairs: DataFrame,
@@ -244,40 +272,54 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
-    """Near-dup clusters from candidate pairs: hash-min label propagation.
+    """Near-dup clusters from candidate pairs: alternating large-star /
+    small-star contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14 — the GraphFrames/GraphX production
+    algorithm).
 
     The keep-one-per-cluster step after LSH: (node, cluster) where cluster
     is the min doc id reachable through the pair graph — docs keep iff
-    node == cluster. Each iteration is one equi-join + map-side-combinable
-    min aggregate; lineage is truncated per iteration (localCheckpoint, the
-    Pregel pattern) so plans stay bounded. Iterations = graph diameter —
-    near-dup components are shallow (pairs share content), so this
-    converges in a handful of rounds; the per-iteration driver scalar is
-    the single convergence count. Deterministic: min is order-free.
+    node == cluster. Unlike plain label propagation (rounds = graph
+    diameter, full label-table checkpoint + driver sync per round — the
+    round-2 weak-at-scale flag), star contraction halves component height
+    every round and provably converges in O(log n) rounds on any topology,
+    including pathological chains. Each round is two equi-joins over the
+    EDGE set (which only shrinks toward one edge per non-root node), the
+    convergence probe doubles as the materializing action, and lineage is
+    truncated only every other round — half the checkpoint I/O of the
+    per-iteration Pregel pattern. Deterministic: min/greatest/distinct are
+    order-free.
     """
-    edges = pairs.select(col(a_col).alias("a"), col(b_col).alias("b")).union(
-        pairs.select(col(b_col).alias("a"), col(a_col).alias("b"))
+    edges = (
+        pairs.select(col(a_col).alias("u"), col(b_col).alias("v"))
+        .where(col("u") != col("v"))
     )
-    labels = nodes.select(col(id_col).alias("node"), col(id_col).alias("label"))
-    for _ in range(max_iter):
-        neigh = (
-            edges.join(labels, edges["b"] == labels["node"])
-            .select(col("a").alias("node"), "label")
-            .groupBy("node")
-            .agg(F.min("label").alias("nl"))
-        )
-        merged = F.least(col("label"), F.coalesce(col("nl"), col("label")))
-        new = labels.join(neigh, "node", "left").select(
-            "node",
-            merged.alias("label"),
-            (merged < col("label")).cast("int").alias("__moved"),
-        )
-        new = new.localCheckpoint(eager=True)
-        # convergence scalar reads the just-materialized checkpoint — no
-        # second join against the previous labels
-        changed = new.agg(F.sum("__moved")).first()[0]
-        labels = new.drop("__moved")
-        if not changed:
+    prev_chk = None
+    for i in range(max_iter):
+        edges = _small_star(_large_star(edges))
+        if i % 2 == 1:
+            edges = edges.localCheckpoint(eager=True)
+        # convergence checksum is the per-round action (count + order-free
+        # hash-sum of the edge set); the edge set is stable iff converged
+        row = edges.agg(
+            F.count("*").alias("n"),
+            F.sum(F.hash("u", "v").cast("long")).alias("h"),
+        ).first()
+        chk = (row["n"], row["h"])
+        if stats is not None:
+            stats["rounds"] = i + 1
+        if chk == prev_chk:
             break
-    return labels.select(col("node").alias(id_col), col("label").alias("cluster"))
+        prev_chk = chk
+    # at the fixed point every non-root node holds exactly one (node, root)
+    # edge; roots and isolated nodes label themselves
+    stars = (
+        edges.groupBy(col("u").alias("node")).agg(F.min("v").alias("label"))
+    )
+    base = nodes.select(col(id_col).alias("node"))
+    return base.join(stars, "node", "left").select(
+        col("node").alias(id_col),
+        F.coalesce(col("label"), col("node")).alias("cluster"),
+    )

@@ -265,6 +265,44 @@ def test_connected_components_chain_triangle_singleton(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7}
 
 
+def test_connected_components_pathological_chain_logn_rounds(spark):
+    """Star contraction must converge in O(log n) rounds on a diameter-n
+    chain — the topology where plain label propagation needs n rounds
+    (round-2 weak-at-scale flag on d24)."""
+    import math
+
+    from mindsdb_spark.operators.dedup import connected_components
+
+    n = 64  # one long path: 0-1-2-...-63, diameter 63
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    stats = {}
+    got = connected_components(nodes, pairs, max_iter=20, stats=stats)
+    assert {r.cluster for r in got.collect()} == {0}
+    # each round (large-star + small-star) at least halves component height;
+    # +1 for the convergence-confirming round
+    assert stats["rounds"] <= math.ceil(math.log2(n)) + 2, stats
+
+
+def test_connected_components_star_skew(spark):
+    """Hub-and-spoke (one hot node) — the skewed-key shape; converges fast
+    and labels all spokes with the hub's component min."""
+    from mindsdb_spark.operators.dedup import connected_components
+
+    n = 200
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    # hub is the HIGHEST id so the min label must still flow everywhere
+    pairs = spark.createDataFrame(
+        [(n - 1, i) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    stats = {}
+    got = connected_components(nodes, pairs, stats=stats)
+    assert {r.cluster for r in got.collect()} == {0}
+    assert stats["rounds"] <= 5, stats
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     from mindsdb_spark.catalog import load_table
     from mindsdb_spark.operators.joins import salted_join
