@@ -47,15 +47,53 @@ def _registries() -> list[dict]:
     ]
 
 
+def _recording_priority() -> "Callable[[str], int]":
+    """The driver records only a ~50-entry prefix of the 124-query dict, so
+    rotate what rides in the window each round: keys never recorded in any
+    CORRECTNESS_r*.json come first, then keys recorded in an older round
+    but not the latest, then the keys the latest round already verified.
+    Consecutive rounds therefore jointly record ~100 distinct queries."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+    ever: set[str] = set()
+    latest: set[str] = set()
+    latest_n = -1
+    for p in files:
+        m = re.search(r"_r(\d+)\.json$", p)
+        try:
+            with open(p) as f:
+                keys = set(json.load(f).keys())
+        except (OSError, ValueError):
+            continue
+        ever |= keys
+        n = int(m.group(1)) if m else -1
+        if n > latest_n:
+            latest_n, latest = n, keys
+
+    def prio(key: str) -> int:
+        if key not in ever:
+            return 0
+        return 2 if key in latest else 1
+
+    return prio
+
+
 def _interleaved() -> list[tuple[str, tuple]]:
     """Round-robin across query FAMILIES (key prefix: p/d/s/k/t/e/m/a/i/st),
-    each family iterating NEWEST-FIRST, so any recorded prefix of the dict
-    covers every family and prefers the queries added most recently —
-    the ones no previous round's driver file has verified. The key SET is
-    stable across rounds; only iteration order changes."""
+    each family ordered by recording priority (never-recorded first, then
+    least-recently-recorded — see _recording_priority), newest-first within
+    a priority tier. Any recorded prefix of the dict covers every family
+    and prefers the queries with the least driver-file verification. The
+    key SET is stable across rounds; only iteration order changes."""
     import re
     from itertools import zip_longest
 
+    prio = _recording_priority()
     families: dict[str, list[tuple[str, tuple]]] = {}
     for reg in _registries():
         for key, val in reg.items():
@@ -65,6 +103,10 @@ def _interleaved() -> list[tuple[str, tuple]]:
     merged: list[tuple[str, tuple]] = []
     for tup in zip_longest(*ordered):
         merged.extend(kv for kv in tup if kv is not None)
+    # stable global sort: un/least-recorded keys first (family interleave
+    # preserved within each priority tier) so the driver's ~50-entry window
+    # records the complement of the previous round's file
+    merged.sort(key=lambda kv: prio(kv[0]))
     return merged
 
 

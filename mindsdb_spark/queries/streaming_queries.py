@@ -25,14 +25,26 @@ _EVENTS_COLS = (
 
 
 def _events_ts_is_int64(path: str) -> bool:
+    """True when events.ts needs the nanosAsLong compat path: either the
+    column is already physical int64, or it is TIMESTAMP(NANOS) — which
+    pyarrow reports as timestamp[ns] (int64 + logical annotation), and which
+    Spark's streaming parquet reader rejects unless nanosAsLong is set."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     if os.path.isdir(path):
         import glob
 
-        files = glob.glob(os.path.join(path, "*.parquet")) or [path]
+        files = glob.glob(os.path.join(path, "*.parquet"))
+        if not files:
+            raise FileNotFoundError(
+                f"split events dir contains no *.parquet files: {path}"
+            )
         path = files[0]
-    return str(pq.read_schema(path).field("ts").type) == "int64"
+    t = pq.read_schema(path).field("ts").type
+    if pa.types.is_timestamp(t) and t.unit == "ns":
+        return True
+    return str(t) == "int64"
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
