@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import re
 from collections.abc import Callable
 
@@ -672,11 +673,29 @@ class EngineSession:
         ).head()
         return [float(x) for x in qrow["embedding"]]
 
-    def _kb_insert(self, name: str, docs: DataFrame) -> DataFrame:
-        """INSERT INTO <kb> <select>: chunk → embed → upsert by content hash
-        (reference: controller.py:647-983 — re-inserting unchanged content
-        is a no-op because chunk ids are content hashes)."""
+    # reference auto-batches every KB insert at 50k rows
+    # (interfaces/agents/utils/constants.py:200 MAX_INSERT_BATCH_SIZE;
+    # controller.py:657-664 recursive batching loop)
+    KB_INSERT_BATCH_SIZE = 50_000
+
+    def _kb_insert(
+        self, name: str, docs: DataFrame, batch_size: int | None = None
+    ) -> DataFrame:
+        """INSERT INTO <kb> <select>: partitioned + resumable chunk → embed
+        → upsert by content hash (reference: controller.py:647-983 —
+        partitioned/threaded insert with auto-batching at 50k rows;
+        re-inserting unchanged content is a no-op because chunk ids are
+        content hashes).
+
+        Each keyset batch (WHERE doc_id > cursor ORDER BY doc_id LIMIT n,
+        via streaming.incremental.batched_insert) embeds on the executors
+        and is materialized with localCheckpoint before the upsert, so the
+        store's lineage stays one flat union per batch and a crash resumes
+        from the persisted cursor instead of re-embedding completed
+        batches. Within a batch the embed is fully distributed — Spark's
+        executor parallelism plays the reference's thread pool."""
         from mindsdb_spark.operators.kb import chunk_documents, fake_embed, kb_upsert, md5_embed
+        from mindsdb_spark.streaming.incremental import batched_insert
 
         kb = self._kbs[name]
         embed = md5_embed if kb.get("embedder") == "md5" else fake_embed
@@ -688,12 +707,35 @@ class EngineSession:
         prepared = docs.select(
             F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
         )
-        incoming = embed(chunk_documents(prepared), dim=kb["dim"]).select(
-            "chunk_id", "doc_id", "chunk_text", "embedding"
+        self.last_state  # materializes self._state_dir
+        state_dir = os.path.join(self._state_dir, f"kb_insert_{name}")
+        inserted = [0]
+
+        def _write_batch(rows: DataFrame, _i: int) -> None:
+            incoming = (
+                embed(chunk_documents(rows), dim=kb["dim"])
+                .select("chunk_id", "doc_id", "chunk_text", "embedding")
+                .localCheckpoint(eager=True)
+            )
+            kb["store"] = kb_upsert(kb["store"], incoming)
+            if _i % 8 == 7:  # bound the union/anti-join lineage depth
+                kb["store"] = kb["store"].localCheckpoint(eager=True)
+            inserted[0] += incoming.count()
+
+        batched_insert(
+            prepared,
+            _write_batch,
+            track_column="doc_id",
+            state_dir=state_dir,
+            batch_size=batch_size or self.KB_INSERT_BATCH_SIZE,
         )
-        kb["store"] = kb_upsert(kb["store"], incoming)
-        n = incoming.count()
-        return self.spark.createDataFrame([(n,)], "inserted_chunks long")
+        # a fully-caught-up cursor makes a REPEATED insert of the same
+        # SELECT a no-op; clear it so each INSERT statement is a fresh run
+        # (resume-on-crash still works: the cursor only clears on success)
+        cursor = os.path.join(state_dir, "insert_cursor.json")
+        if os.path.exists(cursor):
+            os.remove(cursor)
+        return self.spark.createDataFrame([(inserted[0],)], "inserted_chunks long")
 
     def check_triggers(self) -> list[str]:
         """Poll all SQL-created triggers once; fire those whose watched
@@ -1462,12 +1504,27 @@ class EngineSession:
             kbname = m.group(1).lower().strip("`").split(".")[-1]
             if kbname in self._kbs:
                 body = m.group(3)
+                # INSERT INTO <kb> <select> USING batch_size = N — the
+                # reference's partitioned-insert parameter surface
+                # (query_planner.py:956-957; controller.py:657-664)
+                batch_size = None
+                mu = re.search(r"\bUSING\s+([\w\s=,'\".]+)$", body, re.IGNORECASE)
+                if mu:
+                    kvs = dict(
+                        (kv.partition("=")[0].strip().lower(),
+                         kv.partition("=")[2].strip().strip("'\""))
+                        for kv in mu.group(1).split(",")
+                        if "=" in kv
+                    )
+                    if "batch_size" in kvs:
+                        batch_size = int(kvs["batch_size"])
+                        body = body[: mu.start()].strip()
                 rows = (
                     self.spark.sql(f"SELECT * FROM {body}")
                     if body.upper().startswith("VALUES")
                     else self.sql(body.strip().strip("()"))
                 )
-                return self._kb_insert(kbname, rows)
+                return self._kb_insert(kbname, rows, batch_size=batch_size)
         m = _UPDATE_RE.match(s)
         if m:
             srcname, table = self._resolve_writable(m.group(1))
@@ -1587,7 +1644,11 @@ class EngineSession:
             store = self.spark.createDataFrame(
                 [], "chunk_id string, doc_id long, chunk_text string, embedding array<float>"
             )
-            self._kbs[name] = {"store": store, "dim": int(using.get("dim", 16))}
+            self._kbs[name] = {
+                "store": store,
+                "dim": int(using.get("dim", 16)),
+                "embedder": using.get("embedder"),
+            }
             return self.spark.createDataFrame([(name,)], "knowledge_base string")
         m = _DROP_KB_RE.match(s)
         if m:
@@ -1601,13 +1662,15 @@ class EngineSession:
             # answer_create_kb_index, controller.py:985-992). Spark analog:
             # fit IVF coarse-quantizer centroids over the chunk store; KB
             # selects then probe cells instead of scanning the corpus.
-            from mindsdb_spark.operators.vector import kmeans_centroids
+            from mindsdb_spark.operators.vector import _estimate_rows, kmeans_centroids
 
             name = m.group(1).lower().strip("`").split(".")[-1]
             if name not in self._kbs:
                 raise KeyError(f"knowledge base {name!r} does not exist")
             kb = self._kbs[name]
-            n_rows = kb["store"].count()  # one-time index build pass
+            # plan-stats estimate, not a full count() scan — centroid count
+            # only needs order-of-magnitude accuracy (vector.py:_estimate_rows)
+            n_rows = _estimate_rows(kb["store"], "embedding")
             n_centroids = max(1, min(16, n_rows))
             kb["index"] = kmeans_centroids(
                 kb["store"], vec_col="embedding", n_centroids=n_centroids

@@ -61,6 +61,56 @@ def test_kb_sql_lifecycle(sess):
     assert "kbtest" not in [r[0] for r in sess.sql("SHOW KNOWLEDGE_BASES").collect()]
 
 
+def test_kb_insert_batched_resume_after_failure(spark, sf_dir, tmp_path, monkeypatch):
+    """Keyset-resumable KB insert (reference: controller.py:647-983): a
+    crash mid-insert persists the cursor at the last completed batch, and a
+    rerun of the SAME statement resumes there — completed batches are not
+    re-embedded, no chunk is duplicated or lost."""
+    import json
+    import os
+
+    import mindsdb_spark.operators.kb as kbmod
+
+    sess = EngineSession(spark, state_dir=str(tmp_path))
+    sess.register_parquet_source("tpch", sf_dir, tables=["documents"])
+    sess.sql("CREATE KNOWLEDGE_BASE kbr USING dim = 8, embedder = 'md5'")
+    insert_sql = (
+        "INSERT INTO kbr SELECT doc_id, text FROM tpch_documents "
+        "WHERE doc_id < 40 USING batch_size = 10"
+    )
+
+    real = kbmod.md5_embed
+    calls = {"n": 0}
+
+    def flaky(df, text_col="chunk_text", dim=8):
+        calls["n"] += 1
+        if calls["n"] == 3:  # die embedding the third batch
+            raise RuntimeError("embedder crashed")
+        return real(df, text_col=text_col, dim=dim)
+
+    monkeypatch.setattr(kbmod, "md5_embed", flaky)
+    with pytest.raises(RuntimeError, match="embedder crashed"):
+        sess.sql(insert_sql)
+
+    cursor_path = os.path.join(str(tmp_path), "kb_insert_kbr", "insert_cursor.json")
+    assert os.path.exists(cursor_path)
+    with open(cursor_path) as f:
+        assert json.load(f)["cursor"] == 19  # two completed batches of 10 docs
+
+    # resume: the rerun starts AFTER the cursor — the embedder runs only for
+    # the remaining batches (doc_ids 20..39 → 2 more batches)
+    monkeypatch.setattr(kbmod, "md5_embed", real)
+    calls_before = calls["n"]
+    sess.sql(insert_sql)
+    store = sess._kbs["kbr"]["store"]
+    assert store.select("doc_id").distinct().count() == 40
+    assert store.count() == store.select("chunk_id").distinct().count()
+    assert calls["n"] == calls_before  # flaky no longer patched; sanity only
+    # a successful insert clears the cursor so the next statement is fresh
+    assert not os.path.exists(cursor_path)
+    sess.sql("DROP KNOWLEDGE_BASE kbr")
+
+
 def test_create_agent_and_ask(sess):
     sess.sql("CREATE AGENT helper USING model = 'mock-llm'")
     assert "helper" in [r[0] for r in sess.sql("SHOW AGENTS").collect()]
