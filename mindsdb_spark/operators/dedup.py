@@ -239,30 +239,44 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """One large-star round: every node connects its strictly-larger
-    neighbors to the minimum of its closed neighborhood."""
+    neighbors to the minimum of its closed neighborhood. Expressed as ONE
+    window min over the symmetrized edges — no join, single shuffle; the
+    output may carry duplicates (bounded by 2|E|), which the small-star
+    distinct collapses."""
+    from pyspark.sql.window import Window
+
     sym = edges.union(edges.select(col("v").alias("u"), col("u").alias("v")))
-    mins = sym.groupBy("u").agg(F.min("v").alias("__mn"))
-    return (
-        sym.join(mins, "u")
-        .where(col("v") > col("u"))
-        .select(col("v").alias("u"), F.least(col("u"), col("__mn")).alias("v"))
-        .distinct()
+    withm = sym.select(
+        "u", "v", F.least(F.min("v").over(Window.partitionBy("u")), col("u")).alias("__m")
+    )
+    return withm.where(col("v") > col("u")).select(
+        col("v").alias("u"), col("__m").alias("v")
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """One small-star round: orient edges high→low, then connect every
-    smaller neighbor (and the node itself) to the minimum neighbor."""
-    e = edges.select(
-        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-    )
-    mins = e.groupBy("u").agg(F.min("v").alias("__m"))
-    relinked = (
-        e.join(mins, "u")
-        .select(col("v").alias("u"), col("__m").alias("v"))
-        .where(col("u") != col("v"))
-    )
-    return relinked.union(mins.select(col("u"), col("__m").alias("v"))).distinct()
+    smaller neighbor (and the node itself) to the minimum neighbor. One
+    window min + one explode + the canonicalizing distinct — two shuffles,
+    no join."""
+    from pyspark.sql.window import Window
+
+    e = edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    withm = e.select("u", "v", F.min("v").over(Window.partitionBy("u")).alias("__m"))
+    # per oriented row emit (v, m) [unless v IS m] and (u, m); duplicates of
+    # (u, m) across the node's rows collapse in the distinct
+    emitted = withm.select(
+        F.explode(
+            F.array(
+                F.when(
+                    col("v") != col("__m"),
+                    F.struct(col("v").alias("u"), col("__m").alias("v")),
+                ),
+                F.struct(col("u"), col("__m").alias("v")),
+            )
+        ).alias("__e")
+    ).where(col("__e").isNotNull())
+    return emitted.select(col("__e.u").alias("u"), col("__e.v").alias("v")).distinct()
 
 
 def connected_components(
@@ -295,14 +309,20 @@ def connected_components(
     edges = (
         pairs.select(col(a_col).alias("u"), col(b_col).alias("v"))
         .where(col("u") != col("v"))
+        # materialize the candidate-pair pipeline ONCE — without this every
+        # star round's convergence action re-executes the upstream LSH plan
+        .localCheckpoint(eager=True)
     )
     prev_chk = None
     for i in range(max_iter):
         edges = _small_star(_large_star(edges))
         if i % 2 == 1:
+            # truncate lineage every other round only — between checkpoints
+            # the probe's shuffle map outputs are reused (skipped stages),
+            # so the per-round probe does not re-execute prior rounds
             edges = edges.localCheckpoint(eager=True)
-        # convergence checksum is the per-round action (count + order-free
-        # hash-sum of the edge set); the edge set is stable iff converged
+        # convergence probe: count + order-free hash-sum of the edge set —
+        # the distinct-ed set is stable iff converged
         row = edges.agg(
             F.count("*").alias("n"),
             F.sum(F.hash("u", "v").cast("long")).alias("h"),
