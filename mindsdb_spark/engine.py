@@ -1970,6 +1970,130 @@ class EngineSession:
             "character_set_name string, default_collate_name string, "
             "description string, maxlen int",
         ).createOrReplaceTempView("information_schema_character_sets")
+        # breadth tables (round-3: system_tables.py:315-512 EVENTS/ROUTINES/
+        # PLUGINS/ENGINES/COLLATIONS/KEY_COLUMN_USAGE + REFERENTIAL_CONSTRAINTS)
+        self.spark.createDataFrame(
+            [("def", "mindsdb", j.name, "RECURRING", "ENABLED",
+              float(j.every_seconds), "SECOND", j.runs)
+             for j in self.jobs.jobs.values()] or [("", "", "", "", "", 0.0, "", 0)],
+            "event_catalog string, event_schema string, event_name string, "
+            "event_type string, status string, interval_value double, "
+            "interval_field string, runs int",
+        ).filter("event_name != ''").createOrReplaceTempView("information_schema_events")
+        routine_rows = [
+            ("mindsdb", n, "FUNCTION", "user", "YES")
+            for n in sorted(self._user_functions)
+        ] + [
+            ("mindsdb", "llm", "FUNCTION", "builtin", "NO"),
+            ("mindsdb", "to_markdown", "FUNCTION", "builtin", "NO"),
+            ("mindsdb", "hash", "FUNCTION", "builtin", "YES"),
+        ]
+        self.spark.createDataFrame(
+            routine_rows,
+            "routine_schema string, routine_name string, routine_type string, "
+            "routine_body string, is_deterministic string",
+        ).createOrReplaceTempView("information_schema_routines")
+        self.spark.createDataFrame(
+            [(name, "1.0", "ACTIVE", kind.upper(), "mindsdb_spark")
+             for name, kind in
+             [("parquet", "data"), ("parquet_writable", "data"), ("duckdb", "data"),
+              ("jdbc", "data"), ("files", "data"), ("api", "data"),
+              ("spark_ml_linreg", "ml"), ("spark_ml_kmeans", "ml"),
+              ("spark_ml_logreg", "ml"), ("spark_ml_gbt", "ml")]],
+            "plugin_name string, plugin_version string, plugin_status string, "
+            "plugin_type string, plugin_library string",
+        ).createOrReplaceTempView("information_schema_plugins")
+        self.spark.createDataFrame(
+            [("InnoDB", "DEFAULT",
+              "Supports transactions, row-level locking, and foreign keys",
+              "YES", "YES", "YES")],
+            "engine string, support string, comment string, "
+            "transactions string, xa string, savepoints string",
+        ).createOrReplaceTempView("information_schema_engines")
+        self.spark.createDataFrame(
+            [("utf8_general_ci", "utf8", 33, "Yes", "Yes", 1, "PAD SPACE"),
+             ("utf8mb4_general_ci", "utf8mb4", 45, "Yes", "Yes", 1, "PAD SPACE"),
+             ("latin1_swedish_ci", "latin1", 8, "Yes", "Yes", 1, "PAD SPACE")],
+            "collation_name string, character_set_name string, id int, "
+            "is_default string, is_compiled string, sortlen int, "
+            "pad_attribute string",
+        ).createOrReplaceTempView("information_schema_collations")
+        # constraint stubs: schema-complete, rows empty — federated parquet /
+        # API sources carry no key metadata (same emptiness the reference
+        # serves for non-catalog sources)
+        self.spark.createDataFrame(
+            [],
+            "constraint_catalog string, constraint_schema string, "
+            "constraint_name string, table_catalog string, table_schema string, "
+            "table_name string, column_name string, ordinal_position int, "
+            "position_in_unique_constraint int, referenced_table_schema string, "
+            "referenced_table_name string, referenced_column_name string",
+        ).createOrReplaceTempView("information_schema_key_column_usage")
+        self.spark.createDataFrame(
+            [],
+            "constraint_catalog string, constraint_schema string, "
+            "constraint_name string, unique_constraint_catalog string, "
+            "unique_constraint_schema string, unique_constraint_name string, "
+            "match_option string, update_rule string, delete_rule string, "
+            "table_name string, referenced_table_name string",
+        ).createOrReplaceTempView("information_schema_referential_constraints")
+        # META_* data-catalog tables (system_tables.py:515-782): driver-side
+        # plan statistics only — no scan jobs
+        meta_tables, meta_cols = [], []
+        for src, t in self.catalog.tables():
+            df = self.catalog.table(f"{src}.{t}")
+            rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+            n = int(str(rc.get())) if rc.isDefined() else None
+            meta_tables.append(("def", src, t, "BASE TABLE", None, n))
+            for f in df.schema.fields:
+                meta_cols.append(
+                    ("def", src, t, f.name, f.dataType.simpleString(), None,
+                     None, "YES" if f.nullable else "NO")
+                )
+        from pyspark.sql.types import (
+            LongType, StringType as _Str, StructField, StructType,
+        )
+        _mt_schema = StructType([
+            StructField("table_catalog", _Str()), StructField("table_schema", _Str()),
+            StructField("table_name", _Str()), StructField("table_type", _Str()),
+            StructField("table_description", _Str()),
+            StructField("row_count", LongType()),
+        ])
+        self.spark.createDataFrame(meta_tables, _mt_schema).createOrReplaceTempView(
+            "information_schema_meta_tables"
+        )
+        _mc_schema = StructType([
+            StructField("table_catalog", _Str()), StructField("table_schema", _Str()),
+            StructField("table_name", _Str()), StructField("column_name", _Str()),
+            StructField("data_type", _Str()), StructField("column_description", _Str()),
+            StructField("column_default", _Str()), StructField("is_nullable", _Str()),
+        ])
+        self.spark.createDataFrame(meta_cols, _mc_schema).createOrReplaceTempView(
+            "information_schema_meta_columns"
+        )
+        self.spark.createDataFrame(
+            [],
+            "table_schema string, table_name string, column_name string, "
+            "most_common_vals string, most_common_freqs string, "
+            "null_frac double, n_distinct long, min_value string, "
+            "max_value string",
+        ).createOrReplaceTempView("information_schema_meta_column_statistics")
+        self.spark.createDataFrame(
+            [],
+            "constraint_catalog string, constraint_schema string, "
+            "constraint_name string, table_schema string, table_name string, "
+            "constraint_type string, enforced string",
+        ).createOrReplaceTempView("information_schema_meta_table_constraints")
+        self.spark.createDataFrame(
+            [(f"parquet dir source ({len(list(ps.tables()))} tables)", src)
+             for src, ps in self._writable.items()]
+            + [("catalog parquet source", src)
+               for src in sorted({s for s, _t in self.catalog.tables()})]
+            or [("", "")],
+            "handler_info string, table_schema string",
+        ).filter("table_schema != ''").createOrReplaceTempView(
+            "information_schema_meta_handler_info"
+        )
 
     # -- engine functions ------------------------------------------------------
     def _register_builtin_functions(self) -> None:

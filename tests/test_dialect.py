@@ -182,6 +182,67 @@ def test_information_schema_breadth(spark, sf_dir):
     assert {"spark_ml_linreg", "spark_ml_kmeans"} <= mle
 
 
+def test_information_schema_round3_views(spark, sf_dir):
+    """Round-3 breadth: EVENTS / ROUTINES / PLUGINS / ENGINES / COLLATIONS /
+    KEY_COLUMN_USAGE / REFERENTIAL_CONSTRAINTS / META_* (reference:
+    system_tables.py:315-782)."""
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir)
+
+    sess.sql("CREATE JOB isv_job AS (SELECT 1) EVERY 1 hour")
+    ev = sess.sql(
+        "SELECT event_name, status FROM information_schema.events"
+    ).collect()
+    assert any(r["event_name"] == "isv_job" for r in ev)
+    assert all(r["status"] == "ENABLED" for r in ev)
+    sess.sql("DROP JOB isv_job")
+
+    rn = {r[0] for r in sess.sql(
+        "SELECT routine_name FROM information_schema.routines").collect()}
+    assert {"llm", "to_markdown", "hash"} <= rn
+
+    pl = {r[0] for r in sess.sql(
+        "SELECT plugin_name FROM information_schema.plugins").collect()}
+    assert {"parquet", "duckdb", "spark_ml_linreg"} <= pl
+
+    eng = sess.sql("SELECT engine, support FROM information_schema.engines").collect()
+    assert eng[0]["engine"] == "InnoDB"
+
+    co = {r[0] for r in sess.sql(
+        "SELECT collation_name FROM information_schema.collations").collect()}
+    assert "utf8mb4_general_ci" in co
+
+    # constraint stubs: empty rows but complete schemas (clients introspect
+    # the column set even when no keys exist)
+    kcu = sess.sql("SELECT * FROM information_schema.key_column_usage")
+    assert kcu.count() == 0 and "referenced_column_name" in kcu.columns
+    rc = sess.sql("SELECT * FROM information_schema.referential_constraints")
+    assert rc.count() == 0 and "delete_rule" in rc.columns
+
+    mt = sess.sql(
+        "SELECT table_schema, table_name, row_count "
+        "FROM information_schema.meta_tables WHERE table_schema = 'tpch'"
+    ).collect()
+    assert {r["table_name"] for r in mt} >= {"lineitem", "orders"}
+
+    mc = sess.sql(
+        "SELECT column_name, is_nullable FROM information_schema.meta_columns "
+        "WHERE table_name = 'lineitem'"
+    ).collect()
+    assert any(r["column_name"] == "l_orderkey" for r in mc)
+    assert all(r["is_nullable"] in ("YES", "NO") for r in mc)
+
+    mcs = sess.sql("SELECT * FROM information_schema.meta_column_statistics")
+    assert mcs.count() == 0 and "n_distinct" in mcs.columns
+    mtc = sess.sql("SELECT * FROM information_schema.meta_table_constraints")
+    assert mtc.count() == 0 and "constraint_type" in mtc.columns
+
+    hi = sess.sql(
+        "SELECT handler_info, table_schema FROM information_schema.meta_handler_info"
+    ).collect()
+    assert any(r["table_schema"] == "tpch" for r in hi)
+
+
 def test_mysql_client_show_commands(spark, sf_dir):
     # the introspection statements every MySQL client fires on connect
     # (command_executor.py:283-570)
