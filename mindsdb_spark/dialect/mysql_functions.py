@@ -190,6 +190,125 @@ def build_rules(session_vars: dict[str, str]) -> dict:
     return rules
 
 
+# MySQL %-specifiers → C strftime (the reference's own remap target —
+# mysql_to_duckdb_functions.py:367-415 renders DATE_FORMAT as DuckDB
+# strftime). Differs from the java.time map above where strftime disagrees:
+# %i (MySQL minutes) → %M, %M (MySQL month name) → %B, %W → %A.
+_MYSQL_TO_STRFTIME = {
+    "Y": "%Y",
+    "y": "%y",
+    "m": "%m",
+    "c": "%-m",
+    "d": "%d",
+    "e": "%-d",
+    "H": "%H",
+    "k": "%-H",
+    "h": "%I",
+    "I": "%I",
+    "i": "%M",
+    "s": "%S",
+    "S": "%S",
+    "f": "%f",
+    "p": "%p",
+    "W": "%A",
+    "a": "%a",
+    "b": "%b",
+    "M": "%B",
+    "j": "%j",
+    "T": "%H:%M:%S",
+    "r": "%I:%M:%S %p",
+}
+
+
+def mysql_format_to_strftime(fmt: str) -> str:
+    """Translate a MySQL %-format string to a C strftime pattern."""
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "%" and i + 1 < len(fmt):
+            spec = fmt[i + 1]
+            if spec == "%":
+                out.append("%%")
+            else:
+                out.append(_MYSQL_TO_STRFTIME.get(spec, spec))
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def build_duckdb_rules(session_vars: dict[str, str]) -> dict:
+    """MySQL → DuckDB rule table for whole-query pushdown translation.
+
+    The reference renders the parsed query into the SOURCE's dialect before
+    pushdown (utilities/render/sqlalchemy_render.py:545-686 +
+    mysql_to_duckdb_functions.py); this is the same idea for the functions
+    our MySQL shim covers. DELIBERATELY PARTIAL: a function without an entry
+    here (LLM/TO_MARKDOWN engine UDFs, CONVERT_TZ, FORMAT, ADDTIME, …)
+    blocks pushdown and the query takes the federated Spark plan — a missing
+    translation must never become a silent semantic divergence.
+    """
+    db = session_vars.get("database", "mindsdb")
+    user = session_vars.get("user", "mindsdb")
+    version = session_vars.get("version", "8.0.17-mindsdb-spark")
+
+    return {
+        "CHAR": lambda a: "concat(" + ", ".join(f"chr({x})" for x in a) + ")",
+        # LENGTH = bytes in MySQL; DuckDB strlen is byte length
+        "LENGTH": lambda a: f"strlen({a[0]})",
+        "REGEXP_SUBSTR": lambda a: f"regexp_extract({a[0]}, {a[1]}, 0)",
+        "CURTIME": lambda a: "strftime(now(), '%H:%M:%S')",
+        "CURRENT_TIME": lambda a: "strftime(now(), '%H:%M:%S')",
+        "CURDATE": lambda a: "current_date",
+        "DAYNAME": lambda a: f"dayname(CAST({a[0]} AS TIMESTAMP))",
+        "MONTHNAME": lambda a: f"monthname(CAST({a[0]} AS TIMESTAMP))",
+        "FROM_DAYS": lambda a: f"(DATE '0000-01-01' + CAST({a[0]} AS INT))",
+        "DATE_FORMAT": lambda a: (
+            f"strftime(CAST({a[0]} AS TIMESTAMP), "
+            f"'{mysql_format_to_strftime(_strlit(a[1]))}')"
+        ),
+        "GET_FORMAT": lambda a: "'{}'".format(
+            _GET_FORMAT.get((_strlit(a[0]).upper(), _strlit(a[1]).upper()), "%Y-%m-%d")
+        ),
+        "ADDDATE": lambda a: (
+            f"(CAST({a[0]} AS TIMESTAMP) + {a[1]})"
+            if _is_interval(a[1])
+            else f"(CAST({a[0]} AS DATE) + CAST({a[1]} AS INT))"
+        ),
+        "DATE_ADD": lambda a: (
+            f"(CAST({a[0]} AS TIMESTAMP) + {a[1]})"
+            if _is_interval(a[1])
+            else f"(CAST({a[0]} AS DATE) + CAST({a[1]} AS INT))"
+        ),
+        "DATE_SUB": lambda a: (
+            f"(CAST({a[0]} AS TIMESTAMP) - {a[1]})"
+            if _is_interval(a[1])
+            else f"(CAST({a[0]} AS DATE) - CAST({a[1]} AS INT))"
+        ),
+        "SUBDATE": lambda a: (
+            f"(CAST({a[0]} AS TIMESTAMP) - {a[1]})"
+            if _is_interval(a[1])
+            else f"(CAST({a[0]} AS DATE) - CAST({a[1]} AS INT))"
+        ),
+        # DuckDB CAST(double AS BIGINT) ROUNDS (half-even) where Spark's
+        # truncates — trunc() is the toward-zero operation here
+        "TRUNCATE": lambda a: (
+            f"(trunc({a[0]} * power(10, {a[1] if len(a) > 1 else '0'})) "
+            f"/ power(10, {a[1] if len(a) > 1 else '0'}))"
+        ),
+        "DATABASE": lambda a: f"'{db}'",
+        "SCHEMA": lambda a: f"'{db}'",
+        "USER": lambda a: f"'{user}'",
+        "CURRENT_USER": lambda a: f"'{user}'",
+        "VERSION": lambda a: f"'{version}'",
+        "CONNECTION_ID": lambda a: "1",
+        "JSON_EXTRACT": lambda a: f"json_extract({a[0]}, {a[1]})",
+        "HASH": lambda a: f"md5({a[0]})",
+    }
+
+
 # @@variables the reference's QueryStep substitutes (subselect_step.py:97-243)
 def build_vars(session_vars: dict[str, str]) -> dict[str, str]:
     version = session_vars.get("version", "8.0.17-mindsdb-spark")

@@ -34,7 +34,11 @@ from pyspark.sql.types import (
 )
 
 from mindsdb_spark.catalog import SourceCatalog
-from mindsdb_spark.dialect.mysql_functions import build_rules, build_vars
+from mindsdb_spark.dialect.mysql_functions import (
+    build_duckdb_rules,
+    build_rules,
+    build_vars,
+)
 from mindsdb_spark.dialect.rewriter import rewrite_sql
 from mindsdb_spark.session import get_spark
 
@@ -416,13 +420,17 @@ class EngineSession:
         """Dialect rules + @@variable literals from current session state;
         user-SET vars read back via @@name (MySQL session semantics)."""
         self._rules = build_rules(self.session_vars)
-        # any dialect-table function used as a call blocks whole-query
-        # pushdown: both dialects may define it with different semantics
-        # (LENGTH bytes-vs-chars, HASH md5-vs-native) and a silent divergence
-        # from the federated Spark path is worse than losing the fast path
+        # dialect-table functions and whole-query pushdown: when the target
+        # source has a translation table (DuckDB here), the query is RENDERED
+        # into that dialect before pushdown, the way the reference renders
+        # per-dialect (utilities/render/sqlalchemy_render.py:545-686); a
+        # function without a translation blocks pushdown — a silent semantic
+        # divergence (LENGTH bytes-vs-chars, HASH md5-vs-native) is worse
+        # than losing the fast path
         self._dialect_fn_re = re.compile(
             r"\b(" + "|".join(sorted(self._rules)) + r")\s*\(", re.IGNORECASE
         )
+        self._pushdown_rules = {"duckdb": build_duckdb_rules(self.session_vars)}
         base = build_vars(self.session_vars)
         for k, v in self.session_vars.items():
             if k in ("database", "user"):
@@ -499,8 +507,7 @@ class EngineSession:
         low = s.lower()
         if "mindsdb_" in low or any(f in low for f in self._user_functions):
             return None
-        if self._dialect_fn_re.search(s):
-            return None
+        dialect_fns = {m.group(1).upper() for m in self._dialect_fn_re.finditer(s)}
         hit_sources: set[str] = set()
         rewrites: list[tuple[str, str]] = []
         for ref in _table_refs(s):
@@ -538,6 +545,16 @@ class EngineSession:
             return None
         srcname = hit_sources.pop()
         text = s
+        if dialect_fns:
+            # translate MySQL-dialect calls into the source's dialect
+            # (reference: sqlalchemy_render.py:545-686 renders per-dialect);
+            # an untranslatable function keeps the federated plan
+            target = self._pushdown_rules.get(
+                getattr(self._native[srcname], "dialect", None) or ""
+            )
+            if target is None or not dialect_fns <= set(target):
+                return None
+            text = rewrite_sql(text, target, self._vars)
         for old, new in sorted(set(rewrites), key=lambda p: -len(p[0])):
             text = re.sub(rf"\b{re.escape(old)}\b", new, text, flags=re.IGNORECASE)
         try:

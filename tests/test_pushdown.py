@@ -75,23 +75,69 @@ def test_cross_source_query_stays_federated(sess):
     assert sess.last_execution == ("spark", None)
 
 
-def test_unpushable_dialect_falls_back(sess):
-    # DATE_FORMAT with MySQL specifiers is not DuckDB SQL: the source
-    # errors, the engine falls back to the rewritten federated plan
-    df = sess.sql(
+def _both_paths(sess, sql):
+    """Run `sql` with pushdown on and off; return (pushed_rows, federated_rows)."""
+    pushed = [tuple(r) for r in sess.sql(sql).collect()]
+    pushed_exec = sess.last_execution
+    sess.pushdown_enabled = False
+    try:
+        federated = [tuple(r) for r in sess.sql(sql).collect()]
+    finally:
+        sess.pushdown_enabled = True
+    return pushed, pushed_exec, federated
+
+
+def test_date_format_translates_and_pushes(sess):
+    # round-3 VERDICT item 5: DATE_FORMAT is RENDERED to DuckDB strftime
+    # (reference renders per-dialect, sqlalchemy_render.py:545-686) instead
+    # of blocking pushdown; results match the federated plan bit-for-bit
+    before = sess._duck.pushdowns
+    sql = (
         "SELECT DATE_FORMAT(DATE '2024-03-01', '%Y-%m') AS ym, COUNT(*) AS c "
         "FROM duck_nation GROUP BY ym"
     )
-    assert df.collect()[0][0] == "2024-03"
-    assert sess.last_execution == ("spark", None)
+    pushed, pushed_exec, federated = _both_paths(sess, sql)
+    assert pushed_exec == ("pushdown", "duck")
+    assert sess._duck.pushdowns == before + 1
+    assert pushed == federated
+    assert pushed[0][0] == "2024-03"
 
 
-def test_dialect_function_blocks_pushdown(sess):
-    # LENGTH exists in both dialects with different semantics (MySQL bytes
-    # vs chars) — the gate must refuse pushdown rather than silently diverge
+def test_length_translates_and_pushes(sess):
+    # MySQL LENGTH = bytes → DuckDB strlen (bytes); both paths agree
     before = sess._duck.pushdowns
-    df = sess.sql("SELECT LENGTH(n_name) AS lb FROM duck_nation WHERE n_nationkey = 0")
-    assert df.collect()[0][0] > 0
+    sql = (
+        "SELECT n_nationkey, LENGTH(n_name) AS lb FROM duck_nation "
+        "ORDER BY n_nationkey"
+    )
+    pushed, pushed_exec, federated = _both_paths(sess, sql)
+    assert pushed_exec == ("pushdown", "duck")
+    assert sess._duck.pushdowns == before + 1
+    assert pushed == federated and pushed[0][1] > 0
+
+
+def test_mixed_dialect_functions_push(sess):
+    sql = (
+        "SELECT HASH(n_name) AS h, MONTHNAME(DATE '2024-03-01') AS mn, "
+        "TRUNCATE(n_nationkey / 7.0, 2) AS t FROM duck_nation "
+        "WHERE n_nationkey < 5 ORDER BY h"
+    )
+    pushed, pushed_exec, federated = _both_paths(sess, sql)
+    assert pushed_exec == ("pushdown", "duck")
+    assert pushed == federated
+    assert pushed[0][1] == "March"
+
+
+def test_untranslatable_dialect_fn_stays_federated(sess):
+    # CONVERT_TZ has no DuckDB entry in the translation table: pushdown must
+    # refuse (missing translation ≠ silent divergence) and the federated
+    # plan answers
+    before = sess._duck.pushdowns
+    df = sess.sql(
+        "SELECT CONVERT_TZ(TIMESTAMP '2024-03-01 12:00:00', 'UTC', 'UTC') AS t "
+        "FROM duck_nation WHERE n_nationkey = 0"
+    )
+    assert df.count() == 1
     assert sess._duck.pushdowns == before  # never attempted
     assert sess.last_execution == ("spark", None)
 
