@@ -67,9 +67,12 @@ def _recording_priority() -> "Callable[[str], int]":
         m = re.search(r"_r(\d+)\.json$", p)
         try:
             with open(p) as f:
-                keys = set(json.load(f).keys())
+                recs = json.load(f)
         except (OSError, ValueError):
             continue
+        # a record that wasn't fully hash-green (no_oracle / hash-red) needs
+        # re-recording once fixed — treat it as never recorded
+        keys = {k for k, v in recs.items() if v.get("hash_match") is True}
         ever |= keys
         n = int(m.group(1)) if m else -1
         if n > latest_n:

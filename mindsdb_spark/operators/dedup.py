@@ -177,9 +177,15 @@ def jaccard_topk_pairs(
     max_df) and broadcasts; only its discovery groupBy touches the full
     index, with map-side partial counts.
     """
+    # the shingle index feeds FOUR consumers (df-count, sizes, both sides of
+    # the self-join) and Catalyst does not CSE across them — persist marks
+    # it for computation-once reuse within the single downstream action
+    # (MEMORY_AND_DISK default; at cluster scale this is the standard
+    # materialize-the-inverted-index step)
+    sh = sh.persist()
     freq = sh.groupBy("sh").agg(F.count("*").alias("__df"))
     hot = freq.filter(col("__df") > max_df).select("sh")
-    kept = sh.join(F.broadcast(hot), "sh", "left_anti")
+    kept = sh.join(F.broadcast(hot), "sh", "left_anti").persist()
     sizes = kept.groupBy(id_col).agg(F.count("*").alias("n"))
     a = kept.select(col(id_col).alias("doc_a"), "sh")
     b = kept.select(col(id_col).alias("doc_b"), "sh")
