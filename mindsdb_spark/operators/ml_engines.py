@@ -106,11 +106,13 @@ def spark_ml_logreg(name: str, train_df: DataFrame, target: str, params: dict) -
     casted = train_df
     for c in feats:
         casted = casted.withColumn(c, casted[c].cast("double"))
-    labels = sorted(
-        r[0] for r in casted.select(target).distinct().collect()
-    )  # bounded: binary target
+    # LIMIT 3 bounds the driver collect even on a mistakenly-continuous
+    # target: two rows prove binary, a third proves it isn't
+    labels = sorted(r[0] for r in casted.select(target).distinct().limit(3).collect())
     if len(labels) != 2:
-        raise ValueError(f"spark_ml_logreg needs a binary target, got {len(labels)} values")
+        raise ValueError(
+            f"spark_ml_logreg needs a binary target, got {'>2' if len(labels) > 2 else len(labels)} values"
+        )
     casted = casted.withColumn(
         "__label", (casted[target] == labels[1]).cast("double")
     )

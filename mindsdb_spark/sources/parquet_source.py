@@ -109,30 +109,45 @@ class ParquetSource:
         Copy-on-write: survivors are rewritten to a fresh directory which
         atomically replaces the old one.
         """
-        df = self.read(table)
-        total = df.count()
+        from pyspark.sql import Observation
+
+        # deleted-row count rides the write pass as an observed metric on
+        # the pre-filter rows — no separate count() scan (round-3 scale nit)
+        hit = F.coalesce(condition, F.lit(False))
+        obs = Observation()
+        df = self.read(table).observe(obs, F.sum(hit.cast("long")).alias("n"))
         # SQL deletes only condition=TRUE rows; a bare ~condition would also
         # drop NULL-predicate rows under three-valued logic
-        survivors = df.filter(~F.coalesce(condition, F.lit(False)))
-        kept = self._rewrite(table, survivors)
-        return total - kept
+        survivors = df.filter(~hit)
+        self._rewrite(table, survivors)
+        return int(obs.get["n"] or 0)
 
     def update(self, table: str, set_map: dict, condition) -> int:
-        """UPDATE table SET col=expr WHERE condition; returns rows updated."""
-        df = self.read(table)
-        n = df.filter(condition).count()
+        """UPDATE table SET col=expr WHERE condition; returns rows updated.
+
+        The updated-row count is an observed metric on the single rewrite
+        pass — no pre-count scan."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        df = self.read(table).observe(
+            obs, F.sum(condition.cast("long")).alias("n")
+        )
         for colname, expr in set_map.items():
             df = df.withColumn(colname, F.when(condition, expr).otherwise(F.col(colname)))
         self._rewrite(table, df)
-        return n
+        return int(obs.get["n"] or 0)
 
     def _rewrite(self, table: str, df: DataFrame) -> int:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         tmp = self._path(table) + f".tmp-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(tmp)
-        kept = self.spark.read.parquet(tmp).count()
         old = self._path(table)
         back = old + ".old"
         os.rename(old, back)
         os.rename(tmp, old)
         shutil.rmtree(back)
-        return kept
+        return int(obs.get["n"] or 0)
