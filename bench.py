@@ -97,6 +97,56 @@ def _prepare_split(spark) -> str:
     return out_dir
 
 
+def _prepare_sf1(spark) -> str:
+    """Derived sf1: ten key-shifted copies of the driver's sf0.1 fixtures,
+    written as 32-file parquet per table under /tmp. BENCH-ONLY data (the
+    correctness gate stays on the driver's own sf0.01) — its purpose is the
+    honest scale datapoint: Spark's fixed per-query floor amortizes with
+    data volume while single-threaded-per-query work does not.
+    Deterministic: copy i shifts every key column by i * 10^9."""
+    from pyspark.sql import functions as F
+
+    from mindsdb_spark.catalog import TPCH_TABLES, load_table
+
+    out_dir = os.path.join(SPLIT_DIR, "sf1_derived")
+    done = os.path.join(out_dir, "_SF1_DONE")
+    if os.path.exists(done):
+        return out_dir
+    src = "/root/testdata/sf0.1"
+    key_cols = {
+        "customer": ["c_custkey"], "supplier": ["s_suppkey"], "part": ["p_partkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+        "events": ["event_id"], "documents": ["doc_id"], "embeddings": ["vec_id"],
+    }
+    for t in TPCH_TABLES:
+        if not os.path.exists(os.path.join(src, f"{t}.parquet")):
+            continue
+        base = load_table(spark, src, t)
+        if t in ("region", "nation"):  # dimension tables don't scale
+            base.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
+            continue
+        copies = [
+            base.select(
+                *[
+                    (F.col(c) + F.lit(i * 1_000_000_000)).alias(c)
+                    if c in key_cols.get(t, []) else F.col(c)
+                    for c in base.columns
+                ]
+            )
+            for i in range(10)
+        ]
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{t}.parquet")
+        )
+    with open(done, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
 def _duckdb_baseline(names: list[str], registry: dict, data_dir: str) -> dict[str, float]:
     """Best-of-RUNS timings for the identical oracle SQL in DuckDB, measured
     in the SAME window — this host carries variable co-tenant load (absolute
@@ -194,6 +244,22 @@ def main() -> None:
             "duckdb_total": du_t,
             "ratio": round(sp_t / du_t, 3) if du_t else None,
         }
+    # optional sf1 scale datapoint (SPARK_GRAFT_BENCH_SF1=1): headline
+    # subset on the 10x-derived fixtures, both engines, multi-file layout
+    sf1_variant = None
+    if os.environ.get("SPARK_GRAFT_BENCH_SF1", "0") == "1":
+        sf1_dir = _prepare_sf1(spark)
+        head = [n for n in HEADLINE if n in registry]
+        sp1 = _time_set(head, sf1_dir, 1)
+        du1 = _duckdb_baseline(head, registry, sf1_dir)
+        sp1_t, du1_t = round(sum(sp1.values()), 4), round(sum(du1.values()), 4)
+        sf1_variant = {
+            "spark_total": sp1_t,
+            "duckdb_total": du1_t,
+            "ratio": round(sp1_t / du1_t, 3) if du1_t else None,
+            "queries_spark": sp1,
+            "queries_duckdb": du1,
+        }
     try:
         load1 = round(os.getloadavg()[0], 2)
     except OSError:
@@ -216,6 +282,7 @@ def main() -> None:
                 "ratio_vs_duckdb": round(total / base_total, 3) if base_total else None,
                 "layout": "split32" if SPLIT else "single_file",
                 "split32_headline": split_variant,
+                "sf1_headline": sf1_variant,
                 "r1_subset": {
                     "spark_total": r1_spark,
                     "duckdb_total": r1_duck,
