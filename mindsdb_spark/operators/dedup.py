@@ -144,7 +144,10 @@ def lsh_candidate_pairs(
     locally; no all-pairs comparison ever materializes.
     """
     rows = n_hashes // bands
-    bd = lsh_bands(minhash_signatures(sh, id_col, n_hashes), id_col, bands, rows)
+    # both sides of the self-join read the band table; persist marks it
+    # compute-once for the action (the alias rename above the exchange
+    # defeats static ReuseExchange — verified via executedPlan)
+    bd = lsh_bands(minhash_signatures(sh, id_col, n_hashes), id_col, bands, rows).persist()
     a = bd.select(col(id_col).alias("doc_a"), "band_id", "band_sig")
     b = bd.select(col(id_col).alias("doc_b"), "band_id", "band_sig")
     return (
