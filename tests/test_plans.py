@@ -177,14 +177,17 @@ def test_partitioned_ctas_prunes(spark, sf_dir, tmp_path):
 
 def test_vocab_coverage_plan_shape(spark, sf_dir):
     # top-V vocabulary must compile to TakeOrderedAndProject (no global
-    # sort of the token counts) and join back as a broadcast
+    # sort of the token counts) and reach the docs as a ONE-ROW broadcast
+    # (BroadcastNestedLoopJoin on the collapsed vocab array — round 3's
+    # single-pass membership rewrite); the corpus tokens must never shuffle
+    # through a join
     from mindsdb_spark.catalog import load_table
     from mindsdb_spark.operators.text import vocab_coverage
 
     plan = _plan(vocab_coverage(load_table(spark, sf_dir, "documents"), 50))
     assert "TakeOrderedAndProject" in plan
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_repetition_signals_no_global_sort(spark, sf_dir):
