@@ -754,6 +754,55 @@ class EngineSession:
             os.remove(cursor)
         return self.spark.createDataFrame([(inserted[0],)], "inserted_chunks long")
 
+    def _kb_delete(self, name: str, condition) -> DataFrame:
+        """DELETE FROM <kb> WHERE <cond>: filter the chunk store (reference
+        dispatches the delete to the vector store, controller.py:622-637).
+        NULL-safe (only cond=TRUE rows go); deleted count rides the
+        materializing checkpoint as an observed metric — one pass."""
+        from pyspark.sql import Observation
+
+        kb = self._kbs[name]
+        hit = F.coalesce(condition, F.lit(False))
+        obs = Observation()
+        store = kb["store"].observe(obs, F.sum(hit.cast("long")).alias("n"))
+        kb["store"] = store.filter(~hit).localCheckpoint(eager=True)
+        return self.spark.createDataFrame(
+            [(int(obs.get["n"] or 0),)], "deleted long"
+        )
+
+    def _kb_update(self, name: str, set_map: dict, condition) -> DataFrame:
+        """UPDATE <kb> SET ... WHERE <cond>: apply the SETs to matching
+        chunks and, when chunk_text changes, RE-EMBED those chunks with the
+        KB's embedder (reference replaces content with fresh embeddings on
+        update, controller.py:604-620). Chunk ids stay stable — updates
+        address rows by id, the reference's vector-store update contract."""
+        from pyspark.sql import Observation
+
+        from mindsdb_spark.operators.kb import fake_embed, md5_embed
+
+        kb = self._kbs[name]
+        cols = kb["store"].columns
+        hit = F.coalesce(condition, F.lit(False))
+        store = kb["store"].withColumn("__hit", hit)
+        for colname, expr in set_map.items():
+            store = store.withColumn(
+                colname, F.when(F.col("__hit"), expr).otherwise(F.col(colname))
+            )
+        if "chunk_text" in set_map:
+            embed = md5_embed if kb.get("embedder") == "md5" else fake_embed
+            store = store.withColumnRenamed("embedding", "__old_emb")
+            store = embed(store, dim=kb["dim"])
+            store = store.withColumn(
+                "embedding",
+                F.when(F.col("__hit"), F.col("embedding")).otherwise(F.col("__old_emb")),
+            ).drop("__old_emb")
+        obs = Observation()
+        store = store.observe(obs, F.sum(F.col("__hit").cast("long")).alias("n"))
+        kb["store"] = store.select(*cols).localCheckpoint(eager=True)
+        return self.spark.createDataFrame(
+            [(int(obs.get["n"] or 0),)], "updated long"
+        )
+
     def check_triggers(self) -> list[str]:
         """Poll all SQL-created triggers once; fire those whose watched
         column advanced (the host drives the cadence — the reference runs
@@ -1557,6 +1606,19 @@ class EngineSession:
                 )
                 self._refresh_writable_views(srcname)
                 return self.spark.createDataFrame([(n,)], "updated int")
+            kbname = m.group(1).lower().strip("`").split(".")[-1]
+            if kbname in self._kbs:
+                from mindsdb_spark.dialect.rewriter import split_top_level
+
+                set_map = {}
+                for assign in split_top_level(m.group(2)):
+                    colname, _, rhs = assign.partition("=")
+                    set_map[colname.strip().strip("`").lower()] = F.expr(
+                        self.rewrite(rhs.strip())
+                    )
+                return self._kb_update(
+                    kbname, set_map, F.expr(self.rewrite(m.group(3)))
+                )
         m = _DELETE_RE.match(s)
         if m:
             srcname, table = self._resolve_writable(m.group(1))
@@ -1564,6 +1626,9 @@ class EngineSession:
                 n = self._writable[srcname].delete(table, F.expr(self.rewrite(m.group(2))))
                 self._refresh_writable_views(srcname)
                 return self.spark.createDataFrame([(n,)], "deleted int")
+            kbname = m.group(1).lower().strip("`").split(".")[-1]
+            if kbname in self._kbs:
+                return self._kb_delete(kbname, F.expr(self.rewrite(m.group(2))))
         m = _DROP_TABLE_RE.match(s)
         if m:
             # reference: command_executor.py DropTables branch — drop against

@@ -111,6 +111,48 @@ def test_kb_insert_batched_resume_after_failure(spark, sf_dir, tmp_path, monkeyp
     sess.sql("DROP KNOWLEDGE_BASE kbr")
 
 
+def test_kb_delete_and_update_sql(sess):
+    """DELETE FROM <kb> / UPDATE <kb> route to the chunk store the way the
+    reference dispatches them to the vector store (controller.py:604-637);
+    updates that touch chunk_text re-embed with the KB's embedder."""
+    sess.sql("CREATE KNOWLEDGE_BASE kbdu USING dim = 8, embedder = 'md5'")
+    sess.sql("INSERT INTO kbdu SELECT doc_id, text FROM tpch_documents WHERE doc_id < 20")
+    store = sess._kbs["kbdu"]["store"]
+    before = store.count()
+    n_low = store.filter("doc_id < 5").count()
+    assert before > 0 and n_low > 0
+
+    deleted = sess.sql("DELETE FROM kbdu WHERE doc_id < 5").collect()[0][0]
+    assert deleted == n_low
+    store = sess._kbs["kbdu"]["store"]
+    assert store.count() == before - n_low
+    assert store.filter("doc_id < 5").count() == 0
+    # NULL-safe: a NULL predicate deletes nothing
+    assert sess.sql("DELETE FROM kbdu WHERE NULL").collect()[0][0] == 0
+
+    # update one doc's chunks: text replaced AND embedding re-derived
+    old = {
+        r["chunk_id"]: (r["chunk_text"], list(r["embedding"]))
+        for r in sess._kbs["kbdu"]["store"].filter("doc_id = 7").collect()
+    }
+    updated = sess.sql(
+        "UPDATE kbdu SET chunk_text = 'replaced text' WHERE doc_id = 7"
+    ).collect()[0][0]
+    assert updated == len(old) > 0
+    new = {
+        r["chunk_id"]: (r["chunk_text"], list(r["embedding"]))
+        for r in sess._kbs["kbdu"]["store"].filter("doc_id = 7").collect()
+    }
+    assert set(new) == set(old)  # ids stable
+    for cid in new:
+        assert new[cid][0] == "replaced text"
+        assert new[cid][1] != old[cid][1]  # re-embedded
+    # untouched rows keep their embeddings
+    other = sess._kbs["kbdu"]["store"].filter("doc_id = 8").head()
+    assert other is not None and other["chunk_text"] != "replaced text"
+    sess.sql("DROP KNOWLEDGE_BASE kbdu")
+
+
 def test_create_agent_and_ask(sess):
     sess.sql("CREATE AGENT helper USING model = 'mock-llm'")
     assert "helper" in [r[0] for r in sess.sql("SHOW AGENTS").collect()]
