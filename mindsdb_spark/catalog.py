@@ -125,6 +125,14 @@ class SourceCatalog:
                 tbls[t.lower()] = path
         self._sources[source.lower()] = tbls
 
+    def table_paths(self):
+        """Yield (source, table, parquet_path) for every registered table —
+        metadata-only consumers (information_schema META_* stats) read the
+        parquet footers directly, no scan jobs."""
+        for src, tbls in self._sources.items():
+            for t, p in tbls.items():
+                yield src, t, p
+
     def table(self, name: str) -> DataFrame:
         """Resolve ``table`` or ``source.table`` (case-insensitive)."""
         parts = name.lower().split(".")

@@ -55,6 +55,59 @@ _TYPE_MAP = {
 MAX_UDF_ARGS = 4
 
 _IS_RE = re.compile(r"\binformation_schema\s*\.\s*", re.IGNORECASE)
+
+
+def _parquet_column_stats(path: str, max_files: int = 32):
+    """Per-column (name, null_frac, min, max) from parquet footers only —
+    driver-side metadata reads, no Spark jobs. Multi-file dirs sample up to
+    ``max_files`` footers (bounds work; stats stay representative)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(_glob.glob(os.path.join(path, "*.parquet")))[:max_files]
+    )
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    rows = 0
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        rows += md.num_rows
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for ci in range(rg.num_columns):
+                cc = rg.column(ci)
+                st = cc.statistics
+                if st is None:
+                    continue
+                name = cc.path_in_schema
+                nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+                if st.has_min_max:
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bytes):
+                        mn = mn.decode("utf-8", "replace")
+                    if isinstance(mx, bytes):
+                        mx = mx.decode("utf-8", "replace")
+                    if name not in mins or mn < mins[name]:
+                        mins[name] = mn
+                    if name not in maxs or mx > maxs[name]:
+                        maxs[name] = mx
+    out = []
+    for name in sorted(set(nulls) | set(mins)):
+        nf = (nulls.get(name, 0) / rows) if rows else None
+        out.append(
+            (
+                name,
+                float(nf) if nf is not None else None,
+                str(mins[name]) if name in mins else None,
+                str(maxs[name]) if name in maxs else None,
+            )
+        )
+    return out
 _SHOW_TABLES_RE = re.compile(r"SHOW\s+(?:FULL\s+)?TABLES(?:\s+(?:FROM|IN)\s+`?(\w+)`?)?$", re.IGNORECASE)
 _DESCRIBE_RE = re.compile(r"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.`]+)$", re.IGNORECASE)
 # MySQL-client alias for DESCRIBE (mysql CLI tab-completion issues these)
@@ -2153,13 +2206,31 @@ class EngineSession:
         self.spark.createDataFrame(meta_cols, _mc_schema).createOrReplaceTempView(
             "information_schema_meta_columns"
         )
-        self.spark.createDataFrame(
-            [],
-            "table_schema string, table_name string, column_name string, "
-            "most_common_vals string, most_common_freqs string, "
-            "null_frac double, n_distinct long, min_value string, "
-            "max_value string",
-        ).createOrReplaceTempView("information_schema_meta_column_statistics")
+        # column statistics from parquet FOOTER metadata (min/max/null_count
+        # per row group) — the data-catalog numbers the reference serves from
+        # its catalog DB, here derived with zero scan jobs
+        stat_rows = []
+        for src, t, path in self.catalog.table_paths():
+            try:
+                stat_rows.extend(
+                    (src, t, cname, None, None, nf, None, mn, mx)
+                    for cname, nf, mn, mx in _parquet_column_stats(path)
+                )
+            except Exception:
+                continue  # unreadable footer → no stats row, never an error
+        from pyspark.sql.types import DoubleType
+        _st_schema = StructType([
+            StructField("table_schema", _Str()), StructField("table_name", _Str()),
+            StructField("column_name", _Str()),
+            StructField("most_common_vals", _Str()),
+            StructField("most_common_freqs", _Str()),
+            StructField("null_frac", DoubleType()),
+            StructField("n_distinct", LongType()),
+            StructField("min_value", _Str()), StructField("max_value", _Str()),
+        ])
+        self.spark.createDataFrame(stat_rows, _st_schema).createOrReplaceTempView(
+            "information_schema_meta_column_statistics"
+        )
         self.spark.createDataFrame(
             [],
             "constraint_catalog string, constraint_schema string, "

@@ -232,8 +232,18 @@ def test_information_schema_round3_views(spark, sf_dir):
     assert any(r["column_name"] == "l_orderkey" for r in mc)
     assert all(r["is_nullable"] in ("YES", "NO") for r in mc)
 
-    mcs = sess.sql("SELECT * FROM information_schema.meta_column_statistics")
-    assert mcs.count() == 0 and "n_distinct" in mcs.columns
+    # column stats come from parquet FOOTER metadata (no scan jobs):
+    # null_frac + min/max per registered column
+    mcs = sess.sql(
+        "SELECT column_name, null_frac, min_value, max_value "
+        "FROM information_schema.meta_column_statistics "
+        "WHERE table_name = 'orders'"
+    ).collect()
+    by_col = {r["column_name"]: r for r in mcs}
+    assert "o_orderkey" in by_col
+    assert by_col["o_orderkey"]["null_frac"] == 0.0
+    assert int(by_col["o_orderkey"]["min_value"]) == 0
+    assert int(by_col["o_orderkey"]["max_value"]) > 0
     mtc = sess.sql("SELECT * FROM information_schema.meta_table_constraints")
     assert mtc.count() == 0 and "constraint_type" in mtc.columns
 
