@@ -296,6 +296,7 @@ def connected_components(
     b_col: str = "doc_b",
     max_iter: int = 20,
     stats: dict | None = None,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Near-dup clusters from candidate pairs: alternating large-star /
     small-star contraction (Kiveris et al., "Connected Components in
@@ -322,6 +323,51 @@ def connected_components(
         # star round's convergence action re-executes the upstream LSH plan
         .localCheckpoint(eager=True)
     )
+    # adaptive small-graph path: the POST-LSH candidate graph is usually
+    # tiny relative to the corpus (it holds only near-duplicate pairs), and
+    # a size-gated driver union-find beats log n distributed rounds the same
+    # way AQE broadcasts a small join side. The gate is on EDGES, not corpus
+    # size — a pathological graph above the threshold takes the distributed
+    # star-contraction loop below. The count is free (edges just
+    # materialized); the collect and the union-find dict are bounded by
+    # local_threshold edges (~16 MB per million).
+    if edges.count() <= local_threshold:
+        parent: dict = {}
+
+        def _find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges.collect():
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = _find(u), _find(v)
+            if ru != rv:
+                # attach the larger root under the smaller so every root is
+                # its component's minimum — deterministic labels
+                hi, lo = (ru, rv) if ru > rv else (rv, ru)
+                parent[hi] = lo
+        if stats is not None:
+            stats["rounds"], stats["path"] = 0, "local"
+        from pyspark.sql.types import StructField, StructType
+
+        utype = edges.schema["u"].dataType
+        schema = StructType(
+            [StructField("node", utype), StructField("label", utype)]
+        )
+        spark = nodes.sparkSession
+        labels = spark.createDataFrame(
+            [(n, _find(n)) for n in parent], schema
+        )
+        base = nodes.select(col(id_col).alias("node"))
+        return base.join(F.broadcast(labels), "node", "left").select(
+            col("node").alias(id_col),
+            F.coalesce(col("label"), col("node")).alias("cluster"),
+        )
+    if stats is not None:
+        stats["path"] = "distributed"
     prev_chk = None
     for i in range(max_iter):
         edges = _small_star(_large_star(edges))

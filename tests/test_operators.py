@@ -279,7 +279,10 @@ def test_connected_components_pathological_chain_logn_rounds(spark):
         [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
     )
     stats = {}
-    got = connected_components(nodes, pairs, max_iter=20, stats=stats)
+    got = connected_components(
+        nodes, pairs, max_iter=20, stats=stats, local_threshold=0
+    )
+    assert stats["path"] == "distributed"
     assert {r.cluster for r in got.collect()} == {0}
     # each round (large-star + small-star) at least halves component height;
     # +1 for the convergence-confirming round
@@ -298,9 +301,37 @@ def test_connected_components_star_skew(spark):
         [(n - 1, i) for i in range(n - 1)], "doc_a long, doc_b long"
     )
     stats = {}
-    got = connected_components(nodes, pairs, stats=stats)
+    got = connected_components(nodes, pairs, stats=stats, local_threshold=0)
+    assert stats["path"] == "distributed"
     assert {r.cluster for r in got.collect()} == {0}
     assert stats["rounds"] <= 5, stats
+
+
+def test_connected_components_local_path_matches_distributed(spark):
+    """The size-gated driver union-find (post-LSH graphs are tiny) must
+    label identically to the distributed star-contraction loop."""
+    from mindsdb_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    pairs = spark.createDataFrame(
+        # two chains, one triangle (with highest-id hub), singletons
+        [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (29, 20), (29, 21), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    s_local, s_dist = {}, {}
+    local = {
+        r.doc_id: r.cluster
+        for r in connected_components(nodes, pairs, stats=s_local).collect()
+    }
+    dist = {
+        r.doc_id: r.cluster
+        for r in connected_components(
+            nodes, pairs, stats=s_dist, local_threshold=0
+        ).collect()
+    }
+    assert s_local["path"] == "local" and s_dist["path"] == "distributed"
+    assert local == dist
+    assert local[3] == 0 and local[12] == 10 and local[29] == 20 and local[5] == 5
 
 
 def test_salted_join_equals_plain_join(spark, sf_dir):
