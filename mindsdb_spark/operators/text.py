@@ -152,24 +152,40 @@ def repetition_signals(
     top_frac = most-frequent-gram count / total). Pretraining pipelines drop
     docs with high duplicate-n-gram mass (the "repetition" rows of the
     Gopher quality table; the reference has no equivalent — training-data
-    extension). One explode + one (doc, gram) hash-aggregate with map-side
-    combine; no cross-doc shuffle key skew since the key includes the doc id.
+    extension).
+
+    Every statistic is WITHIN-document, so the whole operator is a pure map
+    stage: gram array → array_distinct for the distinct count → sort_array +
+    one aggregate() scan for the longest equal-run (= max gram frequency).
+    ZERO shuffle — the previous (doc, gram) hash-aggregate pushed every
+    corpus n-gram through an exchange; this ships nothing. All JVM
+    higher-order functions, ~3 linear passes over each doc's gram array.
     """
     df = parallelize_input(df)
     t = df.select(
         col(id_col).alias(id_col), words_expr(col(text_col)).alias("__ws")
     ).where(F.size("__ws") >= n)
-    gram = F.explode(
+    t = t.withColumn(
+        "__gs",
         F.expr(
             f"transform(sequence(1, size(__ws) - {n - 1}), "
             f"i -> concat_ws(' ', slice(__ws, i, {n})))"
-        )
-    ).alias("__g")
-    per = t.select(col(id_col), gram).groupBy(id_col, "__g").agg(F.count("*").alias("__c"))
-    total, dis, top = F.sum("__c"), F.count("*"), F.max("__c")
-    return per.groupBy(id_col).agg(
-        total.alias("n_grams"),
-        dis.alias("n_distinct"),
+        ),
+    )
+    # longest run of equal values in the sorted gram array == max frequency
+    top = F.expr(
+        "aggregate(sort_array(__gs), "
+        "struct(cast(null as string) AS prev, 0 AS run, 0 AS mx), "
+        "(acc, x) -> struct(x AS prev, "
+        "  IF(x <=> acc.prev, acc.run + 1, 1) AS run, "
+        "  greatest(acc.mx, IF(x <=> acc.prev, acc.run + 1, 1)) AS mx), "
+        "acc -> acc.mx)"
+    )
+    total, dis = F.size("__gs"), F.size(F.array_distinct("__gs"))
+    return t.select(
+        col(id_col),
+        total.cast("long").alias("n_grams"),
+        dis.cast("long").alias("n_distinct"),
         _round6(F.lit(1.0) - dis / total).alias("dup_frac"),
         _round6(top / total).alias("top_frac"),
     )
