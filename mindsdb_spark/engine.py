@@ -856,6 +856,39 @@ class EngineSession:
             [(int(obs.get["n"] or 0),)], "updated long"
         )
 
+    def _agent_rag_ask(self, agent, question: str) -> DataFrame:
+        """Ask a KB-backed agent: retrieve top-k context from the agent's
+        knowledge bases, prepend it to the question, complete (reference:
+        agents retrieve from params.data.knowledge_bases before the LLM
+        call, agents_controller.py:200-231). Multiple KBs union their chunk
+        stores — they must share embedder and dimension so one query
+        embedding ranks all chunks."""
+        from mindsdb_spark.operators.agent import agent_apply, rag_prompts
+        from mindsdb_spark.operators.kb import fake_embed, md5_embed
+
+        kbs = [self._kbs[n] for n in agent.knowledge_bases]
+        dim, embed_name = kbs[0]["dim"], kbs[0].get("embedder")
+        for kb in kbs[1:]:
+            if kb["dim"] != dim or kb.get("embedder") != embed_name:
+                raise ValueError(
+                    "agent knowledge bases must share embedder and dimension"
+                )
+        store = kbs[0]["store"]
+        for kb in kbs[1:]:
+            store = store.unionByName(kb["store"])
+        embedder = md5_embed if embed_name == "md5" else fake_embed
+
+        def _embed(df):
+            return embedder(df, dim=dim)
+
+        questions = self.spark.createDataFrame(
+            [(0, question)], "qid long, question string"
+        )
+        prompts = rag_prompts(questions, store, _embed, k=agent.retrieval_k)
+        return agent_apply(prompts, agent, question_col="prompt").select(
+            "question", agent.output_col
+        )
+
     def check_triggers(self) -> list[str]:
         """Poll all SQL-created triggers once; fire those whose watched
         column advanced (the host drives the cadence — the reference runs
@@ -1824,11 +1857,24 @@ class EngineSession:
                 k, _, v = kv.partition("=")
                 params[k.strip().lower()] = v.strip().strip("'\"")
             transport = self._agent_transport
+            # data sources: USING knowledge_bases = 'kb1, kb2' attaches KB
+            # retrieval before completion (reference: agents_controller.py
+            # params.data.knowledge_bases)
+            kbs = tuple(
+                kb.strip().lower()
+                for kb in params.get("knowledge_bases", "").split(",")
+                if kb.strip()
+            )
+            for kb in kbs:
+                if kb not in self._kbs:
+                    raise KeyError(f"knowledge base {kb!r} does not exist")
             self._agents[name] = AgentSpec(
                 name=name,
                 complete=transport,
                 output_col=params.get("output_col", "answer"),
                 model_name=params.get("model", "mock-llm"),
+                knowledge_bases=kbs,
+                retrieval_k=int(params.get("retrieval_k", 3)),
             )
             return self.spark.createDataFrame([(name,)], "agent string")
         m = _DROP_AGENT_RE.match(s)
@@ -1962,7 +2008,10 @@ class EngineSession:
                 from mindsdb_spark.operators.agent import agent_ask
 
                 agent = self._agents[name]
-                res = agent_ask(self.spark, agent, m.group(3))
+                if agent.knowledge_bases:
+                    res = self._agent_rag_ask(agent, m.group(3))
+                else:
+                    res = agent_ask(self.spark, agent, m.group(3))
                 cols = [c.strip(" `") for c in m.group(1).split(",")]
                 if cols == ["*"]:
                     return res

@@ -264,10 +264,86 @@ FROM top ORDER BY distance, doc_id
 K05_SQL = _k05_sql()
 
 
+# --- K06 RAG: KB-backed agent (retrieve → prompt → complete) -----------------
+# The reference's agents take `data.knowledge_bases` and retrieve context
+# before the LLM call (agents_controller.py:200-231). One Catalyst plan per
+# question batch: broadcast question embeddings × streaming chunk store, rank
+# window bounds state to k chunks/question, ordered context via array
+# functions, completion in an Arrow-batched pandas UDF. The md5 embedder +
+# content-hash mock LLM make every stage — retrieval ranking, prompt
+# assembly, completion — reproducible in DuckDB.
+def k06_agent_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import partial
+
+    from mindsdb_spark.operators.agent import AgentSpec, agent_apply, mock_complete, rag_prompts
+    from mindsdb_spark.operators.kb import md5_embed
+
+    docs = _t(spark, sf_dir, "documents")
+    store = md5_embed(
+        docs.select(
+            col("doc_id"),
+            col("text").alias("chunk_text"),
+            F.md5(F.concat_ws(":", col("doc_id"), F.lit("0"), col("text"))).alias("chunk_id"),
+        ),
+        dim=8,
+    )
+    questions = docs.filter(col("doc_id") < 5).select(
+        col("doc_id").alias("qid"), F.substring("text", 1, 40).alias("question")
+    )
+    prompts = rag_prompts(questions, store, partial(md5_embed, dim=8), k=3)
+    agent = AgentSpec(name="rag", complete=mock_complete)
+    return (
+        agent_apply(prompts, agent, question_col="prompt")
+        .select("qid", "answer")
+        .orderBy("qid")
+    )
+
+
+def _k06_sql() -> str:
+    store_lanes = ", ".join(_md5_lane_sql("text", i) for i in range(8))
+    q_lanes = ", ".join(_md5_lane_sql("question", i) for i in range(8))
+    return f"""
+WITH store AS (
+  SELECT doc_id, text AS chunk_text,
+         md5(doc_id || ':0:' || text) AS chunk_id,
+         [{store_lanes}] AS embedding
+  FROM documents
+),
+qs AS (
+  SELECT doc_id AS qid, substr(text, 1, 40) AS question,
+         [{q_lanes}] AS qe
+  FROM (SELECT doc_id, text, substr(text, 1, 40) AS question FROM documents
+        WHERE doc_id < 5)
+),
+scored AS (
+  SELECT q.qid, q.question, s.chunk_id, s.chunk_text,
+         1.0 - ({_COS_SQL.replace("embedding", "s.embedding").replace("qe", "q.qe")}) AS dist
+  FROM store s, qs q
+),
+ranked AS (
+  SELECT qid, question, chunk_text,
+         row_number() OVER (PARTITION BY qid ORDER BY dist, chunk_id) AS rnk
+  FROM scored
+),
+ctx AS (
+  SELECT qid, question, string_agg(chunk_text, chr(10) ORDER BY rnk) AS c
+  FROM ranked WHERE rnk <= 3 GROUP BY qid, question
+)
+SELECT qid,
+       'llm:' || substr(md5('Context:' || chr(10) || c ||
+                            chr(10) || chr(10) || 'Question: ' || question), 1, 12) AS answer
+FROM ctx ORDER BY qid
+"""
+
+
+K06_SQL = _k06_sql()
+
+
 KB_QUERIES = {
     "k01_kb_chunks": (k01_kb_chunks, K01_SQL),
     "k02_kb_eval": (k02_kb_eval, K02_SQL),
     "k03_agent_batch": (k03_agent_batch, K03_SQL),
     "k04_kb_e2e": (k04_kb_e2e, K04_SQL),
     "k05_kb_batched_insert": (k05_kb_batched_insert, K05_SQL),
+    "k06_agent_rag": (k06_agent_rag, K06_SQL),
 }

@@ -162,6 +162,40 @@ def test_create_agent_and_ask(sess):
     assert "helper" not in [r[0] for r in sess.sql("SHOW AGENTS").collect()]
 
 
+def test_kb_backed_agent_rag(spark, sf_dir):
+    """CREATE AGENT ... USING knowledge_bases = 'kb' retrieves top-k chunks
+    as context before completion (reference: agents data sources,
+    agents_controller.py:200-231). The mock transport hashes the full
+    prompt, so the answer proves the retrieved context reached the LLM."""
+    import hashlib
+
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir, tables=["documents"])
+    sess.sql("CREATE KNOWLEDGE_BASE ragkb USING dim = 8, embedder = 'md5'")
+    sess.sql("INSERT INTO ragkb SELECT doc_id, text FROM tpch_documents WHERE doc_id < 30")
+    with pytest.raises(KeyError):
+        sess.sql("CREATE AGENT bad_rag USING knowledge_bases = 'missing_kb'")
+    sess.sql(
+        "CREATE AGENT rag_helper USING model = 'mock-llm', "
+        "knowledge_bases = 'ragkb', retrieval_k = 2"
+    )
+    q = "what is spark"
+    row = sess.sql(f"SELECT answer FROM rag_helper WHERE question = '{q}'").collect()[0]
+    assert row["answer"].startswith("llm:")
+    # reproduce the expected prompt: top-2 chunks by cosine, ties by chunk_id
+    hits = sess._kb_search("ragkb", q, k=2).collect()
+    ctx = "\n".join(h["content"] for h in hits)
+    prompt = f"Context:\n{ctx}\n\nQuestion: {q}"
+    assert row["answer"] == "llm:" + hashlib.md5(prompt.encode()).hexdigest()[:12]
+    # a plain agent (no KBs) answers from the bare question
+    sess.sql("CREATE AGENT plain_helper USING model = 'mock-llm'")
+    plain = sess.sql(f"SELECT answer FROM plain_helper WHERE question = '{q}'").collect()[0]
+    assert plain["answer"] == "llm:" + hashlib.md5(q.encode()).hexdigest()[:12]
+    assert plain["answer"] != row["answer"]
+    sess.sql("DROP AGENT rag_helper")
+    sess.sql("DROP KNOWLEDGE_BASE ragkb")
+
+
 def test_evaluate_knowledge_base(sess, spark):
     sess.sql("CREATE KNOWLEDGE_BASE evkb USING dim = 8")
     sess.sql("INSERT INTO evkb SELECT doc_id, text FROM tpch_documents WHERE doc_id < 30")
