@@ -261,7 +261,7 @@ _DROP_MODEL_RE = re.compile(r"DROP\s+MODEL\s+(?:IF\s+EXISTS\s+)?([\w.`]+)$", re.
 # (ML engine resolved from USING, training query runs on the integration).
 _CREATE_MODEL_RE = re.compile(
     r"CREATE\s+(OR\s+REPLACE\s+)?MODEL\s+([\w.`]+)"
-    r"(?:\s+FROM\s+([\w`]+))?\s*\((.+)\)\s*PREDICT\s+([\w`]+)"
+    r"(?:\s+FROM\s+([\w`]+))?(?:\s*\((.+)\))?\s*PREDICT\s+([\w`]+)"
     r"(?:\s+USING\s+(.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -1106,7 +1106,12 @@ class EngineSession:
             )
         src = src.lower().strip("`") if src else None
         target = target.strip("`").lower()
-        if src and src in self._native:
+        if raw is None:
+            # no FROM (SELECT ...): legal only for engines that don't train
+            # (the reference's LLM/prompt-template models create without
+            # training data)
+            train_df = None
+        elif src and src in self._native:
             train_df = self._native[src].query(raw)
         else:
             train_df = self.sql(raw)

@@ -222,9 +222,54 @@ def _export_tree_child(java_node, nodes):
     return idx
 
 
+def llm_prompt_model(name: str, train_df: DataFrame, target: str, params: dict) -> ModelSpec:
+    """Prompt-template LLM "model": CREATE MODEL ... USING engine = 'llm',
+    prompt_template = 'Answer using {{col}} ...' PREDICT answer.
+
+    The reference's LLM-handler surface (docs flagship; langchain/LLM
+    handlers render the template per row, then complete in batches). No
+    training happens — "fit" just validates the template's {{placeholders}}
+    against available columns when a FROM query is given. Predict renders
+    the template per row and completes one batch per Arrow block (the
+    pandas-UDF stage apply_model already provides). The transport defaults
+    to the deterministic content-hash mock; a real client plugs in via
+    params['transport'] (callable list[str] -> list[str])."""
+    import re as _re
+
+    template = params.get("prompt_template")
+    if not template:
+        raise ValueError("engine 'llm' requires USING prompt_template = '...'")
+    placeholders = _re.findall(r"\{\{\s*(\w+)\s*\}\}", template)
+    if not placeholders:
+        raise ValueError("prompt_template has no {{column}} placeholders")
+    if train_df is not None and train_df.columns:
+        missing = [p for p in placeholders if p not in {c.lower() for c in train_df.columns}]
+        if missing:
+            raise ValueError(f"prompt_template placeholders not in input: {missing}")
+    transport = params.get("transport")
+    if transport is None:
+        from mindsdb_spark.operators.agent import mock_complete as transport
+
+    def _predict(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = {c.lower(): c for c in pdf.columns}
+
+        def render(row) -> str:
+            out = template
+            for p in placeholders:
+                v = row[cols[p]] if p in cols else ""
+                out = _re.sub(r"\{\{\s*" + p + r"\s*\}\}", "" if v is None else str(v), out)
+            return out
+
+        prompts = [render(r) for _, r in pdf.iterrows()]
+        return pd.DataFrame({target: transport(prompts)})
+
+    return ModelSpec(name=name, predict=_predict, output_schema=f"{target} string")
+
+
 BUILTIN_ML_ENGINES = {
     "spark_ml_linreg": spark_ml_linreg,
     "spark_ml_kmeans": spark_ml_kmeans_label,
     "spark_ml_logreg": spark_ml_logreg,
     "spark_ml_gbt": spark_ml_gbt,
+    "llm": llm_prompt_model,
 }

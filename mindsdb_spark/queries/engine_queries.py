@@ -239,6 +239,31 @@ FROM applied WHERE predicted_risk > 0.3 ORDER BY o_orderkey
 """
 
 
+# --- A04: prompt-template LLM model through the SQL door ----------------------
+def a04_prompt_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE MODEL ... USING engine = 'llm', prompt_template = '...{{col}}...'
+    — the reference's LLM-handler flagship (no training; the template
+    renders per row, completion batches per Arrow block). The content-hash
+    mock transport makes every answer a pure function of the rendered
+    prompt, so DuckDB replays the whole pipeline."""
+    sess = _session(spark, sf_dir)
+    sess.sql(
+        "CREATE OR REPLACE MODEL summarizer PREDICT answer "
+        "USING engine = 'llm', prompt_template = 'Summarize [{{lang}}]: {{text}}'"
+    )
+    return sess.sql(
+        "SELECT t.doc_id, m.answer FROM tpch_documents t JOIN summarizer m "
+        "WHERE t.doc_id < 50 ORDER BY t.doc_id"
+    )
+
+
+A04_SQL = """
+SELECT doc_id,
+       'llm:' || substr(md5('Summarize [' || lang || ']: ' || text), 1, 12) AS answer
+FROM documents WHERE doc_id < 50 ORDER BY doc_id
+"""
+
+
 # --- E04: CREATE DATABASE lifecycle through the SQL door ----------------------
 def e04_create_database(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attach a source the way every reference user does — `CREATE DATABASE
@@ -354,6 +379,7 @@ ENGINE_QUERIES = {
     "e03_pushdown": (e03_pushdown, E03_SQL),
     "e05_native_query": (e05_native_query, E05_SQL),
     "a03_model_join_sql": (a03_model_join_sql, A03_SQL),
+    "a04_prompt_model": (a04_prompt_model, A04_SQL),
     "m02_dialect_datetime": (m02_dialect_datetime, M02_SQL),
     "m03_dialect_string": (m03_dialect_string, M03_SQL),
 }

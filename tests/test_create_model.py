@@ -179,3 +179,39 @@ def test_spark_ml_gbt_engine(spark, sf_dir):
         "SELECT m.price FROM tpch_orders t JOIN price_gbt m ORDER BY t.o_orderkey LIMIT 50"
     ).collect()
     assert a == [r["price"] for r in rows2]
+
+
+def test_llm_prompt_template_model(spark, sf_dir):
+    """CREATE MODEL with engine='llm': no training query, template renders
+    per row, completion is the pluggable transport (mock hashes the
+    rendered prompt)."""
+    import hashlib
+
+    import pytest
+
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir)
+    sess.sql(
+        "CREATE MODEL qa PREDICT answer "
+        "USING engine = 'llm', prompt_template = 'Q[{{lang}}]: {{text}}'"
+    )
+    rows = sess.sql(
+        "SELECT t.doc_id, t.lang, t.text, m.answer FROM tpch_documents t "
+        "JOIN qa m WHERE t.doc_id < 5 ORDER BY t.doc_id"
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        expect = "llm:" + hashlib.md5(f"Q[{r['lang']}]: {r['text']}".encode()).hexdigest()[:12]
+        assert r["answer"] == expect
+
+    # template validation: placeholder-free and missing-column templates fail
+    with pytest.raises(ValueError, match="placeholders"):
+        sess.sql("CREATE MODEL bad1 PREDICT a USING engine = 'llm', prompt_template = 'static'")
+    with pytest.raises(ValueError, match="not in input"):
+        sess.sql(
+            "CREATE MODEL bad2 (SELECT doc_id FROM tpch_documents) PREDICT a "
+            "USING engine = 'llm', prompt_template = '{{nope}}'"
+        )
+    # engines that train still require a FROM query
+    with pytest.raises(Exception):
+        sess.sql("CREATE MODEL bad3 PREDICT price USING engine = 'spark_ml_linreg'")
