@@ -191,11 +191,13 @@ def test_vocab_coverage_plan_shape(spark, sf_dir):
 
 
 def test_repetition_signals_no_global_sort(spark, sf_dir):
-    # both aggregates key on doc_id (+gram): partial aggregation map-side,
-    # never a whole-corpus sort
+    # round 3: within-doc stats are a pure MAP stage (array HOFs) — no
+    # aggregate, no keyed shuffle, no global sort anywhere in the plan; the
+    # only allowed Exchange is parallelize_input's round-robin repartition
     from mindsdb_spark.catalog import load_table
     from mindsdb_spark.operators.text import repetition_signals
 
     plan = _plan(repetition_signals(load_table(spark, sf_dir, "documents")))
-    assert "partial_count" in plan or "partial_sum" in plan
-    assert "Sort [" not in plan  # no global Sort operator in the agg path
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    assert "hashpartitioning" not in plan  # no keyed shuffle at any scale
+    assert "Sort [" not in plan  # no global Sort operator
