@@ -774,8 +774,16 @@ class EngineSession:
         text_col = next(
             (cols[c] for c in ("text", "content", "chunk_text") if c in cols), docs.columns[-1]
         )
+        # non-id, non-content columns become chunk metadata — stored on the
+        # chunk rows, filterable in KB selects, returned with hits
+        # (reference: controller.py:685-700 _adapt_column_names)
+        meta_cols = [
+            c for c in docs.columns if c not in (id_col, text_col)
+        ]
         prepared = docs.select(
-            F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("text"),
+            *[F.col(c).alias(c.lower()) for c in meta_cols],
         )
         self.last_state  # materializes self._state_dir
         state_dir = os.path.join(self._state_dir, f"kb_insert_{name}")
@@ -784,7 +792,10 @@ class EngineSession:
         def _write_batch(rows: DataFrame, _i: int) -> None:
             incoming = (
                 embed(chunk_documents(rows), dim=kb["dim"])
-                .select("chunk_id", "doc_id", "chunk_text", "embedding")
+                .select(
+                    "chunk_id", "doc_id", "chunk_text", "embedding",
+                    *[c.lower() for c in meta_cols],
+                )
                 .localCheckpoint(eager=True)
             )
             kb["store"] = kb_upsert(kb["store"], incoming)
@@ -875,7 +886,8 @@ class EngineSession:
                 )
         store = kbs[0]["store"]
         for kb in kbs[1:]:
-            store = store.unionByName(kb["store"])
+            # metadata schemas may differ per KB — missing columns are NULL
+            store = store.unionByName(kb["store"], allowMissingColumns=True)
         embedder = md5_embed if embed_name == "md5" else fake_embed
 
         def _embed(df):
@@ -999,10 +1011,16 @@ class EngineSession:
                 vec_id="chunk_id",
                 round_keyword=True,
             )
+            meta_cols = [
+                c for c in store.columns
+                if c not in ("chunk_id", "doc_id", "chunk_text", "embedding")
+            ]
             hits = hits.join(
-                store.select("chunk_id", "doc_id", "chunk_text"), "chunk_id"
+                store.select("chunk_id", "doc_id", "chunk_text", *meta_cols),
+                "chunk_id",
             ).select(
-                "chunk_id", "doc_id", F.col("chunk_text").alias("content"), "distance"
+                "chunk_id", "doc_id", F.col("chunk_text").alias("content"),
+                "distance", *meta_cols,
             )
         else:
             if kb.get("index") is not None:
@@ -1019,11 +1037,16 @@ class EngineSession:
                 )
             else:
                 ranked = cosine_topk(store, "embedding", qvec, k=fetch, id_col="chunk_id")
+            meta_cols = [
+                c for c in store.columns
+                if c not in ("chunk_id", "doc_id", "chunk_text", "embedding")
+            ]
             hits = ranked.select(
                 "chunk_id",
                 "doc_id",
                 F.col("chunk_text").alias("content"),
                 (1.0 - F.col("sim")).alias("distance"),
+                *meta_cols,
             )
         if rerank:
             # deterministic mock relevance (production: pandas-UDF LLM

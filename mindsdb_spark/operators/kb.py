@@ -55,6 +55,10 @@ def chunk_documents(
     if stride <= 0:
         raise ValueError("chunk_size must exceed overlap")
     df = parallelize_input(df)
+    # non-content columns ride along as chunk metadata (reference:
+    # controller.py:685-700 _adapt_column_names routes extra columns into
+    # the vector store's metadata)
+    extra = [c for c in df.columns if c not in (id_col, text_col)]
     max_idx = F.greatest(
         F.ceil((F.length(col(text_col)) - F.lit(overlap)) / F.lit(float(stride))).cast("bigint")
         - F.lit(1),
@@ -64,6 +68,7 @@ def chunk_documents(
         col(id_col),
         F.explode(F.sequence(F.lit(0), max_idx)).alias("chunk_idx"),
         col(text_col),
+        *[col(c) for c in extra],
     )
     chunk_text = F.substring(col(text_col), col("chunk_idx") * stride + 1, chunk_size)
     return out.select(
@@ -73,6 +78,7 @@ def chunk_documents(
         F.md5(
             F.concat_ws(":", col(id_col).cast("string"), col("chunk_idx").cast("string"), chunk_text)
         ).alias("chunk_id"),
+        *[col(c) for c in extra],
     )
 
 
@@ -138,10 +144,23 @@ def kb_upsert(existing: DataFrame, incoming: DataFrame, id_col: str = "chunk_id"
     One left-anti join (shuffle keyed on the hash id — uniformly
     distributed by construction, no skew) + append; the same
     delete-then-insert reconciliation the reference performs against the
-    vector store (vectordatabase_handler.py:295-400).
+    vector store (vectordatabase_handler.py:295-400). Schemas may evolve:
+    a side missing a metadata column gets it as typed NULLs (the reference
+    stores free-form metadata, so older rows simply lack newer keys).
     """
+    all_cols = list(existing.columns) + [
+        c for c in incoming.columns if c not in existing.columns
+    ]
+
+    def _pad(df: DataFrame, other: DataFrame) -> DataFrame:
+        for c in all_cols:
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast(other.schema[c].dataType))
+        return df.select(*all_cols)
+
+    existing, incoming = _pad(existing, incoming), _pad(incoming, existing)
     kept = existing.join(incoming.select(id_col), on=id_col, how="left_anti")
-    return kept.unionByName(incoming.select(*existing.columns))
+    return kept.unionByName(incoming)
 
 
 def retrieval_metrics(

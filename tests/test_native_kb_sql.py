@@ -162,6 +162,44 @@ def test_create_agent_and_ask(sess):
     assert "helper" not in [r[0] for r in sess.sql("SHOW AGENTS").collect()]
 
 
+def test_kb_metadata_columns(spark, sf_dir):
+    """Non-content INSERT columns become chunk metadata: stored on the
+    chunk rows, usable as search pre-filters, returned with hits
+    (reference: controller.py:685-700 _adapt_column_names routes extra
+    columns into vector-store metadata; filters narrow BEFORE top-k)."""
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir, tables=["documents"])
+    sess.sql("CREATE KNOWLEDGE_BASE kbmeta USING dim = 8, embedder = 'md5'")
+    sess.sql(
+        "INSERT INTO kbmeta SELECT doc_id, text, lang, source "
+        "FROM tpch_documents WHERE doc_id < 40"
+    )
+    store = sess._kbs["kbmeta"]["store"]
+    assert {"lang", "source"} <= set(store.columns)
+
+    langs = {r[0] for r in store.select("lang").distinct().collect()}
+    assert len(langs) > 1, "fixture needs multiple langs for the filter test"
+    pick = sorted(langs)[0]
+    hits = sess.sql(
+        f"SELECT * FROM kbmeta WHERE content = 'spark join' AND lang = '{pick}' LIMIT 5"
+    ).collect()
+    assert 0 < len(hits) <= 5
+    # metadata returned with hits AND the filter narrowed the candidates
+    assert all(h["lang"] == pick for h in hits)
+    assert "source" in hits[0].asDict()
+
+    # upsert with a NEW metadata column: schema evolves, old rows get NULLs
+    sess.sql(
+        "INSERT INTO kbmeta SELECT doc_id, text, lang, source, n_chars "
+        "FROM tpch_documents WHERE doc_id >= 40 AND doc_id < 45"
+    )
+    store = sess._kbs["kbmeta"]["store"]
+    assert "n_chars" in store.columns
+    assert store.filter("doc_id < 40 AND n_chars IS NOT NULL").count() == 0
+    assert store.filter("doc_id >= 40 AND n_chars IS NULL").count() == 0
+    sess.sql("DROP KNOWLEDGE_BASE kbmeta")
+
+
 def test_kb_backed_agent_rag(spark, sf_dir):
     """CREATE AGENT ... USING knowledge_bases = 'kb' retrieves top-k chunks
     as context before completion (reference: agents data sources,
