@@ -339,6 +339,60 @@ FROM ctx ORDER BY qid
 K06_SQL = _k06_sql()
 
 
+# --- S08 KB metadata filter through the SQL door -----------------------------
+# Non-content INSERT columns (here `lang`) ride the chunk rows as metadata;
+# `WHERE content = ... AND lang = 'en'` narrows the candidate space BEFORE
+# top-k (reference: vectordatabase_handler.py:103-176 FilterConditions) and
+# the hit rows return the metadata. md5 embedder → DuckDB replays everything.
+def s08_kb_metadata_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    sess.register_parquet_source("src", sf_dir)
+    sess.sql("CREATE KNOWLEDGE_BASE kbm USING dim = 8, embedder = 'md5'")
+    sess.sql(
+        "INSERT INTO kbm SELECT doc_id, text, lang FROM src_documents WHERE doc_id < 60"
+    )
+    return sess.sql(
+        "SELECT doc_id, lang, FLOOR(distance * 1000000 + 0.5) / 1000000 AS distance "
+        "FROM kbm WHERE content = 'spark join fast' AND lang = 'en' "
+        "ORDER BY distance, doc_id LIMIT 10"
+    )
+
+
+def _s08_sql() -> str:
+    lanes = ", ".join(_md5_lane_sql("chunk_text", i) for i in range(8))
+    q_lanes = ", ".join(_md5_lane_sql("'spark join fast'", i) for i in range(8))
+    return f"""
+WITH c AS (
+  SELECT doc_id, lang, i - 1 AS chunk_idx,
+         substr(text, (i - 1) * 150 + 1, 200) AS chunk_text
+  FROM documents,
+       UNNEST(generate_series(1,
+         greatest(CAST(ceil((length(text) - 50) / 150.0) AS BIGINT), 1))) AS t(i)
+  WHERE doc_id < 60
+),
+ch AS (
+  SELECT doc_id, lang,
+         md5(doc_id || ':' || chunk_idx || ':' || chunk_text) AS chunk_id,
+         chunk_text
+  FROM c
+),
+emb AS (SELECT doc_id, lang, chunk_id, [{lanes}] AS embedding
+        FROM ch WHERE lang = 'en'),
+q AS (SELECT [{q_lanes}] AS qe),
+top AS (
+  SELECT doc_id, lang, chunk_id, 1.0 - ({_COS_SQL}) AS dist
+  FROM emb, q ORDER BY dist, chunk_id LIMIT 10
+)
+SELECT doc_id, lang, floor(dist * 1000000 + 0.5) / 1000000 AS distance
+FROM top ORDER BY distance, doc_id
+"""
+
+
+S08_SQL = _s08_sql()
+
+
 KB_QUERIES = {
     "k01_kb_chunks": (k01_kb_chunks, K01_SQL),
     "k02_kb_eval": (k02_kb_eval, K02_SQL),
@@ -346,4 +400,5 @@ KB_QUERIES = {
     "k04_kb_e2e": (k04_kb_e2e, K04_SQL),
     "k05_kb_batched_insert": (k05_kb_batched_insert, K05_SQL),
     "k06_agent_rag": (k06_agent_rag, K06_SQL),
+    "s08_kb_metadata_sql": (s08_kb_metadata_sql, S08_SQL),
 }
