@@ -2044,6 +2044,34 @@ class EngineSession:
                 if cols == ["*"]:
                     return res
                 return res.select(*cols)
+        dk = re.match(
+            r"(?:DESCRIBE|DESC)\s+KNOWLEDGE_BASE\s+([\w.`]+)$", s, re.IGNORECASE
+        )
+        if dk:
+            # reference: DESCRIBE surfaces project-object params
+            # (command_executor.py:882-895 answer_describe_object)
+            name = dk.group(1).lower().strip("`").split(".")[-1]
+            if name not in self._kbs:
+                raise KeyError(f"knowledge base {name!r} does not exist")
+            from mindsdb_spark.operators.vector import _estimate_rows
+
+            kb = self._kbs[name]
+            meta = [
+                c for c in kb["store"].columns
+                if c not in ("chunk_id", "doc_id", "chunk_text", "embedding")
+            ]
+            return self.spark.createDataFrame(
+                [(
+                    name,
+                    kb["dim"],
+                    kb.get("embedder") or "default",
+                    _estimate_rows(kb["store"], "embedding"),
+                    kb.get("index") is not None,
+                    ", ".join(meta),
+                )],
+                "name string, dim int, embedder string, chunks_estimate long, "
+                "has_index boolean, metadata_columns string",
+            )
         dm = re.match(r"(?:DESCRIBE|DESC)\s+MODEL\s+([\w.`]+)$", s, re.IGNORECASE)
         if dm and self._model_of(dm.group(1)) is not None:
             # one row per surviving version, newest last; `active` marks the

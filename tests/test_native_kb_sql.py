@@ -200,6 +200,22 @@ def test_kb_metadata_columns(spark, sf_dir):
     sess.sql("DROP KNOWLEDGE_BASE kbmeta")
 
 
+def test_describe_knowledge_base(spark, sf_dir):
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir, tables=["documents"])
+    sess.sql("CREATE KNOWLEDGE_BASE kbd USING dim = 8, embedder = 'md5'")
+    sess.sql(
+        "INSERT INTO kbd SELECT doc_id, text, lang FROM tpch_documents WHERE doc_id < 10"
+    )
+    row = sess.sql("DESCRIBE KNOWLEDGE_BASE kbd").collect()[0]
+    assert row["name"] == "kbd" and row["dim"] == 8 and row["embedder"] == "md5"
+    assert row["chunks_estimate"] >= 1 and row["has_index"] is False
+    assert "lang" in row["metadata_columns"]
+    with pytest.raises(KeyError):
+        sess.sql("DESCRIBE KNOWLEDGE_BASE nope")
+    sess.sql("DROP KNOWLEDGE_BASE kbd")
+
+
 def test_kb_backed_agent_rag(spark, sf_dir):
     """CREATE AGENT ... USING knowledge_bases = 'kb' retrieves top-k chunks
     as context before completion (reference: agents data sources,
