@@ -2160,9 +2160,11 @@ class EngineSession:
             "name string, every_seconds double, runs int",
         ).filter("name != ''").createOrReplaceTempView("information_schema_jobs")
         self.spark.createDataFrame(
-            [(name, getattr(a, "model_name", "")) for name, a in self._agents.items()]
-            or [("", "")],
-            "name string, model string",
+            [(name, getattr(a, "model_name", ""),
+              ", ".join(getattr(a, "knowledge_bases", ()) or ()))
+             for name, a in self._agents.items()]
+            or [("", "", "")],
+            "name string, model string, knowledge_bases string",
         ).filter("name != ''").createOrReplaceTempView("information_schema_agents")
         self.spark.createDataFrame(
             [(name, mm.output_schema, "ts" if mm.order_by else "row",
@@ -2173,8 +2175,10 @@ class EngineSession:
             "active_version int, versions int",
         ).filter("name != ''").createOrReplaceTempView("information_schema_models")
         self.spark.createDataFrame(
-            [(name, kb["dim"]) for name, kb in self._kbs.items()] or [("", 0)],
-            "name string, dim int",
+            [(name, kb["dim"], kb.get("embedder") or "default",
+              kb.get("index") is not None)
+             for name, kb in self._kbs.items()] or [("", 0, "", False)],
+            "name string, dim int, embedder string, has_index boolean",
         ).filter("name != ''").createOrReplaceTempView("information_schema_knowledge_bases")
         self.spark.createDataFrame(
             [(name, tr.column) for name, tr in self._triggers.items()] or [("", "")],
