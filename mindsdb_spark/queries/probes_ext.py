@@ -915,6 +915,244 @@ WHERE rn = 1 ORDER BY user_id
 """
 
 
+
+
+# --- P60 Q4 shape: EXISTS semi-join with date-range predicate -----------------
+def p60_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("ord_p60")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_p60")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, COUNT(*) AS order_count
+        FROM ord_p60 o
+        WHERE o.o_orderdate >= DATE '1996-01-01'
+          AND o.o_orderdate < DATE '1997-01-01'
+          AND EXISTS (SELECT 1 FROM li_p60 l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+        """
+    )
+
+
+P60_SQL = """
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate < DATE '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+"""
+
+
+# --- P61 Q2 shape: correlated-min subquery picks the cheapest supplier --------
+# (no partsupp in the fixtures; lineitem is the part<->supplier bridge)
+def p61_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_p61")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part_p61")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("sup_p61")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, s.s_name,
+               FLOOR(l.l_extendedprice * 100 + 0.5) / 100 AS min_price
+        FROM part_p61 p
+        JOIN li_p61 l ON l.l_partkey = p.p_partkey
+        JOIN sup_p61 s ON s.s_suppkey = l.l_suppkey
+        WHERE p.p_size <= 2
+          AND l.l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+                                   FROM li_p61 l2
+                                   WHERE l2.l_partkey = p.p_partkey)
+        ORDER BY p.p_partkey, s.s_name LIMIT 50
+        """
+    )
+
+
+P61_SQL = """
+SELECT p.p_partkey, s.s_name,
+       FLOOR(l.l_extendedprice * 100 + 0.5) / 100 AS min_price
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE p.p_size <= 2
+  AND l.l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+                           FROM lineitem l2
+                           WHERE l2.l_partkey = p.p_partkey)
+ORDER BY p.p_partkey, s.s_name LIMIT 50
+"""
+
+
+# --- P62 Q11 shape: HAVING against a global scalar subquery -------------------
+def p62_q11_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_p62")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("sup_p62")
+    return spark.sql(
+        """
+        SELECT l.l_partkey,
+               FLOOR(SUM(l.l_extendedprice) * 100 + 0.5) / 100 AS total_value
+        FROM li_p62 l
+        JOIN sup_p62 s ON s.s_suppkey = l.l_suppkey
+        WHERE s.s_nationkey = 3
+        GROUP BY l.l_partkey
+        HAVING SUM(l.l_extendedprice) > (
+            SELECT 0.001 * SUM(l2.l_extendedprice)
+            FROM li_p62 l2 JOIN sup_p62 s2 ON s2.s_suppkey = l2.l_suppkey
+            WHERE s2.s_nationkey = 3)
+        ORDER BY total_value DESC, l.l_partkey LIMIT 40
+        """
+    )
+
+
+P62_SQL = """
+SELECT l.l_partkey,
+       FLOOR(SUM(l.l_extendedprice) * 100 + 0.5) / 100 AS total_value
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE s.s_nationkey = 3
+GROUP BY l.l_partkey
+HAVING SUM(l.l_extendedprice) > (
+    SELECT 0.001 * SUM(l2.l_extendedprice)
+    FROM lineitem l2 JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+    WHERE s2.s_nationkey = 3)
+ORDER BY total_value DESC, l.l_partkey LIMIT 40
+"""
+
+
+# --- P63 Q16 shape: COUNT(DISTINCT) with NOT IN blacklist subquery ------------
+def p63_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_p63")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part_p63")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("sup_p63")
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM li_p63 l
+        JOIN part_p63 p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size <= 5
+          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM sup_p63 WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_size LIMIT 40
+        """
+    )
+
+
+P63_SQL = """
+SELECT p.p_brand, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size <= 5
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_size LIMIT 40
+"""
+
+
+# --- P64 Q10 shape: top-k returned-revenue customers --------------------------
+# revenue sums EXACT integer cents (floor per term, integer sum) — per-customer
+# groups are small enough that double fold order flips the last cent between
+# engines; integer-cent addition is order-free and bit-identical
+def p64_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_p64")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("ord_p64")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("cust_p64")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nat_p64")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               SUM(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)) / CAST(100 AS DOUBLE) AS revenue
+        FROM cust_p64 c
+        JOIN ord_p64 o ON o.o_custkey = c.c_custkey
+        JOIN li_p64 l ON l.l_orderkey = o.o_orderkey
+        JOIN nat_p64 n ON n.n_nationkey = c.c_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= DATE '1996-01-01'
+          AND o.o_orderdate < DATE '1996-07-01'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c.c_custkey LIMIT 20
+        """
+    )
+
+
+P64_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)) AS BIGINT) / 100.0 AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate < DATE '1996-07-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey LIMIT 20
+"""
+
+
+# --- P65 Q3 shape: shipping-priority top-k ------------------------------------
+def p65_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_p65")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("ord_p65")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("cust_p65")
+    return spark.sql(
+        """
+        SELECT l.l_orderkey,
+               FLOOR(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5) / 100 AS revenue,
+               o.o_orderdate
+        FROM cust_p65 c
+        JOIN ord_p65 o ON o.o_custkey = c.c_custkey
+        JOIN li_p65 l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < DATE '1997-01-01'
+          AND l.l_shipdate > DATE '1997-01-01'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+        """
+    )
+
+
+P65_SQL = """
+SELECT l.l_orderkey,
+       FLOOR(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5) / 100 AS revenue,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1997-01-01'
+  AND l.l_shipdate > DATE '1997-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+"""
+
+
+# --- P66 Q6 shape: pure scan aggregate with range predicates ------------------
+def p66_q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_p66")
+    return spark.sql(
+        """
+        SELECT FLOOR(SUM(l_extendedprice * l_discount) * 100 + 0.5) / 100 AS revenue
+        FROM li_p66
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 25
+        """
+    )
+
+
+P66_SQL = """
+SELECT FLOOR(SUM(l_extendedprice * l_discount) * 100 + 0.5) / 100 AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01'
+  AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 25
+"""
+
+
 PROBES_EXT = {
     "p33_cube": (p33_cube, P33_SQL),
     "p34_grouping_sets": (p34_grouping_sets, P34_SQL),
@@ -943,4 +1181,11 @@ PROBES_EXT = {
     "p58_forward_fill": (p58_forward_fill, P58_SQL),
     "p59_keep_latest": (p59_keep_latest, P59_SQL),
     "p55_q15_top_supplier": (p55_q15_top_supplier, P55_SQL),
+    "p60_q4_priority": (p60_q4_priority, P60_SQL),
+    "p61_q2_min_cost": (p61_q2_min_cost, P61_SQL),
+    "p62_q11_threshold": (p62_q11_threshold, P62_SQL),
+    "p63_q16_supplier_cnt": (p63_q16_supplier_cnt, P63_SQL),
+    "p64_q10_returns": (p64_q10_returns, P64_SQL),
+    "p65_q3_shipping": (p65_q3_shipping, P65_SQL),
+    "p66_q6_revenue": (p66_q6_revenue, P66_SQL),
 }
