@@ -517,6 +517,54 @@ class EngineSession:
             df.createOrReplaceTempView(t)
             df.createOrReplaceTempView(f"{source}_{t}")
 
+    def _resolve_native_writable(self, name: str):
+        """``source.table`` / ``source_table`` → (source, table) for native
+        integrations that support writeback (an ``insert`` method)."""
+        n = name.lower().strip("`")
+        for srcname, src in self._native.items():
+            if not hasattr(src, "insert"):
+                continue
+            tables = {t.lower() for t in src.tables()}
+            if "." in n:
+                pre, _, t = n.partition(".")
+                if pre == srcname and t in tables:
+                    return srcname, t
+            if n.startswith(f"{srcname}_") and n[len(srcname) + 1:] in tables:
+                return srcname, n[len(srcname) + 1:]
+        return None, None
+
+    def _align_insert_rows(self, target: DataFrame, rows: DataFrame, col_list):
+        """Align INSERT rows to the target schema: map by name when a column
+        list is given (NULL-fill the rest), else positionally — always cast
+        to the target types so a narrower-schema append never lands."""
+        if col_list:
+            listed = [c.strip().strip("`").lower() for c in col_list.split(",")]
+            if len(listed) != len(rows.columns):
+                raise ValueError(
+                    f"INSERT column list has {len(listed)} columns but the "
+                    f"source produces {len(rows.columns)}"
+                )
+            named = rows.toDF(*listed)
+            # name match is case-insensitive: JDBC databases may fold
+            # identifiers to uppercase (Derby/Oracle style)
+            return named.select(
+                *[
+                    (named[f.name] if f.name.lower() in listed else F.lit(None)).cast(
+                        f.dataType
+                    ).alias(f.name)
+                    for f in target.schema.fields
+                ]
+            )
+        if len(rows.columns) != len(target.columns):
+            raise ValueError(
+                f"INSERT has {len(rows.columns)} columns but the target has "
+                f"{len(target.columns)} (use an explicit column list)"
+            )
+        aligned = rows.toDF(*target.columns)
+        for f in target.schema.fields:
+            aligned = aligned.withColumn(f.name, aligned[f.name].cast(f.dataType))
+        return aligned
+
     def _resolve_writable(self, name: str):
         """``source.table`` / ``source_table`` / bare table → (source, table)."""
         n = name.lower().strip("`")
@@ -1650,37 +1698,26 @@ class EngineSession:
                     rows = self.spark.sql(f"SELECT * FROM {body}")
                 else:
                     rows = self.spark.sql(self.rewrite(body))
-                if m.group(2):
-                    # explicit column list: map by name, NULL-fill the rest —
-                    # never append a narrower-schema file
-                    listed = [c.strip().strip("`").lower() for c in m.group(2).split(",")]
-                    if len(listed) != len(rows.columns):
-                        raise ValueError(
-                            f"INSERT column list has {len(listed)} columns but the "
-                            f"source produces {len(rows.columns)}"
-                        )
-                    named = rows.toDF(*listed)
-                    aligned = named.select(
-                        *[
-                            (named[f.name] if f.name in listed else F.lit(None)).cast(
-                                f.dataType
-                            ).alias(f.name)
-                            for f in target.schema.fields
-                        ]
-                    )
-                else:
-                    if len(rows.columns) != len(target.columns):
-                        raise ValueError(
-                            f"INSERT has {len(rows.columns)} columns but table "
-                            f"{table!r} has {len(target.columns)} (use an explicit "
-                            "column list)"
-                        )
-                    aligned = rows.toDF(*target.columns)
-                    for f in target.schema.fields:
-                        aligned = aligned.withColumn(f.name, aligned[f.name].cast(f.dataType))
+                aligned = self._align_insert_rows(target, rows, m.group(2))
                 ps.insert(table, aligned)
                 self._refresh_writable_views(srcname)
                 return self.spark.createDataFrame([(table,)], "inserted string")
+            nsrc, ntable = self._resolve_native_writable(m.group(1))
+            if nsrc is not None:
+                # INSERT writeback to a native integration (JDBC exemplar) —
+                # the reference's insert-to-integration path
+                # (insert_step.py:13-124); the append runs distributed, one
+                # connection per partition
+                src = self._native[nsrc]
+                target = src.read(ntable)
+                body = m.group(3)
+                if body.upper().startswith("VALUES"):
+                    rows = self.spark.sql(f"SELECT * FROM {body}")
+                else:
+                    rows = self.sql(body)
+                aligned = self._align_insert_rows(target, rows, m.group(2))
+                src.insert(ntable, aligned)
+                return self.spark.createDataFrame([(ntable,)], "inserted string")
             kbname = m.group(1).lower().strip("`").split(".")[-1]
             if kbname in self._kbs:
                 body = m.group(3)

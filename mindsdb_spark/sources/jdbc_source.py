@@ -75,3 +75,18 @@ class JDBCSource:
         )
         self.pushdowns += 1  # schema resolution above already hit the DB
         return out
+
+    def insert(self, table: str, df: DataFrame) -> None:
+        """INSERT writeback: append rows to the database table (reference:
+        insert_step.py:13-124 writes to the integration). Executes as a
+        distributed ``df.write.jdbc`` append — each Spark partition opens
+        its own connection and streams its rows, so a big insert
+        parallelizes the same way a partitioned read does."""
+        (
+            df.write.format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", table)
+            .options(**self.properties)
+            .mode("append")
+            .save()
+        )

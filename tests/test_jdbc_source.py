@@ -84,3 +84,25 @@ def test_native_query_passthrough_jdbc(spark, jdbc):
         "WHERE N_REGIONKEY = 1) t ORDER BY N_NAME"
     ).collect()
     assert len(rows) > 0
+
+
+def test_jdbc_insert_writeback(spark, jdbc):
+    """INSERT INTO <jdbc_source>.<table> routes back to the database
+    (reference: insert_step.py:13-124 writes to the integration) —
+    distributed df.write.jdbc append, visible on the next lazy read."""
+    sess = EngineSession(spark)
+    sess.register_native_source("der", jdbc)
+    before = jdbc.read("nation").count()
+    sess.sql(
+        "INSERT INTO der.nation VALUES (97, 'NATION_X', 1), (98, 'NATION_Y', 2)"
+    )
+    after = jdbc.read("nation")
+    assert after.count() == before + 2
+    got = {r[0]: r[1] for r in after.filter("N_NATIONKEY >= 97").collect()}
+    assert got == {97: "NATION_X", 98: "NATION_Y"}
+    # column-list form NULL-fills the rest and casts to target types
+    sess.sql("INSERT INTO der.nation (n_nationkey, n_name) VALUES (99, 'NATION_Z')")
+    row = jdbc.read("nation").filter("N_NATIONKEY = 99").collect()[0]
+    assert row["N_NAME"] == "NATION_Z" and row["N_REGIONKEY"] is None
+    # the federated view sees the new rows without re-registration (lazy)
+    assert sess.sql("SELECT COUNT(*) AS c FROM der_nation").collect()[0][0] == before + 3
