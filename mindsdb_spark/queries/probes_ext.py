@@ -1153,6 +1153,80 @@ WHERE l_shipdate >= DATE '1996-01-01'
 """
 
 
+
+
+# --- P67 Q1 shape: the pricing-summary scan aggregate -------------------------
+# money sums use EXACT integer cents (per-term floor, integer sum) so the
+# totals are fold-order-free across engines; averages round at 1e-6 on
+# group sizes where double noise is ~1e-10 relative
+def p67_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_p67")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+               SUM(FLOOR(l_extendedprice * 100 + 0.5)) / CAST(100 AS DOUBLE) AS sum_base_price,
+               SUM(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)) / CAST(100 AS DOUBLE) AS sum_disc_price,
+               FLOOR(AVG(l_quantity) * 1000000 + 0.5) / 1000000 AS avg_qty,
+               FLOOR(AVG(l_discount) * 1000000 + 0.5) / 1000000 AS avg_disc,
+               COUNT(*) AS count_order
+        FROM li_p67
+        WHERE l_shipdate <= DATE '2001-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+P67_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(SUM(FLOOR(l_extendedprice * 100 + 0.5)) AS BIGINT) / 100.0 AS sum_base_price,
+       CAST(SUM(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)) AS BIGINT) / 100.0 AS sum_disc_price,
+       FLOOR(AVG(l_quantity) * 1000000 + 0.5) / 1000000 AS avg_qty,
+       FLOOR(AVG(l_discount) * 1000000 + 0.5) / 1000000 AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- P68 Q12 shape: join + two-way conditional counts -------------------------
+# (no l_shipmode in the fixtures; l_returnflag plays the grouping column and
+# o_orderpriority the CASE dimension — same plan shape: join + CASE-sum)
+def p68_q12_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_p68")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("ord_p68")
+    return spark.sql(
+        """
+        SELECT l.l_returnflag,
+               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM ord_p68 o JOIN li_p68 l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= DATE '1996-01-01'
+          AND l.l_shipdate < DATE '1997-01-01'
+        GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+        """
+    )
+
+
+P68_SQL = """
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= DATE '1996-01-01'
+  AND l.l_shipdate < DATE '1997-01-01'
+GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+"""
+
+
 PROBES_EXT = {
     "p33_cube": (p33_cube, P33_SQL),
     "p34_grouping_sets": (p34_grouping_sets, P34_SQL),
@@ -1188,4 +1262,6 @@ PROBES_EXT = {
     "p64_q10_returns": (p64_q10_returns, P64_SQL),
     "p65_q3_shipping": (p65_q3_shipping, P65_SQL),
     "p66_q6_revenue": (p66_q6_revenue, P66_SQL),
+    "p67_q1_pricing": (p67_q1_pricing, P67_SQL),
+    "p68_q12_priority_mix": (p68_q12_priority_mix, P68_SQL),
 }
