@@ -80,6 +80,10 @@ def _prepare_split(spark) -> str:
 
     from mindsdb_spark.catalog import TPCH_TABLES, load_table
 
+    # write timestamps as INT64 micros, not Spark's INT96 legacy default —
+    # keeps the split copy's physical schema aligned with the driver
+    # fixtures (the streaming schema sniff keys on the physical type)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     tag = hashlib.md5(SF_DIR.encode()).hexdigest()[:8]
     out_dir = os.path.join(
         SPLIT_DIR, os.path.basename(SF_DIR.rstrip("/")) + "_" + tag
@@ -108,6 +112,7 @@ def _prepare_sf1(spark) -> str:
 
     from mindsdb_spark.catalog import TPCH_TABLES, load_table
 
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     out_dir = os.path.join(SPLIT_DIR, "sf1_derived")
     done = os.path.join(out_dir, "_SF1_DONE")
     if os.path.exists(done):

@@ -26,9 +26,12 @@ _EVENTS_COLS = (
 
 def _events_ts_is_int64(path: str) -> bool:
     """True when events.ts needs the nanosAsLong compat path: either the
-    column is already physical int64, or it is TIMESTAMP(NANOS) — which
-    pyarrow reports as timestamp[ns] (int64 + logical annotation), and which
-    Spark's streaming parquet reader rejects unless nanosAsLong is set."""
+    column is already plain physical int64, or it is TIMESTAMP(NANOS) —
+    physical INT64 with a nanos annotation, which pyarrow reports as
+    timestamp[ns] and which Spark's streaming parquet reader rejects unless
+    nanosAsLong is set. Spark-written INT96 timestamps ALSO surface as
+    timestamp[ns] in arrow, but Spark reads INT96 natively — so the
+    decision needs the parquet PHYSICAL type, not just the arrow type."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -41,9 +44,14 @@ def _events_ts_is_int64(path: str) -> bool:
                 f"split events dir contains no *.parquet files: {path}"
             )
         path = files[0]
-    t = pq.read_schema(path).field("ts").type
+    pf = pq.ParquetFile(path)
+    sch = pf.schema  # parquet schema: physical types
+    phys = {sch.column(i).name: sch.column(i).physical_type for i in range(len(sch.names))}
+    if phys.get("ts") != "INT64":
+        return False  # INT96 (or other): Spark's plain timestamp read works
+    t = pf.schema_arrow.field("ts").type
     if pa.types.is_timestamp(t) and t.unit == "ns":
-        return True
+        return True  # TIMESTAMP(NANOS): rejected without nanosAsLong
     return str(t) == "int64"
 
 
