@@ -242,6 +242,11 @@ _AGENT_RE = re.compile(
     r"SELECT\s+(.+?)\s+FROM\s+([\w.`]+)\s+WHERE\s+question\s*=\s*'([^']*)'$",
     re.IGNORECASE,
 )
+# one-shot model select: `SELECT <cols> FROM <model> WHERE a = 1 AND b = 'x'`
+# — only fires when the FROM name resolves to a registered model
+_MODEL_SELECT_RE = re.compile(
+    r"SELECT\s+(.+?)\s+FROM\s+([\w.`]+)\s+WHERE\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
 _IDENT_RE = re.compile(r"[A-Za-z_`][\w.`]*")
 # `SELECT ... FROM <table> [t] JOIN <model> [m] [WHERE ...] [ORDER BY ...]
 # [LIMIT n]` — the reference's signature "table JOIN predictor" statement
@@ -2081,6 +2086,36 @@ class EngineSession:
                 if cols == ["*"]:
                     return res
                 return res.select(*cols)
+        m = _MODEL_SELECT_RE.match(s)
+        if m and self._model_of(m.group(2)) is not None:
+            # one-shot predict: the WHERE equality dict IS the input row
+            # (reference: predictor-only FROM applies the model to the
+            # row_dict, sql_query.py:148-161 + query_planner.py:569-648).
+            # TS models need a history window — they stay join-only.
+            from mindsdb_spark.operators.model import apply_model
+
+            spec = self._model_of(m.group(2))
+            if spec.order_by is None:
+                row: dict = {}
+                ok = True
+                for cond in _split_and(m.group(3)):
+                    cm = _COND_RE.match(cond.strip())
+                    if cm is None or cm.group(2) != "=":
+                        ok = False  # non-equality input: not a one-shot form
+                        break
+                    v = cm.group(3).strip()
+                    row[cm.group(1).strip("`").split(".")[-1].lower()] = (
+                        v[1:-1] if v[:1] in "'\"" else (
+                            float(v) if "." in v else int(v) if v.lstrip("-").isdigit() else v
+                        )
+                    )
+                if ok and row:
+                    inp = self.spark.createDataFrame([tuple(row.values())], list(row))
+                    res = apply_model(inp, spec)
+                    cols = [c.strip(" `") for c in m.group(1).split(",")]
+                    if cols == ["*"]:
+                        return res
+                    return res.select(*cols)
         dk = re.match(
             r"(?:DESCRIBE|DESC)\s+KNOWLEDGE_BASE\s+([\w.`]+)$", s, re.IGNORECASE
         )

@@ -110,3 +110,25 @@ def test_show_and_drop_model(sess):
     sess.register_model(ModelSpec(name="tmp", predict=lambda p: p, output_schema="x int"))
     sess.sql("DROP MODEL tmp")
     assert "tmp" not in [r[0] for r in sess.sql("SHOW MODELS").collect()]
+
+
+def test_one_shot_model_select(sess):
+    """`SELECT <cols> FROM <model> WHERE a = 1 AND b = 'x'` — predictor-only
+    FROM applies the model to the WHERE equality dict as a one-row input
+    (reference: sql_query.py:148-161)."""
+    row = sess.sql(
+        "SELECT risk, band FROM riskm WHERE o_totalprice = 250000"
+    ).collect()[0]
+    assert row["risk"] == 0.5 and row["band"] == "lo"
+    # extra inputs pass through to the predictor (scale halves the risk...
+    # doubles it here: 250000/500000 * 2 = 1.0 -> 'hi')
+    row = sess.sql(
+        "SELECT * FROM riskm WHERE o_totalprice = 250000 AND scale = 2.0"
+    ).collect()[0]
+    assert row["risk"] == 1.0 and row["band"] == "hi"
+    # a non-equality WHERE is not the one-shot form: falls through (and, for
+    # a model-only FROM, fails like any unknown table would)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        sess.sql("SELECT risk FROM riskm WHERE o_totalprice > 5").collect()
