@@ -1490,6 +1490,65 @@ class EngineSession:
                 f"SELECT table_name AS `Tables_in_{db}` FROM information_schema_tables "
                 f"WHERE table_schema = '{db}' ORDER BY 1"
             )
+        m = re.match(r"SHOW\s+CREATE\s+TABLE\s+([\w.`]+)$", s, re.IGNORECASE)
+        if m:
+            # reference answers a stub `create table t ()` (command_executor
+            # .py:1634-1645); we synthesize real DDL from the live schema
+            ref = m.group(1).strip("`")
+            table = ref.split(".")[-1].lower()
+            df = None
+            if self.catalog.has_table(ref) or self.catalog.has_table(table):
+                df = self.catalog.table(ref if self.catalog.has_table(ref) else table)
+            else:
+                srcname, t = self._resolve_writable(ref)
+                if srcname is not None:
+                    df, table = self._writable[srcname].read(t), t
+            if df is None:
+                raise KeyError(f"table {ref!r} does not exist")
+            cols = ",\n  ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                + ("" if f.nullable else " NOT NULL")
+                for f in df.schema.fields
+            )
+            ddl = f"CREATE TABLE `{table}` (\n  {cols}\n)"
+            return self.spark.createDataFrame(
+                [(table, ddl)], "`Table` string, `Create Table` string"
+            )
+        m = re.match(
+            r"SHOW\s+(?:FULL\s+)?(?:COLUMNS|FIELDS)\s+FROM\s+([\w.`]+)"
+            r"(?:\s+FROM\s+([\w`]+))?$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            # MySQL-client column introspection → information_schema.COLUMNS
+            # rewrite (reference: command_executor.py SHOW COLUMNS branch)
+            self._refresh_information_schema()
+            table = m.group(1).strip("`").split(".")[-1].lower()
+            return self.spark.sql(
+                "SELECT column_name AS Field, data_type AS Type, 'YES' AS `Null`, "
+                "'' AS Key, NULL AS `Default`, '' AS Extra "
+                f"FROM information_schema_columns WHERE table_name = '{table}' "
+                "ORDER BY ordinal_position"
+            )
+        m = re.match(r"SHOW\s+(?:INDEX|INDEXES|KEYS)\s+FROM\s+([\w.`]+)$", s, re.IGNORECASE)
+        if m:
+            # federated parquet/API tables carry no indexes; answer the shape
+            # (reference rewrites to information_schema.STATISTICS, :445-448)
+            return self.spark.createDataFrame(
+                [],
+                "`Table` string, Non_unique int, Key_name string, "
+                "Seq_in_index int, Column_name string",
+            )
+        m = re.match(r"SHOW\s+TABLE\s+STATUS(?:\s+LIKE\s+'([^']*)')?$", s, re.IGNORECASE)
+        if m:
+            self._refresh_information_schema()
+            like = (m.group(1) or "%").replace("%", ".*").replace("_", ".")
+            return self.spark.sql(
+                "SELECT table_name AS Name, 'InnoDB' AS Engine, NULL AS Version, "
+                "'Dynamic' AS Row_format FROM information_schema_tables "
+                f"WHERE table_name RLIKE '^{like}$' ORDER BY 1"
+            )
         m = _EXPLAIN_RE.match(s)
         if m:
             plan = self.sql(m.group(1))._jdf.queryExecution().explainString(

@@ -285,3 +285,31 @@ def test_show_processlist(spark, sf_dir):
     rows = sess.sql("SHOW PROCESSLIST").collect()
     assert any("tpch_region" in (r["Info"] or "") for r in rows)
     assert rows[0]["Command"] == "Query"
+
+
+def test_show_create_columns_index_status(spark, sf_dir):
+    """The rest of the MySQL-client introspection set: SHOW CREATE TABLE
+    (real DDL, beyond the reference's `create table t ()` stub —
+    command_executor.py:1634-1645), SHOW COLUMNS/FIELDS, SHOW INDEX,
+    SHOW TABLE STATUS."""
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir)
+
+    row = sess.sql("SHOW CREATE TABLE nation").collect()[0]
+    assert row["Table"] == "nation"
+    assert "CREATE TABLE `nation`" in row["Create Table"]
+    assert "`n_nationkey`" in row["Create Table"]
+
+    cols = sess.sql("SHOW COLUMNS FROM orders").collect()
+    fields = [r["Field"] for r in cols]
+    assert fields[0] == "o_orderkey" and "o_totalprice" in fields
+    assert all(r["Type"] for r in cols)
+    assert [r["Field"] for r in sess.sql("SHOW FIELDS FROM orders").collect()] == fields
+
+    idx = sess.sql("SHOW INDEX FROM orders")
+    assert idx.count() == 0 and "Key_name" in idx.columns
+
+    st = sess.sql("SHOW TABLE STATUS LIKE 'ord%'").collect()
+    assert [r["Name"] for r in st] == ["orders"] and st[0]["Engine"] == "InnoDB"
+    all_st = sess.sql("SHOW TABLE STATUS").collect()
+    assert len(all_st) >= 8
