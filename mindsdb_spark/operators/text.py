@@ -228,6 +228,44 @@ def vocab_coverage(
     )
 
 
+def ngram_novelty(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Per-doc n-gram novelty: the fraction of the doc's DISTINCT n-grams
+    that appear in no other document — the cheap memorization/overlap
+    signal novelty analyses use (a doc whose grams all recur elsewhere is
+    boilerplate or a near-dup; training-data extension, no reference
+    analog).
+
+    One (doc, gram) distinct pass, one gram-keyed document-frequency
+    aggregate (map-side combinable, uniform md5-hashed keys — no skew),
+    one join back keyed on the gram. All shuffles keyed and linear in the
+    distinct-gram count; nothing collects.
+    """
+    df = parallelize_input(df)
+    t = df.select(
+        col(id_col), words_expr(col(text_col)).alias("__ws")
+    ).where(F.size("__ws") >= n)
+    grams = t.select(
+        col(id_col),
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, size(__ws) - {n - 1}), "
+                f"i -> concat_ws(' ', slice(__ws, i, {n}))))"
+            )
+        ).alias("__g"),
+    )
+    docfreq = grams.groupBy("__g").agg(F.count("*").alias("__df"))
+    novel = (col("__df") == 1).cast("long")
+    joined = grams.join(docfreq, "__g")
+    n_distinct, n_novel = F.count("*"), F.sum(novel)
+    return joined.groupBy(id_col).agg(
+        n_distinct.alias("n_distinct"),
+        n_novel.alias("n_novel"),
+        _round6(n_novel / n_distinct).alias("novelty"),
+    )
+
+
 def unigram_nll(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -525,6 +525,30 @@ FROM per GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --- D28 per-doc n-gram novelty (memorization / boilerplate signal) ----------
+def d28_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.text import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+D28_SQL = f"""
+WITH {_WORDS},
+g AS (SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i + 1])) AS g
+      FROM words WHERE len(w) >= 2),
+df AS (SELECT g, count(*) AS c FROM g GROUP BY g)
+SELECT g.doc_id,
+       count(*) AS n_distinct,
+       CAST(sum(CASE WHEN df.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       floor((sum(CASE WHEN df.c = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS novelty
+FROM g JOIN df USING (g)
+GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
 # --- D22 corpus top-V vocabulary coverage / OOV fraction ---------------------
 def d22_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.operators.text import vocab_coverage
@@ -1066,6 +1090,7 @@ PIPELINE = {
     "d25_label_centroids": (d25_label_centroids, D25_SQL),
     "d26_split_assign": (d26_split_assign, D26_SQL),
     "d27_unigram_nll": (d27_unigram_nll, D27_SQL),
+    "d28_ngram_novelty": (d28_ngram_novelty, D28_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),
