@@ -254,7 +254,9 @@ def ngram_novelty(
                 f"i -> concat_ws(' ', slice(__ws, i, {n}))))"
             )
         ).alias("__g"),
-    )
+        # two consumers (df-count + join-back) and no CSE across them —
+        # persist marks the exploded grams compute-once within the action
+    ).persist()
     docfreq = grams.groupBy("__g").agg(F.count("*").alias("__df"))
     novel = (col("__df") == 1).cast("long")
     joined = grams.join(docfreq, "__g")
