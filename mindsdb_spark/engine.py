@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import math
 import os
 import re
 from collections.abc import Callable
@@ -295,6 +296,40 @@ _DROP_AGENT_RE = re.compile(r"DROP\s+AGENT\s+(?:IF\s+EXISTS\s+)?([\w.`]+)$", re.
 _EVAL_KB_RE = re.compile(
     r"EVALUATE\s+KNOWLEDGE[_ ]BASE\s+([\w.`]+)\s+USING\s+(.+)$", re.IGNORECASE | re.DOTALL
 )
+# `EVALUATE <metric> FROM (query) [USING n_decimals = N]` — prediction
+# accuracy metrics over (actual, prediction) columns (reference:
+# command_executor.py:689-691,846-880 answer_evaluate_metric;
+# docs/mindsdb_sql/sql/api/evaluate.mdx). KB evaluation has its own verb
+# above, hence the lookahead.
+_EVALUATE_RE = re.compile(
+    r"EVALUATE\s+(?!KNOWLEDGE)(\w+)\s+FROM\s*\((.+)\)\s*(?:USING\s+(.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+# `ALTER VIEW name AS (query)` — replace a stored view body (reference:
+# command_executor.py AlterView branch → view_controller.update).
+_ALTER_VIEW_RE = re.compile(
+    r"ALTER\s+VIEW\s+([\w.`]+)\s+AS\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
+# `ALTER DATABASE name [WITH] PARAMETERS [=] {json}` — merge new connection
+# parameters and re-attach (reference: command_executor.py:1308-1313).
+_ALTER_DB_RE = re.compile(
+    r"ALTER\s+DATABASE\s+([\w.`]+)\s+(?:WITH\s+)?PARAMETERS\s*=?\s*(\{.*\})$",
+    re.IGNORECASE | re.DOTALL,
+)
+# `ALTER KNOWLEDGE_BASE name USING k = v, ...` — update auxiliary KB params;
+# the embedding model itself cannot change post-hoc, it would be
+# incompatible with stored vectors (reference: command_executor.py:1458-1470
+# answer_alter_kb; docs/mindsdb_sql/knowledge_bases/alter.mdx).
+_ALTER_KB_RE = re.compile(
+    r"ALTER\s+KNOWLEDGE[_ ]BASE\s+([\w.`]+)\s+USING\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+# `UPDATE AGENT name SET k = v, ...` (reference: command_executor.py:
+# 1514-1529 answer_update_agent; syntax per tests/unit/executor/
+# test_lowercase.py:199).
+_UPDATE_AGENT_RE = re.compile(
+    r"UPDATE\s+AGENT\s+([\w.`]+)\s+SET\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
 _CREATE_KB_RE = re.compile(
     r"CREATE\s+KNOWLEDGE[_ ]BASE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)(?:\s+USING\s+(.+))?$",
     re.IGNORECASE | re.DOTALL,
@@ -448,6 +483,10 @@ class EngineSession:
 
         self.jobs = JobScheduler()
         self._views: dict[str, str] = {}
+        # engine+params per CREATE DATABASE, so ALTER DATABASE can merge new
+        # parameters and re-attach (reference: command_executor.py:1308-1313
+        # answer_alter_database → database_controller.update)
+        self._db_params: dict[str, tuple] = {}
         self._writable: dict[str, object] = {}
         self._kbs: dict[str, object] = {}
         self._native: dict[str, object] = {}
@@ -688,6 +727,7 @@ class EngineSession:
         """
         name = name.lower()
         eng = (engine or "project").lower()
+        self._db_params[name] = (engine, dict(params))
         if eng == "parquet":
             self.register_parquet_source(
                 name, params["directory"], params.get("tables")
@@ -720,9 +760,11 @@ class EngineSession:
         elif eng == "project":
             import tempfile
 
-            self.register_writable_source(
-                name, params.get("directory") or tempfile.mkdtemp(prefix=f"mindsdb_{name}_")
-            )
+            directory = params.get("directory") or tempfile.mkdtemp(prefix=f"mindsdb_{name}_")
+            # pin the resolved workspace dir so ALTER DATABASE re-attaches
+            # the same data rather than a fresh temp dir
+            self._db_params[name] = (engine, {**params, "directory": directory})
+            self.register_writable_source(name, directory)
         else:
             raise ValueError(
                 f"unknown engine {engine!r}; supported: parquet, parquet_writable, "
@@ -736,6 +778,7 @@ class EngineSession:
         sibling source also provides would break unrelated queries — the
         next registration overwrites it anyway."""
         n = name.lower()
+        self._db_params.pop(n, None)
         dropped: list[str] = list(self.catalog.drop_source(n))
         for reg in (self._native, self._writable):
             src = reg.pop(n, None)
@@ -1004,6 +1047,92 @@ class EngineSession:
             F.avg("mrr").alias("mrr"),
             F.avg("ndcg").alias("ndcg"),
         )
+
+    def _evaluate_metric(
+        self, metric: str, inner_sql: str, n_decimals: int = 3
+    ) -> DataFrame:
+        """``EVALUATE <metric> FROM (query)`` — prediction-quality metrics
+        over a query yielding ``actual`` and ``prediction`` columns
+        (reference: command_executor.py:846-880 answer_evaluate_metric, which
+        delegates to sklearn via mindsdb-evaluator and rounds to
+        ``n_decimals``, default 3; docs/mindsdb_sql/sql/api/evaluate.mdx).
+
+        Spark-first: every metric is ONE distributed aggregate over the
+        scored frame (balanced accuracy adds one per-class partial) — no
+        pandas materialization, no per-row Python. The reference's
+        missing-value assertion folds into the same aggregate row
+        (count(*) vs count(col)) instead of a separate pass. The scalar
+        result is returned as a literal one-row frame named after the
+        metric, exactly the reference's answer shape."""
+        df = self.sql(inner_sql)
+        cols = {c.lower(): c for c in df.columns}
+        for need in ("actual", "prediction"):
+            if need not in cols:
+                raise ValueError(f"`{need}` column was not provided, please try again.")
+        a = F.col(cols["actual"]).cast("double")
+        p = F.col(cols["prediction"]).cast("double")
+        sa = F.col(cols["actual"]).cast("string")
+        sp = F.col(cols["prediction"]).cast("string")
+        e = a - p
+        ml = metric.lower()
+        one = F.lit(1.0)
+        zero = F.lit(0.0)
+        tp = F.sum(F.when((a == 1.0) & (p == 1.0), one).otherwise(zero))
+        pred_pos = F.sum(F.when(p == 1.0, one).otherwise(zero))
+        act_pos = F.sum(F.when(a == 1.0, one).otherwise(zero))
+        single: dict[str, object] = {
+            "mean_absolute_error": F.avg(F.abs(e)),
+            "mean_squared_error": F.avg(e * e),
+            "root_mean_squared_error": F.sqrt(F.avg(e * e)),
+            "max_error": F.max(F.abs(e)),
+            "median_absolute_error": F.median(F.abs(e)),
+            "mean_absolute_percentage_error": F.avg(F.abs(e / a)),
+            # r2 via the algebraic total-sum-of-squares so the whole metric
+            # is one map-side-combinable aggregate row
+            "r2_score": F.lit(1.0)
+            - F.sum(e * e) / (F.sum(a * a) - F.pow(F.sum(a), 2) / F.count(a)),
+            # sklearn's explained_variance uses population variance
+            "explained_variance_score": F.lit(1.0)
+            - (F.avg(e * e) - F.pow(F.avg(e), 2))
+            / (F.avg(a * a) - F.pow(F.avg(a), 2)),
+            "accuracy_score": F.avg(F.when(sa == sp, one).otherwise(zero)),
+            # binary classification, positive label 1 (sklearn default)
+            "precision_score": tp / pred_pos,
+            "recall_score": tp / act_pos,
+            "f1_score": (F.lit(2.0) * tp) / (pred_pos + act_pos),
+        }
+        if ml == "balanced_accuracy_score":
+            per_class = df.groupBy(sa.alias("_cls")).agg(
+                F.avg(F.when(sa == sp, one).otherwise(zero)).alias("_recall"),
+                F.sum(F.when(F.col(cols["actual"]).isNull()
+                             | F.col(cols["prediction"]).isNull(), one)
+                      .otherwise(zero)).alias("_nulls"),
+            )
+            row = per_class.agg(
+                F.avg("_recall").alias("_v"), F.sum("_nulls").alias("_missing")
+            ).first()
+            value, missing = row["_v"], row["_missing"]
+        elif ml in single:
+            row = df.agg(
+                single[ml].alias("_v"),
+                (2 * F.count(F.lit(1)) - F.count(F.col(cols["actual"]))
+                 - F.count(F.col(cols["prediction"]))).alias("_missing"),
+            ).first()
+            value, missing = row["_v"], row["_missing"]
+        else:
+            raise ValueError(
+                f"unknown metric {metric!r}; supported: "
+                f"{sorted(single) + ['balanced_accuracy_score']}"
+            )
+        if missing:
+            raise ValueError(
+                "There are missing values in the `actual`/`prediction` "
+                "columns, please try again."
+            )
+        if value is not None:
+            scale = 10 ** n_decimals
+            value = math.floor(value * scale + 0.5) / scale
+        return self.spark.createDataFrame([(value,)], f"`{ml}` double")
 
     def _kb_search(
         self,
@@ -1584,6 +1713,19 @@ class EngineSession:
         if m:
             self.drop_database(m.group(1))
             return self.spark.createDataFrame([(m.group(1).lower(),)], "database string")
+        m = _ALTER_DB_RE.match(s)
+        if m:
+            # merge new parameters over the recorded registration and
+            # re-attach; a bad parameter set raises before the old source is
+            # detached (reference checks the connection on update)
+            name = m.group(1).lower().strip("`")
+            if name not in self._db_params:
+                raise KeyError(f"database {name!r} does not exist")
+            eng, params = self._db_params[name]
+            merged = {**params, **json.loads(m.group(2))}
+            self.drop_database(name)
+            self.create_database(name, eng, merged)
+            return self.spark.createDataFrame([(name,)], "database string")
         m = _CREATE_MLE_RE.match(s)
         if m:
             name, handler = m.group(1).lower(), m.group(2).lower()
@@ -1806,6 +1948,39 @@ class EngineSession:
                     else self.sql(body.strip().strip("()"))
                 )
                 return self._kb_insert(kbname, rows, batch_size=batch_size)
+        m = _UPDATE_AGENT_RE.match(s)
+        if m:
+            import dataclasses
+
+            from mindsdb_spark.dialect.rewriter import split_top_level
+
+            name = m.group(1).lower().strip("`").split(".")[-1]
+            if name not in self._agents:
+                raise KeyError(f"agent {name!r} does not exist")
+            params = {}
+            for kv in split_top_level(m.group(2)):
+                k, _, v = kv.partition("=")
+                params[k.strip().lower()] = v.strip().strip("'\"")
+            spec = self._agents[name]
+            changes: dict = {}
+            if "model" in params:
+                changes["model_name"] = params["model"]
+            if "output_col" in params:
+                changes["output_col"] = params["output_col"]
+            if "retrieval_k" in params:
+                changes["retrieval_k"] = int(params["retrieval_k"])
+            if "knowledge_bases" in params:
+                kbs = tuple(
+                    kb.strip().lower()
+                    for kb in params["knowledge_bases"].split(",")
+                    if kb.strip()
+                )
+                for kb in kbs:
+                    if kb not in self._kbs:
+                        raise KeyError(f"knowledge base {kb!r} does not exist")
+                changes["knowledge_bases"] = kbs
+            self._agents[name] = dataclasses.replace(spec, **changes)
+            return self.spark.createDataFrame([(name,)], "agent string")
         m = _UPDATE_RE.match(s)
         if m:
             srcname, table = self._resolve_writable(m.group(1))
@@ -1873,6 +2048,17 @@ class EngineSession:
             name = m.group(1).lower().strip("`").split(".")[-1]
             self._views.pop(name, None)
             self.spark.catalog.dropTempView(name)
+            return self.spark.createDataFrame([(name,)], "view string")
+        m = _ALTER_VIEW_RE.match(s)
+        if m:
+            # reference: AlterView branch — replace the stored body; the next
+            # expansion sees the new SQL
+            name = m.group(1).lower().strip("`").split(".")[-1]
+            if name not in self._views:
+                raise KeyError(f"view {name!r} does not exist")
+            body = self.rewrite(m.group(2))
+            self._views[name] = body
+            self.spark.sql(body).createOrReplaceTempView(name)
             return self.spark.createDataFrame([(name,)], "view string")
         m = _CREATE_JOB_RE.match(s)
         if m:
@@ -1952,6 +2138,28 @@ class EngineSession:
             name = m.group(1).lower().strip("`").split(".")[-1]
             self._kbs.pop(name, None)
             return self.spark.createDataFrame([(name,)], "knowledge_base string")
+        m = _ALTER_KB_RE.match(s)
+        if m:
+            from mindsdb_spark.dialect.rewriter import split_top_level
+
+            name = m.group(1).lower().strip("`").split(".")[-1]
+            if name not in self._kbs:
+                raise KeyError(f"knowledge base {name!r} does not exist")
+            using = {}
+            for kv in split_top_level(m.group(2)):
+                k, _, v = kv.partition("=")
+                using[k.strip().lower()] = v.strip().strip("'\"")
+            # the embedding model/dim cannot change post-hoc — new vectors
+            # would be incompatible with the stored ones (alter.mdx; the
+            # reference only lets the provider api_key rotate)
+            if "embedder" in using or "dim" in using or "embedding_model" in using:
+                raise ValueError(
+                    "the embedding model of a knowledge base cannot be altered; "
+                    "recreate the knowledge base instead"
+                )
+            kb = self._kbs[name]
+            kb.setdefault("params", {}).update(using)
+            return self.spark.createDataFrame([(name,)], "knowledge_base string")
         m = _KB_INDEX_RE.match(s)
         if m:
             # reference: CREATE INDEX ON KNOWLEDGE_BASE kb delegates the
@@ -2022,6 +2230,17 @@ class EngineSession:
                 m.group(1).lower().strip("`").split(".")[-1],
                 params["test_table"],
                 int(params.get("k", 10)),
+            )
+        m = _EVALUATE_RE.match(s)
+        if m:
+            from mindsdb_spark.dialect.rewriter import split_top_level
+
+            using = {}
+            for kv in split_top_level(m.group(3)) if m.group(3) else []:
+                k, _, v = kv.partition("=")
+                using[k.strip().lower()] = v.strip().strip("'\"")
+            return self._evaluate_metric(
+                m.group(1), m.group(2), n_decimals=int(using.get("n_decimals", 3))
             )
         m = _CREATE_MODEL_RE.match(s)
         if m:
@@ -2487,6 +2706,35 @@ class EngineSession:
         ).filter("table_schema != ''").createOrReplaceTempView(
             "information_schema_meta_handler_info"
         )
+        # SCHEMATA — the MySQL-canonical name for the database list
+        # (system_tables.py:48-76 SchemataTable; DATABASES above is the
+        # MindsDB-extension alias)
+        self.spark.createDataFrame(
+            [("def", s, "utf8mb4", "utf8mb4_general_ci", None)
+             for s in sources + ["information_schema"]],
+            "catalog_name string, schema_name string, "
+            "default_character_set_name string, default_collation_name string, "
+            "sql_path string",
+        ).createOrReplaceTempView("information_schema_schemata")
+        # CHATBOTS — schema-complete, rows empty: chatbot runtimes are a §7.4
+        # non-goal, but the catalog surface stays queryable
+        # (mindsdb_tables.py:275-290 ChatbotsTable)
+        self.spark.createDataFrame(
+            [],
+            "name string, project string, database string, model_name string, "
+            "params string, is_running boolean, last_error string, "
+            "webhook_token string",
+        ).createOrReplaceTempView("information_schema_chatbots")
+        # META_KEY_COLUMN_USAGE (system_tables.py:691-717) — empty like the
+        # other constraint stubs: parquet/API sources carry no key metadata
+        self.spark.createDataFrame(
+            [],
+            "constraint_catalog string, constraint_schema string, "
+            "constraint_name string, table_catalog string, table_schema string, "
+            "table_name string, column_name string, ordinal_position int, "
+            "position_in_unique_constraint int, referenced_table_schema string, "
+            "referenced_table_name string, referenced_column_name string",
+        ).createOrReplaceTempView("information_schema_meta_key_column_usage")
 
     # -- engine functions ------------------------------------------------------
     def _register_builtin_functions(self) -> None:

@@ -264,6 +264,103 @@ FROM documents WHERE doc_id < 50 ORDER BY doc_id
 """
 
 
+# --- A05/A06: EVALUATE <metric> FROM (query) ---------------------------------
+_EVAL_REG_INNER = """
+  SELECT o_totalprice AS actual,
+         AVG(o_totalprice) OVER (PARTITION BY o_custkey) AS prediction
+  FROM tpch_orders"""
+_EVAL_CLS_INNER = """
+  SELECT CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS actual,
+         CASE WHEN o_totalprice > 140000 THEN 1 ELSE 0 END AS prediction
+  FROM tpch_orders"""
+
+
+def a05_evaluate_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`EVALUATE <metric> FROM (query)` — the reference's prediction-scoring
+    statement (command_executor.py:846-880 answer_evaluate_metric; docs
+    mindsdb_sql/sql/api/evaluate.mdx). Each metric is one distributed
+    aggregate over the scored frame; a per-customer mean is the
+    deterministic "model" so DuckDB can replay the whole evaluation."""
+    import pyspark.sql.functions as F
+
+    sess = _session(spark, sf_dir)
+    out = None
+    for metric in ("mean_absolute_error", "r2_score", "root_mean_squared_error"):
+        one = sess.sql(f"EVALUATE {metric} FROM ({_EVAL_REG_INNER})").select(
+            F.lit(metric).alias("metric"), F.col(metric).alias("value")
+        )
+        out = one if out is None else out.unionAll(one)
+    return out.orderBy("metric")
+
+
+A05_SQL = """
+WITH t AS (SELECT o_totalprice AS a,
+                  avg(o_totalprice) OVER (PARTITION BY o_custkey) AS p
+           FROM orders),
+m AS (
+  SELECT 'mean_absolute_error' AS metric,
+         floor(avg(abs(a - p)) * 1000 + 0.5) / 1000 AS value FROM t
+  UNION ALL
+  SELECT 'r2_score',
+         floor((1 - sum((a-p)*(a-p)) / (sum(a*a) - pow(sum(a), 2) / count(*)))
+               * 1000 + 0.5) / 1000 FROM t
+  UNION ALL
+  SELECT 'root_mean_squared_error',
+         floor(sqrt(avg((a-p)*(a-p))) * 1000 + 0.5) / 1000 FROM t
+)
+SELECT metric, value FROM m ORDER BY metric
+"""
+
+
+def a06_evaluate_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-classification metrics through the same EVALUATE door
+    (positive label 1, sklearn's default): accuracy, precision, recall,
+    f1, and balanced accuracy (mean per-class recall — the only two-stage
+    aggregate in the family)."""
+    import pyspark.sql.functions as F
+
+    sess = _session(spark, sf_dir)
+    out = None
+    for metric in (
+        "accuracy_score",
+        "balanced_accuracy_score",
+        "f1_score",
+        "precision_score",
+        "recall_score",
+    ):
+        one = sess.sql(f"EVALUATE {metric} FROM ({_EVAL_CLS_INNER})").select(
+            F.lit(metric).alias("metric"), F.col(metric).alias("value")
+        )
+        out = one if out is None else out.unionAll(one)
+    return out.orderBy("metric")
+
+
+A06_SQL = """
+WITH t AS (SELECT CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS a,
+                  CASE WHEN o_totalprice > 140000 THEN 1 ELSE 0 END AS p
+           FROM orders),
+c AS (SELECT sum(CASE WHEN a = 1 AND p = 1 THEN 1.0 ELSE 0 END) AS tp,
+             sum(CASE WHEN p = 1 THEN 1.0 ELSE 0 END) AS pp,
+             sum(CASE WHEN a = 1 THEN 1.0 ELSE 0 END) AS ap
+      FROM t),
+per AS (SELECT a, avg(CASE WHEN a = p THEN 1.0 ELSE 0 END) AS rec FROM t GROUP BY a),
+m AS (
+  SELECT 'accuracy_score' AS metric,
+         floor(avg(CASE WHEN a = p THEN 1.0 ELSE 0 END) * 1000 + 0.5) / 1000 AS value
+  FROM t
+  UNION ALL
+  SELECT 'balanced_accuracy_score', floor(avg(rec) * 1000 + 0.5) / 1000 FROM per
+  UNION ALL
+  SELECT 'f1_score', floor((2 * tp / (pp + ap)) * 1000 + 0.5) / 1000 FROM c
+  UNION ALL
+  SELECT 'precision_score', floor((tp / pp) * 1000 + 0.5) / 1000 FROM c
+  UNION ALL
+  SELECT 'recall_score', floor((tp / ap) * 1000 + 0.5) / 1000 FROM c
+)
+SELECT metric, value FROM m ORDER BY metric
+"""
+
+
 # --- E04: CREATE DATABASE lifecycle through the SQL door ----------------------
 def e04_create_database(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attach a source the way every reference user does — `CREATE DATABASE
@@ -380,6 +477,8 @@ ENGINE_QUERIES = {
     "e05_native_query": (e05_native_query, E05_SQL),
     "a03_model_join_sql": (a03_model_join_sql, A03_SQL),
     "a04_prompt_model": (a04_prompt_model, A04_SQL),
+    "a05_evaluate_regression": (a05_evaluate_regression, A05_SQL),
+    "a06_evaluate_classification": (a06_evaluate_classification, A06_SQL),
     "m02_dialect_datetime": (m02_dialect_datetime, M02_SQL),
     "m03_dialect_string": (m03_dialect_string, M03_SQL),
 }

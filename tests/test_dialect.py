@@ -252,6 +252,23 @@ def test_information_schema_round3_views(spark, sf_dir):
     ).collect()
     assert any(r["table_schema"] == "tpch" for r in hi)
 
+    # SCHEMATA: the MySQL-canonical database list (SchemataTable,
+    # system_tables.py:48-76)
+    sch = sess.sql(
+        "SELECT catalog_name, schema_name FROM information_schema.schemata"
+    ).collect()
+    names = {r["schema_name"] for r in sch}
+    assert {"tpch", "information_schema"} <= names
+    assert all(r["catalog_name"] == "def" for r in sch)
+
+    # CHATBOTS: schema-complete empty stub (chatbot runtimes are out of
+    # scope, the catalog surface is not)
+    cb = sess.sql("SELECT * FROM information_schema.chatbots")
+    assert cb.count() == 0 and "webhook_token" in cb.columns
+
+    mkcu = sess.sql("SELECT * FROM information_schema.meta_key_column_usage")
+    assert mkcu.count() == 0 and "referenced_column_name" in mkcu.columns
+
 
 def test_mysql_client_show_commands(spark, sf_dir):
     # the introspection statements every MySQL client fires on connect

@@ -1,0 +1,149 @@
+"""`EVALUATE <metric> FROM (query)` and the ALTER/UPDATE lifecycle verbs.
+
+Reference surface: command_executor.py:846-880 (answer_evaluate_metric,
+sklearn metrics over an (actual, prediction) frame rounded to n_decimals),
+AlterView / answer_alter_database (1308-1313) / answer_alter_kb (1458-1470)
+/ answer_update_agent (1514-1529).
+"""
+
+import math
+
+import pytest
+
+from mindsdb_spark.engine import EngineSession
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    sess = EngineSession(spark)
+    sess.register_parquet_source("td", SF_DIR, tables=["orders", "region", "nation"])
+    return sess
+
+
+REG_INNER = (
+    "SELECT o_totalprice AS actual, "
+    "AVG(o_totalprice) OVER (PARTITION BY o_custkey) AS prediction FROM td_orders"
+)
+CLS_INNER = (
+    "SELECT CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS actual, "
+    "CASE WHEN o_totalprice > 140000 THEN 1 ELSE 0 END AS prediction FROM td_orders"
+)
+
+
+def _pairs(engine):
+    return [
+        (r.actual, r.prediction)
+        for r in engine.sql(REG_INNER).collect()
+    ]
+
+
+def _round3(x):
+    return math.floor(x * 1000 + 0.5) / 1000
+
+
+def test_regression_metrics_match_manual(engine):
+    pairs = _pairs(engine)
+    n = len(pairs)
+    mae = sum(abs(a - p) for a, p in pairs) / n
+    mse = sum((a - p) ** 2 for a, p in pairs) / n
+    mean_a = sum(a for a, _ in pairs) / n
+    ss_tot = sum((a - mean_a) ** 2 for a, _ in pairs)
+    r2 = 1 - sum((a - p) ** 2 for a, p in pairs) / ss_tot
+    for metric, expected in [
+        ("mean_absolute_error", mae),
+        ("mean_squared_error", mse),
+        ("root_mean_squared_error", math.sqrt(mse)),
+        ("r2_score", r2),
+        ("max_error", max(abs(a - p) for a, p in pairs)),
+    ]:
+        got = engine.sql(f"EVALUATE {metric} FROM ({REG_INNER})").collect()[0]
+        assert got.__fields__ == [metric]
+        assert got[0] == pytest.approx(_round3(expected), abs=1.5e-3), metric
+
+
+def test_n_decimals(engine):
+    d3 = engine.sql(f"EVALUATE mean_absolute_error FROM ({REG_INNER})").collect()[0][0]
+    d6 = engine.sql(
+        f"EVALUATE mean_absolute_error FROM ({REG_INNER}) USING n_decimals = 6"
+    ).collect()[0][0]
+    assert d3 == _round3(d6) or abs(d3 - d6) < 1e-3
+
+
+def test_classification_metrics_match_manual(engine):
+    rows = engine.sql(CLS_INNER).collect()
+    tp = sum(1 for r in rows if r.actual == 1 and r.prediction == 1)
+    pp = sum(1 for r in rows if r.prediction == 1)
+    ap = sum(1 for r in rows if r.actual == 1)
+    acc = sum(1 for r in rows if r.actual == r.prediction) / len(rows)
+    rec0 = sum(1 for r in rows if r.actual == 0 and r.prediction == 0) / sum(
+        1 for r in rows if r.actual == 0
+    )
+    for metric, expected in [
+        ("accuracy_score", acc),
+        ("precision_score", tp / pp),
+        ("recall_score", tp / ap),
+        ("f1_score", 2 * tp / (pp + ap)),
+        ("balanced_accuracy_score", (tp / ap + rec0) / 2),
+    ]:
+        got = engine.sql(f"EVALUATE {metric} FROM ({CLS_INNER})").collect()[0][0]
+        assert got == pytest.approx(_round3(expected), abs=1.5e-3), metric
+
+
+def test_missing_column_and_nulls_raise(engine):
+    with pytest.raises(ValueError, match="`prediction` column"):
+        engine.sql(
+            "EVALUATE r2_score FROM (SELECT o_totalprice AS actual FROM td_orders)"
+        )
+    with pytest.raises(ValueError, match="missing values"):
+        engine.sql(
+            "EVALUATE r2_score FROM (SELECT o_totalprice AS actual, "
+            "CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END AS prediction "
+            "FROM td_orders)"
+        )
+    with pytest.raises(ValueError, match="unknown metric"):
+        engine.sql(f"EVALUATE not_a_metric FROM ({REG_INNER})")
+
+
+def test_alter_view(engine):
+    engine.sql("CREATE VIEW ev_v1 AS SELECT r_regionkey FROM td_region")
+    assert engine.sql("SELECT * FROM ev_v1").columns == ["r_regionkey"]
+    engine.sql("ALTER VIEW ev_v1 AS SELECT r_regionkey, r_name FROM td_region")
+    assert engine.sql("SELECT * FROM ev_v1").columns == ["r_regionkey", "r_name"]
+    with pytest.raises(KeyError):
+        engine.sql("ALTER VIEW no_such_view AS SELECT 1")
+    engine.sql("DROP VIEW ev_v1")
+
+
+def test_alter_database(engine):
+    engine.sql(
+        "CREATE DATABASE ev_db WITH ENGINE = 'parquet', "
+        'PARAMETERS = {"directory": "%s", "tables": ["region"]}' % SF_DIR
+    )
+    assert engine.sql("SELECT count(*) AS c FROM ev_db_region").collect()[0].c == 5
+    engine.sql('ALTER DATABASE ev_db PARAMETERS = {"tables": ["region", "nation"]}')
+    assert engine.sql("SELECT count(*) AS c FROM ev_db_nation").collect()[0].c == 25
+    with pytest.raises(KeyError):
+        engine.sql('ALTER DATABASE no_such_db PARAMETERS = {"x": 1}')
+    engine.sql("DROP DATABASE ev_db")
+    # dropping clears the registration — a later ALTER must fail
+    with pytest.raises(KeyError):
+        engine.sql('ALTER DATABASE ev_db PARAMETERS = {"x": 1}')
+
+
+def test_alter_kb_and_update_agent(engine):
+    engine.sql("CREATE KNOWLEDGE_BASE ev_kb USING dim = 8")
+    engine.sql("ALTER KNOWLEDGE_BASE ev_kb USING reranking_model = false")
+    assert engine._kbs["ev_kb"]["params"] == {"reranking_model": "false"}
+    # the embedding model itself cannot change post-hoc (alter.mdx)
+    with pytest.raises(ValueError, match="embedding model"):
+        engine.sql("ALTER KNOWLEDGE_BASE ev_kb USING embedder = 'other'")
+    engine.sql("CREATE AGENT ev_ag USING model = 'm1'")
+    engine.sql("UPDATE AGENT ev_ag SET model = 'm2', retrieval_k = 5")
+    spec = engine._agents["ev_ag"]
+    assert spec.model_name == "m2" and spec.retrieval_k == 5
+    with pytest.raises(KeyError):
+        engine.sql("UPDATE AGENT no_such_agent SET model = 'x'")
+    engine.sql("DROP AGENT ev_ag")
+    engine.sql("DROP KNOWLEDGE_BASE ev_kb")
