@@ -278,3 +278,57 @@ def split_assign(
         "split",
         F.when(bucket < t1, "train").when(bucket < t2, "val").otherwise("test"),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights for target-domain data selection
+    (Data Selection via Importance Resampling): score every document by
+    the log-likelihood ratio between a smoothed unigram LM fit on the
+    TARGET slice (rows where ``target`` is true) and the raw-corpus
+    unigram LM. High-weight docs "look like" the target domain; selection
+    is top-q by weight. Training-data extension; no reference analog.
+
+    Spark shape: one corpus tokenize; ONE map-side-combinable token
+    aggregate carries both corpus and target counts; the three scalars
+    (corpus tokens N, target tokens T, vocab size V) ride a 1-row
+    broadcast; tokens then re-join their frequencies (shuffle keyed on
+    the token — uniform, no driver state) and the per-token log ratios
+    sum per doc. Add-one smoothing over the corpus vocabulary keeps
+    target-unseen tokens finite. Nothing collects; both shuffles are
+    keyed and linear in corpus size — the same scale posture as
+    unigram_nll (text.py).
+    """
+    df = parallelize_input(df)
+    tok = df.select(
+        col(id_col),
+        F.when(target, F.lit(1)).otherwise(F.lit(0)).alias("__is_t"),
+        F.explode(words_expr(col(text_col))).alias("__tok"),
+    )
+    tf = tok.groupBy("__tok").agg(
+        F.count("*").alias("__c"), F.sum("__is_t").alias("__ct")
+    )
+    totals = tf.agg(
+        F.sum("__c").alias("__n"),
+        F.sum("__ct").alias("__t"),
+        F.count("*").alias("__v"),
+    )
+    scored = (
+        tok.join(tf, "__tok")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            col(id_col),
+            (
+                F.log((col("__ct") + F.lit(1.0)) / (col("__t") + col("__v")))
+                - F.log(col("__c") / col("__n"))
+            ).alias("__lr"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        _round6(F.sum("__lr")).alias("weight"),
+    )

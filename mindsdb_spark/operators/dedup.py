@@ -398,3 +398,73 @@ def connected_components(
         col("node").alias(id_col),
         F.coalesce(col("label"), col("node")).alias("cluster"),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    sign_bits: int = 4,
+) -> DataFrame:
+    """SemDeDup-style embedding near-duplicate removal: block vectors into
+    deterministic cells, compare cosine similarity only WITHIN a cell, and
+    mark every vector that has a more-canonical (lower-id) neighbor at
+    ``sim >= threshold`` as a duplicate. Training-data extension; no
+    reference analog.
+
+    The cell is the sign pattern of the first ``sign_bits`` dimensions — a
+    deterministic, engine-reproducible stand-in for the paper's k-means
+    cells (the MLlib-KMeans path in vector.py:kmeans_centroids slots into
+    the same blocking role in production). Scale posture: the only shuffle
+    is keyed on the cell; cell population is bounded by raising
+    ``sign_bits`` (2^b cells) — the same dial the paper turns with k. The
+    pair join never leaves a cell, so no N² blowup; winners are decided by
+    id in one pass — no iterative clustering. All cosine math is double
+    with a fixed lane fold order, so a DuckDB oracle reproduces it
+    bit-for-bit.
+    """
+    df = parallelize_input(df)
+    cell = None
+    for i in range(sign_bits):
+        bit = F.when(F.element_at(col(vec_col), i + 1) > 0, 2**i).otherwise(0)
+        cell = bit if cell is None else cell + bit
+    base = df.select(
+        col(id_col),
+        cell.cast("int").alias("cell"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("__v"),
+    ).withColumn(
+        "__nrm",
+        F.sqrt(F.expr("aggregate(__v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")),
+    )
+    a = base.select(
+        col(id_col).alias("__ida"), col("cell"),
+        col("__v").alias("__va"), col("__nrm").alias("__na"),
+    )
+    b = base.select(
+        col(id_col).alias("__idb"), col("cell"),
+        col("__v").alias("__vb"), col("__nrm").alias("__nb"),
+    )
+    sim = (
+        F.expr(
+            "aggregate(zip_with(__va, __vb, (x, y) -> x * y), "
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        / (col("__na") * col("__nb"))
+    )
+    dups = (
+        a.join(b, "cell")
+        .where(col("__ida") < col("__idb"))
+        .where(sim >= threshold)
+        .select(col("__idb").alias(id_col))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        base.select(id_col, "cell")
+        .join(dups, id_col, "left")
+        .select(
+            col(id_col), col("cell"),
+            F.coalesce(col("is_dup"), F.lit(False)).alias("is_dup"),
+        )
+    )

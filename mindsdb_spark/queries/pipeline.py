@@ -549,6 +549,61 @@ GROUP BY g.doc_id ORDER BY g.doc_id
 """
 
 
+# --- D29 DSIR importance weights (target-domain data selection) --------------
+def d29_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.curation import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(docs, target=col("source") == "src0").orderBy("doc_id")
+
+
+D29_SQL = f"""
+WITH {_WORDS},
+tok AS (SELECT w.doc_id, unnest(w.w) AS tok,
+               CASE WHEN d.source = 'src0' THEN 1 ELSE 0 END AS is_t
+        FROM words w JOIN documents d ON w.doc_id = d.doc_id),
+tf AS (SELECT tok, count(*) AS c, sum(is_t) AS ct FROM tok GROUP BY tok),
+tot AS (SELECT sum(c) AS n, sum(ct) AS t, count(*) AS v FROM tf)
+SELECT doc_id, count(*) AS n_tokens,
+       floor(sum(ln((ct + 1.0) / (t + v)) - ln(c * 1.0 / n)) * 1000000 + 0.5)
+         / 1000000 AS weight
+FROM tok JOIN tf USING (tok), tot
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --- D30 SemDeDup: cell-blocked embedding near-duplicate removal -------------
+def d30_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # threshold 0.35 exercises the operator on the synthetic embeddings
+    # (random vectors barely correlate); real corpora run ~0.95
+    return D.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, sign_bits=4
+    ).orderBy("vec_id")
+
+
+D30_SQL = """
+WITH c AS (
+  SELECT vec_id,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS cell,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+n AS (SELECT vec_id, cell, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM c),
+p AS (SELECT b.vec_id AS j
+      FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(generate_series(1, len(a.v)),
+                                    i -> a.v[i] * b.v[i]))
+            / (a.nrm * b.nrm) >= 0.35)
+SELECT vec_id, CAST(cell AS INT) AS cell,
+       vec_id IN (SELECT j FROM p) AS is_dup
+FROM c ORDER BY vec_id
+"""
+
+
 # --- D22 corpus top-V vocabulary coverage / OOV fraction ---------------------
 def d22_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.operators.text import vocab_coverage
@@ -1091,6 +1146,8 @@ PIPELINE = {
     "d26_split_assign": (d26_split_assign, D26_SQL),
     "d27_unigram_nll": (d27_unigram_nll, D27_SQL),
     "d28_ngram_novelty": (d28_ngram_novelty, D28_SQL),
+    "d29_dsir_weights": (d29_dsir_weights, D29_SQL),
+    "d30_semantic_dedup": (d30_semantic_dedup, D30_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),

@@ -345,3 +345,63 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     plain = li.join(o, "l_orderkey").groupBy("l_orderkey").count()
     salted = salted_join(li, o, "l_orderkey", n_salts=4).groupBy("l_orderkey").count()
     assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_dsir_weights_match_counter_reference(spark):
+    import math
+    from collections import Counter
+
+    from mindsdb_spark.operators.curation import dsir_weights
+
+    rows = [
+        (0, "spark fast spark join", "tgt"),
+        (1, "slow scan slow scan table", "other"),
+        (2, "spark join fast fast", "tgt"),
+        (3, "table scan window group", "other"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.doc_id: (r.n_tokens, r.weight)
+        for r in dsir_weights(df, target=F.col("source") == "tgt").collect()
+    }
+    corpus = Counter()
+    target = Counter()
+    for _id, text, src in rows:
+        toks = text.split()
+        corpus.update(toks)
+        if src == "tgt":
+            target.update(toks)
+    n, t, v = sum(corpus.values()), sum(target.values()), len(corpus)
+    for doc_id, text, _src in rows:
+        toks = text.split()
+        want = sum(
+            math.log((target[w] + 1.0) / (t + v)) - math.log(corpus[w] / n)
+            for w in toks
+        )
+        got_n, got_w = out[doc_id]
+        assert got_n == len(toks)
+        assert abs(got_w - want) < 1e-5, doc_id
+    # target-domain docs outscore off-domain docs
+    assert out[0][1] > out[1][1] and out[2][1] > out[3][1]
+
+
+def test_semantic_dedup_flags_lower_id_winner(spark):
+    from mindsdb_spark.operators.dedup import semantic_dedup
+
+    base = [0.5, 0.1, 0.2, 0.3] + [0.0] * 4
+    near = [0.5, 0.1, 0.2, 0.31] + [0.0] * 4  # same cell, cosine ~1
+    far = [0.5, 0.1, 0.2, -5.0] + [0.0] * 4  # different sign cell
+    ortho = [-0.5, 0.1, 0.2, 0.3] + [0.0] * 4  # different cell via dim 1
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far), (3, ortho)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: (r.cell, r.is_dup) for r in semantic_dedup(df, threshold=0.95).collect()}
+    assert out[0][1] is False  # lowest id wins its cell
+    assert out[1][1] is True  # near-dup of 0, higher id
+    assert out[2][1] is False  # different cell — never compared
+    assert out[3][1] is False
+    assert out[0][0] == out[1][0] and out[0][0] != out[2][0]
+    # raising the threshold above their similarity clears the flag
+    out_hi = {r.vec_id: r.is_dup for r in semantic_dedup(df, threshold=0.9999999).collect()}
+    assert out_hi[1] is False
