@@ -56,6 +56,14 @@ _TYPE_MAP = {
 MAX_UDF_ARGS = 4
 
 _IS_RE = re.compile(r"\binformation_schema\s*\.\s*", re.IGNORECASE)
+# `mindsdb.<catalog table>` — the default project's virtual tables
+# (reference: project_datanode.py:144-152); dotted form becomes the
+# registered view name. Only the known catalog tables rewrite, so user
+# sources named `mindsdb` keep their other tables untouched.
+_PROJ_DOT_RE = re.compile(
+    r"\bmindsdb\s*\.\s*(models|jobs|agents|mdb_triggers|chatbots|skills)\b",
+    re.IGNORECASE,
+)
 
 
 def _parquet_column_stats(path: str, max_files: int = 32):
@@ -329,6 +337,11 @@ _ALTER_KB_RE = re.compile(
 # test_lowercase.py:199).
 _UPDATE_AGENT_RE = re.compile(
     r"UPDATE\s+AGENT\s+([\w.`]+)\s+SET\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
+# project virtual tables (reference: project_datanode.py:144-152 routes
+# `<project>.models` etc. to project-filtered information_schema tables)
+_PROJECT_TABLE_RE = re.compile(
+    r"\bmindsdb_(models|jobs|agents|mdb_triggers|chatbots|skills)\b", re.IGNORECASE
 )
 _CREATE_KB_RE = re.compile(
     r"CREATE\s+KNOWLEDGE[_ ]BASE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)(?:\s+USING\s+(.+))?$",
@@ -1406,7 +1419,8 @@ class EngineSession:
         # information_schema.* is emulated with session views (the reference
         # computes ~30 virtual tables in-engine: datahub/datanodes/
         # system_tables.py:48-782); dotted names become view names.
-        return _IS_RE.sub("information_schema_", out)
+        out = _IS_RE.sub("information_schema_", out)
+        return _PROJ_DOT_RE.sub(lambda m: f"mindsdb_{m.group(1).lower()}", out)
 
     def _resolve_native_queries(self, s: str) -> str:
         """Replace every ``FROM/JOIN <native_src> ( raw )`` with a temp view
@@ -1511,7 +1525,7 @@ class EngineSession:
         if pushed is not None:
             return pushed
         text = self.rewrite(sql)
-        if "information_schema_" in text:
+        if "information_schema_" in text or _PROJECT_TABLE_RE.search(text):
             self._refresh_information_schema()
         self.last_execution = ("spark", None)
         return self.spark.sql(text)
@@ -2735,6 +2749,26 @@ class EngineSession:
             "position_in_unique_constraint int, referenced_table_schema string, "
             "referenced_table_name string, referenced_column_name string",
         ).createOrReplaceTempView("information_schema_meta_key_column_usage")
+        # project virtual tables: `SELECT * FROM mindsdb.models|jobs|agents|
+        # mdb_triggers|chatbots|skills` — the reference routes these to the
+        # information_schema tables filtered to the project
+        # (project_datanode.py:144-152); with a single default project the
+        # filter is the identity
+        for proj_t, is_t in (
+            ("models", "models"),
+            ("jobs", "jobs"),
+            ("agents", "agents"),
+            ("mdb_triggers", "triggers"),
+            ("chatbots", "chatbots"),
+        ):
+            self.spark.sql(
+                f"SELECT * FROM information_schema_{is_t}"
+            ).createOrReplaceTempView(f"mindsdb_{proj_t}")
+        # skills: schema-complete empty stub (agent skills are LLM-runtime
+        # surface; the catalog listing stays queryable)
+        self.spark.createDataFrame(
+            [], "name string, project string, type string, params string"
+        ).createOrReplaceTempView("mindsdb_skills")
 
     # -- engine functions ------------------------------------------------------
     def _register_builtin_functions(self) -> None:

@@ -308,7 +308,9 @@ def dsir_weights(
         col(id_col),
         F.when(target, F.lit(1)).otherwise(F.lit(0)).alias("__is_t"),
         F.explode(words_expr(col(text_col))).alias("__tok"),
-    )
+        # two consumers (frequency aggregate + join-back) and no CSE across
+        # them — persist marks the exploded tokens compute-once per action
+    ).persist()
     tf = tok.groupBy("__tok").agg(
         F.count("*").alias("__c"), F.sum("__is_t").alias("__ct")
     )

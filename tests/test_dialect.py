@@ -330,3 +330,24 @@ def test_show_create_columns_index_status(spark, sf_dir):
     assert [r["Name"] for r in st] == ["orders"] and st[0]["Engine"] == "InnoDB"
     all_st = sess.sql("SHOW TABLE STATUS").collect()
     assert len(all_st) >= 8
+
+
+def test_project_virtual_tables(spark, sf_dir):
+    # `SELECT * FROM mindsdb.models|jobs|agents|mdb_triggers|chatbots|skills`
+    # — project-filtered information_schema routing
+    # (project_datanode.py:144-152)
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir)
+    sess.sql("CREATE JOB pvt_job AS (SELECT 1) EVERY 1 hour")
+    jobs = sess.sql("SELECT name FROM mindsdb.jobs").collect()
+    assert any(r["name"] == "pvt_job" for r in jobs)
+    sess.sql("DROP JOB pvt_job")
+    sess.sql("CREATE AGENT pvt_ag USING model = 'm1'")
+    ags = sess.sql("SELECT name, model FROM mindsdb.agents").collect()
+    assert any(r["name"] == "pvt_ag" for r in ags)
+    sess.sql("DROP AGENT pvt_ag")
+    assert sess.sql("SELECT * FROM mindsdb.models").columns[0] == "name"
+    assert sess.sql("SELECT * FROM mindsdb.chatbots").count() == 0
+    sk = sess.sql("SELECT * FROM mindsdb.skills")
+    assert sk.count() == 0 and sk.columns == ["name", "project", "type", "params"]
+    assert sess.sql("SELECT * FROM mindsdb.mdb_triggers").count() == 0
