@@ -590,6 +590,22 @@ class EngineSession:
                 return srcname, n[len(srcname) + 1:]
         return None, None
 
+    def _resolve_native_dml(self, name: str):
+        """Like ``_resolve_native_writable`` but for sources that can run
+        DML statements themselves (an ``execute`` method — JDBCSource)."""
+        n = name.lower().strip("`")
+        for srcname, src in self._native.items():
+            if not hasattr(src, "execute"):
+                continue
+            tables = {t.lower() for t in src.tables()}
+            if "." in n:
+                pre, _, t = n.partition(".")
+                if pre == srcname and t in tables:
+                    return srcname, t
+            if n.startswith(f"{srcname}_") and n[len(srcname) + 1:] in tables:
+                return srcname, n[len(srcname) + 1:]
+        return None, None
+
     def _align_insert_rows(self, target: DataFrame, rows: DataFrame, col_list):
         """Align INSERT rows to the target schema: map by name when a column
         list is given (NULL-fill the rest), else positionally — always cast
@@ -2023,6 +2039,15 @@ class EngineSession:
                 return self._kb_update(
                     kbname, set_map, F.expr(self.rewrite(m.group(3)))
                 )
+            nsrc, ntable = self._resolve_native_dml(m.group(1))
+            if nsrc is not None:
+                # the reference renders UPDATE into the source dialect and
+                # runs it there (update_step.py:16-127); the exemplar ships
+                # the ANSI statement with the bare table name
+                n = self._native[nsrc].execute(
+                    f"UPDATE {ntable} SET {m.group(2)} WHERE {m.group(3)}"
+                )
+                return self.spark.createDataFrame([(n,)], "updated int")
         m = _DELETE_RE.match(s)
         if m:
             srcname, table = self._resolve_writable(m.group(1))
@@ -2033,6 +2058,12 @@ class EngineSession:
             kbname = m.group(1).lower().strip("`").split(".")[-1]
             if kbname in self._kbs:
                 return self._kb_delete(kbname, F.expr(self.rewrite(m.group(2))))
+            nsrc, ntable = self._resolve_native_dml(m.group(1))
+            if nsrc is not None:
+                n = self._native[nsrc].execute(
+                    f"DELETE FROM {ntable} WHERE {m.group(2)}"
+                )
+                return self.spark.createDataFrame([(n,)], "deleted int")
         m = _DROP_TABLE_RE.match(s)
         if m:
             # reference: command_executor.py DropTables branch — drop against

@@ -76,6 +76,26 @@ class JDBCSource:
         self.pushdowns += 1  # schema resolution above already hit the DB
         return out
 
+    def execute(self, sql: str) -> int:
+        """Run a DML statement on the database and return the affected-row
+        count (reference: update_step.py:16-127 / delete_step.py:18-48
+        render UPDATE/DELETE into the source dialect and execute them
+        there). One driver-side statement through the JVM DriverManager —
+        DML is metadata-sized for the engine; the database does the work."""
+        jvm = self.spark._jvm
+        props = jvm.java.util.Properties()
+        for k, v in self.properties.items():
+            props.setProperty(k, str(v))
+        conn = jvm.java.sql.DriverManager.getConnection(self.url, props)
+        try:
+            stmt = conn.createStatement()
+            try:
+                return stmt.executeUpdate(sql)
+            finally:
+                stmt.close()
+        finally:
+            conn.close()
+
     def insert(self, table: str, df: DataFrame) -> None:
         """INSERT writeback: append rows to the database table (reference:
         insert_step.py:13-124 writes to the integration). Executes as a

@@ -106,3 +106,22 @@ def test_jdbc_insert_writeback(spark, jdbc):
     assert row["N_NAME"] == "NATION_Z" and row["N_REGIONKEY"] is None
     # the federated view sees the new rows without re-registration (lazy)
     assert sess.sql("SELECT COUNT(*) AS c FROM der_nation").collect()[0][0] == before + 3
+
+
+def test_jdbc_update_delete_writeback(spark, jdbc):
+    """UPDATE/DELETE against a JDBC source run IN the database (reference:
+    update_step.py:16-127, delete_step.py:18-48 render to the source
+    dialect and execute there) — one driver-side statement, affected-row
+    count returned, next lazy read sees the change."""
+    sess = EngineSession(spark)
+    sess.register_native_source("der", jdbc)
+    sess.sql("INSERT INTO der.nation VALUES (90, 'NATION_UPD', 3)")
+    n = sess.sql(
+        "UPDATE der.nation SET N_NAME = 'NATION_RENAMED' WHERE N_NATIONKEY = 90"
+    ).collect()[0][0]
+    assert n == 1
+    got = jdbc.read("nation").filter("N_NATIONKEY = 90").collect()[0]
+    assert got["N_NAME"] == "NATION_RENAMED"
+    n = sess.sql("DELETE FROM der.nation WHERE N_NATIONKEY = 90").collect()[0][0]
+    assert n == 1
+    assert jdbc.read("nation").filter("N_NATIONKEY = 90").count() == 0
