@@ -42,6 +42,31 @@ def _skip_string(sql: str, i: int, quote: str) -> int:
     return i
 
 
+def strip_mysql_comments(sql: str) -> str:
+    """Remove MySQL ``#``-to-end-of-line comments. The reference's parser
+    accepts them (MySQL dialect); Spark SQL only knows ``--`` and block
+    comments, so they are stripped before any command matching or rewrite.
+    String literals and backtick identifiers are preserved."""
+    if "#" not in sql:
+        return sql
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in ("'", '"', "`"):
+            j = _skip_string(sql, i, c)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if c == "#":
+            while i < n and sql[i] != "\n":
+                i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _split_args(body: str) -> list[str]:
     """Split a parenthesized body on top-level commas, respecting nesting
     and string literals."""

@@ -1524,6 +1524,10 @@ class EngineSession:
         return s[: m.start()] + f"{m.group(1)} > {lit}" + s[m.end():]
 
     def sql(self, sql: str) -> DataFrame:
+        if "#" in sql:
+            from mindsdb_spark.dialect.rewriter import strip_mysql_comments
+
+            sql = strip_mysql_comments(sql)
         self._query_log.append((" ".join(sql.split())[:500], "complete"))
         if sql.lstrip().upper().startswith(("SELECT", "WITH")) and _LAST_RE.search(sql):
             sql = self._apply_last(sql)
@@ -2494,6 +2498,63 @@ class EngineSession:
                 "name string, version int, active boolean, predict_columns string, "
                 "kind string, engine string, training_query string",
             )
+        dobj = re.match(
+            r"(?:DESCRIBE|DESC)\s+(AGENT|JOB|VIEW|TRIGGER|ML_ENGINE|DATABASE)\s+([\w.`]+)$",
+            s,
+            re.IGNORECASE,
+        )
+        if dobj:
+            # reference: DESCRIBE works for every project/global object kind
+            # (command_executor.py:882-906 answer_describe_object)
+            kind = dobj.group(1).upper()
+            name = dobj.group(2).lower().strip("`").split(".")[-1]
+            if kind == "AGENT":
+                a = self._agents.get(name)
+                if a is None:
+                    raise KeyError(f"agent {name!r} does not exist")
+                return self.spark.createDataFrame(
+                    [(name, a.model_name, a.output_col,
+                      ", ".join(a.knowledge_bases or ()), a.retrieval_k)],
+                    "name string, model string, output_col string, "
+                    "knowledge_bases string, retrieval_k int",
+                )
+            if kind == "JOB":
+                j = self.jobs.jobs.get(name)
+                if j is None:
+                    raise KeyError(f"job {name!r} does not exist")
+                return self.spark.createDataFrame(
+                    [(name, float(j.every_seconds), j.runs)],
+                    "name string, every_seconds double, runs int",
+                )
+            if kind == "VIEW":
+                if name not in self._views:
+                    raise KeyError(f"view {name!r} does not exist")
+                return self.spark.createDataFrame(
+                    [(name, self._views[name])], "name string, definition string"
+                )
+            if kind == "TRIGGER":
+                tr = self._triggers.get(name)
+                if tr is None:
+                    raise KeyError(f"trigger {name!r} does not exist")
+                return self.spark.createDataFrame(
+                    [(name, tr.column)], "name string, watch_column string"
+                )
+            if kind == "ML_ENGINE":
+                eng = self._ml_engines.get(name)
+                if eng is None:
+                    raise KeyError(f"ml engine {name!r} does not exist")
+                return self.spark.createDataFrame(
+                    [(name, getattr(eng, "__name__", str(eng)))],
+                    "name string, handler string",
+                )
+            if kind == "DATABASE":
+                if name not in self._db_params:
+                    raise KeyError(f"database {name!r} does not exist")
+                eng, params = self._db_params[name]
+                return self.spark.createDataFrame(
+                    [(name, (eng or "project").lower(), json.dumps(params))],
+                    "name string, engine string, parameters string",
+                )
         m = _DESCRIBE_RE.match(s) or _SHOW_COLUMNS_RE.match(s)
         if m:
             self._refresh_information_schema()

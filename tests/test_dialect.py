@@ -351,3 +351,43 @@ def test_project_virtual_tables(spark, sf_dir):
     sk = sess.sql("SELECT * FROM mindsdb.skills")
     assert sk.count() == 0 and sk.columns == ["name", "project", "type", "params"]
     assert sess.sql("SELECT * FROM mindsdb.mdb_triggers").count() == 0
+
+
+def test_describe_object_kinds(spark, sf_dir):
+    # DESCRIBE works for every object kind (command_executor.py:882-906)
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir, tables=["nation"])
+    sess.sql("CREATE AGENT d_ag USING model = 'm9', retrieval_k = 4")
+    row = sess.sql("DESCRIBE AGENT d_ag").collect()[0]
+    assert row["model"] == "m9" and row["retrieval_k"] == 4
+    sess.sql("CREATE JOB d_job AS (SELECT 1) EVERY 2 hour")
+    row = sess.sql("DESCRIBE JOB d_job").collect()[0]
+    assert row["every_seconds"] == 7200.0
+    sess.sql("CREATE VIEW d_v AS SELECT n_name FROM tpch_nation")
+    row = sess.sql("DESCRIBE VIEW d_v").collect()[0]
+    assert "n_name" in row["definition"]
+    row = sess.sql("DESCRIBE ML_ENGINE spark_ml_linreg").collect()[0]
+    assert row["name"] == "spark_ml_linreg"
+    sess.sql("CREATE DATABASE d_db WITH ENGINE = 'parquet', "
+             f'PARAMETERS = {{"directory": "{sf_dir}", "tables": ["nation"]}}')
+    row = sess.sql("DESCRIBE DATABASE d_db").collect()[0]
+    assert row["engine"] == "parquet" and "nation" in row["parameters"]
+    with pytest.raises(KeyError):
+        sess.sql("DESCRIBE AGENT nope")
+    sess.sql("DROP AGENT d_ag"); sess.sql("DROP JOB d_job")
+    sess.sql("DROP VIEW d_v"); sess.sql("DROP DATABASE d_db")
+
+
+def test_hash_comments_stripped(spark, sf_dir):
+    # MySQL '#' end-of-line comments are accepted and stripped; '#' inside
+    # string literals and backtick identifiers survives
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir, tables=["nation"])
+    rows = sess.sql(
+        "SELECT n_name # trailing comment\n"
+        "FROM tpch_nation # another\n"
+        "WHERE n_nationkey = 3"
+    ).collect()
+    assert len(rows) == 1
+    v = sess.sql("SELECT '#not a comment' AS v").collect()[0][0]
+    assert v == "#not a comment"
