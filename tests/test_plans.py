@@ -201,3 +201,31 @@ def test_repetition_signals_no_global_sort(spark, sf_dir):
     assert "HashAggregate" not in plan and "SortAggregate" not in plan
     assert "hashpartitioning" not in plan  # no keyed shuffle at any scale
     assert "Sort [" not in plan  # no global Sort operator
+
+
+def test_dsir_weights_plan_shape(spark, sf_dir):
+    # the three corpus scalars (N, T, V) ride a broadcast — no driver
+    # round-trip in the plan; the frequency re-join is a keyed shuffle,
+    # never a cartesian
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.operators.curation import dsir_weights
+    from pyspark.sql import functions as F
+
+    plan = _plan(
+        dsir_weights(
+            load_table(spark, sf_dir, "documents"), target=F.col("source") == "src0"
+        )
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_plan_no_cartesian(spark, sf_dir):
+    # the pair join stays keyed on the cell — an all-pairs cartesian would
+    # be the N^2 failure mode at scale
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.operators.dedup import semantic_dedup
+
+    plan = _plan(semantic_dedup(load_table(spark, sf_dir, "embeddings")))
+    assert "CartesianProduct" not in plan
+    assert "cell" in plan
