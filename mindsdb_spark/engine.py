@@ -224,6 +224,11 @@ _SET_RE = re.compile(
     r"SET\s+(?:SESSION\s+|GLOBAL\s+)?@?@?([\w.]+)\s*=\s*(.+)$", re.IGNORECASE | re.DOTALL
 )
 _USE_RE = re.compile(r"USE\s+`?(\w+)`?$", re.IGNORECASE)
+# variables surface (reference: interfaces/variables/variables_controller.py,
+# docs/mindsdb_sql/functions/from_env.mdx): `SET @name = from_env("MDB_X")`
+# and `@name` references inside USING params
+_FROM_ENV_RE = re.compile(r"^FROM_ENV\(\s*['\"]([\w]+)['\"]\s*\)$", re.IGNORECASE)
+_VAR_NAME_RE = re.compile(r"^\w+$")
 _EXPLAIN_RE = re.compile(r"EXPLAIN\s+(?:FORMATTED\s+|EXTENDED\s+)?(SELECT\b.+|WITH\b.+)$",
                          re.IGNORECASE | re.DOTALL)
 _PERIODS = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60, "hour": 3600,
@@ -1332,7 +1337,7 @@ class EngineSession:
         params = {}
         for kv in split_top_level(using) if using else []:
             k, _, v = kv.partition("=")
-            params[k.strip().lower()] = v.strip().strip("'\"")
+            params[k.strip().lower()] = self._param_value(v)
         engine = params.pop("engine", None)
         if engine is None or engine.lower() not in self._ml_engines:
             raise ValueError(
@@ -1430,6 +1435,31 @@ class EngineSession:
         return self.spark.sql(outer)
 
     # -- SQL entry point -------------------------------------------------------
+    def _param_value(self, raw: str) -> str:
+        """Resolve one USING-parameter value the way the reference's
+        variables controller does (variables_controller.py:76-90
+        fill_parameters; docs/mindsdb_sql/functions/variables.mdx):
+        an unquoted ``@name`` reads a SET variable, ``from_env("MDB_X")``
+        reads the environment (MDB_ prefix enforced — no arbitrary env
+        access), anything else is the literal with quotes stripped."""
+        s = raw.strip()
+        m = _FROM_ENV_RE.match(s)
+        if m:
+            var = m.group(1)
+            if not var.upper().startswith("MDB_"):
+                raise ValueError(
+                    "Can access only to variable names starting with MDB_"
+                )
+            if var not in os.environ:
+                raise ValueError(f"Environment variable {var} is not defined")
+            return os.environ[var]
+        if s.startswith("@") and not s.startswith("@@") and _VAR_NAME_RE.match(s[1:]):
+            name = s[1:].lower()
+            if name not in self.session_vars:
+                raise ValueError(f"Variable {name} is not defined")
+            return str(self.session_vars[name])
+        return s.strip("'\"")
+
     def rewrite(self, sql: str) -> str:
         out = rewrite_sql(sql, self._rules, self._vars)
         # information_schema.* is emulated with session views (the reference
@@ -1733,7 +1763,13 @@ class EngineSession:
         if m and not u.startswith("SET TRANSACTION"):
             name = m.group(1).lower().split(".")[-1]
             v = m.group(2).strip()
-            self.session_vars[name] = v[1:-1] if v[:1] in "'\"" else v
+            if _FROM_ENV_RE.match(v):
+                # `SET @key = from_env("MDB_X")` resolves at set time, like
+                # the reference's set_variable on a Function value
+                # (variables_controller.py:57-73)
+                self.session_vars[name] = self._param_value(v)
+            else:
+                self.session_vars[name] = v[1:-1] if v[:1] in "'\"" else v
             self._rebuild_vars()
             # MySQL accepts unknown session vars silently; so do we
             return self.spark.createDataFrame([(name,)], "variable string")
@@ -1969,7 +2005,7 @@ class EngineSession:
                 if mu:
                     kvs = dict(
                         (kv.partition("=")[0].strip().lower(),
-                         kv.partition("=")[2].strip().strip("'\""))
+                         self._param_value(kv.partition("=")[2]))
                         for kv in mu.group(1).split(",")
                         if "=" in kv
                     )
@@ -1994,7 +2030,7 @@ class EngineSession:
             params = {}
             for kv in split_top_level(m.group(2)):
                 k, _, v = kv.partition("=")
-                params[k.strip().lower()] = v.strip().strip("'\"")
+                params[k.strip().lower()] = self._param_value(v)
             spec = self._agents[name]
             changes: dict = {}
             if "model" in params:
@@ -2169,7 +2205,7 @@ class EngineSession:
             # (controller.py:647-983)
             name = m.group(1).lower().strip("`").split(".")[-1]
             using = dict(
-                (kv.partition("=")[0].strip().lower(), kv.partition("=")[2].strip().strip("'\""))
+                (kv.partition("=")[0].strip().lower(), self._param_value(kv.partition("=")[2]))
                 for kv in (m.group(2) or "").split(",")
                 if "=" in kv
             )
@@ -2197,7 +2233,7 @@ class EngineSession:
             using = {}
             for kv in split_top_level(m.group(2)):
                 k, _, v = kv.partition("=")
-                using[k.strip().lower()] = v.strip().strip("'\"")
+                using[k.strip().lower()] = self._param_value(v)
             # the embedding model/dim cannot change post-hoc — new vectors
             # would be incompatible with the stored ones (alter.mdx; the
             # reference only lets the provider api_key rotate)
@@ -2241,7 +2277,7 @@ class EngineSession:
             params = {}
             for kv in split_top_level(m.group(2)) if m.group(2) else []:
                 k, _, v = kv.partition("=")
-                params[k.strip().lower()] = v.strip().strip("'\"")
+                params[k.strip().lower()] = self._param_value(v)
             transport = self._agent_transport
             # data sources: USING knowledge_bases = 'kb1, kb2' attaches KB
             # retrieval before completion (reference: agents_controller.py
@@ -2274,7 +2310,7 @@ class EngineSession:
             params = {}
             for kv in split_top_level(m.group(2)):
                 k, _, v = kv.partition("=")
-                params[k.strip().lower()] = v.strip().strip("'\"")
+                params[k.strip().lower()] = self._param_value(v)
             return self._kb_evaluate(
                 m.group(1).lower().strip("`").split(".")[-1],
                 params["test_table"],
@@ -2287,7 +2323,7 @@ class EngineSession:
             using = {}
             for kv in split_top_level(m.group(3)) if m.group(3) else []:
                 k, _, v = kv.partition("=")
-                using[k.strip().lower()] = v.strip().strip("'\"")
+                using[k.strip().lower()] = self._param_value(v)
             return self._evaluate_metric(
                 m.group(1), m.group(2), n_decimals=int(using.get("n_decimals", 3))
             )
@@ -2331,7 +2367,7 @@ class EngineSession:
                 params = dict(params)
                 for kv in split_top_level(m.group(4)):
                     uk, _, uv = kv.partition("=")
-                    params[uk.strip().lower()] = uv.strip().strip("'\"")
+                    params[uk.strip().lower()] = self._param_value(uv)
             spec = self._ml_engines[engine.lower()](name, train_df, target, params)
             v = self._add_model_version(name, spec)
             return self.spark.createDataFrame([(name, v)], "finetuned string, version int")
@@ -2372,7 +2408,7 @@ class EngineSession:
                 if um:
                     for kv in split_top_level(um.group(1)):
                         uk, _, uv = kv.partition("=")
-                        kb_using[uk.strip().lower()] = uv.strip().strip("'\"")
+                        kb_using[uk.strip().lower()] = self._param_value(uv)
                     m = _KB_RE.match(
                         " ".join((s[: um.start()] + " " + s[um.end():]).split())
                     )

@@ -391,3 +391,27 @@ def test_hash_comments_stripped(spark, sf_dir):
     assert len(rows) == 1
     v = sess.sql("SELECT '#not a comment' AS v").collect()[0][0]
     assert v == "#not a comment"
+
+
+def test_variables_fill_using_params(spark, sf_dir, monkeypatch):
+    # SET @name + from_env("MDB_X") fill into USING params
+    # (variables_controller.py:76-90; docs/mindsdb_sql/functions/variables.mdx)
+    monkeypatch.setenv("MDB_TEST_MODEL", "env-model")
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir, tables=["nation"])
+    sess.sql("SET @my_model = 'var-model'")
+    sess.sql("CREATE AGENT var_ag USING model = @my_model")
+    assert sess._agents["var_ag"].model_name == "var-model"
+    sess.sql('CREATE AGENT env_ag USING model = from_env("MDB_TEST_MODEL")')
+    assert sess._agents["env_ag"].model_name == "env-model"
+    sess.sql('SET @via_env = from_env("MDB_TEST_MODEL")')
+    assert sess.sql("SELECT @@via_env AS v").collect()[0][0] == "env-model"
+    # quoted '@name' stays a literal; undefined vars and non-MDB env refuse
+    sess.sql("CREATE AGENT lit_ag USING model = '@my_model'")
+    assert sess._agents["lit_ag"].model_name == "@my_model"
+    with pytest.raises(ValueError, match="not defined"):
+        sess.sql("CREATE AGENT bad USING model = @nope")
+    with pytest.raises(ValueError, match="MDB_"):
+        sess.sql('CREATE AGENT bad2 USING model = from_env("HOME")')
+    for ag in ("var_ag", "env_ag", "lit_ag"):
+        sess.sql(f"DROP AGENT {ag}")
