@@ -64,6 +64,11 @@ _PROJ_DOT_RE = re.compile(
     r"\bmindsdb\s*\.\s*(models|jobs|agents|mdb_triggers|chatbots|skills)\b",
     re.IGNORECASE,
 )
+# `log.<table>` — the reference's system log database
+# (interfaces/database/log.py: jobs_history, llm_log)
+_LOG_DOT_RE = re.compile(
+    r"\blog\s*\.\s*(jobs_history|llm_log)\b", re.IGNORECASE
+)
 
 
 def _parquet_column_stats(path: str, max_files: int = 32):
@@ -345,8 +350,11 @@ _UPDATE_AGENT_RE = re.compile(
 )
 # project virtual tables (reference: project_datanode.py:144-152 routes
 # `<project>.models` etc. to project-filtered information_schema tables)
+# and the `log` system database (interfaces/database/log.py)
 _PROJECT_TABLE_RE = re.compile(
-    r"\bmindsdb_(models|jobs|agents|mdb_triggers|chatbots|skills)\b", re.IGNORECASE
+    r"\bmindsdb_(models|jobs|agents|mdb_triggers|chatbots|skills)\b"
+    r"|\blog_(jobs_history|llm_log)\b",
+    re.IGNORECASE,
 )
 _CREATE_KB_RE = re.compile(
     r"CREATE\s+KNOWLEDGE[_ ]BASE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)(?:\s+USING\s+(.+))?$",
@@ -1466,7 +1474,8 @@ class EngineSession:
         # computes ~30 virtual tables in-engine: datahub/datanodes/
         # system_tables.py:48-782); dotted names become view names.
         out = _IS_RE.sub("information_schema_", out)
-        return _PROJ_DOT_RE.sub(lambda m: f"mindsdb_{m.group(1).lower()}", out)
+        out = _PROJ_DOT_RE.sub(lambda m: f"mindsdb_{m.group(1).lower()}", out)
+        return _LOG_DOT_RE.sub(lambda m: f"log_{m.group(1).lower()}", out)
 
     def _resolve_native_queries(self, s: str) -> str:
         """Replace every ``FROM/JOIN <native_src> ( raw )`` with a temp view
@@ -2171,6 +2180,7 @@ class EngineSession:
                 every_seconds=n * _PERIODS[unit],
                 start_at=_epoch(m.group(3)),
                 end_at=_epoch(m.group(4)),
+                sql=" ".join(body.split()),
             )
             return self.spark.createDataFrame([(name,)], "job string")
         m = _DROP_JOB_RE.match(s)
@@ -2897,6 +2907,32 @@ class EngineSession:
         self.spark.createDataFrame(
             [], "name string, project string, type string, params string"
         ).createOrReplaceTempView("mindsdb_skills")
+        # `log` system database (reference: interfaces/database/log.py):
+        # jobs_history from the scheduler's per-run records, llm_log as a
+        # schema-complete stub (the mock transport has no token accounting)
+        hist_rows = [
+            (
+                j.name,
+                "mindsdb",
+                float(ts),
+                float(ts),
+                result if status == "error" else None,
+                j.sql,
+            )
+            for j in self.jobs.jobs.values()
+            for status, ts, result in j.history
+        ]
+        self.spark.createDataFrame(
+            hist_rows or [("", "", 0.0, 0.0, None, "")],
+            "name string, project string, run_start double, run_end double, "
+            "error string, query string",
+        ).filter("name != ''").createOrReplaceTempView("log_jobs_history")
+        self.spark.createDataFrame(
+            [],
+            "api_key string, model_name string, input string, output string, "
+            "start_time timestamp, end_time timestamp, prompt_tokens int, "
+            "completion_tokens int, total_tokens int, success boolean",
+        ).createOrReplaceTempView("log_llm_log")
 
     # -- engine functions ------------------------------------------------------
     def _register_builtin_functions(self) -> None:

@@ -24,6 +24,7 @@ class Job:
     last_run: float | None = None
     runs: int = 0
     history: list = field(default_factory=list)
+    sql: str = ""  # the job body, surfaced in log.jobs_history
 
     def due(self, now: float) -> bool:
         if self.start_at is not None and now < self.start_at:
@@ -39,8 +40,8 @@ class JobScheduler:
     def __init__(self):
         self.jobs: dict[str, Job] = {}
 
-    def create_job(self, name, fn, every_seconds, start_at=None, end_at=None) -> Job:
-        job = Job(name, fn, every_seconds, start_at, end_at)
+    def create_job(self, name, fn, every_seconds, start_at=None, end_at=None, sql="") -> Job:
+        job = Job(name, fn, every_seconds, start_at, end_at, sql=sql)
         self.jobs[name] = job
         return job
 

@@ -128,3 +128,25 @@ def test_job_start_end_if_condition(spark, sf_dir, tmp_path):
     sess.sql("INSERT INTO whj.gate VALUES (1)")
     sess.jobs.run_pending(t_2030 + 7200)
     assert job.history[-1][2] != "skipped"
+
+
+def test_log_jobs_history(spark, sf_dir):
+    # the `log` system database (interfaces/database/log.py): per-run job
+    # records with error text, queryable as log.jobs_history
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir, tables=["nation"])
+    sess.sql("CREATE JOB lh_ok AS (SELECT count(*) FROM tpch_nation) EVERY 1 hour")
+    sess.sql("CREATE JOB lh_bad AS (SELECT * FROM no_such_table_xyz) EVERY 1 hour")
+    sess.jobs.run_pending(1e9)
+    rows = {r["name"]: r for r in sess.sql(
+        "SELECT name, error, query FROM log.jobs_history").collect()}
+    assert rows["lh_ok"]["error"] is None
+    assert "tpch_nation" in rows["lh_ok"]["query"]
+    assert rows["lh_bad"]["error"] is not None
+    # llm_log is schema-complete (empty: the mock transport has no
+    # token accounting)
+    ll = sess.sql("SELECT * FROM log.llm_log")
+    assert ll.count() == 0 and "total_tokens" in ll.columns
+    sess.sql("DROP JOB lh_ok"); sess.sql("DROP JOB lh_bad")
