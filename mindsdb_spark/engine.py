@@ -527,6 +527,9 @@ class EngineSession:
 
         self._ml_engines: dict = dict(BUILTIN_ML_ENGINES)
         self._model_recipes: dict[str, tuple] = {}
+        # bounded one-shot prediction cache (reference:
+        # apply_predictor_step.py:177-186 predictor_cache)
+        self._predict_cache: dict = {}
         self._triggers: dict[str, object] = {}
         # batched LLM transport for SQL-created agents; deployments swap in
         # a real client via set_agent_transport (tests need determinism)
@@ -1329,6 +1332,9 @@ class EngineSession:
         v = len(self._model_versions[name])
         self._model_active[name] = v
         self._models[name] = spec
+        # any model mutation invalidates cached one-shot predictions — a
+        # replaced model may reuse (name, version) keys
+        self._predict_cache.clear()
         return v
 
     def _create_model(self, m: re.Match) -> DataFrame:
@@ -2483,8 +2489,26 @@ class EngineSession:
                         )
                     )
                 if ok and row:
-                    inp = self.spark.createDataFrame([tuple(row.values())], list(row))
-                    res = apply_model(inp, spec)
+                    # one-shot predictions cache on (model, version, input
+                    # row) — the bounded analog of the reference's
+                    # prediction cache (apply_predictor_step.py:177-186,
+                    # keyed name_id_checksum(df)). The reference's
+                    # whole-frame variant is intentionally NOT ported:
+                    # checksumming a distributed frame costs a full pass —
+                    # at scale that is the price of predicting; in-plan
+                    # reuse falls to Catalyst/persist instead.
+                    mname = m.group(2).lower().strip("`").split(".")[-1]
+                    ckey = (mname, self._model_active.get(mname), tuple(sorted(row.items())))
+                    cached = self._predict_cache.get(ckey)
+                    if cached is not None:
+                        res = self.spark.createDataFrame(*cached)
+                    else:
+                        inp = self.spark.createDataFrame([tuple(row.values())], list(row))
+                        res = apply_model(inp, spec)
+                        self._predict_cache[ckey] = (res.collect(), res.schema)
+                        if len(self._predict_cache) > 128:
+                            self._predict_cache.pop(next(iter(self._predict_cache)))
+                        res = self.spark.createDataFrame(*self._predict_cache[ckey])
                     cols = [c.strip(" `") for c in m.group(1).split(",")]
                     if cols == ["*"]:
                         return res

@@ -132,3 +132,18 @@ def test_one_shot_model_select(sess):
 
     with _pytest.raises(Exception):
         sess.sql("SELECT risk FROM riskm WHERE o_totalprice > 5").collect()
+
+
+def test_one_shot_prediction_cache(sess):
+    # bounded cache on (model, version, input row) — the reference's
+    # predictor cache (apply_predictor_step.py:177-186); model mutations
+    # invalidate
+    sess._predict_cache.clear()
+    r1 = sess.sql("SELECT risk FROM riskm WHERE o_totalprice = 250000").collect()
+    assert len(sess._predict_cache) == 1
+    r2 = sess.sql("SELECT risk FROM riskm WHERE o_totalprice = 250000").collect()
+    assert r1 == r2 and len(sess._predict_cache) == 1
+    sess.sql("SELECT risk FROM riskm WHERE o_totalprice = 100000").collect()
+    assert len(sess._predict_cache) == 2
+    sess._add_model_version("riskm", sess._models["riskm"])
+    assert len(sess._predict_cache) == 0
