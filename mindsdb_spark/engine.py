@@ -930,9 +930,16 @@ class EngineSession:
         state_dir = os.path.join(self._state_dir, f"kb_insert_{name}")
         inserted = [0]
 
+        from mindsdb_spark.operators.kb import DEFAULT_CHUNK_SIZE, DEFAULT_OVERLAP
+
+        chunk_kw = {
+            "chunk_size": kb.get("chunk_size", DEFAULT_CHUNK_SIZE),
+            "overlap": kb.get("chunk_overlap", DEFAULT_OVERLAP),
+        }
+
         def _write_batch(rows: DataFrame, _i: int) -> None:
             incoming = (
-                embed(chunk_documents(rows), dim=kb["dim"])
+                embed(chunk_documents(rows, **chunk_kw), dim=kb["dim"])
                 .select(
                     "chunk_id", "doc_id", "chunk_text", "embedding",
                     *[c.lower() for c in meta_cols],
@@ -2233,6 +2240,13 @@ class EngineSession:
                 "dim": int(using.get("dim", 16)),
                 "embedder": using.get("embedder"),
             }
+            # chunking config rides on the KB and applies at every insert
+            # (reference: preprocessing text_chunking_config —
+            # controller.py create params)
+            if "chunk_size" in using:
+                self._kbs[name]["chunk_size"] = int(using["chunk_size"])
+            if "chunk_overlap" in using:
+                self._kbs[name]["chunk_overlap"] = int(using["chunk_overlap"])
             return self.spark.createDataFrame([(name,)], "knowledge_base string")
         m = _DROP_KB_RE.match(s)
         if m:

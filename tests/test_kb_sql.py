@@ -3,6 +3,7 @@
 import pytest
 
 from mindsdb_spark.catalog import load_table
+from pyspark.sql import functions as F
 from mindsdb_spark.engine import EngineSession
 
 
@@ -149,3 +150,27 @@ def test_create_index_on_knowledge_base(spark, sf_dir):
         "SELECT * FROM kbi WHERE content = 'spark join fast' LIMIT 5 USING n_probes = 2"
     )
     assert few.count() == 5
+
+
+def test_kb_chunking_config(spark, sf_dir):
+    # CREATE KNOWLEDGE_BASE ... USING chunk_size/chunk_overlap rides on the
+    # KB and applies at every INSERT (reference: preprocessing
+    # text_chunking_config)
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir, tables=["documents"])
+    sess.sql("CREATE KNOWLEDGE_BASE ck_small USING dim = 8, embedder = 'md5', "
+             "chunk_size = 80, chunk_overlap = 10")
+    sess.sql("CREATE KNOWLEDGE_BASE ck_big USING dim = 8, embedder = 'md5', "
+             "chunk_size = 4000, chunk_overlap = 0")
+    sess.sql("INSERT INTO ck_small SELECT doc_id, text FROM tpch_documents WHERE doc_id < 20")
+    sess.sql("INSERT INTO ck_big SELECT doc_id, text FROM tpch_documents WHERE doc_id < 20")
+    n_small = sess._kbs["ck_small"]["store"].count()
+    n_big = sess._kbs["ck_big"]["store"].count()
+    assert n_big == 20  # one chunk per doc at 4000 chars
+    assert n_small > n_big  # small chunks fan out
+    ml = sess._kbs["ck_small"]["store"].agg(
+        F.max(F.length("chunk_text")).alias("m")).collect()[0]["m"]
+    assert ml <= 80
+    sess.sql("DROP KNOWLEDGE_BASE ck_small"); sess.sql("DROP KNOWLEDGE_BASE ck_big")
