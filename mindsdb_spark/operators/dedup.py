@@ -468,3 +468,70 @@ def semantic_dedup(
             F.coalesce(col("is_dup"), F.lit(False)).alias("is_dup"),
         )
     )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental-ingestion dedup: flag each document of a NEW batch that
+    near-duplicates anything in the EXISTING corpus — the streaming-append
+    companion to ``lsh_candidate_pairs`` (which dedups a corpus against
+    itself). Training-data extension; no reference analog.
+
+    Scale shape: the band join runs ACROSS the two frames (batch bands
+    probe corpus bands — never a self-join over the union), so a small
+    daily batch against a huge corpus shuffles band rows, not documents.
+    Candidates then confirm by exact shingle Jaccard >= threshold with the
+    intersection computed only for candidate pairs. One row per batch doc:
+    (id, is_dup, dup_of = min matching corpus id).
+    """
+    rows = n_hashes // bands
+    sh_b = shingle_hashes(batch, text_col, id_col).persist()
+    sh_c = shingle_hashes(corpus, text_col, id_col).persist()
+    bd_b = lsh_bands(minhash_signatures(sh_b, id_col, n_hashes), id_col, bands, rows)
+    bd_c = lsh_bands(minhash_signatures(sh_c, id_col, n_hashes), id_col, bands, rows)
+    cand = (
+        bd_b.select(col(id_col).alias("__bid"), "band_id", "band_sig")
+        .join(
+            bd_c.select(col(id_col).alias("__cid"), "band_id", "band_sig"),
+            ["band_id", "band_sig"],
+        )
+        .select("__bid", "__cid")
+        .distinct()
+    )
+    nb = sh_b.groupBy(id_col).agg(F.count("*").alias("__nb")).withColumnRenamed(
+        id_col, "__bid"
+    )
+    nc = sh_c.groupBy(id_col).agg(F.count("*").alias("__nc")).withColumnRenamed(
+        id_col, "__cid"
+    )
+    inter = (
+        cand.join(sh_b.select(col(id_col).alias("__bid"), "sh"), "__bid")
+        .join(sh_c.select(col(id_col).alias("__cid"), "sh"), ["__cid", "sh"])
+        .groupBy("__bid", "__cid")
+        .agg(F.count("*").alias("__i"))
+    )
+    confirmed = (
+        inter.join(nb, "__bid")
+        .join(nc, "__cid")
+        .where(
+            col("__i") / (col("__nb") + col("__nc") - col("__i"))
+            >= jaccard_threshold
+        )
+        .groupBy("__bid")
+        .agg(F.min("__cid").alias("dup_of"))
+        .withColumnRenamed("__bid", id_col)
+    )
+    return (
+        batch.select(col(id_col))
+        .join(confirmed, id_col, "left")
+        .select(
+            col(id_col), col("dup_of").isNotNull().alias("is_dup"), col("dup_of")
+        )
+    )

@@ -604,6 +604,37 @@ FROM c ORDER BY vec_id
 """
 
 
+# --- D31 incremental ingestion dedup (new batch vs existing corpus) ----------
+def d31_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.incremental_dedup(
+        docs.where(col("doc_id") < 400),
+        docs.where(col("doc_id") >= 400),
+        jaccard_threshold=0.5,
+    ).orderBy("doc_id")
+
+
+D31_SQL = f"""
+WITH {_lsh_pairs_ctes()},
+n AS (SELECT doc_id, count(*) AS c FROM exh GROUP BY doc_id),
+cand AS (SELECT doc_a, doc_b FROM pairs WHERE doc_a < 400 AND doc_b >= 400),
+i AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN exh a ON a.doc_id = c.doc_a
+      JOIN exh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+      GROUP BY c.doc_a, c.doc_b),
+conf AS (SELECT doc_b, min(doc_a) AS dup_of
+         FROM i JOIN n na ON na.doc_id = i.doc_a
+                JOIN n nb ON nb.doc_id = i.doc_b
+         WHERE i.i * 1.0 / (na.c + nb.c - i.i) >= 0.5
+         GROUP BY doc_b)
+SELECT d.doc_id, conf.dup_of IS NOT NULL AS is_dup, conf.dup_of
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 400) d
+LEFT JOIN conf ON conf.doc_b = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # --- D22 corpus top-V vocabulary coverage / OOV fraction ---------------------
 def d22_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.operators.text import vocab_coverage
@@ -1148,6 +1179,7 @@ PIPELINE = {
     "d28_ngram_novelty": (d28_ngram_novelty, D28_SQL),
     "d29_dsir_weights": (d29_dsir_weights, D29_SQL),
     "d30_semantic_dedup": (d30_semantic_dedup, D30_SQL),
+    "d31_incremental_dedup": (d31_incremental_dedup, D31_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),

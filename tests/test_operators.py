@@ -405,3 +405,28 @@ def test_semantic_dedup_flags_lower_id_winner(spark):
     # raising the threshold above their similarity clears the flag
     out_hi = {r.vec_id: r.is_dup for r in semantic_dedup(df, threshold=0.9999999).collect()}
     assert out_hi[1] is False
+
+
+def test_incremental_dedup_batch_vs_corpus(spark):
+    from mindsdb_spark.operators.dedup import incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(0, base), (1, "completely different words about spark shuffles and joins here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, base),  # exact dup of 0
+         (11, "unrelated fresh content never seen in the corpus at all whatsoever"),
+         (12, base + " with a tiny suffix")],  # high-overlap near-dup
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.is_dup, r.dup_of)
+           for r in incremental_dedup(corpus, batch, jaccard_threshold=0.5).collect()}
+    assert out[10] == (True, 0)
+    assert out[11] == (False, None)
+    assert out[12][0] is True and out[12][1] == 0
+    # a strict threshold keeps only the exact duplicate
+    strict = {r.doc_id: r.is_dup
+              for r in incremental_dedup(corpus, batch, jaccard_threshold=0.999).collect()}
+    assert strict[10] is True and strict[12] is False
