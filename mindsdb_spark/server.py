@@ -22,6 +22,7 @@ from __future__ import annotations
 import datetime as _dt
 import decimal
 import json
+import re as _re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -64,23 +65,86 @@ class SQLServer:
                 pass
 
             def do_POST(self):
-                if self.path.rstrip("/") != "/api/sql/query":
-                    self._reply(404, {"type": "error", "error_message": "not found"})
-                    return
+                path = self.path.rstrip("/")
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     body = json.loads(self.rfile.read(length) or b"{}")
+                except Exception as e:
+                    self._reply(400, {"type": "error", "error_message": str(e)})
+                    return
+                if path == "/api/sql/query":
+                    try:
+                        with outer._exec_lock:
+                            df = outer.session.sql(body["query"])
+                            rows = df.collect()
+                        payload = {
+                            "type": "table",
+                            "column_names": list(df.columns),
+                            "data": [[_json_value(v) for v in row] for row in rows],
+                        }
+                        self._reply(200, payload)
+                    except Exception as e:  # errors in-band, like the reference
+                        self._reply(200, {"type": "error", "error_message": str(e)})
+                    return
+                if path == "/api/databases":
+                    # reference: POST /api/databases {database: {name,
+                    # engine, parameters}} (namespaces/databases.py:37-60)
+                    db = body.get("database") or {}
+                    if "name" not in db or "engine" not in db:
+                        self._reply(400, {"type": "error", "error_message":
+                                          'Missing "name" or "engine" field'})
+                        return
+                    try:
+                        with outer._exec_lock:
+                            outer.session.create_database(
+                                db["name"], db["engine"], db.get("parameters", {})
+                            )
+                        self._reply(201, {"name": db["name"].lower()})
+                    except Exception as e:
+                        self._reply(400, {"type": "error", "error_message": str(e)})
+                    return
+                self._reply(404, {"type": "error", "error_message": "not found"})
+
+            def do_GET(self):
+                # the REST catalog namespaces every reference client uses
+                # (namespaces/databases.py:25-35 list, :156 tables;
+                # namespaces/projects.py, models.py)
+                path = self.path.rstrip("/")
+                sess = outer.session
+                with outer._exec_lock:
+                    if path == "/api/databases":
+                        self._reply(200, outer._database_list())
+                        return
+                    if path == "/api/projects":
+                        self._reply(200, [{"name": "mindsdb"}])
+                        return
+                    m = _re.match(r"^/api/databases/([\w]+)/tables$", path)
+                    if m:
+                        name = m.group(1).lower()
+                        tables = outer._tables_of(name)
+                        if tables is None:
+                            self._reply(404, {"type": "error",
+                                              "error_message": f"database {name!r} not found"})
+                            return
+                        self._reply(200, [{"name": t} for t in sorted(tables)])
+                        return
+                    if _re.match(r"^/api/projects/mindsdb/models$", path):
+                        self._reply(200, [
+                            {"name": n, "active_version": sess._model_active.get(n, 1),
+                             "predict": mm.output_schema}
+                            for n, mm in sorted(sess._models.items())
+                        ])
+                        return
+                self._reply(404, {"type": "error", "error_message": "not found"})
+
+            def do_DELETE(self):
+                m = _re.match(r"^/api/databases/([\w]+)$", self.path.rstrip("/"))
+                if m:
                     with outer._exec_lock:
-                        df = outer.session.sql(body["query"])
-                        rows = df.collect()
-                    payload = {
-                        "type": "table",
-                        "column_names": list(df.columns),
-                        "data": [[_json_value(v) for v in row] for row in rows],
-                    }
-                    self._reply(200, payload)
-                except Exception as e:  # the reference returns errors in-band
-                    self._reply(200, {"type": "error", "error_message": str(e)})
+                        outer.session.drop_database(m.group(1))
+                    self._reply(204, {})
+                    return
+                self._reply(404, {"type": "error", "error_message": "not found"})
 
             def _reply(self, code: int, payload: dict) -> None:
                 data = json.dumps(payload).encode()
@@ -93,6 +157,36 @@ class SQLServer:
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self._httpd.server_address[:2]
         self._thread: threading.Thread | None = None
+
+    def _database_list(self) -> list[dict]:
+        sess = self.session
+        names = set(sess._db_params)
+        names |= {s for s, _t in sess.catalog.tables()}
+        names |= set(sess._native) | set(sess._writable)
+        out = []
+        for n in sorted(names):
+            if n in sess._db_params:
+                eng = (sess._db_params[n][0] or "project").lower()
+            elif n in sess._native:
+                eng = "native"
+            elif n in sess._writable:
+                eng = "parquet_writable"
+            else:
+                eng = "parquet"
+            out.append(
+                {"name": n, "engine": eng,
+                 "type": "project" if eng == "project" else "data"}
+            )
+        return out
+
+    def _tables_of(self, name: str):
+        sess = self.session
+        tables = [t for s, t in sess.catalog.tables() if s == name]
+        if name in sess._native:
+            tables += list(sess._native[name].tables())
+        if name in sess._writable:
+            tables += list(sess._writable[name].tables())
+        return tables or None
 
     def start(self) -> "SQLServer":
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)

@@ -54,3 +54,42 @@ def test_nan_normalizes_to_null(server):
     out = _post(server, "SELECT CAST('nan' AS DOUBLE) AS bad, sqrt(-1) AS worse, 1.5 AS ok")
     assert out["type"] == "table"
     assert out["data"][0] == [None, None, 1.5]
+
+
+def _req(server, path, method="GET", body=None):
+    req = urllib.request.Request(
+        f"http://{server.host}:{server.port}{path}",
+        data=json.dumps(body).encode() if body is not None else None,
+        headers={"Content-Type": "application/json"},
+        method=method,
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        raw = r.read()
+        return r.status, json.loads(raw) if raw else None
+
+
+def test_rest_catalog_endpoints(server, sf_dir):
+    # the REST namespaces reference clients use (namespaces/databases.py,
+    # projects.py): list/create/drop databases, tables, projects, models
+    code, dbs = _req(server, "/api/databases")
+    assert code == 200 and any(d["name"] == "tpch" for d in dbs)
+    code, tables = _req(server, "/api/databases/tpch/tables")
+    assert code == 200 and {t["name"] for t in tables} >= {"nation", "orders"}
+    code, projects = _req(server, "/api/projects")
+    assert code == 200 and projects == [{"name": "mindsdb"}]
+    code, models = _req(server, "/api/projects/mindsdb/models")
+    assert code == 200 and isinstance(models, list)
+    code, created = _req(server, "/api/databases", "POST", {
+        "database": {"name": "resty", "engine": "parquet",
+                     "parameters": {"directory": sf_dir, "tables": ["region"]}}})
+    assert code == 201 and created["name"] == "resty"
+    code, dbs = _req(server, "/api/databases")
+    assert any(d["name"] == "resty" for d in dbs)
+    code, _ = _req(server, "/api/databases/resty", "DELETE")
+    assert code == 204
+    code, dbs = _req(server, "/api/databases")
+    assert not any(d["name"] == "resty" for d in dbs)
+    # missing fields → 400 in-band error
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError):
+        _req(server, "/api/databases", "POST", {"database": {"name": "x"}})
