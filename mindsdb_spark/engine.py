@@ -1781,6 +1781,19 @@ class EngineSession:
             # accepted no-ops, like the reference's transaction commands
             # (command_executor.py StartTransaction/Commit/Rollback branches)
             return self.spark.createDataFrame([("ok",)], "status string")
+        if u.startswith("ALTER TABLE") and ("DISABLE KEYS" in u or "ENABLE KEYS" in u):
+            # mysqldump bracketing — accepted no-op (command_executor.py:648)
+            return self.spark.createDataFrame([("ok",)], "status string")
+        m = re.match(r"ANALYZE\s+(?:TABLE\s+)?([\w.`]+)$", s, re.IGNORECASE)
+        if m:
+            # MySQL clients issue ANALYZE TABLE after bulk loads; answer the
+            # MySQL status shape. Stats here are plan/footer metadata
+            # (meta_tables / meta_column_statistics) — no scan job to run.
+            name = m.group(1).lower().strip("`").replace(".", "_", 1)
+            return self.spark.createDataFrame(
+                [(name, "analyze", "status", "OK")],
+                "`Table` string, `Op` string, `Msg_type` string, `Msg_text` string",
+            )
         m = _SET_RE.match(s)
         if m and not u.startswith("SET TRANSACTION"):
             name = m.group(1).lower().split(".")[-1]

@@ -415,3 +415,12 @@ def test_variables_fill_using_params(spark, sf_dir, monkeypatch):
         sess.sql('CREATE AGENT bad2 USING model = from_env("HOME")')
     for ag in ("var_ag", "env_ag", "lit_ag"):
         sess.sql(f"DROP AGENT {ag}")
+
+
+def test_analyze_and_key_toggles(spark, sf_dir):
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir, tables=["nation"])
+    row = sess.sql("ANALYZE TABLE tpch_nation").collect()[0]
+    assert row["Op"] == "analyze" and row["Msg_text"] == "OK"
+    assert sess.sql("ALTER TABLE tpch_nation DISABLE KEYS").collect()[0][0] == "ok"
+    assert sess.sql("ALTER TABLE tpch_nation ENABLE KEYS").collect()[0][0] == "ok"
