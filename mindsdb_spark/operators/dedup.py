@@ -436,7 +436,9 @@ def semantic_dedup(
     ).withColumn(
         "__nrm",
         F.sqrt(F.expr("aggregate(__v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")),
-    )
+        # three consumers (both join sides + the output flag join) of a pure
+        # map stage — persist marks the cast/norm compute-once per action
+    ).persist()
     a = base.select(
         col(id_col).alias("__ida"), col("cell"),
         col("__v").alias("__va"), col("__nrm").alias("__na"),
