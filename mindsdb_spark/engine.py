@@ -286,6 +286,9 @@ _DROP_MODEL_RE = re.compile(r"DROP\s+MODEL\s+(?:IF\s+EXISTS\s+)?([\w.`]+)$", re.
 _CREATE_MODEL_RE = re.compile(
     r"CREATE\s+(OR\s+REPLACE\s+)?MODEL\s+([\w.`]+)"
     r"(?:\s+FROM\s+([\w`]+))?(?:\s*\((.+)\))?\s*PREDICT\s+([\w`]+)"
+    r"(?:\s+ORDER\s+BY\s+([\w`]+(?:\s*,\s*[\w`]+)*))?"
+    r"(?:\s+GROUP\s+BY\s+([\w`]+(?:\s*,\s*[\w`]+)*))?"
+    r"(?:\s+WINDOW\s+(\d+))?(?:\s+HORIZON\s+(\d+))?"
     r"(?:\s+USING\s+(.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -1351,7 +1354,9 @@ class EngineSession:
         DataFrame job; the recipe is kept for RETRAIN MODEL."""
         from mindsdb_spark.dialect.rewriter import split_top_level
 
-        replace, name, src, raw, target, using = m.groups()
+        replace, name, src, raw, target, ts_order, ts_group, ts_window, ts_horizon, using = (
+            m.groups()
+        )
         name = name.lower().strip("`").split(".")[-1]
         if name in self._models and not replace:
             raise ValueError(f"model {name!r} already exists (use CREATE OR REPLACE MODEL)")
@@ -1359,6 +1364,17 @@ class EngineSession:
         for kv in split_top_level(using) if using else []:
             k, _, v = kv.partition("=")
             params[k.strip().lower()] = self._param_value(v)
+        # the reference's TS clauses (`ORDER BY t [GROUP BY g] WINDOW w
+        # HORIZON h`, plan_join_ts.py) ride into the engine factory as
+        # params — a TS-capable engine builds a forecasting spec from them
+        if ts_order:
+            params["order_by"] = [c.strip(" `").lower() for c in ts_order.split(",")]
+        if ts_group:
+            params["group_by"] = [c.strip(" `").lower() for c in ts_group.split(",")]
+        if ts_window:
+            params["window"] = int(ts_window)
+        if ts_horizon:
+            params["horizon"] = int(ts_horizon)
         engine = params.pop("engine", None)
         if engine is None or engine.lower() not in self._ml_engines:
             raise ValueError(

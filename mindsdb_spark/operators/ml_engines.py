@@ -266,10 +266,66 @@ def llm_prompt_model(name: str, train_df: DataFrame, target: str, params: dict) 
     return ModelSpec(name=name, predict=_predict, output_schema=f"{target} string")
 
 
+def ts_naive_drift(name: str, train_df: DataFrame, target: str, params: dict) -> ModelSpec:
+    """Time-series forecaster: the naive-drift baseline (last value plus the
+    window's mean step), per group over the model's input window — the
+    reference's TS planning shape (`CREATE MODEL ... ORDER BY t [GROUP BY g]
+    WINDOW w HORIZON h`, plan_join_ts.py) with the standard forecasting
+    baseline as the predictor. The forecast is a pure function of the input
+    window, so "training" pins the schema contract and TS settings; apply
+    routes through ts_apply_model's JVM window slice (groups × window rows
+    cross to Python, never the table)."""
+    order_raw = params.get("order_by") or []
+    order_cols = [order_raw] if isinstance(order_raw, str) else list(order_raw)
+    if not order_cols:
+        raise ValueError("ts engine requires ORDER BY <time column>")
+    group_cols = list(params.get("group_by") or [])
+    window = int(params.get("window", 10))
+    horizon = int(params.get("horizon", 1))
+    tcol = order_cols[0]
+    by_name = {f.name.lower(): f for f in train_df.schema.fields}
+    out_fields = []
+    for c in [*group_cols, tcol]:
+        f = by_name.get(c.lower())
+        out_fields.append(f"{c} {f.dataType.simpleString() if f else 'string'}")
+    out_fields.append(f"{target} double")
+
+    def predict(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols)
+        y = pdf[target].astype("float64")
+        last = float(y.iloc[-1])
+        drift = (float(y.iloc[-1]) - float(y.iloc[0])) / max(len(y) - 1, 1)
+        t = pdf[tcol]
+        step = (t.iloc[-1] - t.iloc[0]) / max(len(t) - 1, 1) if len(t) > 1 else 0
+        rows = []
+        for h in range(1, horizon + 1):
+            row = {g: pdf[g].iloc[-1] for g in group_cols}
+            row[tcol] = t.iloc[-1] + h * step
+            row[target] = last + h * drift
+            rows.append(row)
+        out = pd.DataFrame(rows, columns=[*group_cols, tcol, target])
+        if pd.api.types.is_datetime64_any_dtype(out[tcol]):
+            # mean-step arithmetic lands on nanoseconds; Spark timestamps
+            # are microsecond — floor so the Arrow conversion stays safe
+            out[tcol] = out[tcol].dt.floor("us")
+        return out
+
+    return ModelSpec(
+        name=name,
+        predict=predict,
+        output_schema=", ".join(out_fields),
+        order_by=order_cols,
+        group_by=group_cols,
+        window=window,
+        horizon=horizon,
+    )
+
+
 BUILTIN_ML_ENGINES = {
     "spark_ml_linreg": spark_ml_linreg,
     "spark_ml_kmeans": spark_ml_kmeans_label,
     "spark_ml_logreg": spark_ml_logreg,
     "spark_ml_gbt": spark_ml_gbt,
     "llm": llm_prompt_model,
+    "ts_naive_drift": ts_naive_drift,
 }

@@ -215,3 +215,36 @@ def test_llm_prompt_template_model(spark, sf_dir):
     # engines that train still require a FROM query
     with pytest.raises(Exception):
         sess.sql("CREATE MODEL bad3 PREDICT price USING engine = 'spark_ml_linreg'")
+
+
+def test_create_ts_model_sql_clauses(spark, sf_dir):
+    # `CREATE MODEL ... PREDICT y ORDER BY t GROUP BY g WINDOW w HORIZON h`
+    # — the reference's TS planning surface (plan_join_ts.py) through the
+    # SQL door, with the naive-drift baseline engine
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir, tables=["events"])
+    sess.sql(
+        "CREATE MODEL drift (SELECT user_id, ts, value FROM tpch_events) "
+        "PREDICT value ORDER BY ts GROUP BY user_id WINDOW 5 HORIZON 3 "
+        "USING engine = 'ts_naive_drift'"
+    )
+    spec = sess._models["drift"]
+    assert spec.order_by == ["ts"] and spec.group_by == ["user_id"]
+    assert spec.window == 5 and spec.horizon == 3
+    out = sess.sql(
+        "SELECT m.user_id, m.ts, m.value FROM tpch_events t JOIN drift m "
+        "ORDER BY m.user_id, m.ts"
+    )
+    rows = out.collect()
+    n_users = sess.sql("SELECT count(DISTINCT user_id) AS n FROM tpch_events").collect()[0]["n"]
+    assert len(rows) == 3 * n_users  # horizon rows per group
+    # forecast timestamps advance beyond the history per group
+    import collections
+    per_user = collections.defaultdict(list)
+    for r in rows:
+        per_user[r["user_id"]].append(r["ts"])
+    assert all(ts_list == sorted(ts_list) and len(ts_list) == 3
+               for ts_list in per_user.values())
+    sess.sql("DROP MODEL drift")
