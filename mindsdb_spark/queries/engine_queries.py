@@ -361,6 +361,50 @@ SELECT metric, value FROM m ORDER BY metric
 """
 
 
+# --- A07: TS model through the SQL door (ORDER BY/GROUP BY/WINDOW/HORIZON) ---
+def a07_ts_model_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full TS statement surface (`CREATE MODEL ... PREDICT
+    y ORDER BY t GROUP BY g WINDOW w HORIZON h`, plan_join_ts.py) end to
+    end: the naive-drift forecaster trains-by-contract, the join routes
+    through ts_apply_model's JVM window slice, and every forecast value is
+    a pure function of the per-group input window — so DuckDB replays the
+    whole pipeline from the same window arithmetic."""
+    import pyspark.sql.functions as F
+
+    sess = _session(spark, sf_dir)
+    sess.sql(
+        "CREATE OR REPLACE MODEL a07_drift (SELECT user_id, event_id, ts, value "
+        "FROM tpch_events) PREDICT value ORDER BY ts, event_id GROUP BY user_id "
+        "WINDOW 5 HORIZON 3 USING engine = 'ts_naive_drift'"
+    )
+    out = sess.sql(
+        "SELECT m.user_id, m.value FROM tpch_events t JOIN a07_drift m"
+    )
+    return out.select(
+        "user_id",
+        (F.floor(F.col("value") * 1e6 + F.lit(0.5)) / 1e6).alias("value"),
+    ).orderBy("user_id", "value")
+
+
+A07_SQL = """
+WITH r AS (SELECT user_id, ts, event_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events),
+w AS (SELECT * FROM r WHERE rn <= 5),
+a AS (SELECT user_id, max(rn) AS n,
+             max(CASE WHEN rn = 1 THEN value END) AS y_last
+      FROM w GROUP BY user_id),
+b AS (SELECT w.user_id, w.value AS y_first
+      FROM w JOIN a ON w.user_id = a.user_id AND w.rn = a.n),
+f AS (SELECT a.user_id,
+             a.y_last + h * ((a.y_last - b.y_first) / greatest(a.n - 1, 1)) AS value
+      FROM a JOIN b USING (user_id), UNNEST(generate_series(1, 3)) AS t(h))
+SELECT user_id, floor(value * 1000000 + 0.5) / 1000000 AS value
+FROM f ORDER BY user_id, value
+"""
+
+
 # --- E04: CREATE DATABASE lifecycle through the SQL door ----------------------
 def e04_create_database(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attach a source the way every reference user does — `CREATE DATABASE
@@ -479,6 +523,7 @@ ENGINE_QUERIES = {
     "a04_prompt_model": (a04_prompt_model, A04_SQL),
     "a05_evaluate_regression": (a05_evaluate_regression, A05_SQL),
     "a06_evaluate_classification": (a06_evaluate_classification, A06_SQL),
+    "a07_ts_model_sql": (a07_ts_model_sql, A07_SQL),
     "m02_dialect_datetime": (m02_dialect_datetime, M02_SQL),
     "m03_dialect_string": (m03_dialect_string, M03_SQL),
 }
