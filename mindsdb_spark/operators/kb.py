@@ -198,3 +198,42 @@ def retrieval_metrics(
         F.coalesce(1.0 / col("first_rel"), F.lit(0.0)).alias("mrr"),
         F.when(col("n_rel") > 0, col("dcg") / idcg).otherwise(F.lit(0.0)).alias("ndcg"),
     )
+
+
+def kb_stream_insert(
+    kb: dict,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Continuous KB ingestion: documents arriving on a STREAM chunk →
+    embed → content-hash upsert per micro-batch via ``foreachBatch``, with
+    Spark's streaming checkpoint providing exactly-once batch tracking —
+    the Structured-Streaming form of the reference's partitioned+resumable
+    KB insert (controller.py:647-983; the engine's `INSERT INTO <kb>`
+    batched_insert covers the batch door, this covers live feeds — a
+    capability beyond the reference's polling jobs).
+
+    Re-running against the same checkpoint reprocesses nothing; new files
+    in the source directory become new micro-batches. Returns the updated
+    chunk store."""
+    embed = md5_embed if kb.get("embedder") == "md5" else fake_embed
+    chunk_kw = {}
+    if "chunk_size" in kb:
+        chunk_kw["chunk_size"] = kb["chunk_size"]
+    if "chunk_overlap" in kb:
+        chunk_kw["overlap"] = kb["chunk_overlap"]
+
+    def _batch(df: DataFrame, _batch_id: int) -> None:
+        incoming = embed(
+            chunk_documents(df, **chunk_kw), dim=kb["dim"]
+        ).localCheckpoint(eager=True)
+        kb["store"] = kb_upsert(kb["store"], incoming)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return kb["store"]
