@@ -1786,6 +1786,44 @@ class EngineSession:
                 self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
             )
             return self.spark.createDataFrame([(plan,)], "plan string")
+        m = re.match(
+            r"EXPLAIN\s+ANALYZE\s+(SELECT\b.+|WITH\b.+)$", s, re.IGNORECASE | re.DOTALL
+        )
+        if m:
+            # EXPLAIN ANALYZE: execute, then return the executed plan with
+            # runtime metrics (AQE final plan + per-node stats)
+            df = self.sql(m.group(1))
+            df.collect()
+            plan = df._jdf.queryExecution().explainString(
+                self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("cost")
+            )
+            return self.spark.createDataFrame([(plan,)], "plan string")
+        m = re.match(r"SHOW\s+CREATE\s+VIEW\s+([\w.`]+)$", s, re.IGNORECASE)
+        if m:
+            name = m.group(1).lower().strip("`").split(".")[-1]
+            if name not in self._views:
+                raise KeyError(f"view {name!r} does not exist")
+            return self.spark.createDataFrame(
+                [(name, f"CREATE VIEW {name} AS {self._views[name]}")],
+                "`View` string, `Create View` string",
+            )
+        m = re.match(r"SHOW\s+CREATE\s+MODEL\s+([\w.`]+)$", s, re.IGNORECASE)
+        if m:
+            name = m.group(1).lower().strip("`").split(".")[-1]
+            recipe = self._model_recipes.get(name)
+            if recipe is None:
+                raise KeyError(f"model {name!r} has no stored recipe")
+            src, raw, target, engine, params = recipe
+            using = ", ".join(
+                [f"engine = '{engine}'"]
+                + [f"{k} = {v!r}" for k, v in params.items() if k != "engine"]
+            )
+            frm = f" FROM {src}" if src else ""
+            body = f" ({' '.join(raw.split())})" if raw else ""
+            ddl = f"CREATE MODEL {name}{frm}{body} PREDICT {target} USING {using}"
+            return self.spark.createDataFrame(
+                [(name, ddl)], "`Model` string, `Create Model` string"
+            )
         m = _USE_RE.match(s)
         if m:
             self.session_vars["database"] = m.group(1).lower()

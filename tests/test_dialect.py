@@ -424,3 +424,21 @@ def test_analyze_and_key_toggles(spark, sf_dir):
     assert row["Op"] == "analyze" and row["Msg_text"] == "OK"
     assert sess.sql("ALTER TABLE tpch_nation DISABLE KEYS").collect()[0][0] == "ok"
     assert sess.sql("ALTER TABLE tpch_nation ENABLE KEYS").collect()[0][0] == "ok"
+
+
+def test_explain_analyze_and_show_create_variants(spark, sf_dir):
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir, tables=["nation", "customer"])
+    plan = sess.sql(
+        "EXPLAIN ANALYZE SELECT n_regionkey, count(*) FROM tpch_nation GROUP BY n_regionkey"
+    ).collect()[0][0]
+    assert "HashAggregate" in plan or "Aggregate" in plan
+    sess.sql("CREATE VIEW scv AS SELECT n_name FROM tpch_nation")
+    row = sess.sql("SHOW CREATE VIEW scv").collect()[0]
+    assert row["View"] == "scv" and "n_name" in row["Create View"]
+    sess.sql("CREATE MODEL scm (SELECT c_acctbal AS y, c_custkey FROM tpch_customer) "
+             "PREDICT y USING engine = 'spark_ml_linreg'")
+    row = sess.sql("SHOW CREATE MODEL scm").collect()[0]
+    assert row["Model"] == "scm"
+    assert "PREDICT y" in row["Create Model"] and "spark_ml_linreg" in row["Create Model"]
+    sess.sql("DROP VIEW scv"); sess.sql("DROP MODEL scm")
