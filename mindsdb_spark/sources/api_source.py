@@ -37,7 +37,10 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    Not,
     StringContains,
+    StringEndsWith,
+    StringStartsWith,
 )
 from pyspark.sql.types import StructType
 
@@ -52,6 +55,10 @@ OP_IN = "in"
 OP_IS_NULL = "is null"
 OP_IS_NOT_NULL = "is not null"
 OP_CONTAINS = "contains"
+OP_NE = "!="
+OP_NOT_IN = "not in"
+OP_STARTS_WITH = "starts with"
+OP_ENDS_WITH = "ends with"
 
 
 @dataclass(frozen=True)
@@ -77,13 +84,25 @@ def _to_condition(f: Filter) -> FilterCondition | None:
         if isinstance(f, cls):
             return FilterCondition(".".join(f.attribute), op, f.value)
     if isinstance(f, In):
-        return FilterCondition(".".join(f.attribute), OP_IN, tuple(f.values))
+        return FilterCondition(".".join(f.attribute), OP_IN, tuple(f.value))
     if isinstance(f, IsNull):
         return FilterCondition(".".join(f.attribute), OP_IS_NULL)
     if isinstance(f, IsNotNull):
         return FilterCondition(".".join(f.attribute), OP_IS_NOT_NULL)
     if isinstance(f, StringContains):
         return FilterCondition(".".join(f.attribute), OP_CONTAINS, f.value)
+    if isinstance(f, StringStartsWith):
+        return FilterCondition(".".join(f.attribute), OP_STARTS_WITH, f.value)
+    if isinstance(f, StringEndsWith):
+        return FilterCondition(".".join(f.attribute), OP_ENDS_WITH, f.value)
+    if isinstance(f, Not):
+        # negations of the pushable ops map onto the reference's NOT_*
+        # operators (sql_utils.py:50,56) — != and NOT IN
+        inner = _to_condition(f.child)
+        if inner is not None and inner.op == OP_EQ:
+            return FilterCondition(inner.column, OP_NE, inner.value)
+        if inner is not None and inner.op == OP_IN:
+            return FilterCondition(inner.column, OP_NOT_IN, inner.value)
     return None
 
 

@@ -121,3 +121,45 @@ def test_paged_endpoint_parallel_partitions(registered, api_data):
     df = _read(registered, api_data, endpoint="tests.test_api_source:paged_endpoint")
     assert df.rdd.getNumPartitions() == 2
     assert sorted(r["id"] for r in df.collect()) == [1, 2, 3, 4]
+
+
+def negating_endpoint(options, conditions, page):
+    from mindsdb_spark.sources.api_source import (
+        OP_ENDS_WITH, OP_NE, OP_NOT_IN, OP_STARTS_WITH,
+    )
+
+    _log_pushed(options, conditions)
+    with open(options["path"]) as fh:
+        rows = json.load(fh)
+    for cond in conditions:
+        if cond.op == OP_EQ:
+            rows = [r for r in rows if r.get(cond.column) == cond.value]
+        elif cond.op == OP_NE:
+            rows = [r for r in rows if r.get(cond.column) != cond.value]
+        elif cond.op == OP_NOT_IN:
+            rows = [r for r in rows if r.get(cond.column) not in cond.value]
+        elif cond.op == OP_STARTS_WITH:
+            rows = [r for r in rows if str(r.get(cond.column, "")).startswith(cond.value)]
+        elif cond.op == OP_ENDS_WITH:
+            rows = [r for r in rows if str(r.get(cond.column, "")).endswith(cond.value)]
+    return iter(rows)
+
+
+negating_endpoint.supported_ops = ("=", "!=", "not in", "starts with", "ends with")
+
+
+def test_negated_and_string_ops_pushed(registered, api_data, tmp_path):
+    # the reference's NOT_EQUAL / NOT_IN / LIKE-prefix operators
+    # (sql_utils.py:50,56,59) push through the DSv2 Filter tree
+    log = str(tmp_path / "neg.jsonl")
+    df = _read(registered, api_data,
+               endpoint="tests.test_api_source:negating_endpoint", log=log)
+    got = df.filter("kind != 'b'").collect()
+    assert sorted(r["id"] for r in got) == [1, 3, 4]
+    assert ("kind", "!=", "b") in _pushed(log)
+    got = df.filter("id NOT IN (1, 2)").collect()
+    assert sorted(r["id"] for r in got) == [3, 4]
+    got = df.filter("kind LIKE 'a%'").collect()
+    assert sorted(r["id"] for r in got) == [1, 3, 4]
+    pushed_ops = {c[1] for c in _pushed(log)}
+    assert {"!=", "starts with"} <= pushed_ops
