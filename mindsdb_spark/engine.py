@@ -541,6 +541,9 @@ class EngineSession:
         ]
         self._user_functions: set[str] = set()
         self._query_log: list[tuple[str, str]] = []
+        # interrupted resumable statements by id (reference: RunningQuery +
+        # query_resume/query_cancel, context_controller.py:51-120)
+        self._resumable: dict[str, str] = {}
         self.pushdown_enabled = True
         self.last_execution: tuple[str, str | None] = ("spark", None)
         self._register_builtin_functions()
@@ -2106,7 +2109,39 @@ class EngineSession:
                     if body.upper().startswith("VALUES")
                     else self.sql(body.strip().strip("()"))
                 )
-                return self._kb_insert(kbname, rows, batch_size=batch_size)
+                # the statement is re-runnable: record it so a crashed
+                # partitioned insert can resume by id (reference:
+                # query_resume, command_executor.py:720-722; the keyset
+                # cursor under state_dir makes the re-run incremental)
+                qid = f"kb_insert_{kbname}"
+                self._resumable[qid] = s
+                out = self._kb_insert(kbname, rows, batch_size=batch_size)
+                self._resumable.pop(qid, None)
+                return out
+        m = re.match(
+            r"SELECT\s+QUERY_(RESUME|CANCEL)\(\s*['\"]?([\w.]+)['\"]?\s*\)$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            # service functions (reference: command_executor.py:703-726
+            # exec_service_function): resume re-runs the recorded statement
+            # — the persisted keyset cursor makes it incremental; cancel
+            # forgets the statement and its cursor
+            import shutil
+
+            verb, qid = m.group(1).upper(), m.group(2)
+            if verb == "CANCEL":
+                self._resumable.pop(qid, None)
+                if self._state_dir:
+                    shutil.rmtree(
+                        os.path.join(self._state_dir, qid), ignore_errors=True
+                    )
+                return self.spark.createDataFrame([(qid,)], "cancelled string")
+            sql_text = self._resumable.get(qid)
+            if sql_text is None:
+                raise KeyError(f"no resumable query {qid!r}")
+            return self.sql(sql_text)
         m = _UPDATE_AGENT_RE.match(s)
         if m:
             import dataclasses

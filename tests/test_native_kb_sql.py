@@ -316,3 +316,50 @@ def test_kb_stream_insert(spark, sf_dir, tmp_path):
     assert hits.count() == 5
     sess.sql("DROP KNOWLEDGE_BASE skb")
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_query_resume_and_cancel_service_functions(spark, sf_dir, tmp_path, monkeypatch):
+    """`SELECT query_resume('<id>')` re-runs an interrupted resumable
+    statement from its persisted cursor; `query_cancel` forgets it
+    (reference: command_executor.py:703-726 exec_service_function)."""
+    import os
+
+    import mindsdb_spark.operators.kb as kbmod
+
+    sess = EngineSession(spark, state_dir=str(tmp_path))
+    sess.register_parquet_source("tpch", sf_dir, tables=["documents"])
+    sess.sql("CREATE KNOWLEDGE_BASE kbq USING dim = 8, embedder = 'md5'")
+    insert_sql = ("INSERT INTO kbq SELECT doc_id, text FROM tpch_documents "
+                  "WHERE doc_id < 40 USING batch_size = 10")
+
+    real = kbmod.md5_embed
+    calls = {"n": 0}
+
+    def flaky(df, text_col="chunk_text", dim=8):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("embedder crashed")
+        return real(df, text_col=text_col, dim=dim)
+
+    monkeypatch.setattr(kbmod, "md5_embed", flaky)
+    with pytest.raises(RuntimeError):
+        sess.sql(insert_sql)
+    # the interrupted statement is registered for resume by id
+    assert "kb_insert_kbq" in sess._resumable
+    monkeypatch.setattr(kbmod, "md5_embed", real)
+    sess.sql("SELECT query_resume('kb_insert_kbq')")
+    assert sess._kbs["kbq"]["store"].select("doc_id").distinct().count() == 40
+    assert "kb_insert_kbq" not in sess._resumable  # success clears it
+    with pytest.raises(KeyError):
+        sess.sql("SELECT query_resume('kb_insert_kbq')")
+    # cancel drops the recorded statement and its cursor state
+    monkeypatch.setattr(kbmod, "md5_embed", flaky)
+    calls["n"] = 0
+    sess.sql("DROP KNOWLEDGE_BASE kbq")
+    sess.sql("CREATE KNOWLEDGE_BASE kbq USING dim = 8, embedder = 'md5'")
+    with pytest.raises(RuntimeError):
+        sess.sql(insert_sql)
+    sess.sql("SELECT query_cancel('kb_insert_kbq')")
+    assert "kb_insert_kbq" not in sess._resumable
+    assert not os.path.exists(os.path.join(str(tmp_path), "kb_insert_kbq"))
+    sess.sql("DROP KNOWLEDGE_BASE kbq")
