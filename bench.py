@@ -53,6 +53,24 @@ HEADLINE = [
 ]
 
 
+# Heavy pipeline operators timed at sf1 alongside the relational headline —
+# the dedup/search family is this engine's differentiation, so the scale
+# datapoint must include it (linear text ops + the capped jaccard self-join,
+# LSH banding, connected components, and the all-pairs GEMM).
+SF1_PIPELINE = [
+    "d05_minhash_sig",
+    "d06_jaccard_topk",
+    "d07_lsh_pairs",
+    # d11 allpairs stays out: the oracle's O(N²·d) pair scan is genuinely
+    # quadratic at 10x — the LSH/banded family IS the scale path
+    "d21_repetition",
+    "d22_vocab_oov",
+    "d24_dedup_clusters",
+    "d27_unigram_nll",
+    "d31_incremental_dedup",
+]
+
+
 # The round-1 headline set (BENCH_r01.json) — kept frozen so every later
 # round can report an apples-to-apples subset total alongside the growing
 # full-inventory headline.
@@ -252,6 +270,7 @@ def main() -> None:
     # optional sf1 scale datapoint (SPARK_GRAFT_BENCH_SF1=1): headline
     # subset on the 10x-derived fixtures, both engines, multi-file layout
     sf1_variant = None
+    sf1_pipeline = None
     if os.environ.get("SPARK_GRAFT_BENCH_SF1", "0") == "1":
         sf1_dir = _prepare_sf1(spark)
         head = [n for n in HEADLINE if n in registry]
@@ -264,6 +283,19 @@ def main() -> None:
             "ratio": round(sp1_t / du1_t, 3) if du1_t else None,
             "queries_spark": sp1,
             "queries_duckdb": du1,
+        }
+        # the differentiating pipeline operators at 10x — where the claim
+        # "Spark-first wins as data grows" must hold on the heavy shapes
+        pipe = [n for n in SF1_PIPELINE if n in registry]
+        spp = _time_set(pipe, sf1_dir, 1)
+        dup = _duckdb_baseline(pipe, registry, sf1_dir)
+        spp_t, dup_t = round(sum(spp.values()), 4), round(sum(dup.values()), 4)
+        sf1_pipeline = {
+            "spark_total": spp_t,
+            "duckdb_total": dup_t,
+            "ratio": round(spp_t / dup_t, 3) if dup_t else None,
+            "queries_spark": spp,
+            "queries_duckdb": dup,
         }
     try:
         load1 = round(os.getloadavg()[0], 2)
@@ -288,6 +320,7 @@ def main() -> None:
                 "layout": "split32" if SPLIT else "single_file",
                 "split32_headline": split_variant,
                 "sf1_headline": sf1_variant,
+                "sf1_pipeline": sf1_pipeline,
                 "r1_subset": {
                     "spark_total": r1_spark,
                     "duckdb_total": r1_duck,

@@ -635,6 +635,60 @@ ORDER BY d.doc_id
 """
 
 
+# --- D32 end-to-end curation pipeline (quality -> dedup -> split) ------------
+def d32_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation path as ONE composed Catalyst plan: quality
+    filter (token count), exact-dedup canonicalization, and deterministic
+    split assignment — every doc gets a disposition (kept + reason) and
+    survivors get their train/val/test split. Each stage is the
+    already-oracle-checked operator; the composition itself is what a
+    training-data pipeline actually ships."""
+    from mindsdb_spark.operators.curation import split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    q = T.text_quality(docs).select("doc_id", "n_tokens")
+    canon = D.exact_dedup(docs).select(col("doc_id"), F.lit(True).alias("__canon"))
+    flags = (
+        docs.select("doc_id")
+        .join(q, "doc_id")
+        .join(canon, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(col("n_tokens") < 25, "low_quality")
+            .when(col("__canon").isNull(), "duplicate")
+            .alias("reason"),
+        )
+    )
+    splits = split_assign(flags.where(col("reason").isNull()).select("doc_id"))
+    return (
+        flags.join(splits.select("doc_id", "split"), "doc_id", "left")
+        .select(
+            "doc_id", col("reason").isNull().alias("kept"), "reason", "split"
+        )
+        .orderBy("doc_id")
+    )
+
+
+D32_SQL = f"""
+WITH {_WORDS},
+canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+flags AS (
+  SELECT w.doc_id,
+         CASE WHEN len(w.w) < 25 THEN 'low_quality'
+              WHEN c.doc_id IS NULL THEN 'duplicate' END AS reason
+  FROM words w LEFT JOIN canon c ON c.doc_id = w.doc_id
+)
+SELECT f.doc_id, f.reason IS NULL AS kept, f.reason,
+       CASE WHEN f.reason IS NOT NULL THEN NULL
+            WHEN (('0x' || substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                  % 1000) < 800 THEN 'train'
+            WHEN (('0x' || substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                  % 1000) < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM flags f ORDER BY f.doc_id
+"""
+
+
 # --- D22 corpus top-V vocabulary coverage / OOV fraction ---------------------
 def d22_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.operators.text import vocab_coverage
@@ -1180,6 +1234,7 @@ PIPELINE = {
     "d29_dsir_weights": (d29_dsir_weights, D29_SQL),
     "d30_semantic_dedup": (d30_semantic_dedup, D30_SQL),
     "d31_incremental_dedup": (d31_incremental_dedup, D31_SQL),
+    "d32_curation_pipeline": (d32_curation_pipeline, D32_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),
