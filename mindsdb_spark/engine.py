@@ -351,6 +351,69 @@ _ALTER_KB_RE = re.compile(
 _UPDATE_AGENT_RE = re.compile(
     r"UPDATE\s+AGENT\s+([\w.`]+)\s+SET\s+(.+)$", re.IGNORECASE | re.DOTALL
 )
+# pipeline operators as SQL table functions:
+# `SELECT * FROM <op>(<table>[, key = value, ...]) [ORDER BY ...] [LIMIT n]`
+# — every training-data operator is reachable from the SQL door, not only
+# the Python API (engine extension beyond the reference; its closest analog
+# is the model-as-table surface)
+_TABLE_FN_RE = re.compile(
+    r"SELECT\s+\*\s+FROM\s+(\w+)\s*\(\s*([\w.`]+)\s*(?:,\s*(.+?))?\s*\)"
+    r"(?:\s+ORDER\s+BY\s+([\w`,\s]+?))?(?:\s+LIMIT\s+(\d+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _pipeline_table_fns() -> dict:
+    from mindsdb_spark.operators import curation, dedup, text
+
+    return {
+        "exact_dedup": dedup.exact_dedup,
+        "minhash_signatures": lambda df, **kw: dedup.minhash_signatures(
+            dedup.shingle_hashes(df), **kw
+        ),
+        "lsh_pairs": lambda df, **kw: dedup.lsh_candidate_pairs(
+            dedup.shingle_hashes(df), **kw
+        ),
+        "jaccard_topk": lambda df, **kw: dedup.jaccard_topk_pairs(
+            dedup.shingle_hashes(df), **kw
+        ),
+        "simhash": dedup.simhash,
+        "semantic_dedup": dedup.semantic_dedup,
+        "connected_components": None,  # needs two inputs; Python API only
+        "token_stats": text.token_stats,
+        "text_quality": text.text_quality,
+        "lang_id": text.lang_id,
+        "repetition_signals": text.repetition_signals,
+        "vocab_coverage": text.vocab_coverage,
+        "unigram_nll": text.unigram_nll,
+        "ngram_novelty": text.ngram_novelty,
+        "bpe_token_count": text.bpe_token_count,
+        "split_assign": curation.split_assign,
+        "stratified_sample": curation.stratified_sample,
+        "stopword_scrub": curation.stopword_scrub,
+        "pii_scrub": curation.pii_scrub,
+        "quantize_embeddings": curation.quantize_embeddings,
+        "source_mixture": curation.source_mixture,
+    }
+
+
+def _coerce_literal(v: str):
+    v = v.strip()
+    if v[:1] in "'\"":
+        return v[1:-1]
+    low = v.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    try:
+        return float(v)
+    except ValueError:
+        return v
+
+
 # project virtual tables (reference: project_datanode.py:144-152 routes
 # `<project>.models` etc. to project-filtered information_schema tables)
 # and the `log` system database (interfaces/database/log.py)
@@ -2118,6 +2181,26 @@ class EngineSession:
                 out = self._kb_insert(kbname, rows, batch_size=batch_size)
                 self._resumable.pop(qid, None)
                 return out
+        m = _TABLE_FN_RE.match(s)
+        if m and m.group(1).lower() in _pipeline_table_fns():
+            fn = _pipeline_table_fns()[m.group(1).lower()]
+            if fn is None:
+                raise ValueError(
+                    f"{m.group(1)} needs multiple inputs — use the Python API"
+                )
+            from mindsdb_spark.dialect.rewriter import split_top_level
+
+            src = self.sql(f"SELECT * FROM {m.group(2)}")
+            kwargs = {}
+            for kv in split_top_level(m.group(3)) if m.group(3) else []:
+                k, _, v = kv.partition("=")
+                kwargs[k.strip().lower()] = _coerce_literal(v)
+            out = fn(src, **kwargs)
+            if m.group(4):
+                out = out.orderBy(*[c.strip(" `") for c in m.group(4).split(",")])
+            if m.group(5):
+                out = out.limit(int(m.group(5)))
+            return out
         m = re.match(
             r"SELECT\s+QUERY_(RESUME|CANCEL)\(\s*['\"]?([\w.]+)['\"]?\s*\)$",
             s,

@@ -442,3 +442,29 @@ def test_explain_analyze_and_show_create_variants(spark, sf_dir):
     assert row["Model"] == "scm"
     assert "PREDICT y" in row["Create Model"] and "spark_ml_linreg" in row["Create Model"]
     sess.sql("DROP VIEW scv"); sess.sql("DROP MODEL scm")
+
+
+def test_pipeline_operators_as_sql_table_functions(spark, sf_dir):
+    # every training-data operator is reachable from the SQL door:
+    # SELECT * FROM <op>(<table>[, key = value]) [ORDER BY ...] [LIMIT n]
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir, tables=["documents", "embeddings"])
+    out = sess.sql("SELECT * FROM exact_dedup(tpch_documents) ORDER BY doc_id LIMIT 5")
+    assert out.columns == ["doc_id", "dup_count"] and out.count() == 5
+    q = sess.sql("SELECT * FROM text_quality(tpch_documents) ORDER BY doc_id")
+    assert "quality_score" in q.columns
+    v = sess.sql(
+        "SELECT * FROM vocab_coverage(tpch_documents, vocab_size = 10) ORDER BY doc_id LIMIT 3"
+    ).collect()
+    assert len(v) == 3 and all(r["in_vocab"] <= r["n_tokens"] for r in v)
+    sd = sess.sql(
+        "SELECT * FROM semantic_dedup(tpch_embeddings, threshold = 0.35) ORDER BY vec_id"
+    )
+    assert sd.columns == ["vec_id", "cell", "is_dup"]
+    sp = sess.sql("SELECT * FROM split_assign(tpch_documents) ORDER BY doc_id LIMIT 4")
+    assert "split" in sp.columns
+    with pytest.raises(ValueError, match="Python API"):
+        sess.sql("SELECT * FROM connected_components(tpch_documents)")
+    # unknown function names fall through to Spark (and fail there)
+    with pytest.raises(Exception):
+        sess.sql("SELECT * FROM not_an_op(tpch_documents)").collect()
