@@ -189,3 +189,63 @@ def test_vocab_coverage_matches_python(spark, docs, v):
         in_v = sum(1 for tok in ws if tok in vocab)
         assert (r.n_tokens, r.in_vocab) == (len(ws), in_v)
         assert r.oov_frac == math.floor((1.0 - in_v / len(ws)) * 1e6 + 0.5) / 1e6
+
+
+_words_st = st.lists(
+    st.sampled_from(["spark", "table", "join", "scan", "fast", "slow", "row", "key"]),
+    min_size=4, max_size=12,
+)
+
+
+@st.composite
+def _corpus(draw, max_docs=6):
+    n = draw(st.integers(min_value=2, max_value=max_docs))
+    return [(i, " ".join(draw(_words_st))) for i in range(n)]
+
+
+@_settings
+@given(corpus=_corpus(), batch_extra=_corpus(max_docs=4))
+def test_incremental_dedup_flags_exact_copies(spark, corpus, batch_extra):
+    """Any batch doc whose text exactly matches a corpus doc must be
+    flagged (LSH catches identical band signatures with probability 1);
+    a batch doc over a disjoint vocabulary must never be flagged."""
+    from mindsdb_spark.operators.dedup import incremental_dedup
+
+    schema = "doc_id long, text string"
+    cdf = spark.createDataFrame(corpus, schema)
+    copies = [(100 + i, text) for i, (_id, text) in enumerate(corpus)]
+    fresh = [(200 + i, "zebra quokka lemur wombat axolotl " + t)
+             for i, (_id, t) in enumerate(batch_extra)]
+    disjoint = [(300, "aaa bbb ccc ddd eee fff ggg hhh")]
+    bdf = spark.createDataFrame(copies + fresh + disjoint, schema)
+    out = {r.doc_id: r.is_dup
+           for r in incremental_dedup(cdf, bdf, jaccard_threshold=0.999).collect()}
+    for i in range(len(copies)):
+        assert out[100 + i] is True, f"exact copy {100+i} not flagged"
+    assert out[300] is False
+
+
+@_settings
+@given(vecs=st.lists(
+    st.lists(st.floats(min_value=-1, max_value=1, allow_nan=False,
+                       allow_infinity=False, width=32),
+             min_size=8, max_size=8),
+    min_size=2, max_size=6,
+))
+def test_semantic_dedup_identical_vectors_flagged(spark, vecs):
+    """An exact duplicate vector (same cell by construction, cosine 1)
+    must always be flagged against its lower-id twin; no vector may be a
+    dup of itself alone (is_dup requires a distinct lower-id neighbor)."""
+    from hypothesis import assume
+
+    from mindsdb_spark.operators.dedup import semantic_dedup
+
+    assume(all(any(abs(x) > 1e-3 for x in v) for v in vecs))
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    rows.append((1000, vecs[0]))  # exact twin of vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.is_dup for r in semantic_dedup(df, threshold=0.9999).collect()}
+    assert out[1000] is True
+    assert out[0] in (False, True)  # 0 flags only if some OTHER lower id matches
+    if len(vecs) == 1:
+        assert out[0] is False
