@@ -351,6 +351,19 @@ _ALTER_KB_RE = re.compile(
 _UPDATE_AGENT_RE = re.compile(
     r"UPDATE\s+AGENT\s+([\w.`]+)\s+SET\s+(.+)$", re.IGNORECASE | re.DOTALL
 )
+# `SELECT ... FROM l [la] ASOF JOIN r [ra] ON la.k = ra.k AND la.t >= ra.t`
+# — DuckDB's ASOF JOIN syntax over the no-join-node operator
+# (operators/temporal.py:asof_join); the inequality direction picks
+# backward (>=: latest right at-or-before) vs forward (<=). SQL-door
+# extension beyond the reference (which has no as-of join at all).
+_ASOF_RE = re.compile(
+    r"SELECT\s+(.+?)\s+FROM\s+([\w.`]+)(?:\s+(?:AS\s+)?(\w+))?"
+    r"\s+ASOF\s+(?:LEFT\s+)?JOIN\s+([\w.`]+)(?:\s+(?:AS\s+)?(\w+))?"
+    r"\s+ON\s+(.+?)(?:\s+ORDER\s+BY\s+([\w`,\s.]+?))?(?:\s+LIMIT\s+(\d+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
 # pipeline operators as SQL table functions:
 # `SELECT * FROM <op>(<table>[, key = value, ...]) [ORDER BY ...] [LIMIT n]`
 # — every training-data operator is reachable from the SQL door, not only
@@ -2181,6 +2194,53 @@ class EngineSession:
                 out = self._kb_insert(kbname, rows, batch_size=batch_size)
                 self._resumable.pop(qid, None)
                 return out
+        m = _ASOF_RE.match(s)
+        if m and " ASOF " in u:
+            from mindsdb_spark.operators.temporal import asof_join
+
+            sel, ltab, lali, rtab, rali, conds, order, limit = m.groups()
+            lali = (lali or ltab.split(".")[-1]).lower()
+            rali = (rali or rtab.split(".")[-1]).lower()
+            by, on_col, direction = [], None, None
+            for cond in _split_and(conds):
+                cm = re.match(
+                    r"\s*(\w+)\.([\w`]+)\s*(=|>=|<=)\s*(\w+)\.([\w`]+)\s*$", cond
+                )
+                if cm is None:
+                    raise ValueError(f"unsupported ASOF condition {cond!r}")
+                a_ali, a_col, op, b_ali, b_col = (
+                    cm.group(1).lower(), cm.group(2).strip("`").lower(), cm.group(3),
+                    cm.group(4).lower(), cm.group(5).strip("`").lower(),
+                )
+                if a_col != b_col:
+                    raise ValueError(
+                        "ASOF JOIN door requires matching column names on "
+                        f"both sides, got {a_col!r} vs {b_col!r}"
+                    )
+                if op == "=":
+                    by.append(a_col)
+                else:
+                    # normalize to the LEFT side's perspective
+                    left_first = a_ali == lali
+                    ge = (op == ">=") == left_first
+                    on_col, direction = a_col, "backward" if ge else "forward"
+            if on_col is None:
+                raise ValueError("ASOF JOIN needs one >= or <= time condition")
+            left = self.sql(f"SELECT * FROM {ltab}")
+            right = self.sql(f"SELECT * FROM {rtab}")
+            out = asof_join(left, right, on=on_col, by=by or None, direction=direction)
+            strip = re.compile(rf"\b({lali}|{rali})\.", re.IGNORECASE)
+            if sel.strip() != "*":
+                out = out.selectExpr(
+                    *[strip.sub("", c.strip()) for c in sel.split(",")]
+                )
+            if order:
+                out = out.orderBy(
+                    *[strip.sub("", c.strip(" `")) for c in order.split(",")]
+                )
+            if limit:
+                out = out.limit(int(limit))
+            return out
         m = _TABLE_FN_RE.match(s)
         if m and m.group(1).lower() in _pipeline_table_fns():
             fn = _pipeline_table_fns()[m.group(1).lower()]

@@ -84,3 +84,46 @@ def test_range_join_boundaries_inclusive(spark):
     res = range_join(points, iv, point_col="t", start_col="s", end_col="e", by="k",
                      bucket_width_seconds=30)
     assert sorted(r["pid"] for r in res.collect()) == [1, 2]
+
+
+def test_asof_join_sql_door(spark, sf_dir):
+    """DuckDB's ASOF JOIN syntax through the engine: the inequality
+    direction picks backward/forward; equality conditions are the group
+    keys. Result must match the operator called directly."""
+    from mindsdb_spark.engine import EngineSession
+    from mindsdb_spark.operators.temporal import asof_join
+
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir, tables=["events"])
+    quotes = sess.sql(
+        "SELECT user_id, ts, value FROM tpch_events WHERE event_type = 'view'"
+    )
+    trades = sess.sql(
+        "SELECT user_id, ts, value AS tv FROM tpch_events WHERE event_type = 'click'"
+    )
+    quotes.createOrReplaceTempView("asof_quotes")
+    trades.createOrReplaceTempView("asof_trades")
+    got = sess.sql(
+        "SELECT t.user_id, t.ts, t.tv, t.value FROM asof_trades t "
+        "ASOF JOIN asof_quotes q ON t.user_id = q.user_id AND t.ts >= q.ts "
+        "ORDER BY t.user_id, t.ts LIMIT 50"
+    ).collect()
+    want = (
+        asof_join(trades, quotes, on="ts", by="user_id", direction="backward")
+        .select("user_id", "ts", "tv", "value")
+        .orderBy("user_id", "ts")
+        .limit(50)
+        .collect()
+    )
+    assert got == want and len(got) == 50
+    # forward direction via <=
+    fwd = sess.sql(
+        "SELECT t.user_id, t.value FROM asof_trades t "
+        "ASOF JOIN asof_quotes q ON t.user_id = q.user_id AND t.ts <= q.ts "
+        "ORDER BY t.user_id, t.ts LIMIT 10"
+    ).collect()
+    want_f = (
+        asof_join(trades, quotes, on="ts", by="user_id", direction="forward")
+        .select("user_id", "value").orderBy("user_id", "ts").limit(10).collect()
+    )
+    assert fwd == want_f
