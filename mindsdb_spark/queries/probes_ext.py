@@ -1227,6 +1227,30 @@ GROUP BY l.l_returnflag ORDER BY l.l_returnflag
 """
 
 
+def p69_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL — the modern-SQL convenience both
+    engines grew (Spark 3.4+, DuckDB): non-aggregate targets become the
+    grouping set implicitly. Through the engine SQL door."""
+    from mindsdb_spark.queries.engine_queries import _session
+
+    sess = _session(spark, sf_dir)
+    return sess.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+               FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS rev
+        FROM tpch_orders GROUP BY ALL ORDER BY ALL
+        """
+    )
+
+
+P69_SQL = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+       floor(sum(o_totalprice) * 100 + 0.5) / 100 AS rev
+FROM orders GROUP BY ALL ORDER BY ALL
+"""
+
+
+
 PROBES_EXT = {
     "p33_cube": (p33_cube, P33_SQL),
     "p34_grouping_sets": (p34_grouping_sets, P34_SQL),
@@ -1264,4 +1288,5 @@ PROBES_EXT = {
     "p66_q6_revenue": (p66_q6_revenue, P66_SQL),
     "p67_q1_pricing": (p67_q1_pricing, P67_SQL),
     "p68_q12_priority_mix": (p68_q12_priority_mix, P68_SQL),
+    "p69_group_by_all": (p69_group_by_all, P69_SQL),
 }
