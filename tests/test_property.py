@@ -249,3 +249,35 @@ def test_semantic_dedup_identical_vectors_flagged(spark, vecs):
     assert out[0] in (False, True)  # 0 flags only if some OTHER lower id matches
     if len(vecs) == 1:
         assert out[0] is False
+
+
+@_settings
+@given(
+    parts=st.lists(
+        st.one_of(
+            st.sampled_from(["SELECT 1", " FROM t ", "WHERE x = 'a#b'",
+                             '"quo#ted"', "`ba#ck`", "# comment\n", "#tail"]),
+            st.text(alphabet="abc #'\"`\n", max_size=8),
+        ),
+        max_size=8,
+    )
+)
+def test_strip_mysql_comments_properties(parts):
+    """Idempotent; never touches # inside string literals or backtick
+    identifiers; output contains no bare # outside such regions."""
+    from mindsdb_spark.dialect.rewriter import _skip_string, strip_mysql_comments
+
+    sql = "".join(parts)
+    out = strip_mysql_comments(sql)
+    assert strip_mysql_comments(out) == out  # idempotent
+
+    def outside_strings(s):
+        res, i = [], 0
+        while i < len(s):
+            if s[i] in ("'", '"', "`"):
+                i = _skip_string(s, i, s[i])
+                continue
+            res.append(s[i]); i += 1
+        return "".join(res)
+
+    assert "#" not in outside_strings(out)
