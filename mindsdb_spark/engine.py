@@ -331,6 +331,22 @@ _EVALUATE_RE = re.compile(
 _ALTER_VIEW_RE = re.compile(
     r"ALTER\s+VIEW\s+([\w.`]+)\s+AS\s+(.+)$", re.IGNORECASE | re.DOTALL
 )
+# `CREATE MATERIALIZED VIEW name AS (query) [REFRESH EVERY n unit]` —
+# persisted query results with optional scheduled refresh (engine extension:
+# the reference only has virtual views + jobs; this composes them the way
+# warehouse engines do). Storage is parquet with the same copy-on-write
+# atomic swap as every write verb; REFRESH re-runs the body.
+_CREATE_MATVIEW_RE = re.compile(
+    r"CREATE\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s+AS\s+\((.+?)\)"
+    r"(?:\s+REFRESH\s+EVERY\s+(\d+)\s+(\w+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_MATVIEW_RE = re.compile(
+    r"DROP\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.`]+)$", re.IGNORECASE
+)
+_REFRESH_MATVIEW_RE = re.compile(
+    r"REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)$", re.IGNORECASE
+)
 # `ALTER DATABASE name [WITH] PARAMETERS [=] {json}` — merge new connection
 # parameters and re-attach (reference: command_executor.py:1308-1313).
 _ALTER_DB_RE = re.compile(
@@ -620,6 +636,9 @@ class EngineSession:
         # interrupted resumable statements by id (reference: RunningQuery +
         # query_resume/query_cancel, context_controller.py:51-120)
         self._resumable: dict[str, str] = {}
+        # materialized views: name → body SQL; storage is lazy (first use)
+        self._matviews: dict[str, str] = {}
+        self._matview_src = None
         self.pushdown_enabled = True
         self.last_execution: tuple[str, str | None] = ("spark", None)
         self._register_builtin_functions()
@@ -1551,6 +1570,27 @@ class EngineSession:
         return self.spark.sql(outer)
 
     # -- SQL entry point -------------------------------------------------------
+    def _matview_store(self):
+        if self._matview_src is None:
+            import tempfile
+
+            from mindsdb_spark.sources.parquet_source import ParquetSource
+
+            self._matview_src = ParquetSource(
+                self.spark, tempfile.mkdtemp(prefix="mindsdb_matview_")
+            )
+        return self._matview_src
+
+    def _refresh_matview_view(self, name: str) -> None:
+        self._matview_store().read(name).createOrReplaceTempView(name)
+
+    def _refresh_matview(self, name: str) -> None:
+        """Re-run the stored body and atomically swap the parquet contents
+        (copy-on-write through ParquetSource.overwrite — safe even while a
+        reader scans the old files)."""
+        self._matview_store().overwrite(name, self.sql(self._matviews[name]))
+        self._refresh_matview_view(name)
+
     def _param_value(self, raw: str) -> str:
         """Resolve one USING-parameter value the way the reference's
         variables controller does (variables_controller.py:76-90
@@ -2412,6 +2452,40 @@ class EngineSession:
             self._views[name] = body
             self.spark.sql(body).createOrReplaceTempView(name)
             return self.spark.createDataFrame([(name,)], "view string")
+        m = _CREATE_MATVIEW_RE.match(s)
+        if m:
+            name = m.group(1).lower().strip("`").split(".")[-1]
+            body = m.group(2)
+            self._matview_store().create_table(name, self.sql(body), replace=True)
+            self._matviews[name] = body
+            self._refresh_matview_view(name)
+            if m.group(3):
+                n, unit = int(m.group(3)), m.group(4).lower()
+                if unit not in _PERIODS:
+                    raise ValueError(f"unknown period {unit!r}")
+                self.jobs.create_job(
+                    f"__matview_{name}",
+                    lambda nm=name: self._refresh_matview(nm),
+                    every_seconds=n * _PERIODS[unit],
+                    sql=f"REFRESH MATERIALIZED VIEW {name}",
+                )
+            return self.spark.createDataFrame([(name,)], "materialized_view string")
+        m = _REFRESH_MATVIEW_RE.match(s)
+        if m:
+            name = m.group(1).lower().strip("`").split(".")[-1]
+            if name not in self._matviews:
+                raise KeyError(f"materialized view {name!r} does not exist")
+            self._refresh_matview(name)
+            return self.spark.createDataFrame([(name,)], "materialized_view string")
+        m = _DROP_MATVIEW_RE.match(s)
+        if m:
+            name = m.group(1).lower().strip("`").split(".")[-1]
+            self._matviews.pop(name, None)
+            self.jobs.drop_job(f"__matview_{name}")
+            if self._matview_src is not None and self._matview_src.exists(name):
+                self._matview_src.drop_table(name)
+            self.spark.catalog.dropTempView(name)
+            return self.spark.createDataFrame([(name,)], "materialized_view string")
         m = _CREATE_JOB_RE.match(s)
         if m:
             # START/END bound the schedule window; IF (query) gates each run

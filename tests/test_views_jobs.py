@@ -150,3 +150,34 @@ def test_log_jobs_history(spark, sf_dir):
     ll = sess.sql("SELECT * FROM log.llm_log")
     assert ll.count() == 0 and "total_tokens" in ll.columns
     sess.sql("DROP JOB lh_ok"); sess.sql("DROP JOB lh_bad")
+
+
+def test_materialized_view_lifecycle(spark, sf_dir):
+    """CREATE MATERIALIZED VIEW persists the result (parquet, atomic-swap
+    refresh); the view serves the SNAPSHOT until refreshed; REFRESH EVERY
+    wires a scheduler job."""
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir, tables=["nation"])
+    sess.sql("CREATE DATABASE mv_ws")  # project workspace for a mutable base
+    sess.sql("CREATE TABLE mv_ws.base AS SELECT n_nationkey, n_name FROM tpch_nation")
+    sess.sql("CREATE MATERIALIZED VIEW mv_top AS "
+             "(SELECT count(*) AS n FROM mv_ws_base)")
+    assert sess.sql("SELECT n FROM mv_top").collect()[0]["n"] == 25
+    # base changes; the matview serves the snapshot until refreshed
+    sess.sql("INSERT INTO mv_ws.base VALUES (99, 'NATION_NEW')")
+    assert sess.sql("SELECT n FROM mv_top").collect()[0]["n"] == 25
+    sess.sql("REFRESH MATERIALIZED VIEW mv_top")
+    assert sess.sql("SELECT n FROM mv_top").collect()[0]["n"] == 26
+    # scheduled refresh: the job re-materializes on tick
+    sess.sql("CREATE MATERIALIZED VIEW mv_auto AS "
+             "(SELECT count(*) AS n FROM mv_ws_base) REFRESH EVERY 1 hour")
+    sess.sql("INSERT INTO mv_ws.base VALUES (100, 'NATION_NEWER')")
+    assert sess.sql("SELECT n FROM mv_auto").collect()[0]["n"] == 26
+    sess.jobs.run_pending(1e12)
+    assert sess.sql("SELECT n FROM mv_auto").collect()[0]["n"] == 27
+    sess.sql("DROP MATERIALIZED VIEW mv_top")
+    sess.sql("DROP MATERIALIZED VIEW mv_auto")
+    assert "__matview_mv_auto" not in sess.jobs.jobs
+    sess.sql("DROP DATABASE mv_ws")
