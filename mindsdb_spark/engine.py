@@ -960,9 +960,9 @@ class EngineSession:
         ``embedder``: 'xxhash' (default test embedder) or 'md5' (slower but
         reproducible on any engine with md5 — used by conformance oracles).
         ``chunk=False`` stores each document as a single chunk."""
-        from mindsdb_spark.operators.kb import chunk_documents, fake_embed, md5_embed
+        from mindsdb_spark.operators.kb import chunk_documents, resolve_embedder
 
-        embed = md5_embed if embedder == "md5" else fake_embed
+        embed = resolve_embedder(embedder)
         if chunk:
             chunks = chunk_documents(documents)
         else:
@@ -977,9 +977,9 @@ class EngineSession:
         self._kbs[name.lower()] = {"store": store, "dim": dim, "embedder": embedder}
 
     def _kb_embed_query(self, kb: dict, query_text: str) -> list[float]:
-        from mindsdb_spark.operators.kb import fake_embed, md5_embed
+        from mindsdb_spark.operators.kb import resolve_embedder
 
-        embed = md5_embed if kb.get("embedder") == "md5" else fake_embed
+        embed = resolve_embedder(kb.get("embedder"))
         qrow = embed(
             self.spark.createDataFrame([(query_text,)], "chunk_text string"), dim=kb["dim"]
         ).head()
@@ -1006,11 +1006,11 @@ class EngineSession:
         from the persisted cursor instead of re-embedding completed
         batches. Within a batch the embed is fully distributed — Spark's
         executor parallelism plays the reference's thread pool."""
-        from mindsdb_spark.operators.kb import chunk_documents, fake_embed, kb_upsert, md5_embed
+        from mindsdb_spark.operators.kb import chunk_documents, kb_upsert, resolve_embedder
         from mindsdb_spark.streaming.incremental import batched_insert
 
         kb = self._kbs[name]
-        embed = md5_embed if kb.get("embedder") == "md5" else fake_embed
+        embed = resolve_embedder(kb.get("embedder"))
         cols = {c.lower(): c for c in docs.columns}
         id_col = next((cols[c] for c in ("doc_id", "id") if c in cols), docs.columns[0])
         text_col = next(
@@ -1091,7 +1091,7 @@ class EngineSession:
         address rows by id, the reference's vector-store update contract."""
         from pyspark.sql import Observation
 
-        from mindsdb_spark.operators.kb import fake_embed, md5_embed
+        from mindsdb_spark.operators.kb import resolve_embedder
 
         kb = self._kbs[name]
         cols = kb["store"].columns
@@ -1102,7 +1102,7 @@ class EngineSession:
                 colname, F.when(F.col("__hit"), expr).otherwise(F.col(colname))
             )
         if "chunk_text" in set_map:
-            embed = md5_embed if kb.get("embedder") == "md5" else fake_embed
+            embed = resolve_embedder(kb.get("embedder"))
             store = store.withColumnRenamed("embedding", "__old_emb")
             store = embed(store, dim=kb["dim"])
             store = store.withColumn(
@@ -1124,7 +1124,7 @@ class EngineSession:
         stores — they must share embedder and dimension so one query
         embedding ranks all chunks."""
         from mindsdb_spark.operators.agent import agent_apply, rag_prompts
-        from mindsdb_spark.operators.kb import fake_embed, md5_embed
+        from mindsdb_spark.operators.kb import resolve_embedder
 
         kbs = [self._kbs[n] for n in agent.knowledge_bases]
         dim, embed_name = kbs[0]["dim"], kbs[0].get("embedder")
@@ -1137,7 +1137,7 @@ class EngineSession:
         for kb in kbs[1:]:
             # metadata schemas may differ per KB — missing columns are NULL
             store = store.unionByName(kb["store"], allowMissingColumns=True)
-        embedder = md5_embed if embed_name == "md5" else fake_embed
+        embedder = resolve_embedder(embed_name)
 
         def _embed(df):
             return embedder(df, dim=dim)
@@ -1170,11 +1170,13 @@ class EngineSession:
         cosine, score hit@k / MRR@k / NDCG@k, average over queries."""
         from pyspark.sql.window import Window
 
-        from mindsdb_spark.operators.kb import fake_embed, retrieval_metrics
+        from mindsdb_spark.operators.kb import resolve_embedder, retrieval_metrics
         from mindsdb_spark.operators.vector import _dot, _norm
 
         kb = self._kbs[name]
-        q = fake_embed(
+        # query embeddings must come from the STORE's embedder or every
+        # similarity is meaningless
+        q = resolve_embedder(kb.get("embedder"))(
             self.spark.table(test_table).withColumnRenamed("query_text", "chunk_text"),
             dim=kb["dim"],
         ).select("query_id", "rel_doc_id", F.col("embedding").alias("__qe"))

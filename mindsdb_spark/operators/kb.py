@@ -121,6 +121,46 @@ def md5_embed(df: DataFrame, text_col: str = "chunk_text", dim: int = 8) -> Data
     return df.withColumn("embedding", F.array(*lanes))
 
 
+def hash_embed(
+    df: DataFrame,
+    text_col: str = "chunk_text",
+    dim: int = 32,
+    out_float: bool = True,
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) TF embedder — a REAL text
+    representation, unlike the conformance embedders above: similar texts
+    share token buckets and land near each other in cosine space. Lane i
+    counts the tokens whose md5 bucket is i (md5 is the hash both engines
+    share, so a DuckDB oracle reproduces every lane), L2-normalized.
+    Pure map stage — higher-order functions, zero shuffle, whole-stage
+    codegen — at any corpus size. ``out_float=False`` keeps full double
+    precision for oracle-checked surfaces (float32 truncation would
+    diverge from the oracle's double arithmetic at rounding boundaries).
+    """
+    toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    tf = (
+        f"transform(sequence(0, {dim - 1}), i -> CAST(size(filter({toks}, "
+        f"t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % {dim} = i"
+        f")) AS DOUBLE))"
+    )
+    cast_to = "FLOAT" if out_float else "DOUBLE"
+    norm = "greatest(sqrt(aggregate(__tf, CAST(0 AS DOUBLE), (a, x) -> a + x * x)), 1e-12)"
+    return (
+        df.withColumn("__tf", F.expr(tf))
+        .withColumn(
+            "embedding", F.expr(f"transform(__tf, x -> CAST(x / {norm} AS {cast_to}))")
+        )
+        .drop("__tf")
+    )
+
+
+def resolve_embedder(name):
+    """KB embedder registry: conformance embedders (fake/md5) plus the
+    real hashing-trick representation. One place, every insert/search door
+    resolves through it so query embeddings always match the store's."""
+    return {"md5": md5_embed, "hash": hash_embed}.get(name, fake_embed)
+
+
 def embed_with(df: DataFrame, embed_fn, text_col: str = "chunk_text") -> DataFrame:
     """Embed with a user model via an Arrow-batched pandas iterator UDF.
 
@@ -216,7 +256,7 @@ def kb_stream_insert(
     Re-running against the same checkpoint reprocesses nothing; new files
     in the source directory become new micro-batches. Returns the updated
     chunk store."""
-    embed = md5_embed if kb.get("embedder") == "md5" else fake_embed
+    embed = resolve_embedder(kb.get("embedder"))
     chunk_kw = {}
     if "chunk_size" in kb:
         chunk_kw["chunk_size"] = kb["chunk_size"]

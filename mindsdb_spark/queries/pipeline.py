@@ -689,6 +689,39 @@ FROM flags f ORDER BY f.doc_id
 """
 
 
+# --- D33 feature-hashing text embedder (hashing-trick TF, L2-normalized) -----
+def d33_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.kb import hash_embed
+
+    docs = _t(spark, sf_dir, "documents").where(col("doc_id") < 100)
+    out = hash_embed(docs, text_col="text", dim=16, out_float=False)
+    return out.select(
+        "doc_id", F.posexplode(col("embedding")).alias("lane", "v")
+    ).select(
+        "doc_id", "lane",
+        (F.floor(col("v") * 1e6 + F.lit(0.5)) / 1e6).alias("v"),
+    ).orderBy("doc_id", "lane")
+
+
+D33_SQL = r"""
+WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents WHERE doc_id < 100),
+tf AS (SELECT doc_id,
+              list_transform(generate_series(0, 15),
+                i -> CAST(len(list_filter(w,
+                       t -> ('0x' || substr(md5(t), 1, 8))::UBIGINT % 16 = i))
+                     AS DOUBLE)) AS tfv
+       FROM t),
+n AS (SELECT doc_id, tfv,
+             greatest(sqrt(list_sum(list_transform(tfv, x -> x * x))), 1e-12) AS nrm
+      FROM tf)
+SELECT doc_id, i - 1 AS lane,
+       floor(tfv[i] / nrm * 1000000 + 0.5) / 1000000 AS v
+FROM n, UNNEST(generate_series(1, 16)) AS u(i)
+ORDER BY doc_id, lane
+"""
+
+
 # --- D22 corpus top-V vocabulary coverage / OOV fraction ---------------------
 def d22_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.operators.text import vocab_coverage
@@ -1235,6 +1268,7 @@ PIPELINE = {
     "d30_semantic_dedup": (d30_semantic_dedup, D30_SQL),
     "d31_incremental_dedup": (d31_incremental_dedup, D31_SQL),
     "d32_curation_pipeline": (d32_curation_pipeline, D32_SQL),
+    "d33_hash_embed": (d33_hash_embed, D33_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),

@@ -174,3 +174,29 @@ def test_kb_chunking_config(spark, sf_dir):
         F.max(F.length("chunk_text")).alias("m")).collect()[0]["m"]
     assert ml <= 80
     sess.sql("DROP KNOWLEDGE_BASE ck_small"); sess.sql("DROP KNOWLEDGE_BASE ck_big")
+
+
+def test_hash_embedder_semantic_retrieval(spark, sf_dir):
+    """The hashing-trick embedder is a REAL representation: a KB built
+    with it retrieves the chunk sharing the query's tokens ahead of
+    unrelated chunks (content hashes can't do that)."""
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir, tables=["documents"])
+    sess.sql("CREATE KNOWLEDGE_BASE hkb USING dim = 32, embedder = 'hash', "
+             "chunk_size = 4000, chunk_overlap = 0")
+    spark.createDataFrame(
+        [(0, "spark shuffle partitions exchange broadcast join"),
+         (1, "zebra giraffe lion savanna wildlife safari"),
+         (2, "window frame rank lag lead analytic")],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("hkb_docs")
+    sess.sql("INSERT INTO hkb SELECT doc_id, text FROM hkb_docs")
+    top = sess.sql(
+        "SELECT * FROM hkb WHERE content = 'broadcast join shuffle' LIMIT 1"
+    ).collect()[0]
+    assert top["doc_id"] == 0
+    top = sess.sql(
+        "SELECT * FROM hkb WHERE content = 'lion safari wildlife' LIMIT 1"
+    ).collect()[0]
+    assert top["doc_id"] == 1
+    sess.sql("DROP KNOWLEDGE_BASE hkb")
