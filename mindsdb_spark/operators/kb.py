@@ -154,10 +154,67 @@ def hash_embed(
     )
 
 
+def hash_embed_tfidf(
+    df: DataFrame,
+    text_col: str = "chunk_text",
+    dim: int = 32,
+    out_float: bool = True,
+) -> DataFrame:
+    """TF-IDF weighted hashing-trick embedder: per-bucket term counts
+    (hash_embed's map stage) reweighted by ln(N / (1 + df_bucket)) so
+    stopword-heavy buckets stop dominating the cosine — the classic
+    retrieval upgrade over raw TF.
+
+    Corpus statistics stay scale-safe: bucket document frequencies are ONE
+    dim-length aggregate (posexplode → groupBy(lane), dim keys) collapsed
+    to a single broadcast row, and N rides the same row — no driver state,
+    no second corpus pass over text. The per-doc weighting is then a pure
+    zip_with map stage."""
+    base = hash_embed(df, text_col=text_col, dim=dim, out_float=False)
+    raw = base.withColumnRenamed("embedding", "__tf")
+    lanes = raw.select(F.posexplode("__tf").alias("__lane", "__v"))
+    stats = (
+        lanes.groupBy("__lane")
+        .agg(F.sum(F.when(F.col("__v") > 0, 1).otherwise(0)).alias("__df"))
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__lane", "__df"))
+            ).alias("__dfs"),
+        )
+        .select(
+            F.expr("transform(__dfs, x -> CAST(x.__df AS DOUBLE))").alias("__dfa")
+        )
+    )
+    n_docs = raw.groupBy().agg(F.count("*").cast("double").alias("__n"))
+    cast_to = "FLOAT" if out_float else "DOUBLE"
+    weighted = (
+        raw.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "__w",
+            F.expr("zip_with(__tf, __dfa, (t, d) -> t * ln(__n / (1 + d)))"),
+        )
+        .withColumn(
+            "embedding",
+            F.expr(
+                "transform(__w, x -> CAST(x / greatest(sqrt(aggregate(__w, "
+                f"CAST(0 AS DOUBLE), (a, y) -> a + y * y)), 1e-12) AS {cast_to}))"
+            ),
+        )
+        .drop("__tf", "__dfa", "__n", "__w")
+    )
+    return weighted
+
+
 def resolve_embedder(name):
     """KB embedder registry: conformance embedders (fake/md5) plus the
     real hashing-trick representation. One place, every insert/search door
     resolves through it so query embeddings always match the store's."""
+    # hash_embed_tfidf stays OUT of the registry on purpose: a KB query
+    # embedding must reuse the STORE's idf statistics, not refit them on
+    # the one-row query frame — wire it via embed_with + stored idf when a
+    # deployment needs weighted retrieval
     return {"md5": md5_embed, "hash": hash_embed}.get(name, fake_embed)
 
 

@@ -722,6 +722,46 @@ ORDER BY doc_id, lane
 """
 
 
+# --- D34 TF-IDF weighted hash embeddings -------------------------------------
+def d34_tfidf_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.kb import hash_embed_tfidf
+
+    docs = _t(spark, sf_dir, "documents").where(col("doc_id") < 100)
+    out = hash_embed_tfidf(docs, text_col="text", dim=16, out_float=False)
+    return out.select(
+        "doc_id", F.posexplode(col("embedding")).alias("lane", "v")
+    ).select(
+        "doc_id", "lane",
+        (F.floor(col("v") * 1e6 + F.lit(0.5)) / 1e6).alias("v"),
+    ).orderBy("doc_id", "lane")
+
+
+D34_SQL = r"""
+WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents WHERE doc_id < 100),
+tf AS (SELECT doc_id,
+              list_transform(generate_series(0, 15),
+                i -> CAST(len(list_filter(w,
+                       t -> ('0x' || substr(md5(t), 1, 8))::UBIGINT % 16 = i))
+                     AS DOUBLE)) AS tfv
+       FROM t),
+lanes AS (SELECT doc_id, i - 1 AS lane, tfv[i] AS v
+          FROM tf, UNNEST(generate_series(1, 16)) AS u(i)),
+dfs AS (SELECT lane, sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS dfb
+        FROM lanes GROUP BY lane),
+n AS (SELECT count(*) AS nd FROM tf),
+w AS (SELECT l.doc_id, l.lane, l.v * ln(n.nd / (1.0 + d.dfb)) AS wv
+      FROM lanes l JOIN dfs d USING (lane), n),
+nrm AS (SELECT doc_id,
+               greatest(sqrt(sum(wv * wv)), 1e-12) AS nr
+        FROM w GROUP BY doc_id)
+SELECT w.doc_id, w.lane,
+       floor(w.wv / nrm.nr * 1000000 + 0.5) / 1000000 AS v
+FROM w JOIN nrm USING (doc_id)
+ORDER BY w.doc_id, w.lane
+"""
+
+
 # --- D22 corpus top-V vocabulary coverage / OOV fraction ---------------------
 def d22_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.operators.text import vocab_coverage
@@ -1269,6 +1309,7 @@ PIPELINE = {
     "d31_incremental_dedup": (d31_incremental_dedup, D31_SQL),
     "d32_curation_pipeline": (d32_curation_pipeline, D32_SQL),
     "d33_hash_embed": (d33_hash_embed, D33_SQL),
+    "d34_tfidf_embed": (d34_tfidf_embed, D34_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),
