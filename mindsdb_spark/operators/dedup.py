@@ -537,3 +537,52 @@ def incremental_dedup(
             col(id_col), col("dup_of").isNotNull().alias("is_dup"), col("dup_of")
         )
     )
+
+
+def pagerank(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over an undirected pair graph (here: the LSH near-dup
+    graph — rank centrality identifies template/boilerplate hubs that
+    connected components alone can't distinguish from chance pairs).
+    Training-data extension; no reference analog.
+
+    Synchronous power iteration, fixed iteration count: each round is one
+    edge-keyed join + one destination-keyed aggregate — the same Pregel
+    shape as connected_components, with lineage checkpointed every other
+    round. Isolated nodes settle at (1-d)/N (dangling mass is not
+    redistributed — documented simplification, shared with the oracle).
+    The node count is the only driver scalar."""
+    e = pairs.select(col("doc_a").alias("src"), col("doc_b").alias("dst")).unionAll(
+        pairs.select(col("doc_b").alias("src"), col("doc_a").alias("dst"))
+    ).distinct().persist()
+    deg = e.groupBy("src").agg(F.count("*").alias("__deg"))
+    n_nodes = nodes.count()
+    base = F.lit((1.0 - damping) / n_nodes)
+    ranks = nodes.select(col(id_col).alias("node")).withColumn(
+        "rank", F.lit(1.0 / n_nodes)
+    )
+    for i in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(col("rank") / col("__deg")).alias("__m"))
+        )
+        ranks = (
+            nodes.select(col(id_col).alias("node"))
+            .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (base + F.lit(damping) * F.coalesce(col("__m"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+        )
+        if i % 2 == 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(col("node").alias(id_col), "rank")

@@ -762,6 +762,53 @@ ORDER BY w.doc_id, w.lane
 """
 
 
+# --- D35 PageRank centrality over the near-dup graph -------------------------
+def d35_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(D.shingle_hashes(docs))
+    pr = D.pagerank(docs.select("doc_id"), pairs, iterations=5)
+    return pr.select(
+        "doc_id",
+        (F.floor(col("rank") * 1e9 + F.lit(0.5)) / 1e9).alias("rank"),
+    ).orderBy("doc_id")
+
+
+def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power-iteration CTE chain — fixed iteration count needs no
+    recursion, and every layer is the same join+aggregate the operator
+    runs."""
+    layers = []
+    for k in range(1, iterations + 1):
+        prev = f"r{k - 1}"
+        layers.append(
+            f"""r{k} AS (
+  SELECT n.doc_id,
+         (1 - {damping}) / nn.n + {damping} * coalesce(s.m, 0) AS rank
+  FROM (SELECT doc_id FROM documents) n
+  CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst AS doc_id, sum(p.rank / d.c) AS m
+             FROM edges e
+             JOIN {prev} p ON p.doc_id = e.src
+             JOIN deg d ON d.doc_id = e.src
+             GROUP BY e.dst) s ON s.doc_id = n.doc_id
+)"""
+        )
+    return ",\n".join(layers)
+
+
+D35_SQL = f"""
+WITH {_lsh_pairs_ctes()},
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+deg AS (SELECT src AS doc_id, count(*) AS c FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM documents),
+r0 AS (SELECT doc_id, 1.0 / nn.n AS rank FROM documents, nn),
+{_pagerank_oracle()}
+SELECT doc_id, floor(rank * 1000000000 + 0.5) / 1000000000 AS rank
+FROM r5 ORDER BY doc_id
+"""
+
+
 # --- D22 corpus top-V vocabulary coverage / OOV fraction ---------------------
 def d22_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.operators.text import vocab_coverage
@@ -1310,6 +1357,7 @@ PIPELINE = {
     "d32_curation_pipeline": (d32_curation_pipeline, D32_SQL),
     "d33_hash_embed": (d33_hash_embed, D33_SQL),
     "d34_tfidf_embed": (d34_tfidf_embed, D34_SQL),
+    "d35_pagerank": (d35_pagerank, D35_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),

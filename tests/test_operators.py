@@ -430,3 +430,21 @@ def test_incremental_dedup_batch_vs_corpus(spark):
     strict = {r.doc_id: r.is_dup
               for r in incremental_dedup(corpus, batch, jaccard_threshold=0.999).collect()}
     assert strict[10] is True and strict[12] is False
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    from mindsdb_spark.operators.dedup import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    # star: 0 is the hub; 5 is isolated
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4)], "doc_a long, doc_b long"
+    )
+    pr = {r.doc_id: r.rank for r in pagerank(nodes, pairs, iterations=10).collect()}
+    assert pr[0] == max(pr.values())
+    assert pr[5] == min(pr.values())  # isolated settles at (1-d)/N
+    assert abs(pr[5] - 0.15 / 6) < 1e-12
+    assert abs(pr[1] - pr[4]) < 1e-12  # symmetric spokes tie exactly
+    # rank mass stays bounded above by 1 (isolated nodes leak mass — the
+    # documented no-dangling-redistribution simplification)
+    assert 0.0 < sum(pr.values()) <= 1.0 + 1e-9
