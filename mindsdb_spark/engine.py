@@ -2876,6 +2876,29 @@ class EngineSession:
                 "name string, dim int, embedder string, chunks_estimate long, "
                 "has_index boolean, metadata_columns string",
             )
+        dm = re.match(
+            r"(?:DESCRIBE|DESC)\s+MODEL\s+([\w.`]+)\.(features|model|info)$",
+            s,
+            re.IGNORECASE,
+        )
+        if dm and self._model_of(dm.group(1)) is not None:
+            # attribute paths (reference: answer_describe_predictor —
+            # `DESCRIBE MODEL m.features` etc., command_executor.py:931-960)
+            spec = self._model_of(dm.group(1))
+            attr = dm.group(2).lower()
+            if attr == "features":
+                rows = [(c,) for c in (spec.features or [])] or [("(not recorded)",)]
+                return self.spark.createDataFrame(rows, "feature string")
+            info = dict(spec.info or {})
+            if attr == "model":
+                rows = [(k, json.dumps(v) if not isinstance(v, str) else v)
+                        for k, v in sorted(info.items())] or [("engine", "registered")]
+                return self.spark.createDataFrame(rows, "attribute string, value string")
+            return self.spark.createDataFrame(
+                [(spec.name, info.get("engine", "registered"), spec.output_schema,
+                  "ts" if spec.order_by else "row")],
+                "name string, engine string, outputs string, kind string",
+            )
         dm = re.match(r"(?:DESCRIBE|DESC)\s+MODEL\s+([\w.`]+)$", s, re.IGNORECASE)
         if dm and self._model_of(dm.group(1)) is not None:
             # one row per surviving version, newest last; `active` marks the

@@ -58,7 +58,12 @@ def spark_ml_linreg(name: str, train_df: DataFrame, target: str, params: dict) -
             s = s + pdf[c].astype("float64") * w
         return pd.DataFrame({target: s})
 
-    return ModelSpec(name=name, predict=predict, output_schema=f"{target} double")
+    return ModelSpec(
+        name=name, predict=predict, output_schema=f"{target} double",
+        features=feats,
+        info={"engine": "spark_ml_linreg", "coefficients": coefs,
+              "intercept": intercept},
+    )
 
 
 def spark_ml_kmeans_label(name: str, train_df: DataFrame, target: str, params: dict) -> ModelSpec:
@@ -86,7 +91,11 @@ def spark_ml_kmeans_label(name: str, train_df: DataFrame, target: str, params: d
         d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
         return pd.DataFrame({target: d.argmin(axis=1).astype("int64")}, index=pdf.index)
 
-    return ModelSpec(name=name, predict=predict, output_schema=f"{target} long")
+    return ModelSpec(
+        name=name, predict=predict, output_schema=f"{target} long",
+        features=feats,
+        info={"engine": "spark_ml_kmeans", "n_centroids": len(centers)},
+    )
 
 
 
@@ -141,6 +150,10 @@ def spark_ml_logreg(name: str, train_df: DataFrame, target: str, params: dict) -
         name=name,
         predict=predict,
         output_schema=f"{target} {out_type}, {target}_probability double",
+        features=feats,
+        info={"engine": "spark_ml_logreg", "labels": [neg, pos],
+              "coefficients": dict(zip(feats, coefs.tolist())),
+              "intercept": intercept},
     )
 
 
@@ -189,7 +202,12 @@ def spark_ml_gbt(name: str, train_df: DataFrame, target: str, params: dict) -> M
             out += w * np.array([_eval_tree(nodes, row) for row in x])
         return pd.DataFrame({target: out}, index=pdf.index)
 
-    return ModelSpec(name=name, predict=predict, output_schema=f"{target} double")
+    return ModelSpec(
+        name=name, predict=predict, output_schema=f"{target} double",
+        features=feats,
+        info={"engine": "spark_ml_gbt", "n_trees": len(trees),
+              "max_depth": int(params.get("max_depth", 3))},
+    )
 
 
 def _export_tree(java_node, nodes=None):
@@ -263,7 +281,10 @@ def llm_prompt_model(name: str, train_df: DataFrame, target: str, params: dict) 
         prompts = [render(r) for _, r in pdf.iterrows()]
         return pd.DataFrame({target: transport(prompts)})
 
-    return ModelSpec(name=name, predict=_predict, output_schema=f"{target} string")
+    return ModelSpec(
+        name=name, predict=_predict, output_schema=f"{target} string",
+        info={"engine": "llm", "prompt_template": template},
+    )
 
 
 def ts_naive_drift(name: str, train_df: DataFrame, target: str, params: dict) -> ModelSpec:
@@ -318,6 +339,8 @@ def ts_naive_drift(name: str, train_df: DataFrame, target: str, params: dict) ->
         group_by=group_cols,
         window=window,
         horizon=horizon,
+        features=[tcol, target],
+        info={"engine": "ts_naive_drift", "window": window, "horizon": horizon},
     )
 
 

@@ -40,6 +40,11 @@ class ModelSpec:
     group_by: list[str] = field(default_factory=list)
     window: int = 10
     horizon: int = 1
+    # engine internals for DESCRIBE MODEL <name>.model / .features
+    # (reference: answer_describe_predictor attribute paths) — e.g. linreg
+    # coefficients, kmeans centroid count, gbt tree count
+    info: dict = field(default_factory=dict)
+    features: list = field(default_factory=list)
 
 
 def split_model_conditions(

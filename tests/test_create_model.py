@@ -248,3 +248,23 @@ def test_create_ts_model_sql_clauses(spark, sf_dir):
     assert all(ts_list == sorted(ts_list) and len(ts_list) == 3
                for ts_list in per_user.values())
     sess.sql("DROP MODEL drift")
+
+
+def test_describe_model_attributes(spark, sf_dir):
+    # DESCRIBE MODEL <name>.features|model|info — the reference's
+    # attribute paths (answer_describe_predictor)
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir, tables=["customer"])
+    sess.sql("CREATE MODEL dma (SELECT c_acctbal AS y, c_custkey, c_nationkey "
+             "FROM tpch_customer) PREDICT y USING engine = 'spark_ml_linreg'")
+    feats = {r["feature"] for r in sess.sql("DESCRIBE MODEL dma.features").collect()}
+    assert feats == {"c_custkey", "c_nationkey"}
+    attrs = {r["attribute"]: r["value"]
+             for r in sess.sql("DESCRIBE MODEL dma.model").collect()}
+    assert attrs["engine"] == "spark_ml_linreg"
+    assert "c_custkey" in attrs["coefficients"]
+    row = sess.sql("DESCRIBE MODEL dma.info").collect()[0]
+    assert row["engine"] == "spark_ml_linreg" and row["kind"] == "row"
+    sess.sql("DROP MODEL dma")
