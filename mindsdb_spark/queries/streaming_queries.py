@@ -254,7 +254,48 @@ ORDER BY user_id, click_id, purchase_id
 """
 
 
+def st07_stream_model_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING model inference: the event stream runs through the same
+    mapInPandas model-apply stage batch queries use (apply_model works
+    unchanged on a streaming frame — micro-batches arrive as Arrow
+    batches), then a tumbling aggregate over the scored column. The
+    reference can only poll a job that re-runs batch predictions; this is
+    true continuous scoring. The model is the deterministic risk scorer
+    (a01's shape over event values), so DuckDB replays score + window
+    exactly."""
+    from mindsdb_spark.operators.model import ModelSpec, apply_model
+    from mindsdb_spark.streaming.windows import run_available_now
+
+    def predict(pdf):
+        import pandas as pd
+
+        risk = (pdf["value"] / 100.0).clip(upper=1.0)
+        return pd.DataFrame({"risk": risk})
+
+    spec = ModelSpec(name="stream_risk", predict=predict, output_schema="risk double")
+    ev = _event_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    scored = apply_model(ev.select("ts", "event_type", "value"), spec)
+    agg = (
+        scored.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.floor(F.sum("risk") * 1e6 + F.lit(0.5)) / 1e6).alias("sr"),
+        )
+        .select(F.col("w.start").alias("h"), "event_type", "n", "sr")
+    )
+    return run_available_now(agg, "complete").orderBy("h", "event_type")
+
+
+ST07_SQL = """
+SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
+       floor(sum(least(value / 100.0, 1.0)) * 1000000 + 0.5) / 1000000 AS sr
+FROM events GROUP BY date_trunc('hour', ts), event_type
+ORDER BY h, event_type
+"""
+
+
 STREAMING_QUERIES = {
+    "st07_stream_model_apply": (st07_stream_model_apply, ST07_SQL),
     "st01_stream_tumbling": (st01_stream_tumbling, ST01_SQL),
     "st02_stream_sessions": (st02_stream_sessions, ST02_SQL),
     "st03_stream_sliding": (st03_stream_sliding, ST03_SQL),
