@@ -334,3 +334,54 @@ def dsir_weights(
         F.count("*").cast("long").alias("n_tokens"),
         _round6(F.sum("__lr")).alias("weight"),
     )
+
+
+def contrastive_triplets(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(anchor, positive, negative) triplets for contrastive embedding
+    training: every doc with a near-dup partner anchors a triplet whose
+    positive is its most-canonical (min-id) LSH pair and whose negative is
+    a deterministic hash-pick from the corpus — the standard
+    training-pair mining step between dedup and representation learning.
+    Training-data extension; no reference analog.
+
+    Scale shape: positives come from the (already bounded) candidate-pair
+    table; negatives join each anchor to ONE md5 bucket of the corpus
+    (n_buckets dials the candidate slice, anchors x N/B rows) and keep the
+    min-hash candidate — no global sort, no index, no randomness, so the
+    same triplets come out of every engine, rerun, and partitioning."""
+    sym = pairs.select(
+        col("doc_a").alias("anchor"), col("doc_b").alias("__p")
+    ).unionAll(pairs.select(col("doc_b").alias("anchor"), col("doc_a").alias("__p")))
+    pos = sym.groupBy("anchor").agg(F.min("__p").alias("positive"))
+    bucket_of = lambda c: (  # noqa: E731
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    cand = docs.select(
+        col(id_col).alias("__cand"), bucket_of(col(id_col)).alias("__cb")
+    )
+    want = pos.withColumn(
+        "__wb",
+        F.conv(
+            F.substring(F.md5(F.concat(col("anchor").cast("string"), F.lit("#neg"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets,
+    )
+    picked = (
+        want.join(cand, want["__wb"] == cand["__cb"])
+        .where((col("__cand") != col("anchor")) & (col("__cand") != col("positive")))
+        .withColumn(
+            "__h",
+            F.md5(F.concat(col("anchor").cast("string"), F.lit("#"), col("__cand").cast("string"))),
+        )
+        .groupBy("anchor", "positive")
+        .agg(F.min_by("__cand", "__h").alias("negative"))
+    )
+    return picked.select(col("anchor").alias(id_col), "positive", "negative")

@@ -809,6 +809,38 @@ FROM r5 ORDER BY doc_id
 """
 
 
+# --- D36 contrastive training triplets (anchor / LSH positive / hash negative)
+def d36_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.curation import contrastive_triplets
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(D.shingle_hashes(docs))
+    return contrastive_triplets(docs.select("doc_id"), pairs).orderBy("doc_id")
+
+
+D36_SQL = f"""
+WITH {_lsh_pairs_ctes()},
+sym AS (SELECT doc_a AS anchor, doc_b AS p FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+pos AS (SELECT anchor, min(p) AS positive FROM sym GROUP BY anchor),
+cand AS (SELECT doc_id AS cand,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                  % 64 AS cb
+         FROM documents),
+want AS (SELECT anchor, positive,
+                ('0x' || substr(md5(CAST(anchor AS VARCHAR) || '#neg'), 1, 8))::UBIGINT
+                  % 64 AS wb
+         FROM pos)
+SELECT w.anchor AS doc_id, w.positive,
+       arg_min(c.cand, md5(CAST(w.anchor AS VARCHAR) || '#' || CAST(c.cand AS VARCHAR)))
+         AS negative
+FROM want w JOIN cand c ON c.cb = w.wb
+WHERE c.cand != w.anchor AND c.cand != w.positive
+GROUP BY w.anchor, w.positive
+ORDER BY doc_id
+"""
+
+
 # --- D22 corpus top-V vocabulary coverage / OOV fraction ---------------------
 def d22_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.operators.text import vocab_coverage
@@ -1358,6 +1390,7 @@ PIPELINE = {
     "d33_hash_embed": (d33_hash_embed, D33_SQL),
     "d34_tfidf_embed": (d34_tfidf_embed, D34_SQL),
     "d35_pagerank": (d35_pagerank, D35_SQL),
+    "d36_contrastive_triplets": (d36_contrastive_triplets, D36_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),

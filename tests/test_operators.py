@@ -448,3 +448,24 @@ def test_pagerank_hub_ranks_highest(spark):
     # rank mass stays bounded above by 1 (isolated nodes leak mass — the
     # documented no-dangling-redistribution simplification)
     assert 0.0 < sum(pr.values()) <= 1.0 + 1e-9
+
+
+def test_contrastive_triplets_deterministic_and_valid(spark):
+    from mindsdb_spark.operators.curation import contrastive_triplets
+
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 5), (5, 9), (2, 7)], "doc_a long, doc_b long"
+    )
+    out = contrastive_triplets(docs, pairs, n_buckets=4)
+    rows = {r.doc_id: (r.positive, r.negative) for r in out.collect()}
+    # every paired doc anchors once; positive = min LSH partner
+    assert set(rows) == {0, 2, 5, 7, 9}
+    assert rows[5] == (0, rows[5][1])  # min partner of 5 is 0
+    assert rows[0][0] == 5 and rows[2][0] == 7 and rows[9][0] == 5
+    for a, (p, n) in rows.items():
+        assert n not in (a, p)
+    # deterministic across reruns
+    again = {r.doc_id: (r.positive, r.negative)
+             for r in contrastive_triplets(docs, pairs, n_buckets=4).collect()}
+    assert again == rows
