@@ -210,6 +210,48 @@ def jaccard_topk_pairs(
     )
 
 
+def containment_pairs(
+    sh: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Asymmetric near-containment over candidate pairs: for each (a, b),
+    containment(a→b) = |Sₐ ∩ S_b| / |Sₐ| over distinct shingle hashes.
+
+    Jaccard misses the quote/excerpt case — a 50-shingle doc fully embedded
+    in a 5000-shingle doc has Jaccard ≈ 0.01 but containment(small→big) =
+    1.0 (the Broder containment measure). Scoring is restricted to the LSH
+    candidate set, so cost is |pairs| × involved-doc shingles, never the
+    corpus cross product: the shingle index joins once per side keyed on
+    doc id, the intersection count is one keyed aggregate.
+
+    Reference has no sub-document dedup at all; this is the training-data
+    scale path (detect boilerplate wrappers, quoted reposts).
+    """
+    sh = sh.persist()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    inter = (
+        pairs.join(sh.select(col(id_col).alias("doc_a"), "sh"), "doc_a")
+        .join(sh.select(col(id_col).alias("doc_b"), "sh"), ["doc_b", "sh"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    na = sizes.select(col(id_col).alias("doc_a"), col("n").alias("na"))
+    nb = sizes.select(col(id_col).alias("doc_b"), col("n").alias("nb"))
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            r6(col("shared") / col("na")).alias("cont_a"),
+            r6(col("shared") / col("nb")).alias("cont_b"),
+            r6(F.greatest(col("shared") / col("na"), col("shared") / col("nb"))).alias(
+                "containment"
+            ),
+        )
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """Per-document 32-bit SimHash.
 

@@ -228,6 +228,55 @@ def vocab_coverage(
     )
 
 
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    top_r: int = 200,
+) -> DataFrame:
+    """Per-group Zipf fit: OLS slope of ln(freq) vs ln(rank) over the top-R
+    token ranks. Natural language sits near −1; far-off groups (code dumps,
+    boilerplate, spam) flag for curation review — the rank-frequency
+    diagnostic corpus analyses run per source/domain.
+
+    One corpus explode feeds a map-side-combinable (group, token) count;
+    ranking happens on the COUNT table (|vocab| rows, not |corpus|) and
+    only the top-R rows per group reach the regression aggregate, which is
+    four plain sums. At extreme per-group vocabularies, pre-filter the
+    count table with an approximate frequency floor before the rank window
+    so the per-group sort never sees the singleton tail.
+    Slope rounded to 4 decimals: parallel-fold double addition across ≤R
+    terms perturbs ~1e-13 relative, far inside the rounding margin.
+    """
+    df = parallelize_input(df)
+    tf = (
+        df.select(col(group_col).alias("grp"), F.explode(words_expr(col(text_col))).alias("tok"))
+        .groupBy("grp", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("c"), F.asc("tok"))
+    ranked = tf.withColumn("rank", F.row_number().over(w)).filter(col("rank") <= top_r)
+    x = F.log(col("rank").cast("double"))
+    y = F.log(col("c").cast("double"))
+    agg = ranked.groupBy("grp").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    slope = (col("n") * col("sxy") - col("sx") * col("sy")) / (
+        col("n") * col("sxx") - col("sx") * col("sx")
+    )
+    r4 = lambda c: F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+    return agg.select(
+        col("grp").alias(group_col),
+        col("n").cast("long").alias("n_ranks"),
+        r4(slope).alias("zipf_slope"),
+    )
+
+
 def ngram_novelty(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
 ) -> DataFrame:

@@ -365,6 +365,281 @@ def ivf_search(
     return cosine_topk(cand, vec_col, q, k, id_col)
 
 
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a sequential left-fold (matches DuckDB
+    list_sum over list_transform exactly — same add order, same doubles)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _pq_side_row(
+    df: DataFrame, vec_col: str, id_col: str, m: int, n_codes: int, query_id: int | None
+):
+    """One broadcast row carrying the PQ codebook (and optionally the query),
+    pre-sliced per subspace: ``__cb`` is array[m] of array[n_codes] of
+    struct<k,sv>; codewords are the subvectors of the ``n_codes`` smallest-id
+    vectors (deterministic, oracle-checkable — swap in ``pq_train`` codebooks
+    for recall-tuned production; the plan shape is identical).
+
+    No driver collect: the side is a tiny filtered two-stage aggregate, and
+    everything downstream is a map stage over ``crossJoin(broadcast(side))``.
+    """
+    sid, v = col(id_col), col(vec_col).cast("array<double>")
+    side_filter = sid < n_codes
+    aggs = [
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    col("__sid") < n_codes,
+                    F.struct(col("__sid").cast("int").alias("k"), col("__sv").alias("cv")),
+                )
+            )
+        ).alias("__cb_raw")
+    ]
+    if query_id is not None:
+        side_filter = side_filter | (sid == query_id)
+        aggs.append(
+            F.first(F.when(col("__sid") == query_id, col("__sv")), ignorenulls=True).alias("__q")
+        )
+    side = (
+        df.filter(side_filter)
+        .select(sid.alias("__sid"), v.alias("__sv"))
+        .groupBy()
+        .agg(*aggs)
+    )
+    return side
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    codebooks: list[list[list[float]]] | None = None,
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Product-quantization encode: split each D-dim vector into ``m``
+    subvectors, assign each to its nearest (squared-L2) of ``n_codes``
+    codewords, emit ``array<int>`` of m codes — D floats (4·D bytes)
+    compress to m small ints, the property that makes a 100 TB embedding
+    table scannable: 64-dim float32 = 256 B/row becomes 4 B/row at m=4.
+
+    Zero shuffle: with explicit ``codebooks`` (from ``pq_train``) the whole
+    codebook is literal arrays inside one JVM expression and encoding is a
+    pure map stage; with ``codebooks=None`` the deterministic smallest-id
+    codebook rides in on one broadcast row (same map stage after a broadcast
+    nested-loop join of a 1-row side). Ties break toward the smaller code.
+
+    Reference analog: the KB vector store keeps raw float arrays
+    (mindsdb/integrations/libs/vectordatabase_handler.py:295-400 upserts
+    full embeddings); PQ is the scale path the reference lacks.
+    """
+    sub = dim // m
+    v = col(vec_col).cast("array<double>")
+    vsub = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)), lambda mi: F.slice(v, mi * sub + 1, sub)
+    )
+    if codebooks is not None:
+        cb = F.expr(
+            "array("
+            + ",".join(
+                "array("
+                + ",".join(
+                    f"named_struct('k',{k},'sv',array("
+                    + ",".join(f"{float(x)!r}D" for x in cw)
+                    + "))"
+                    for k, cw in enumerate(books)
+                )
+                + ")"
+                for books in codebooks
+            )
+            + ")"
+        )
+        base = df.withColumn("__cb", cb)
+    else:
+        side = _pq_side_row(df, vec_col, id_col, m, n_codes, None)
+        side = side.withColumn(
+            "__cb",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda mi: F.transform(
+                    col("__cb_raw"),
+                    lambda c: F.struct(
+                        c["k"].alias("k"), F.slice(c["cv"], mi * sub + 1, sub).alias("sv")
+                    ),
+                ),
+            ),
+        ).select("__cb")
+        base = df.crossJoin(F.broadcast(side))
+    codes = F.zip_with(
+        vsub,
+        col("__cb"),
+        lambda vs, cws: F.array_min(
+            F.transform(cws, lambda c: F.struct(_l2sq(vs, c["sv"]).alias("d"), c["k"].alias("k")))
+        )["k"],
+    )
+    return base.withColumn(out_col, codes).drop("__cb")
+
+
+def pq_train(
+    df: DataFrame, vec_col: str = "embedding", m: int = 4, n_codes: int = 16,
+    dim: int = 64, seed: int = 42,
+) -> list[list[list[float]]]:
+    """Per-subspace MLlib KMeans codebooks (the recall-tuned production
+    quantizer). m distributed fits over sliced subvectors; only
+    m × n_codes × dim/m floats return to the driver — constant in data size.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sub = dim // m
+    v = col(vec_col).cast("array<double>")
+    books = []
+    for mi in range(m):
+        data = df.select(array_to_vector(F.slice(v, mi * sub + 1, sub)).alias("features"))
+        model = KMeans(k=n_codes, seed=seed + mi, maxIter=10).fit(data)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books
+
+
+def pq_topk(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    query_id: int = 42,
+    k: int = 10,
+    id_col: str = "vec_id",
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ top-k: the query builds an m × n_codes
+    lookup table of exact subspace distances ONCE (inside the broadcast side
+    row), and each encoded row's approximate distance is m table gathers +
+    m-1 adds — no per-row vector math at all. This is the classic
+    Jégou-style PQ search shape: scan cost per row is O(m), independent of
+    the original dimension, and the scan reads only the m-byte code column
+    at scale (column pruning drops the raw embedding entirely when the
+    codes are pre-materialized via ``pq_encode``).
+
+    Deterministic smallest-id codebook → oracle-checkable; the LUT distance
+    fold and the encode argmin both use sequential left-folds so DuckDB
+    reproduces every double bit-for-bit. Ties (dist, then id) ascending.
+    """
+    sub = dim // m
+    sid = col(id_col)
+    v = col(vec_col).cast("array<double>")
+    side = _pq_side_row(df, vec_col, id_col, m, n_codes, query_id)
+    side = (
+        side.withColumn(
+            "__cb",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda mi: F.transform(
+                    col("__cb_raw"),
+                    lambda c: F.struct(
+                        c["k"].alias("k"), F.slice(c["cv"], mi * sub + 1, sub).alias("sv")
+                    ),
+                ),
+            ),
+        )
+        .withColumn(
+            "__qsub",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda mi: F.slice(col("__q"), mi * sub + 1, sub),
+            ),
+        )
+        .withColumn(
+            "__lut",
+            F.zip_with(
+                col("__qsub"),
+                col("__cb"),
+                lambda qs, cws: F.transform(cws, lambda c: _l2sq(qs, c["sv"])),
+            ),
+        )
+        .select("__cb", "__lut")
+    )
+    main = df.crossJoin(F.broadcast(side))
+    vsub = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)), lambda mi: F.slice(v, mi * sub + 1, sub)
+    )
+    codes = F.zip_with(
+        vsub,
+        col("__cb"),
+        lambda vs, cws: F.array_min(
+            F.transform(cws, lambda c: F.struct(_l2sq(vs, c["sv"]).alias("d"), c["k"].alias("k")))
+        )["k"],
+    )
+    dist = F.aggregate(
+        F.zip_with(codes, col("__lut"), lambda c, lt: F.element_at(lt, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        main.select(sid, dist.alias("__dist"))
+        .orderBy(col("__dist").asc(), sid.asc())
+        .limit(k)
+        .select(id_col)
+    )
+
+
+def pq_search(
+    df_encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_codes",
+    vec_col: str | None = None,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Production PQ search over a pre-encoded table: the m × n_codes ADC
+    lookup table is computed driver-side from the trained codebooks (tiny,
+    data-independent) and inlined as a literal, so the scan reads ONLY the
+    m-int code column — at 100 TB the raw embedding column is never touched
+    for candidate generation. When ``vec_col`` is given, the
+    ``rerank_factor × k`` ADC candidates are exactly re-ranked (the classic
+    ADC+rerank recipe: the second pass reads full vectors for only ~4k rows).
+    """
+    sub = len(codebooks[0][0])
+    q = [float(x) for x in query]
+    lut = [
+        [
+            sum((q[mi * sub + i] - cw[i]) * (q[mi * sub + i] - cw[i]) for i in range(sub))
+            for cw in books
+        ]
+        for mi, books in enumerate(codebooks)
+    ]
+    lut_lit = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{x!r}D" for x in row) + ")" for row in lut
+        )
+        + ")"
+    )
+    dist = F.aggregate(
+        F.zip_with(col(code_col), lut_lit, lambda c, lt: F.element_at(lt, (c + 1).cast("int"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        df_encoded.select("*", dist.alias("__adc"))
+        .orderBy(col("__adc").asc(), col(id_col).asc())
+        .limit(rerank_factor * k if vec_col else k)
+    )
+    if vec_col is None:
+        return cand.select(id_col, col("__adc").alias("dist"))
+    exact = _l2sq(col(vec_col).cast("array<double>"), _lit_vec(q))
+    return (
+        cand.select(col(id_col), exact.alias("dist"))
+        .orderBy(col("dist").asc(), col(id_col).asc())
+        .limit(k)
+    )
+
+
 def lsh_topk_join(
     data: DataFrame,
     queries: DataFrame,

@@ -841,6 +841,113 @@ ORDER BY doc_id
 """
 
 
+# --- D37 product-quantization ADC top-k --------------------------------------
+def d37_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compress-then-search: encode 64-dim float vectors to 4 codes
+    (16 codewords/subspace = subvectors of the 16 smallest-id vectors, the
+    deterministic oracle quantizer — ``pq_train`` KMeans books are the
+    recall path), then rank by asymmetric distance: m LUT gathers per row,
+    dimension-independent, reading only the code column at scale."""
+    from mindsdb_spark.operators.vector import pq_topk
+
+    return pq_topk(
+        _t(spark, sf_dir, "embeddings"), "embedding",
+        query_id=42, k=10, m=4, n_codes=16, dim=64,
+    )
+
+
+def _pq_l2(a: str, b: str) -> str:
+    """DuckDB squared-L2 over one 16-wide subspace — same sequential
+    left-fold (list_sum) and same per-element doubles as vector._l2sq."""
+    d = f"(CAST({a} AS DOUBLE) - CAST({b} AS DOUBLE))"
+    return (
+        f"list_sum(list_transform(generate_series(1, 16), i -> {d} * {d}))"
+        .replace("[i]", "[sub.mi*16 + i]")
+    )
+
+
+D37_SQL = f"""
+WITH cb AS (SELECT vec_id AS k, embedding AS cw FROM embeddings WHERE vec_id < 16),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42),
+sub AS (SELECT unnest(generate_series(0, 3)) AS mi),
+assign AS (
+  SELECT e.vec_id, sub.mi, cb.k,
+         row_number() OVER (PARTITION BY e.vec_id, sub.mi ORDER BY
+           {_pq_l2("e.embedding[i]", "cb.cw[i]")} ASC, cb.k ASC) AS rn
+  FROM embeddings e, sub, cb
+),
+codes AS (SELECT vec_id, mi, k FROM assign WHERE rn = 1),
+lut AS (
+  SELECT sub.mi, cb.k, {_pq_l2("q.qe[i]", "cb.cw[i]")} AS d
+  FROM sub, cb, q
+),
+dist AS (
+  SELECT c.vec_id,
+         (((sum(CASE WHEN c.mi = 0 THEN l.d END)
+            + sum(CASE WHEN c.mi = 1 THEN l.d END))
+           + sum(CASE WHEN c.mi = 2 THEN l.d END))
+          + sum(CASE WHEN c.mi = 3 THEN l.d END)) AS dist
+  FROM codes c JOIN lut l ON l.mi = c.mi AND l.k = c.k
+  GROUP BY c.vec_id
+)
+SELECT vec_id FROM dist ORDER BY dist ASC, vec_id ASC LIMIT 10
+"""
+
+
+# --- D38 per-source Zipf rank-frequency slope --------------------------------
+def d38_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.zipf_slope(_t(spark, sf_dir, "documents")).orderBy("source")
+
+
+D38_SQL = r"""
+WITH tok AS (SELECT source AS grp,
+                    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+             FROM documents),
+tf AS (SELECT grp, tok, count(*) AS c FROM tok GROUP BY grp, tok),
+ranked AS (SELECT grp, tok, c,
+                  row_number() OVER (PARTITION BY grp ORDER BY c DESC, tok ASC) AS rank
+           FROM tf),
+top AS (SELECT grp, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+        FROM ranked WHERE rank <= 200),
+agg AS (SELECT grp, CAST(count(*) AS DOUBLE) AS n,
+               sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+        FROM top GROUP BY grp)
+SELECT grp AS source, CAST(n AS BIGINT) AS n_ranks,
+       floor((n*sxy - sx*sy)/(n*sxx - sx*sx) * 10000 + 0.5) / 10000 AS zipf_slope
+FROM agg ORDER BY source
+"""
+
+
+# --- D39 asymmetric containment over LSH candidate pairs ---------------------
+def d39_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.shingle_hashes(docs)
+    return containment_pairs(sh, D.lsh_candidate_pairs(sh)).orderBy("doc_a", "doc_b")
+
+
+D39_SQL = f"""
+WITH {_lsh_pairs_ctes()},
+sizes AS (SELECT doc_id, count(*) AS n FROM exh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS shared
+  FROM pairs p JOIN exh a ON a.doc_id = p.doc_a
+  WHERE EXISTS (SELECT 1 FROM exh b WHERE b.doc_id = p.doc_b AND b.sh = a.sh)
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+  floor(shared / CAST(na.n AS DOUBLE) * 1000000 + 0.5)/1000000 AS cont_a,
+  floor(shared / CAST(nb.n AS DOUBLE) * 1000000 + 0.5)/1000000 AS cont_b,
+  floor(greatest(shared / CAST(na.n AS DOUBLE), shared / CAST(nb.n AS DOUBLE))
+        * 1000000 + 0.5)/1000000 AS containment
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+ORDER BY doc_a, doc_b
+"""
+
+
 # --- D22 corpus top-V vocabulary coverage / OOV fraction ---------------------
 def d22_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.operators.text import vocab_coverage
@@ -1391,6 +1498,9 @@ PIPELINE = {
     "d34_tfidf_embed": (d34_tfidf_embed, D34_SQL),
     "d35_pagerank": (d35_pagerank, D35_SQL),
     "d36_contrastive_triplets": (d36_contrastive_triplets, D36_SQL),
+    "d37_pq_topk": (d37_pq_topk, D37_SQL),
+    "d38_zipf_slope": (d38_zipf_slope, D38_SQL),
+    "d39_containment": (d39_containment, D39_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),

@@ -138,6 +138,90 @@ def test_kmeans_ivf_partial_probe_recall(spark, sf_dir):
     assert len(got & exact) >= 3
 
 
+def test_pq_encode_codewords_encode_to_themselves(spark, sf_dir):
+    # vectors that ARE codewords must quantize losslessly to their own code
+    from mindsdb_spark.operators.vector import pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc = pq_encode(emb, m=4, n_codes=16, dim=64)
+    own = enc.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    for r in own:
+        assert r["pq_codes"] == [r["vec_id"]] * 4
+    # every code in range, every vector coded
+    stats = enc.select(
+        F.size("pq_codes").alias("m"),
+        F.array_min("pq_codes").alias("lo"),
+        F.array_max("pq_codes").alias("hi"),
+    ).agg(F.min("m"), F.max("m"), F.min("lo"), F.max("hi")).collect()[0]
+    assert list(stats) == [4, 4, 0, 15]
+
+
+def test_pq_encode_is_shuffle_free_with_literal_codebooks(spark, sf_dir):
+    # with trained codebooks the encode plan must be a pure map stage:
+    # no Exchange anywhere — the property that matters at 100 TB
+    from mindsdb_spark.operators.vector import pq_encode, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=4, n_codes=8, dim=64)
+    plan = pq_encode(emb, m=4, n_codes=8, dim=64, codebooks=books)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pq_search_rerank_recall(spark, sf_dir):
+    from mindsdb_spark.operators.vector import (
+        _l2sq, _lit_vec, pq_encode, pq_search, pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=16, n_codes=16, dim=64)
+    enc = pq_encode(emb, m=16, n_codes=16, dim=64, codebooks=books)
+    q = [float(x) for x in emb.filter("vec_id = 42").select("embedding").head()[0]]
+    got = [r["vec_id"] for r in pq_search(enc, books, q, k=10, vec_col="embedding").collect()]
+    v = F.col("embedding").cast("array<double>")
+    exact = [
+        r["vec_id"]
+        for r in emb.select("vec_id", _l2sq(v, _lit_vec(q)).alias("d"))
+        .orderBy("d", "vec_id").limit(10).collect()
+    ]
+    assert got[0] == 42  # the query's own vector survives quantization + rerank
+    assert len(set(got) & set(exact)) >= 6  # measured 8/10 at this config
+
+
+def test_zipf_slope_near_minus_one_on_zipfian_corpus(spark):
+    # tokens drawn with freq(rank) = C / rank must regress to slope ≈ -1
+    from mindsdb_spark.operators.text import zipf_slope
+
+    words = []
+    for rank in range(1, 51):
+        words += [f"w{rank:03d}"] * (1000 // rank)
+    rows = [(i, " ".join(words[i::10]), "zipf") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = zipf_slope(df, top_r=50).collect()
+    assert len(out) == 1
+    assert out[0]["n_ranks"] == 50
+    assert -1.15 < out[0]["zipf_slope"] < -0.85
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    from mindsdb_spark.operators.dedup import (
+        containment_pairs, jaccard_topk_pairs, shingle_hashes,
+    )
+
+    small = " ".join(f"tok{i}" for i in range(10))
+    big = small + " " + " ".join(f"pad{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, small), (2, big)], "doc_id long, text string"
+    )
+    sh = shingle_hashes(df)
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    got = containment_pairs(sh, pairs).collect()[0]
+    # every shingle of the small doc appears in the big one
+    assert got["cont_a"] == 1.0
+    assert got["containment"] == 1.0
+    jac = jaccard_topk_pairs(sh, k=1).collect()[0]["jac"]
+    assert jac < 0.1  # Jaccard alone would never flag this pair
+
+
 def test_jaccard_hot_shingle_cap(spark):
     # pathological skew: one stopword shingle shared by EVERY doc. Without
     # the max_df cap the self-join alone generates n^2/2 pairs from that
