@@ -147,7 +147,9 @@ _CREATE_EMPTY_RE = re.compile(
 )
 _TRUNCATE_RE = re.compile(r"TRUNCATE\s+(?:TABLE\s+)?([\w.`]+)$", re.IGNORECASE)
 _OPTIMIZE_RE = re.compile(
-    r"OPTIMIZE\s+TABLE\s+([\w.`]+)(?:\s+INTO\s+(\d+)\s+FILES?)?$", re.IGNORECASE
+    r"OPTIMIZE\s+TABLE\s+([\w.`]+)(?:\s+INTO\s+(\d+)\s+FILES?)?"
+    r"(?:\s+ORDER\s+BY\s+([\w`\s,]+?))?$",
+    re.IGNORECASE,
 )
 # Simplified ANSI MERGE: UPDATE-on-match plus optional INSERT * on no-match.
 # Standard MERGE precondition applies: at most one source row per target row.
@@ -2115,14 +2117,26 @@ class EngineSession:
         if m:
             # small-file compaction: INSERT appends accumulate one file per
             # write; rewrite to N files (default sized at ~128 MB targets)
-            # through the same atomic swap. Lakehouse table maintenance the
-            # reference (pandas-frames-in-memory) never needs.
+            # through the same atomic swap. With ORDER BY, the rewrite is
+            # sort-CLUSTERED (repartitionByRange + sortWithinPartitions):
+            # parquet footers then carry tight per-file/row-group min-max on
+            # the cluster keys, so later key-filtered scans skip whole files
+            # — the Z-order/liquid-clustering idea at its simplest, and the
+            # layout lever that matters at 100 TB. Lakehouse table
+            # maintenance the reference (pandas-frames-in-memory) never needs.
             srcname, table = self._resolve_writable(m.group(1))
             if srcname is None:
                 raise KeyError(f"table {m.group(1)!r} does not exist in any writable source")
             ps = self._writable[srcname]
             n_files = int(m.group(2)) if m.group(2) else ps.suggest_file_count(table)
-            ps.overwrite(table, ps.read(table).repartition(n_files))
+            df = ps.read(table)
+            if m.group(3):
+                cluster = [c.strip().strip("`") for c in m.group(3).split(",")]
+                cols = [F.col(c) for c in cluster]
+                df = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+            else:
+                df = df.repartition(n_files)
+            ps.overwrite(table, df)
             self._refresh_writable_views(srcname)
             return self.spark.createDataFrame(
                 [(table, n_files)], "optimized string, n_files int"

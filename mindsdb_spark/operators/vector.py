@@ -586,6 +586,54 @@ def pq_topk(
     )
 
 
+def ivf_write_partitioned(
+    df: DataFrame,
+    path: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    cell_col: str = "cell",
+) -> None:
+    """Materialize the corpus partitioned by IVF cell id: one parquet
+    partition directory per coarse cell. This is the layout that turns a
+    probe from a full-scan filter into PARTITION PRUNING — at 100 TB a
+    4-of-64-cell probe reads ~6% of the files and Spark's planner proves
+    it from directory names alone (PartitionFilters, no data touched).
+    """
+    ivf_assign(df, vec_col, centroids, cell_col).write.mode("overwrite").partitionBy(
+        cell_col
+    ).parquet(path)
+
+
+def ivf_read_probe(
+    spark,
+    path: str,
+    query: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probes: int = 4,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Probe an `ivf_write_partitioned` layout: pick the n_probes nearest
+    cells driver-side (k centroid vectors — tiny), filter on the partition
+    column so only those directories are listed/read, exact-rank inside.
+    """
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else -1.0
+
+    q = [float(x) for x in query]
+    ranked = sorted(centroids, key=lambda c: (-cos(c[1], q), -c[0]))
+    probes = [cid for cid, _v in ranked[:n_probes]]
+    cand = spark.read.parquet(path).filter(col(cell_col).isin(probes))
+    return cosine_topk(cand, vec_col, q, k, id_col)
+
+
 def pq_search(
     df_encoded: DataFrame,
     codebooks: list[list[list[float]]],

@@ -138,6 +138,27 @@ def test_kmeans_ivf_partial_probe_recall(spark, sf_dir):
     assert len(got & exact) >= 3
 
 
+def test_ivf_partitioned_layout_prunes_and_matches(spark, sf_dir, tmp_path):
+    # the partition-pruned probe must (a) return exactly what the filter
+    # formulation returns and (b) prove the pruning in the plan
+    from mindsdb_spark.operators.vector import (
+        ivf_read_probe, ivf_search, ivf_write_partitioned, kmeans_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, n_centroids=8)
+    path = str(tmp_path / "ivf_store")
+    ivf_write_partitioned(emb, path, "embedding", cents)
+    q = [float(x) for x in emb.filter("vec_id = 3").select("embedding").head()[0]]
+    probed = ivf_read_probe(spark, path, q, cents, k=10, n_probes=3)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters")[1].splitlines()[0]
+    want = [r["vec_id"] for r in ivf_search(emb, "embedding", q, cents, k=10, n_probes=3).collect()]
+    got = [r["vec_id"] for r in probed.collect()]
+    assert got == want
+
+
 def test_pq_encode_codewords_encode_to_themselves(spark, sf_dir):
     # vectors that ARE codewords must quantize losslessly to their own code
     from mindsdb_spark.operators.vector import pq_encode

@@ -160,6 +160,41 @@ def test_optimize_table_compacts_files(wsess, tmp_path):
     assert wsess.sql("OPTIMIZE TABLE wh.frag").collect()[0]["n_files"] == 1
 
 
+def test_optimize_order_by_clusters_for_data_skipping(wsess, tmp_path):
+    # sort-clustered rewrite: per-file min/max on the cluster key become
+    # disjoint ranges, so a key-filtered scan can skip all but one file —
+    # provable from the parquet footers alone
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    wsess.sql(
+        "CREATE TABLE wh.ev AS SELECT event_id, user_id, value FROM tpch_events"
+    )
+    row = wsess.sql("OPTIMIZE TABLE wh.ev INTO 8 FILES ORDER BY user_id").collect()[0]
+    assert (row["optimized"], row["n_files"]) == ("ev", 8)
+    files = sorted(glob.glob(os.path.join(str(tmp_path / "wh" / "ev"), "*.parquet")))
+    assert len(files) == 8
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(f)
+        stats = [md.row_group(i).column(1).statistics for i in range(md.num_row_groups)]
+        assert all(s.has_min_max for s in stats)
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    # clustered: a point lookup on user_id touches exactly the files whose
+    # [min,max] covers it — with range partitioning that's 1 (2 on a split
+    # boundary) of 8
+    probe = 77
+    touched = sum(1 for lo, hi in ranges if lo <= probe <= hi)
+    assert touched <= 2
+    # ranges are totally ordered across files (repartitionByRange contract)
+    assert ranges == sorted(ranges)
+    # contents survived intact
+    n = wsess.sql("SELECT count(*) AS n FROM wh_ev").collect()[0]["n"]
+    assert n == wsess.sql("SELECT count(*) AS n FROM tpch_events").collect()[0]["n"]
+
+
 def test_merge_into_upsert(wsess):
     wsess.sql(
         "CREATE TABLE wh.inv AS SELECT 1 AS id, 10.0 AS v, 'a' AS tag "
