@@ -314,6 +314,19 @@ _CREATE_AGENT_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_AGENT_RE = re.compile(r"DROP\s+AGENT\s+(?:IF\s+EXISTS\s+)?([\w.`]+)$", re.IGNORECASE)
+# `CREATE CHATBOT name USING agent='a', messages_table='src.tbl', ...` /
+# UPDATE CHATBOT ... SET ... / DROP CHATBOT (reference:
+# command_executor.py:671-676 → chatbot_controller.add/update/delete).
+_CREATE_CHATBOT_RE = re.compile(
+    r"CREATE\s+CHATBOT\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s+USING\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_CHATBOT_RE = re.compile(
+    r"UPDATE\s+CHATBOT\s+([\w.`]+)\s+SET\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
+_DROP_CHATBOT_RE = re.compile(
+    r"DROP\s+CHATBOT\s+(?:IF\s+EXISTS\s+)?([\w.`]+)$", re.IGNORECASE
+)
 # `EVALUATE KNOWLEDGE_BASE kb USING test_table = t [, k = N]` (reference:
 # command_executor.py:975-981 → kb_controller.evaluate, evaluate.py:82-560).
 _EVAL_KB_RE = re.compile(
@@ -602,6 +615,10 @@ class EngineSession:
         self.session_vars = {"database": database, "user": user}
         self._rebuild_vars()
         self._agents: dict[str, object] = {}
+        # chatbots: agent bound to a messages table, answered incrementally
+        # (reference: interfaces/chatbot/chatbot_controller.py CRUD,
+        # chatbot_task.py polling — here the poll is a ts-watermark read)
+        self._chatbots: dict[str, object] = {}
         from mindsdb_spark.streaming.jobs import JobScheduler
 
         self.jobs = JobScheduler()
@@ -2341,6 +2358,37 @@ class EngineSession:
             if sql_text is None:
                 raise KeyError(f"no resumable query {qid!r}")
             return self.sql(sql_text)
+        m = re.match(
+            r"SELECT\s+CHATBOT_RESPOND\(\s*['\"]?([\w.]+)['\"]?\s*\)$", s, re.IGNORECASE
+        )
+        if m:
+            # one poll tick of the reference's chatbot task
+            # (chatbot_task.py): answer every message newer than the bot's
+            # watermark with per-chat memory, append replies, advance the
+            # watermark. The whole tick is one plan over the new slice.
+            from mindsdb_spark.operators.chatbot import chatbot_respond
+
+            name = m.group(1).lower().split(".")[-1]
+            if name not in self._chatbots:
+                raise KeyError(f"chatbot {name!r} does not exist")
+            bot = self._chatbots[name]
+            if not bot.is_running:
+                return self.spark.createDataFrame([], "chat_id long, ts timestamp, question string, answer string")
+            msgs = self.sql(f"SELECT * FROM {bot.messages_table}")
+            replies = chatbot_respond(msgs, self._agents[bot.agent], bot).persist()
+            mx = replies.agg(F.max("ts")).first()[0]
+            if mx is not None:
+                bot.watermark = mx
+                if bot.reply_table:
+                    srcname, table = self._resolve_writable(bot.reply_table)
+                    if srcname is not None:
+                        ps = self._writable[srcname]
+                        if ps.exists(table):
+                            ps.insert(table, replies)
+                        else:
+                            ps.create_table(table, replies)
+                        self._refresh_writable_views(srcname)
+            return replies
         m = _UPDATE_AGENT_RE.match(s)
         if m:
             import dataclasses
@@ -2668,6 +2716,65 @@ class EngineSession:
         if m:
             self._agents.pop(m.group(1).lower().strip("`").split(".")[-1], None)
             return self.spark.createDataFrame([(m.group(1).lower(),)], "agent string")
+        m = _CREATE_CHATBOT_RE.match(s)
+        if m:
+            from mindsdb_spark.dialect.rewriter import split_top_level
+            from mindsdb_spark.operators.chatbot import ChatbotSpec
+
+            name = m.group(1).lower().strip("`").split(".")[-1]
+            params = {}
+            for kv in split_top_level(m.group(2)):
+                k, _, v = kv.partition("=")
+                params[k.strip().lower()] = self._param_value(v)
+            agent = str(params.get("agent", "")).lower()
+            if agent not in self._agents:
+                raise KeyError(f"agent {agent!r} does not exist")
+            if "messages_table" not in params:
+                raise ValueError("CREATE CHATBOT requires messages_table = '...'")
+            self._chatbots[name] = ChatbotSpec(
+                name=name,
+                agent=agent,
+                messages_table=str(params["messages_table"]),
+                text_col=str(params.get("text_col", "text")),
+                chat_id_col=str(params.get("chat_id_col", "chat_id")),
+                ts_col=str(params.get("ts_col", "ts")),
+                reply_table=params.get("reply_table"),
+                memory_k=int(params.get("memory_k", 5)),
+                params={k: v for k, v in params.items()},
+            )
+            self._refresh_information_schema()
+            return self.spark.createDataFrame([(name,)], "chatbot string")
+        m = _UPDATE_CHATBOT_RE.match(s)
+        if m and m.group(1).lower().strip("`").split(".")[-1] in self._chatbots:
+            import dataclasses
+
+            from mindsdb_spark.dialect.rewriter import split_top_level
+
+            name = m.group(1).lower().strip("`").split(".")[-1]
+            spec = self._chatbots[name]
+            changes = {}
+            for kv in split_top_level(m.group(2)):
+                k, _, v = kv.partition("=")
+                k = k.strip().lower()
+                val = self._param_value(v)
+                if k == "agent":
+                    if str(val).lower() not in self._agents:
+                        raise KeyError(f"agent {val!r} does not exist")
+                    changes["agent"] = str(val).lower()
+                elif k == "memory_k":
+                    changes["memory_k"] = int(val)
+                elif k in ("messages_table", "text_col", "chat_id_col", "ts_col", "reply_table"):
+                    changes[k] = str(val)
+                elif k == "is_running":
+                    changes["is_running"] = str(val).lower() in ("true", "1")
+            self._chatbots[name] = dataclasses.replace(spec, **changes)
+            self._refresh_information_schema()
+            return self.spark.createDataFrame([(name,)], "chatbot string")
+        m = _DROP_CHATBOT_RE.match(s)
+        if m:
+            self._chatbots.pop(m.group(1).lower().strip("`").split(".")[-1], None)
+            self._refresh_information_schema()
+            return self.spark.createDataFrame([(m.group(1).lower(),)], "chatbot string")
         m = _EVAL_KB_RE.match(s)
         if m and m.group(1).lower().strip("`").split(".")[-1] in self._kbs:
             from mindsdb_spark.dialect.rewriter import split_top_level
@@ -3264,15 +3371,28 @@ class EngineSession:
             "default_character_set_name string, default_collation_name string, "
             "sql_path string",
         ).createOrReplaceTempView("information_schema_schemata")
-        # CHATBOTS — schema-complete, rows empty: chatbot runtimes are a §7.4
-        # non-goal, but the catalog surface stays queryable
-        # (mindsdb_tables.py:275-290 ChatbotsTable)
+        # CHATBOTS (mindsdb_tables.py:275-290 ChatbotsTable) — real catalog
+        # rows; the chat-app polling runtime is replaced by the watermark
+        # respond tick (SELECT CHATBOT_RESPOND('name'))
         self.spark.createDataFrame(
-            [],
+            [
+                (
+                    b.name,
+                    "mindsdb",
+                    b.messages_table,
+                    self._agents[b.agent].model_name if b.agent in self._agents else b.agent,
+                    json.dumps({"agent": b.agent, "memory_k": b.memory_k}),
+                    bool(b.is_running),
+                    None,
+                    None,
+                )
+                for b in self._chatbots.values()
+            ]
+            + [("", "", "", "", "", False, None, None)],
             "name string, project string, database string, model_name string, "
             "params string, is_running boolean, last_error string, "
             "webhook_token string",
-        ).createOrReplaceTempView("information_schema_chatbots")
+        ).filter("name != ''").createOrReplaceTempView("information_schema_chatbots")
         # META_KEY_COLUMN_USAGE (system_tables.py:691-717) — empty like the
         # other constraint stubs: parquet/API sources carry no key metadata
         self.spark.createDataFrame(

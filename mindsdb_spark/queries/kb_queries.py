@@ -339,6 +339,38 @@ FROM ctx ORDER BY qid
 K06_SQL = _k06_sql()
 
 
+# --- K07 chatbot respond tick ------------------------------------------------
+# One poll tick of the reference's chatbot task (chatbot_task.py + memory.py):
+# every message gets answered with the preceding memory_k turns of ITS chat
+# as context — a frame window over the conversation, one agent_apply stage.
+# The md5 mock transport lets DuckDB replay the exact prompt construction.
+def k07_chatbot_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.agent import AgentSpec, mock_complete
+    from mindsdb_spark.operators.chatbot import ChatbotSpec, chatbot_respond
+
+    ev = _t(spark, sf_dir, "events").filter(col("user_id") < 20)
+    msgs = ev.select(
+        col("user_id").alias("chat_id"), col("ts"), col("event_type").alias("text")
+    )
+    agent = AgentSpec(name="helper", complete=mock_complete)
+    bot = ChatbotSpec(name="support", agent="helper", messages_table="msgs", memory_k=2)
+    return chatbot_respond(msgs, agent, bot).orderBy("chat_id", "ts", "question", "answer")
+
+
+K07_SQL = """
+WITH msgs AS (SELECT user_id AS chat_id, ts, event_type AS text
+              FROM events WHERE user_id < 20),
+p AS (SELECT chat_id, ts, text,
+             string_agg(text, chr(10)) OVER (
+               PARTITION BY chat_id ORDER BY ts, text
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS prompt
+      FROM msgs)
+SELECT chat_id, ts, text AS question,
+       'llm:' || substr(md5(prompt), 1, 12) AS answer
+FROM p ORDER BY chat_id, ts, question, answer
+"""
+
+
 # --- S08 KB metadata filter through the SQL door -----------------------------
 # Non-content INSERT columns (here `lang`) ride the chunk rows as metadata;
 # `WHERE content = ... AND lang = 'en'` narrows the candidate space BEFORE
@@ -400,5 +432,6 @@ KB_QUERIES = {
     "k04_kb_e2e": (k04_kb_e2e, K04_SQL),
     "k05_kb_batched_insert": (k05_kb_batched_insert, K05_SQL),
     "k06_agent_rag": (k06_agent_rag, K06_SQL),
+    "k07_chatbot_tick": (k07_chatbot_tick, K07_SQL),
     "s08_kb_metadata_sql": (s08_kb_metadata_sql, S08_SQL),
 }
