@@ -119,6 +119,51 @@ def range_join(
     return joined.drop("__bucket")
 
 
+def anomaly_zscore(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    window: int = 20,
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Rolling z-score anomaly flags per series: each point scored against
+    the trailing ``window`` points of ITS series (frame excludes the
+    current row, so an outlier cannot dilute its own baseline).
+
+    The streaming-monitoring primitive the reference's job-polling can't
+    express: one shuffle on the series key, bounded per-row state (ROWS
+    frame), no collects. ``order_col`` breaks timestamp ties so frames are
+    deterministic across engines and partitionings. z is rounded to 4
+    decimals BEFORE the threshold compare so both engines flag the
+    identical row set (avg/stddev fold orders differ in the last ulps).
+    """
+    from pyspark.sql.window import Window
+
+    fr = (
+        Window.partitionBy(key_col)
+        .orderBy(col(ts_col), col(order_col))
+        .rowsBetween(-window, -1)
+    )
+    v = col(value_col)
+    # explicit sd guard (not divide-by-zero semantics, which differ across
+    # engines): rows without a 2-point baseline or with a constant window
+    # are unscoreable, in both engines identically
+    base = df.select(
+        col(key_col),
+        col(order_col),
+        col(ts_col),
+        v,
+        F.avg(v).over(fr).alias("__mu"),
+        F.stddev_samp(v).over(fr).alias("__sd"),
+    ).filter(col("__sd").isNotNull() & (col("__sd") > 0))
+    z = F.floor((v - col("__mu")) / col("__sd") * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+    return base.select(
+        col(key_col), col(order_col), col(ts_col), v, z.alias("zscore")
+    ).withColumn("is_anomaly", F.abs(col("zscore")) > F.lit(threshold))
+
+
 def resample_fill(
     df: DataFrame,
     ts_col: str = "ts",

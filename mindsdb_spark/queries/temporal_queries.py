@@ -121,9 +121,34 @@ ORDER BY g.user_id, g.bucket
 """
 
 
+def t05_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.temporal import anomaly_zscore
+
+    e = _t(spark, sf_dir, "events").filter("user_id < 30")
+    return anomaly_zscore(e).orderBy("user_id", "event_id")
+
+
+T05_SQL = """
+WITH w AS (
+  SELECT user_id, event_id, ts, value,
+         avg(value) OVER fr AS mu,
+         stddev_samp(value) OVER fr AS sd
+  FROM events WHERE user_id < 30
+  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, ts, value,
+       floor((value - mu) / sd * 10000 + 0.5) / 10000 AS zscore,
+       abs(floor((value - mu) / sd * 10000 + 0.5) / 10000) > 2.5 AS is_anomaly
+FROM w WHERE sd IS NOT NULL AND sd > 0
+ORDER BY user_id, event_id
+"""
+
+
 TEMPORAL_QUERIES = {
     "t01_asof_join": (t01_asof_join, T01_SQL),
     "t02_asof_forward": (t02_asof_forward, T02_SQL),
     "t03_range_join": (t03_range_join, T03_SQL),
     "t04_resample": (t04_resample, T04_SQL),
+    "t05_anomaly_zscore": (t05_anomaly_zscore, T05_SQL),
 }

@@ -127,3 +127,22 @@ def test_asof_join_sql_door(spark, sf_dir):
         .select("user_id", "value").orderBy("user_id", "ts").limit(10).collect()
     )
     assert fwd == want_f
+
+
+def test_anomaly_zscore_flags_spike_only(spark):
+    from mindsdb_spark.operators.temporal import anomaly_zscore
+
+    # steady series with one 100x spike at the end: only the spike flags
+    rows = [(i, 1, float(10 + (i % 3))) for i in range(30)] + [(30, 1, 1000.0)]
+    df = spark.createDataFrame(
+        [(eid, uid, v, eid) for eid, uid, v in rows],
+        "event_id long, user_id long, value double, ts long",
+    )
+    out = anomaly_zscore(df, ts_col="ts", window=20, threshold=2.5)
+    flagged = [r["event_id"] for r in out.filter("is_anomaly").collect()]
+    assert flagged == [30]
+    # baseline excludes the current row: the spike's own z is huge
+    spike = out.filter("event_id = 30").collect()[0]
+    assert spike["zscore"] > 100
+    # unscoreable head rows (no 2-point baseline) are absent
+    assert out.filter("event_id < 2").count() == 0
