@@ -646,24 +646,24 @@ def d32_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.operators.curation import split_assign
 
     docs = _t(spark, sf_dir, "documents")
+    # quality already carries every doc_id — joining back to docs was a
+    # redundant broadcast join; and split_assign is a PURE MAP of the id,
+    # so the split needs no second join either (null it for dropped docs)
     q = T.text_quality(docs).select("doc_id", "n_tokens")
     canon = D.exact_dedup(docs).select(col("doc_id"), F.lit(True).alias("__canon"))
-    flags = (
-        docs.select("doc_id")
-        .join(q, "doc_id")
-        .join(canon, "doc_id", "left")
+    flags = q.join(canon, "doc_id", "left").select(
+        "doc_id",
+        F.when(col("n_tokens") < 25, "low_quality")
+        .when(col("__canon").isNull(), "duplicate")
+        .alias("reason"),
+    )
+    return (
+        split_assign(flags)
         .select(
             "doc_id",
-            F.when(col("n_tokens") < 25, "low_quality")
-            .when(col("__canon").isNull(), "duplicate")
-            .alias("reason"),
-        )
-    )
-    splits = split_assign(flags.where(col("reason").isNull()).select("doc_id"))
-    return (
-        flags.join(splits.select("doc_id", "split"), "doc_id", "left")
-        .select(
-            "doc_id", col("reason").isNull().alias("kept"), "reason", "split"
+            col("reason").isNull().alias("kept"),
+            "reason",
+            F.when(col("reason").isNull(), col("split")).alias("split"),
         )
         .orderBy("doc_id")
     )
