@@ -294,7 +294,45 @@ ORDER BY h, event_type
 """
 
 
+def st08_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING anomaly detection with engine-managed per-key state: the
+    event stream folds through `rolling_zscore_alerts` — trailing-window
+    baseline held as O(window) doubles per key in the state store, alerts
+    emitted as points arrive. The batch twin (`temporal.anomaly_zscore`,
+    t05) recomputes the same flags with a full-table window; the oracle is
+    that batch SQL filtered to anomalies, so streaming execution is checked
+    against batch truth row-for-row."""
+    from mindsdb_spark.streaming.stateful import rolling_zscore_alerts
+    from mindsdb_spark.streaming.windows import run_available_now
+
+    out = run_available_now(
+        rolling_zscore_alerts(_event_stream(spark, sf_dir)), "append"
+    )
+    return out.select("user_id", "event_id", "value", "zscore").orderBy(
+        "user_id", "event_id"
+    )
+
+
+ST08_SQL = """
+WITH w AS (
+  SELECT user_id, event_id, value,
+         avg(value) OVER fr AS mu,
+         stddev_samp(value) OVER fr AS sd
+  FROM events
+  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, value,
+       floor((value - mu) / sd * 10000 + 0.5) / 10000 AS zscore
+FROM w
+WHERE sd IS NOT NULL AND sd > 0
+  AND abs(floor((value - mu) / sd * 10000 + 0.5) / 10000) > 2.5
+ORDER BY user_id, event_id
+"""
+
+
 STREAMING_QUERIES = {
+    "st08_stream_anomaly": (st08_stream_anomaly, ST08_SQL),
     "st07_stream_model_apply": (st07_stream_model_apply, ST07_SQL),
     "st01_stream_tumbling": (st01_stream_tumbling, ST01_SQL),
     "st02_stream_sessions": (st02_stream_sessions, ST02_SQL),
