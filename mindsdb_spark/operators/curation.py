@@ -385,3 +385,59 @@ def contrastive_triplets(
         .agg(F.min_by("__cand", "__h").alias("negative"))
     )
     return picked.select(col("anchor").alias(id_col), "positive", "negative")
+
+
+def boilerplate_scrub(
+    df: DataFrame,
+    k: int = 4,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document boilerplate removal: drop text units that repeat in
+    >= min_df distinct documents, reassemble the survivors in order.
+
+    This is the paragraph-dedup stage of CCNet (Wenzek et al. 2020) and the
+    line-level filter of RefinedWeb — headers, cookie banners, navigation
+    chrome repeat verbatim across pages and get scrubbed while per-page
+    prose survives. The unit here is a non-overlapping k-token segment
+    (the fixture corpus has no newlines); on a real corpus the unit is the
+    line/paragraph — same plan with split(text, '\\n') as the segment array.
+    The reference has no analog (training-data extension).
+
+    Plan shape: one posexplode, one segment-keyed document-frequency
+    aggregate, one join back on the segment, one per-doc reassembly
+    aggregate. Every shuffle is keyed on segments (uniformly distributed;
+    a hot boilerplate segment is by definition bounded by corpus doc count
+    and aggregates map-side) or on doc ids. Nothing collects; per-doc state
+    is the doc's own segment list — the same bound as reading the doc.
+    """
+    df = parallelize_input(df)
+    segs = df.select(
+        col(id_col), words_expr(col(text_col)).alias("__ws")
+    ).select(
+        col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, cast(ceil(size(__ws) / {k}.0) as int)), "
+                f"i -> concat_ws(' ', slice(__ws, (i - 1) * {k} + 1, {k})))"
+            )
+        ).alias("pos", "seg"),
+    )
+    dfreq = segs.groupBy("seg").agg(F.countDistinct(id_col).alias("__df"))
+    flagged = segs.join(dfreq, "seg")
+    kept_text = F.array_join(
+        F.transform(
+            F.filter(
+                F.array_sort(F.collect_list(F.struct("pos", "seg", "__df"))),
+                lambda s: s["__df"] < F.lit(min_df),
+            ),
+            lambda s: s["seg"],
+        ),
+        " ",
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum((col("__df") >= min_df).cast("int")).cast("long").alias("n_removed"),
+        kept_text.alias("clean_text"),
+    )

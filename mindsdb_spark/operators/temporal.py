@@ -200,3 +200,35 @@ def resample_fill(
     return grid.join(per, [key_col, "bucket"], "left").select(
         col(key_col), col("bucket"), F.coalesce(col("sv"), F.lit(0.0)).alias("sv")
     )
+
+
+def seasonal_baseline(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Seasonal-profile decomposition: each observation scored against the
+    mean of its seasonal cell (series key × hour-of-day) — the classical
+    seasonal-naive baseline, and the residual that anomaly detection /
+    forecasting pipelines start from.
+
+    One shuffle keyed on (key, hour-of-day); the baseline is an
+    unbounded-frame window aggregate inside each seasonal cell, so cost is
+    a single exchange + per-cell scan regardless of series length. Both
+    baseline and residual round to 1e-6 before emit so the DuckDB oracle's
+    different fp fold order cannot flip a hash bit.
+    """
+    hod = F.hour(col(ts_col))
+    cell = Window.partitionBy(col(key_col), hod)
+    mu = F.avg(col(value_col)).over(cell)
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return df.select(
+        col(order_col),
+        col(key_col),
+        hod.alias("hod"),
+        col(value_col),
+        r6(mu).alias("baseline"),
+        r6(col(value_col) - mu).alias("residual"),
+    )

@@ -340,3 +340,47 @@ def unigram_nll(
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_tokens"), _round6(F.avg("__nll")).alias("nll")
     )
+
+
+def dup_span_frac(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-substring duplication signal (the per-doc diagnostic form of
+    Lee et al. 2022's ExactSubstr dedup): positional n-token spans — NOT
+    deduplicated within the doc — counted corpus-wide; per doc, the
+    fraction of spans whose exact text occurs more than once anywhere in
+    the corpus (including repeats inside the same doc).
+
+    Distinct from ngram_novelty: novelty counts DISTINCT grams and
+    document frequency; this keeps positional multiplicity, so a doc that
+    repeats its own boilerplate scores high even if no other doc shares it.
+
+    Plan: one explode, one span-keyed count aggregate (map-side
+    combinable), one join back on the span, one per-doc aggregate. Shuffle
+    keys are uniformly-distributed span strings; nothing collects.
+    """
+    df = parallelize_input(df)
+    spans = (
+        df.select(col(id_col), words_expr(col(text_col)).alias("__ws"))
+        .where(F.size("__ws") >= n)
+        .select(
+            col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(__ws) - {n - 1}), "
+                    f"i -> concat_ws(' ', slice(__ws, i, {n})))"
+                )
+            ).alias("span"),
+        )
+    )
+    counts = spans.groupBy("span").agg(F.count("*").alias("__c"))
+    n_dup = F.sum((col("__c") > 1).cast("int"))
+    return (
+        spans.join(counts, "span")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            n_dup.cast("long").alias("n_dup_spans"),
+            _round6(n_dup / F.count("*")).alias("dup_span_frac"),
+        )
+    )

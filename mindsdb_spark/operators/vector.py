@@ -728,3 +728,68 @@ def lsh_topk_join(
         .filter(col("__rn") <= k)
         .select(query_id, data_id, F.round(col("__sim"), 6).alias("sim"))
     )
+
+
+def rp_signs(in_dim: int, out_dim: int, seed: int = 0) -> list[list[int]]:
+    """Deterministic ±1 sign matrix for the database-friendly JL projection
+    (Achlioptas 2003): sign[j][i] derived from md5, so any engine — and the
+    DuckDB oracle — reproduces the identical matrix. Metadata-sized
+    (out_dim × in_dim ints); computed driver-side, inlined as literals."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"rp_{seed}_{j}_{i}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_project(
+    df: DataFrame,
+    out_dim: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 0,
+    in_dim: int | None = None,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection D → out_dim with a ±1 sign
+    matrix: lane_j = Σ_i emb[i]·sign[j][i] / sqrt(out_dim).
+
+    The embedding-pipeline dimensionality reducer (store/search cost drops
+    D/out_dim× with bounded cosine distortion). A pure zero-shuffle map
+    stage: the sign matrix rides into each task as literal arrays; each
+    output lane is one JVM zip_with+aggregate fold over the input vector.
+    Returns long form (id, lane, value), value rounded to 1e-6.
+    """
+    import math
+
+    if in_dim is None:
+        # bounded probe: one row, schema-free way to learn the vector width
+        in_dim = df.select(F.size(emb_col)).first()[0]
+    m = rp_signs(in_dim, out_dim, seed)
+    scale = 1.0 / math.sqrt(out_dim)
+    lanes = F.array(
+        *[
+            F.floor(
+                F.aggregate(
+                    F.zip_with(
+                        col(emb_col),
+                        F.array(*[F.lit(float(s)) for s in m[j]]),
+                        lambda x, s: x.cast("double") * s,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                * F.lit(scale)
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+            for j in range(out_dim)
+        ]
+    )
+    return df.select(col(id_col), F.posexplode(lanes).alias("lane", "value"))

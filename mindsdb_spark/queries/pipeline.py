@@ -1460,6 +1460,80 @@ FROM agg, h ORDER BY user_id, h
 """
 
 
+
+# --- D40 cross-document boilerplate scrub (CCNet/RefinedWeb line dedup) ------
+def d40_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.curation import boilerplate_scrub
+
+    return boilerplate_scrub(_t(spark, sf_dir, "documents"), k=4, min_df=2).orderBy(
+        "doc_id"
+    )
+
+
+D40_SQL = f"""
+WITH {_WORDS},
+segs AS (SELECT doc_id, i AS pos, array_to_string(w[(i - 1) * 4 + 1 : i * 4], ' ') AS seg
+         FROM words, UNNEST(generate_series(1, CAST(ceil(len(w) / 4.0) AS BIGINT))) AS t(i)),
+dfreq AS (SELECT seg, count(DISTINCT doc_id) AS dfc FROM segs GROUP BY seg)
+SELECT doc_id, count(*) AS n_segments,
+       CAST(sum(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       coalesce(string_agg(CASE WHEN dfc < 2 THEN seg END, ' ' ORDER BY pos), '') AS clean_text
+FROM segs JOIN dfreq USING (seg)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --- D41 JL random projection (±1 sign matrix, Achlioptas 2003) --------------
+def d41_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.vector import random_project
+
+    return random_project(
+        _t(spark, sf_dir, "embeddings"), out_dim=16, in_dim=64, seed=0
+    ).orderBy("vec_id", "lane")
+
+
+def _d41_sql() -> str:
+    # the SAME rp_signs call the Spark operator makes, inlined as a DuckDB
+    # list-of-lists literal, so both engines multiply the identical matrix
+    from mindsdb_spark.operators.vector import rp_signs
+
+    m = rp_signs(64, 16, seed=0)
+    lit = "[" + ", ".join("[" + ", ".join(str(v) for v in row) + "]" for row in m) + "]"
+    return (
+        "SELECT vec_id, j - 1 AS lane, "
+        "floor(list_sum(list_transform(generate_series(1, 64), "
+        "i -> CAST(embedding[i] AS DOUBLE) * m[j][i])) * 0.25 * 1000000 + 0.5) "
+        "/ 1000000 AS value "
+        f"FROM embeddings, (SELECT {lit} AS m), UNNEST(generate_series(1, 16)) AS t(j) "
+        "ORDER BY vec_id, lane"
+    )
+
+
+D41_SQL = _d41_sql()
+
+
+# --- D42 exact-substring duplication fraction (Lee et al. 2022 diagnostic) ---
+def d42_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.text import dup_span_frac
+
+    return dup_span_frac(_t(spark, sf_dir, "documents"), n=3).orderBy("doc_id")
+
+
+D42_SQL = f"""
+WITH {_WORDS},
+sp AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+              i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS span
+       FROM words WHERE len(w) >= 3),
+c AS (SELECT span, count(*) AS c FROM sp GROUP BY span)
+SELECT doc_id, count(*) AS n_spans,
+       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       floor(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS dup_span_frac
+FROM sp JOIN c USING (span)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # --- registry ----------------------------------------------------------------
 PIPELINE = {
     "d01_dedup_exact": (d01_dedup_exact, D01_SQL),
@@ -1501,6 +1575,9 @@ PIPELINE = {
     "d37_pq_topk": (d37_pq_topk, D37_SQL),
     "d38_zipf_slope": (d38_zipf_slope, D38_SQL),
     "d39_containment": (d39_containment, D39_SQL),
+    "d40_boilerplate": (d40_boilerplate, D40_SQL),
+    "d41_random_projection": (d41_random_projection, D41_SQL),
+    "d42_dup_spans": (d42_dup_spans, D42_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),

@@ -145,10 +145,28 @@ ORDER BY user_id, event_id
 """
 
 
+
+def t06_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.temporal import seasonal_baseline
+
+    return seasonal_baseline(_t(spark, sf_dir, "events")).orderBy("event_id")
+
+
+T06_SQL = """
+SELECT event_id, event_type, CAST(hour(ts) AS INT) AS hod, value,
+       floor(avg(value) OVER cell * 1000000 + 0.5) / 1000000 AS baseline,
+       floor((value - avg(value) OVER cell) * 1000000 + 0.5) / 1000000 AS residual
+FROM events
+WINDOW cell AS (PARTITION BY event_type, hour(ts))
+ORDER BY event_id
+"""
+
+
 TEMPORAL_QUERIES = {
     "t01_asof_join": (t01_asof_join, T01_SQL),
     "t02_asof_forward": (t02_asof_forward, T02_SQL),
     "t03_range_join": (t03_range_join, T03_SQL),
     "t04_resample": (t04_resample, T04_SQL),
     "t05_anomaly_zscore": (t05_anomaly_zscore, T05_SQL),
+    "t06_seasonal_baseline": (t06_seasonal_baseline, T06_SQL),
 }

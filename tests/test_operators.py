@@ -574,3 +574,80 @@ def test_contrastive_triplets_deterministic_and_valid(spark):
     again = {r.doc_id: (r.positive, r.negative)
              for r in contrastive_triplets(docs, pairs, n_buckets=4).collect()}
     assert again == rows
+
+
+def test_boilerplate_scrub_removes_repeated_segments(spark):
+    from mindsdb_spark.operators.curation import boilerplate_scrub
+
+    banner = "accept all cookies now"  # 4 tokens = exactly one k=4 segment
+    docs = spark.createDataFrame(
+        [
+            (1, banner + " alpha beta gamma delta"),
+            (2, banner + " epsilon zeta eta theta"),
+            (3, "iota kappa lambda mu"),
+            (4, banner),  # all-boilerplate doc -> empty clean_text
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_scrub(docs, k=4, min_df=2).collect()
+    }
+    assert out[1]["n_removed"] == 1 and out[1]["clean_text"] == "alpha beta gamma delta"
+    assert out[2]["n_removed"] == 1 and out[2]["clean_text"] == "epsilon zeta eta theta"
+    assert out[3]["n_removed"] == 0 and out[3]["clean_text"] == "iota kappa lambda mu"
+    assert out[4]["n_removed"] == 1 and out[4]["clean_text"] == ""
+    assert out[4]["n_segments"] == 1
+
+
+def test_dup_span_frac_counts_within_doc_repeats(spark):
+    from mindsdb_spark.operators.text import dup_span_frac
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),  # span "a b c" occurs twice WITHIN the doc
+            (2, "x y z w v u"),  # fully unique
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dup_span_frac(docs, n=3).collect()}
+    # doc 1 spans: [a b c, b c a, c a b, a b c] -> "a b c" multiplicity 2
+    assert out[1]["n_spans"] == 4 and out[1]["n_dup_spans"] == 2
+    assert out[2]["n_dup_spans"] == 0 and out[2]["dup_span_frac"] == 0.0
+
+
+def test_random_project_deterministic_and_linear(spark):
+    from mindsdb_spark.operators.vector import random_project, rp_signs
+
+    # deterministic matrix: same seed -> same signs, different seed differs
+    assert rp_signs(8, 4, seed=0) == rp_signs(8, 4, seed=0)
+    assert rp_signs(8, 4, seed=0) != rp_signs(8, 4, seed=1)
+    v = [float(i % 5 - 2) for i in range(8)]
+    df = spark.createDataFrame(
+        [(1, v), (2, [2 * x for x in v])], "vec_id long, embedding array<double>"
+    )
+    out = random_project(df, out_dim=4, in_dim=8, seed=0).collect()
+    lanes = {(r["vec_id"], r["lane"]): r["value"] for r in out}
+    assert len(lanes) == 8  # 2 vecs x 4 lanes
+    for j in range(4):
+        # projection is linear: P(2v) = 2 P(v) (exact up to the 1e-6 round)
+        assert abs(lanes[(2, j)] - 2 * lanes[(1, j)]) < 1e-5
+
+
+def test_seasonal_baseline_residuals(spark):
+    from mindsdb_spark.operators.temporal import seasonal_baseline
+
+    rows = [
+        # (event_id, ts, event_type, value): three obs in cell (click, 10h)
+        (1, "2024-01-01 10:00:00", "click", 1.0),
+        (2, "2024-01-02 10:30:00", "click", 1.0),
+        (3, "2024-01-03 10:15:00", "click", 4.0),  # spike
+        (4, "2024-01-01 11:00:00", "view", 7.0),  # lone obs -> residual 0
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["event_id"]: r for r in seasonal_baseline(df).collect()}
+    assert out[1]["baseline"] == 2.0 and out[1]["residual"] == -1.0
+    assert out[3]["residual"] == 2.0
+    assert out[4]["residual"] == 0.0 and out[4]["hod"] == 11
