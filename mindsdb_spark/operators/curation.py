@@ -441,3 +441,65 @@ def boilerplate_scrub(
         F.sum((col("__df") >= min_df).cast("int")).cast("long").alias("n_removed"),
         kept_text.alias("clean_text"),
     )
+
+
+def nb_quality(
+    df: DataFrame,
+    target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Trained quality classifier in its SQL-checkable closed form: unigram
+    Naive Bayes with add-one smoothing, positive class = the ``target``
+    boolean expression (e.g. "docs from the curated source"). Per doc:
+    log-odds = ln(D⁺/D⁻) + Σ_tokens [ln P(tok|+) − ln P(tok|−)],
+    pred_target = log-odds > 0.
+
+    This is the GPT-3/CCNet "quality filter" stage (score web docs by
+    similarity to a trusted corpus) with the linear/fasttext classifier
+    replaced by its counting-equivalent NB form, so the DuckDB oracle can
+    reproduce training AND inference exactly. Differs from dsir_weights:
+    both classes get their own smoothed LM (not target-vs-corpus ratio),
+    plus the class prior, plus a hard decision.
+
+    Same scale posture as dsir_weights: one tokenize, one token-keyed
+    aggregate carrying both class counts, scalars on a 1-row broadcast,
+    one token-keyed join back, one per-doc sum. Nothing collects.
+    """
+    df = parallelize_input(df)
+    tok = df.select(
+        col(id_col),
+        F.when(target, F.lit(1)).otherwise(F.lit(0)).alias("__is_t"),
+        F.explode(words_expr(col(text_col))).alias("__tok"),
+    ).persist()
+    tf = tok.groupBy("__tok").agg(
+        F.count("*").alias("__c"), F.sum("__is_t").alias("__ct")
+    )
+    totals = tf.agg(
+        F.sum("__c").alias("__n"),
+        F.sum("__ct").alias("__t"),
+        F.count("*").alias("__v"),
+    )
+    prior = df.agg(
+        F.log(
+            F.sum(F.when(target, 1).otherwise(0))
+            / F.sum(F.when(target, 0).otherwise(1))
+        ).alias("__prior")
+    )
+    llr = F.log((col("__ct") + F.lit(1.0)) / (col("__t") + col("__v"))) - F.log(
+        (col("__c") - col("__ct") + F.lit(1.0)) / (col("__n") - col("__t") + col("__v"))
+    )
+    agg = (
+        tok.join(tf, "__tok")
+        .crossJoin(F.broadcast(totals))
+        .select(col(id_col), llr.alias("__llr"))
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_tokens"), F.sum("__llr").alias("__s"))
+    )
+    score = _round6(col("__s") + col("__prior"))
+    return agg.crossJoin(F.broadcast(prior)).select(
+        col(id_col),
+        col("n_tokens"),
+        score.alias("score"),
+        (score > 0).alias("pred_target"),
+    )

@@ -208,3 +208,45 @@ def rerank_topk(
     if threshold is not None:
         scored = scored.filter(col("relevance") >= threshold)
     return scored.orderBy(col("relevance").desc(), col(id_col)).limit(k)
+
+
+def rrf_fusion(
+    sides: list,
+    k: int = 10,
+    n_candidates: int = 50,
+    c: float = 60.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): fuse
+    ranked lists by Σ 1/(c + rank), the score-free alternative to the
+    α-blend hybrid (hybrid_topk) — robust when BM25 and cosine magnitudes
+    aren't calibrated against each other. ``sides`` is a list of
+    (DataFrame, score_col) pairs, each (id, score), higher = better.
+
+    Scale shape: each side contributes only its top-``n_candidates`` via
+    orderBy+limit — TakeOrderedAndProject, per-partition top-k with a
+    k-row driver merge, so the corpus is never globally sorted. Ranks are
+    then assigned inside the bounded candidate set (the single-partition
+    window is over ≤ n_candidates rows by construction). A document
+    missing from a list contributes 0 for that list, per the paper.
+    Deterministic: scores must be pre-rounded by the caller; ties break
+    on the id.
+    """
+    from pyspark.sql.window import Window
+
+    fused = None
+    for i, (df, score_col) in enumerate(sides):
+        top = df.orderBy(col(score_col).desc(), col(id_col)).limit(n_candidates)
+        w = Window.orderBy(col(score_col).desc(), col(id_col))
+        ranked = top.select(col(id_col), F.row_number().over(w).alias(f"__r{i}"))
+        fused = ranked if fused is None else fused.join(ranked, id_col, "full_outer")
+    score = None
+    for i in range(len(sides)):
+        part = F.coalesce(F.lit(1.0) / (F.lit(c) + col(f"__r{i}")), F.lit(0.0))
+        score = part if score is None else score + part
+    rrf = F.floor(score * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        fused.select(col(id_col), rrf.alias("rrf"))
+        .orderBy(col("rrf").desc(), col(id_col))
+        .limit(k)
+    )

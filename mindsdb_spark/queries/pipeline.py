@@ -1534,6 +1534,78 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+
+# --- D43 Naive-Bayes quality classifier (trained filter, closed form) --------
+def d43_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.curation import nb_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    return nb_quality(docs, target=col("source") == "src0").orderBy("doc_id")
+
+
+D43_SQL = f"""
+WITH {_WORDS},
+tok AS (SELECT w.doc_id, unnest(w.w) AS tok,
+               CASE WHEN d.source = 'src0' THEN 1 ELSE 0 END AS is_t
+        FROM words w JOIN documents d ON w.doc_id = d.doc_id),
+tf AS (SELECT tok, count(*) AS c, sum(is_t) AS ct FROM tok GROUP BY tok),
+tot AS (SELECT sum(c) AS n, sum(ct) AS t, count(*) AS v FROM tf),
+pr AS (SELECT ln(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) * 1.0
+             / sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END)) AS prior
+       FROM documents),
+agg AS (SELECT doc_id, count(*) AS n_tokens,
+               sum(ln((ct + 1.0) / (t + v)) - ln((c - ct + 1.0) / ((n - t) + v))) AS s
+        FROM tok JOIN tf USING (tok), tot GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       floor((s + prior) * 1000000 + 0.5) / 1000000 AS score,
+       floor((s + prior) * 1000000 + 0.5) / 1000000 > 0 AS pred_target
+FROM agg, pr ORDER BY doc_id
+"""
+
+
+# --- S08 reciprocal-rank fusion (Cormack et al. 2009) ------------------------
+def s08_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.search import bm25_scores, rrf_fusion
+    from mindsdb_spark.operators.vector import cosine_similarity
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(col("vec_id") == 0).select("embedding").head()[0]
+    # both scores pre-rounded to 6dp so candidate rank order is identical
+    # across engines (fusion consumes RANKS, so this fully pins the output)
+    kw = bm25_scores(docs, _Q_TERMS).select(
+        "doc_id", (F.floor(col("bm25") * 1e6 + F.lit(0.5)) / 1e6).alias("bm25")
+    )
+    vec = emb.select(
+        col("vec_id").alias("doc_id"),
+        (
+            F.floor(
+                cosine_similarity(col("embedding"), [float(x) for x in q]) * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("sim"),
+    )
+    return rrf_fusion([(kw, "bm25"), (vec, "sim")], k=10, n_candidates=50)
+
+
+S08_SQL = f"""
+WITH {_bm25_cte(_Q_TERMS)},
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+vecs AS (SELECT vec_id AS doc_id, floor(({_COS}) * 1000000 + 0.5) / 1000000 AS sim
+         FROM embeddings, q),
+ktop AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+         FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT 50),
+vtop AS (SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rv
+         FROM vecs ORDER BY sim DESC, doc_id LIMIT 50)
+SELECT doc_id,
+       floor((coalesce(1.0 / (60 + rk), 0) + coalesce(1.0 / (60 + rv), 0))
+             * 1000000 + 0.5) / 1000000 AS rrf
+FROM ktop FULL OUTER JOIN vtop USING (doc_id)
+ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
 # --- registry ----------------------------------------------------------------
 PIPELINE = {
     "d01_dedup_exact": (d01_dedup_exact, D01_SQL),
@@ -1578,6 +1650,7 @@ PIPELINE = {
     "d40_boilerplate": (d40_boilerplate, D40_SQL),
     "d41_random_projection": (d41_random_projection, D41_SQL),
     "d42_dup_spans": (d42_dup_spans, D42_SQL),
+    "d43_nb_quality": (d43_nb_quality, D43_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),
@@ -1585,6 +1658,7 @@ PIPELINE = {
     "s05_rerank": (s05_rerank, S05_SQL),
     "s06_hybrid_sql": (s06_hybrid_sql, S06_SQL),
     "s07_rerank_sql": (s07_rerank_sql, S07_SQL),
+    "s08_rrf_fusion": (s08_rrf_fusion, S08_SQL),
     "m01_mysql_dialect": (m01_mysql_dialect, M01_SQL),
     "a01_model_apply": (a01_model_apply, A01_SQL),
     "a02_ts_forecast": (a02_ts_forecast, A02_SQL),

@@ -651,3 +651,43 @@ def test_seasonal_baseline_residuals(spark):
     assert out[1]["baseline"] == 2.0 and out[1]["residual"] == -1.0
     assert out[3]["residual"] == 2.0
     assert out[4]["residual"] == 0.0 and out[4]["hod"] == 11
+
+
+def test_nb_quality_separates_vocabularies(spark):
+    from mindsdb_spark.operators.curation import nb_quality
+
+    rows = [
+        (1, "good clean prose writing", "curated"),
+        (2, "good prose clean style", "curated"),
+        (3, "spam click buy now", "crawl"),
+        (4, "buy spam now cheap", "crawl"),
+        (5, "clean prose style writing", "crawl"),  # curated-looking crawl doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: r
+        for r in nb_quality(df, target=F.col("source") == "curated").collect()
+    }
+    assert out[1]["pred_target"] and out[2]["pred_target"]
+    assert not out[3]["pred_target"] and not out[4]["pred_target"]
+    # the classifier scores CONTENT, not the label: curated-vocab doc wins
+    assert out[5]["pred_target"] and out[5]["score"] > 0
+
+
+def test_rrf_fusion_prefers_docs_in_both_lists(spark):
+    from mindsdb_spark.operators.search import rrf_fusion
+
+    kw = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 7.0)], "doc_id long, s1 double"
+    )
+    vec = spark.createDataFrame(
+        [(2, 0.9), (4, 0.8), (1, 0.7)], "doc_id long, s2 double"
+    )
+    out = rrf_fusion([(kw, "s1"), (vec, "s2")], k=4, n_candidates=10).collect()
+    order = [r["doc_id"] for r in out]
+    # doc 2: ranks (2,1) -> 1/62+1/61; doc 1: (1,3) -> 1/61+1/63 -> doc 2 first
+    assert order[0] == 2 and order[1] == 1
+    # single-list docs (3: kw rank 3; 4: vec rank 2) score below dual-list docs
+    assert set(order[2:]) == {3, 4}
+    scores = {r["doc_id"]: r["rrf"] for r in out}
+    assert scores[4] > scores[3]  # 1/62 > 1/63
