@@ -408,7 +408,7 @@ _TABLE_FN_RE = re.compile(
 
 
 def _pipeline_table_fns() -> dict:
-    from mindsdb_spark.operators import curation, dedup, text
+    from mindsdb_spark.operators import curation, dedup, text, vector
 
     return {
         "exact_dedup": dedup.exact_dedup,
@@ -438,6 +438,14 @@ def _pipeline_table_fns() -> dict:
         "pii_scrub": curation.pii_scrub,
         "quantize_embeddings": curation.quantize_embeddings,
         "source_mixture": curation.source_mixture,
+        "boilerplate_scrub": curation.boilerplate_scrub,
+        "dup_span_frac": text.dup_span_frac,
+        # target is a Column in the Python API; the SQL door takes it as
+        # (target_col, target_value) literals
+        "nb_quality": lambda df, target_col="source", target_value="src0", **kw: (
+            curation.nb_quality(df, F.col(target_col) == target_value, **kw)
+        ),
+        "random_project": vector.random_project,
     }
 
 

@@ -331,7 +331,60 @@ ORDER BY user_id, event_id
 """
 
 
+
+def st09_stream_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming seasonal-residual scoring: the (event_type x hour-of-day)
+    mean profile is computed in BATCH from history (operators/temporal.py:
+    seasonal_baseline's cell mean), broadcast-joined to the live event
+    stream, and each event's residual against its seasonal cell feeds a
+    watermarked tumbling anomaly count (threshold 150 ~ the residual p99,
+    so flags are a real tail signal, not the bulk). The batch-profile + stream-score
+    split is the canonical production monitoring deployment (profiles
+    refresh on a schedule, scoring is continuous); the reference's polling
+    jobs can only re-run the whole batch. Profile means are rounded to
+    1e-6 BEFORE the residual so both engines threshold identical values.
+    Oracle: the identical profile join + aggregation as batch SQL."""
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.streaming.windows import run_available_now
+
+    hist = load_table(spark, sf_dir, "events")
+    profile = hist.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("__hod")
+    ).agg(
+        (F.floor(F.avg("value") * 1e6 + F.lit(0.5)) / 1e6).alias("__mu")
+    )
+    ev = _event_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    scored = ev.withColumn("__hod", F.hour("ts").cast("int")).join(
+        F.broadcast(profile), ["event_type", "__hod"]
+    )
+    resid = F.floor((F.col("value") - F.col("__mu")) * 1e6 + F.lit(0.5)) / 1e6
+    agg = (
+        scored.withColumn("__anom", (F.abs(resid) > 150.0).cast("int"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("__anom").cast("long").alias("n_anom"))
+        .select(F.col("w.start").alias("h"), "event_type", "n", "n_anom")
+    )
+    return run_available_now(agg, "complete").orderBy("h", "event_type")
+
+
+ST09_SQL = """
+WITH prof AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+         floor(avg(value) * 1000000 + 0.5) / 1000000 AS mu
+  FROM events GROUP BY event_type, CAST(hour(ts) AS INT)
+)
+SELECT date_trunc('hour', e.ts) AS h, e.event_type, count(*) AS n,
+       CAST(sum(CASE WHEN abs(floor((e.value - p.mu) * 1000000 + 0.5) / 1000000)
+                          > 150.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anom
+FROM events e JOIN prof p
+  ON p.event_type = e.event_type AND p.hod = CAST(hour(e.ts) AS INT)
+GROUP BY date_trunc('hour', e.ts), e.event_type
+ORDER BY h, e.event_type
+"""
+
+
 STREAMING_QUERIES = {
+    "st09_stream_seasonal": (st09_stream_seasonal, ST09_SQL),
     "st08_stream_anomaly": (st08_stream_anomaly, ST08_SQL),
     "st07_stream_model_apply": (st07_stream_model_apply, ST07_SQL),
     "st01_stream_tumbling": (st01_stream_tumbling, ST01_SQL),

@@ -468,3 +468,24 @@ def test_pipeline_operators_as_sql_table_functions(spark, sf_dir):
     # unknown function names fall through to Spark (and fail there)
     with pytest.raises(Exception):
         sess.sql("SELECT * FROM not_an_op(tpch_documents)").collect()
+
+
+def test_new_pipeline_table_functions_sql_door(spark, sf_dir):
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir, tables=["documents", "embeddings"])
+    b = sess.sql(
+        "SELECT * FROM boilerplate_scrub(tpch_documents, k = 4) ORDER BY doc_id LIMIT 3"
+    )
+    assert set(b.columns) == {"doc_id", "n_segments", "n_removed", "clean_text"}
+    d = sess.sql("SELECT * FROM dup_span_frac(tpch_documents) ORDER BY doc_id LIMIT 3")
+    assert "dup_span_frac" in d.columns and d.count() == 3
+    n = sess.sql(
+        "SELECT * FROM nb_quality(tpch_documents, target_col = 'source', "
+        "target_value = 'src0') ORDER BY doc_id LIMIT 3"
+    ).collect()
+    assert len(n) == 3 and all(r["pred_target"] in (True, False) for r in n)
+    p = sess.sql(
+        "SELECT * FROM random_project(tpch_embeddings, out_dim = 4, in_dim = 64) "
+        "ORDER BY vec_id, lane LIMIT 8"
+    ).collect()
+    assert len(p) == 8 and {r["lane"] for r in p} == {0, 1, 2, 3}
