@@ -281,3 +281,66 @@ def test_strip_mysql_comments_properties(parts):
         return "".join(res)
 
     assert "#" not in outside_strings(out)
+
+
+_words_st = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+    min_size=1,
+    max_size=24,
+)
+
+
+@_settings
+@given(docs=st.lists(_words_st, min_size=1, max_size=6))
+def test_boilerplate_scrub_identity_when_threshold_unreachable(spark, docs):
+    # min_df above the corpus doc count can never fire: clean_text must be
+    # the whitespace-normalized original for EVERY doc (reassembly is the
+    # identity), n_removed == 0
+    from mindsdb_spark.operators.curation import boilerplate_scrub
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = boilerplate_scrub(df, k=3, min_df=len(rows) + 1).collect()
+    got = {r["doc_id"]: r for r in out}
+    for i, ws in enumerate(docs):
+        assert got[i]["n_removed"] == 0
+        assert got[i]["clean_text"] == " ".join(ws)
+
+
+@_settings
+@given(
+    vec=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=6, max_size=6
+    )
+)
+def test_random_project_matches_numpy(spark, vec):
+    # the operator must equal the straight numpy matmul with the same sign
+    # matrix (to the declared 1e-6 rounding)
+    import numpy as np
+
+    from mindsdb_spark.operators.vector import random_project, rp_signs
+
+    v = [float(x) for x in vec]
+    df = spark.createDataFrame([(0, v)], "vec_id long, embedding array<double>")
+    out = random_project(df, out_dim=4, in_dim=6, seed=7).collect()
+    m = np.array(rp_signs(6, 4, seed=7), dtype=float)
+    want = (m @ np.array(v)) / np.sqrt(4)
+    for r in out:
+        assert abs(r["value"] - want[r["lane"]]) < 2e-6
+
+
+@_settings
+@given(docs=st.lists(_words_st, min_size=2, max_size=6))
+def test_nb_quality_antisymmetric_under_label_flip(spark, docs):
+    # swapping the positive/negative classes must exactly negate the
+    # log-odds (prior and every token ratio flip sign)
+    from mindsdb_spark.operators.curation import nb_quality
+
+    rows = [(i, " ".join(ws), "a" if i % 2 == 0 else "b") for i, ws in enumerate(docs)]
+    if len({s for (_i, _t, s) in rows}) < 2:
+        rows.append((len(rows), "filler text", "b"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pos = {r["doc_id"]: r["score"] for r in nb_quality(df, F.col("source") == "a").collect()}
+    neg = {r["doc_id"]: r["score"] for r in nb_quality(df, F.col("source") == "b").collect()}
+    for i in pos:
+        assert abs(pos[i] + neg[i]) < 5e-6  # rounded at 1e-6 each side
