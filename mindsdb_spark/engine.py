@@ -1332,6 +1332,8 @@ class EngineSession:
         * ``relevance_threshold`` — keep hits with 1 - distance ≥ threshold
         * ``rerank = true`` — over-fetch min(2k, k+30), score with the
           (deterministic mock) reranker, threshold + top-k by relevance
+        * ``hybrid_search_fusion = 'rrf'`` — (engine extension) replace the
+          α-blend with reciprocal-rank fusion of the BM25 and cosine lists
         """
         from mindsdb_spark.operators.search import (
             KB_DEFAULT_LIMIT,
@@ -1356,7 +1358,50 @@ class EngineSession:
         threshold = using.get("relevance_threshold")
         threshold = float(threshold) if threshold is not None else None
         fetch = rerank_candidates(k) if rerank else k
-        if str(using.get("hybrid_search", "")).lower() == "true":
+        if (
+            str(using.get("hybrid_search", "")).lower() == "true"
+            and str(using.get("hybrid_search_fusion", "")).lower() == "rrf"
+        ):
+            # score-free rank fusion (engine extension beyond the reference's
+            # α-blend): Σ 1/(60+rank) over the BM25 and cosine candidate
+            # lists — robust when the two score scales aren't calibrated
+            from mindsdb_spark.operators.search import bm25_scores, rrf_fusion
+            from mindsdb_spark.operators.vector import cosine_similarity
+
+            terms = query_text.lower().split()
+            kw = bm25_scores(
+                store.select("chunk_id", "chunk_text"), terms,
+                text_col="chunk_text", id_col="chunk_id",
+            ).select(
+                "chunk_id",
+                (F.floor(F.col("bm25") * 1e6 + F.lit(0.5)) / 1e6).alias("bm25"),
+            )
+            vec = store.select(
+                "chunk_id",
+                (
+                    F.floor(
+                        cosine_similarity(F.col("embedding"), qvec) * 1e6 + F.lit(0.5)
+                    )
+                    / 1e6
+                ).alias("sim"),
+            )
+            fused = rrf_fusion(
+                [(kw, "bm25"), (vec, "sim")], k=fetch, id_col="chunk_id"
+            )
+            meta_cols = [
+                c for c in store.columns
+                if c not in ("chunk_id", "doc_id", "chunk_text", "embedding")
+            ]
+            # distance = 1 - rrf keeps the "ascending distance" contract of
+            # every other search mode (rrf ∈ (0, ~0.033] for two lists)
+            hits = fused.join(
+                store.select("chunk_id", "doc_id", "chunk_text", *meta_cols),
+                "chunk_id",
+            ).select(
+                "chunk_id", "doc_id", F.col("chunk_text").alias("content"),
+                (F.lit(1.0) - F.col("rrf")).alias("distance"), *meta_cols,
+            )
+        elif str(using.get("hybrid_search", "")).lower() == "true":
             alpha = float(using.get("hybrid_search_alpha", 0.5))
             # keyword side scores bm25 rounded to 6dp BEFORE the blend: the
             # contribution-sum order is engine-dependent in the last ulp

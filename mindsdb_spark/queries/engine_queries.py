@@ -512,6 +512,44 @@ ORDER BY n.n_name
 """
 
 
+
+# --- A08 PSI drift report (model-monitoring extension) -----------------------
+def a08_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-window vs serving-window drift on order value: the
+    operational trigger for RETRAIN that the reference's model lifecycle
+    lacks. Baseline = orders before 1998; current = after."""
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.operators.monitoring import psi_drift
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter("o_orderdate < '1998-01-01'")
+    cur = orders.filter("o_orderdate >= '1998-01-01'")
+    return psi_drift(base, cur, "o_totalprice", n_bins=10).orderBy("bin")
+
+
+A08_SQL = """
+WITH ed AS (SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo,
+                   CAST(max(o_totalprice) AS DOUBLE) AS hi
+            FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+bb AS (SELECT least(9, greatest(0, CAST(floor((o_totalprice - lo) / ((hi - lo) / 10.0)) AS INT))) AS bin
+       FROM orders, ed WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+cc AS (SELECT least(9, greatest(0, CAST(floor((o_totalprice - lo) / ((hi - lo) / 10.0)) AS INT))) AS bin
+       FROM orders, ed WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+pb AS (SELECT bin, count(*) AS n_base FROM bb GROUP BY bin),
+pc AS (SELECT bin, count(*) AS n_cur FROM cc GROUP BY bin),
+j AS (SELECT bin, coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+      FROM pb FULL OUTER JOIN pc USING (bin)),
+t AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM j)
+SELECT bin, n_base, n_cur,
+       floor(greatest(n_base / tb, 0.000001) * 1000000 + 0.5) / 1000000 AS p_base,
+       floor(greatest(n_cur / tc, 0.000001) * 1000000 + 0.5) / 1000000 AS p_cur,
+       floor((greatest(n_cur / tc, 0.000001) - greatest(n_base / tb, 0.000001))
+             * ln(greatest(n_cur / tc, 0.000001) / greatest(n_base / tb, 0.000001))
+             * 1000000 + 0.5) / 1000000 AS psi
+FROM j, t ORDER BY bin
+"""
+
+
 ENGINE_QUERIES = {
     "i01_last_sql": (i01_last_sql, I01_SQL),
     "e04_create_database": (e04_create_database, E04_SQL),
@@ -524,6 +562,7 @@ ENGINE_QUERIES = {
     "a05_evaluate_regression": (a05_evaluate_regression, A05_SQL),
     "a06_evaluate_classification": (a06_evaluate_classification, A06_SQL),
     "a07_ts_model_sql": (a07_ts_model_sql, A07_SQL),
+    "a08_psi_drift": (a08_psi_drift, A08_SQL),
     "m02_dialect_datetime": (m02_dialect_datetime, M02_SQL),
     "m03_dialect_string": (m03_dialect_string, M03_SQL),
 }

@@ -200,3 +200,23 @@ def test_hash_embedder_semantic_retrieval(spark, sf_dir):
     ).collect()[0]
     assert top["doc_id"] == 1
     sess.sql("DROP KNOWLEDGE_BASE hkb")
+
+
+def test_kb_rrf_fusion_flag(kbsess):
+    # hybrid_search_fusion = 'rrf' swaps the alpha blend for
+    # reciprocal-rank fusion of the BM25 and cosine candidate lists
+    rows = kbsess.sql(
+        "SELECT * FROM docs_kb WHERE content = 'spark join fast' "
+        "USING hybrid_search = true, hybrid_search_fusion = 'rrf' LIMIT 5"
+    ).collect()
+    assert len(rows) == 5
+    dists = [r["distance"] for r in rows]
+    assert dists == sorted(dists)
+    # rrf distance = 1 - sum(1/(60+rank)) stays in (0.96, 1)
+    assert all(0.9 < d < 1.0 for d in dists)
+    # deterministic: re-run returns the identical ranking
+    again = kbsess.sql(
+        "SELECT * FROM docs_kb WHERE content = 'spark join fast' "
+        "USING hybrid_search = true, hybrid_search_fusion = 'rrf' LIMIT 5"
+    ).collect()
+    assert [r["chunk_id"] for r in rows] == [r["chunk_id"] for r in again]

@@ -691,3 +691,24 @@ def test_rrf_fusion_prefers_docs_in_both_lists(spark):
     assert set(order[2:]) == {3, 4}
     scores = {r["doc_id"]: r["rrf"] for r in out}
     assert scores[4] > scores[3]  # 1/62 > 1/63
+
+
+def test_psi_drift_flags_shifted_population(spark):
+    from mindsdb_spark.operators.monitoring import psi_drift
+
+    base = spark.createDataFrame(
+        [(float(i % 100),) for i in range(1000)], "v double"
+    )
+    # shifted AND out-of-range: values beyond baseline max clamp to bin 9
+    cur = spark.createDataFrame(
+        [(float(60 + i % 80),) for i in range(1000)], "v double"
+    )
+    rows = psi_drift(base, cur, "v", n_bins=10).collect()
+    total = sum(r["psi"] for r in rows)
+    assert total > 0.25  # "retrain" territory by the scorecard rule
+    by_bin = {r["bin"]: r for r in rows}
+    assert by_bin[9]["n_cur"] > by_bin[9]["n_base"]  # clamped tail mass
+    assert all(0 <= r["bin"] <= 9 for r in rows)
+    # identical populations -> psi ~ 0
+    same = psi_drift(base, base, "v", n_bins=10).collect()
+    assert abs(sum(r["psi"] for r in same)) < 1e-9
