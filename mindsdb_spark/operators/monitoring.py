@@ -86,3 +86,38 @@ def psi_drift(
             _round6(psi).alias("psi"),
         )
     )
+
+
+def categorical_drift(
+    base: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """PSI over categorical shares: one row per category value observed in
+    either window, same clamp/psi formula as the binned numeric form.
+    Category cardinality bounds all join/aggregate state; shuffles key on
+    the category value.
+    """
+    pb = base.groupBy(col(value_col).alias("category")).agg(
+        F.count("*").alias("n_base")
+    )
+    pc = cur.groupBy(col(value_col).alias("category")).agg(
+        F.count("*").alias("n_cur")
+    )
+    j = pb.join(pc, "category", "full_outer").select(
+        "category",
+        F.coalesce("n_base", F.lit(0)).alias("n_base"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    totals = j.agg(F.sum("n_base").alias("__tb"), F.sum("n_cur").alias("__tc"))
+    p_base = F.greatest(col("n_base") / col("__tb"), F.lit(_EPS))
+    p_cur = F.greatest(col("n_cur") / col("__tc"), F.lit(_EPS))
+    psi = (p_cur - p_base) * F.log(p_cur / p_base)
+    return j.crossJoin(F.broadcast(totals)).select(
+        "category",
+        col("n_base").cast("long").alias("n_base"),
+        col("n_cur").cast("long").alias("n_cur"),
+        _round6(p_base).alias("p_base"),
+        _round6(p_cur).alias("p_cur"),
+        _round6(psi).alias("psi"),
+    )

@@ -550,6 +550,36 @@ FROM j, t ORDER BY bin
 """
 
 
+
+# --- A09 categorical drift (order-priority mix shift) ------------------------
+def a09_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.operators.monitoring import categorical_drift
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter("o_orderdate < '1998-01-01'")
+    cur = orders.filter("o_orderdate >= '1998-01-01'")
+    return categorical_drift(base, cur, "o_orderpriority").orderBy("category")
+
+
+A09_SQL = """
+WITH pb AS (SELECT o_orderpriority AS category, count(*) AS n_base
+            FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1),
+pc AS (SELECT o_orderpriority AS category, count(*) AS n_cur
+       FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1),
+j AS (SELECT category, coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+      FROM pb FULL OUTER JOIN pc USING (category)),
+t AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM j)
+SELECT category, n_base, n_cur,
+       floor(greatest(n_base / tb, 0.000001) * 1000000 + 0.5) / 1000000 AS p_base,
+       floor(greatest(n_cur / tc, 0.000001) * 1000000 + 0.5) / 1000000 AS p_cur,
+       floor((greatest(n_cur / tc, 0.000001) - greatest(n_base / tb, 0.000001))
+             * ln(greatest(n_cur / tc, 0.000001) / greatest(n_base / tb, 0.000001))
+             * 1000000 + 0.5) / 1000000 AS psi
+FROM j, t ORDER BY category
+"""
+
+
 ENGINE_QUERIES = {
     "i01_last_sql": (i01_last_sql, I01_SQL),
     "e04_create_database": (e04_create_database, E04_SQL),
@@ -563,6 +593,7 @@ ENGINE_QUERIES = {
     "a06_evaluate_classification": (a06_evaluate_classification, A06_SQL),
     "a07_ts_model_sql": (a07_ts_model_sql, A07_SQL),
     "a08_psi_drift": (a08_psi_drift, A08_SQL),
+    "a09_categorical_drift": (a09_categorical_drift, A09_SQL),
     "m02_dialect_datetime": (m02_dialect_datetime, M02_SQL),
     "m03_dialect_string": (m03_dialect_string, M03_SQL),
 }

@@ -712,3 +712,16 @@ def test_psi_drift_flags_shifted_population(spark):
     # identical populations -> psi ~ 0
     same = psi_drift(base, base, "v", n_bins=10).collect()
     assert abs(sum(r["psi"] for r in same)) < 1e-9
+
+
+def test_categorical_drift_new_category(spark):
+    from mindsdb_spark.operators.monitoring import categorical_drift
+
+    base = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, "c string")
+    cur = spark.createDataFrame(
+        [("a",)] * 20 + [("b",)] * 20 + [("c",)] * 60, "c string"
+    )
+    rows = {r["category"]: r for r in categorical_drift(base, cur, "c").collect()}
+    # category "c" is new in the serving window: n_base 0, big psi share
+    assert rows["c"]["n_base"] == 0 and rows["c"]["n_cur"] == 60
+    assert sum(r["psi"] for r in rows.values()) > 0.25
