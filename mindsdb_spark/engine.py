@@ -1856,6 +1856,29 @@ class EngineSession:
         if u in ("SHOW STATUS", "SHOW SESSION STATUS", "SHOW GLOBAL STATUS",
                  "SHOW FUNCTION STATUS", "SHOW PROCEDURE STATUS"):
             return self.spark.createDataFrame([], "Variable_name string, Value string")
+        if u == "SHOW WARNINGS":
+            # reference answers the empty warnings shape
+            # (command_executor.py:1925 answer_show_warnings)
+            return self.spark.createDataFrame(
+                [], "Level string, Code int, Message string"
+            )
+        m = re.match(
+            r"SHOW\s+(?:SESSION\s+|GLOBAL\s+)?VARIABLES(?:\s+LIKE\s+'([^']*)')?$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            # session vars answered from the same dict `@@var` reads
+            # (reference: command_executor.py:373-415 over server_variables)
+            like = (m.group(1) or "%").replace("%", ".*").replace("_", ".")
+            rows = [
+                (k, "" if v is None else str(v))
+                for k, v in sorted(self.session_vars.items())
+                if re.fullmatch(like, k, re.IGNORECASE)
+            ]
+            return self.spark.createDataFrame(
+                rows, "Variable_name string, Value string"
+            )
         if u == "SHOW ENGINES":
             return self.spark.createDataFrame(
                 [("Spark", "DEFAULT", "Apache Spark via mindsdb_spark")],

@@ -489,3 +489,14 @@ def test_new_pipeline_table_functions_sql_door(spark, sf_dir):
         "ORDER BY vec_id, lane LIMIT 8"
     ).collect()
     assert len(p) == 8 and {r["lane"] for r in p} == {0, 1, 2, 3}
+
+
+def test_show_variables_and_warnings(spark, sf_dir):
+    sess = EngineSession(spark)
+    rows = sess.sql("SHOW VARIABLES").collect()
+    names = {r["Variable_name"] for r in rows}
+    assert "database" in names  # same dict @@database reads
+    like = sess.sql("SHOW SESSION VARIABLES LIKE 'data%'").collect()
+    assert {r["Variable_name"] for r in like} <= names and len(like) >= 1
+    w = sess.sql("SHOW WARNINGS")
+    assert w.columns == ["Level", "Code", "Message"] and w.count() == 0
