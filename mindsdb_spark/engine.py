@@ -1831,12 +1831,23 @@ class EngineSession:
                 f"SELECT name AS `{kind.capitalize()}` FROM information_schema_{kind} ORDER BY 1"
             )
         if u in ("SHOW JOBS", "SHOW VIEWS", "SHOW AGENTS", "SHOW MODELS",
-                 "SHOW KNOWLEDGE_BASES", "SHOW TRIGGERS"):
+                 "SHOW KNOWLEDGE_BASES", "SHOW TRIGGERS", "SHOW CHATBOTS",
+                 "SHOW PREDICTORS", "SHOW SKILLS"):
             self._refresh_information_schema()
             kind = u.split()[1].lower()
-            return self.spark.sql(
-                f"SELECT name AS `{kind.capitalize()}` FROM information_schema_{kind} ORDER BY 1"
+            if kind == "predictors":  # reference alias (command_executor.py:532)
+                kind = "models"
+            view = (
+                "mindsdb_skills" if kind == "skills"
+                else f"information_schema_{kind}"
             )
+            return self.spark.sql(
+                f"SELECT name AS `{kind.capitalize()}` FROM {view} ORDER BY 1"
+            )
+        if u == "SHOW PROJECTS":
+            # reference: project-typed databases (command_executor.py:550-560);
+            # this engine runs one default project
+            return self.spark.createDataFrame([("mindsdb",)], "project string")
         # MySQL-client introspection commands (command_executor.py:283-570
         # answers these from constants/session state so clients connect)
         vm = re.match(r"SHOW\s+(?:SESSION\s+|GLOBAL\s+)?VARIABLES(?:\s+LIKE\s+'([^']*)')?$",
@@ -1861,23 +1872,6 @@ class EngineSession:
             # (command_executor.py:1925 answer_show_warnings)
             return self.spark.createDataFrame(
                 [], "Level string, Code int, Message string"
-            )
-        m = re.match(
-            r"SHOW\s+(?:SESSION\s+|GLOBAL\s+)?VARIABLES(?:\s+LIKE\s+'([^']*)')?$",
-            s,
-            re.IGNORECASE,
-        )
-        if m:
-            # session vars answered from the same dict `@@var` reads
-            # (reference: command_executor.py:373-415 over server_variables)
-            like = (m.group(1) or "%").replace("%", ".*").replace("_", ".")
-            rows = [
-                (k, "" if v is None else str(v))
-                for k, v in sorted(self.session_vars.items())
-                if re.fullmatch(like, k, re.IGNORECASE)
-            ]
-            return self.spark.createDataFrame(
-                rows, "Variable_name string, Value string"
             )
         if u == "SHOW ENGINES":
             return self.spark.createDataFrame(

@@ -500,3 +500,11 @@ def test_show_variables_and_warnings(spark, sf_dir):
     assert {r["Variable_name"] for r in like} <= names and len(like) >= 1
     w = sess.sql("SHOW WARNINGS")
     assert w.columns == ["Level", "Code", "Message"] and w.count() == 0
+
+
+def test_show_projects_chatbots_skills_predictors(spark, sf_dir):
+    sess = EngineSession(spark)
+    assert [r["project"] for r in sess.sql("SHOW PROJECTS").collect()] == ["mindsdb"]
+    assert sess.sql("SHOW CHATBOTS").columns == ["Chatbots"]
+    assert sess.sql("SHOW SKILLS").columns == ["Skills"]
+    assert sess.sql("SHOW PREDICTORS").columns == ["Models"]  # alias of MODELS
