@@ -135,6 +135,35 @@ class SQLServer:
                             for n, mm in sorted(sess._models.items())
                         ])
                         return
+                    # remaining catalog namespaces the reference serves per
+                    # project (namespaces/views.py:13-33, jobs.py:13-22,
+                    # agents.py, knowledge_bases.py) — list shapes only;
+                    # mutation stays on the SQL door
+                    if path == "/api/projects/mindsdb/views":
+                        self._reply(200, [
+                            {"name": n, "query": q}
+                            for n, q in sorted(sess._views.items())
+                        ])
+                        return
+                    if path == "/api/projects/mindsdb/jobs":
+                        self._reply(200, [
+                            {"name": n, "query": j.sql,
+                             "every_seconds": j.every_seconds, "runs": j.runs}
+                            for n, j in sorted(sess.jobs.jobs.items())
+                        ])
+                        return
+                    if path == "/api/projects/mindsdb/agents":
+                        self._reply(200, [
+                            {"name": n, "model": getattr(a, "model", None)}
+                            for n, a in sorted(sess._agents.items())
+                        ])
+                        return
+                    if path == "/api/projects/mindsdb/knowledge_bases":
+                        self._reply(200, [
+                            {"name": n, "dim": kb.get("dim")}
+                            for n, kb in sorted(sess._kbs.items())
+                        ])
+                        return
                 self._reply(404, {"type": "error", "error_message": "not found"})
 
             def do_DELETE(self):

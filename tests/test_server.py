@@ -93,3 +93,21 @@ def test_rest_catalog_endpoints(server, sf_dir):
     import urllib.error
     with pytest.raises(urllib.error.HTTPError):
         _req(server, "/api/databases", "POST", {"database": {"name": "x"}})
+
+
+def test_rest_object_namespaces(server):
+    # views/jobs/agents/knowledge_bases list endpoints
+    # (namespaces/views.py:13-33, jobs.py:13-22)
+    _post(server, "CREATE VIEW rest_v AS SELECT n_name FROM tpch_nation")
+    _post(server, "CREATE JOB rest_j AS (SELECT 1) EVERY 1 hour")
+    code, views = _req(server, "/api/projects/mindsdb/views")
+    assert code == 200 and any(v["name"] == "rest_v" for v in views)
+    assert all("query" in v for v in views)
+    code, jobs = _req(server, "/api/projects/mindsdb/jobs")
+    assert code == 200 and any(j["name"] == "rest_j" for j in jobs)
+    code, agents = _req(server, "/api/projects/mindsdb/agents")
+    assert code == 200 and isinstance(agents, list)
+    code, kbs = _req(server, "/api/projects/mindsdb/knowledge_bases")
+    assert code == 200 and isinstance(kbs, list)
+    _post(server, "DROP VIEW rest_v")
+    _post(server, "DROP JOB rest_j")
