@@ -341,6 +341,14 @@ _EVALUATE_RE = re.compile(
     r"EVALUATE\s+(?!KNOWLEDGE)(\w+)\s+FROM\s*\((.+)\)\s*(?:USING\s+(.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
+# `EVALUATE DRIFT ON col FROM (baseline query) AGAINST (current query)
+# [USING bins = N | categorical = true]` — engine extension: the
+# distribution-shift check that triggers RETRAIN (operators/monitoring.py)
+_EVALUATE_DRIFT_RE = re.compile(
+    r"EVALUATE\s+DRIFT\s+ON\s+([\w`]+)\s+FROM\s*\((.+)\)\s*"
+    r"AGAINST\s*\((.+)\)\s*(?:USING\s+(.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
 # `ALTER VIEW name AS (query)` — replace a stored view body (reference:
 # command_executor.py AlterView branch → view_controller.update).
 _ALTER_VIEW_RE = re.compile(
@@ -2858,6 +2866,25 @@ class EngineSession:
                 params["test_table"],
                 int(params.get("k", 10)),
             )
+        m = _EVALUATE_DRIFT_RE.match(s)
+        if m:
+            from mindsdb_spark.dialect.rewriter import split_top_level
+            from mindsdb_spark.operators.monitoring import (
+                categorical_drift,
+                psi_drift,
+            )
+
+            using = {}
+            for kv in split_top_level(m.group(4)) if m.group(4) else []:
+                k, _, v = kv.partition("=")
+                using[k.strip().lower()] = self._param_value(v)
+            value_col = m.group(1).strip("`")
+            base, cur = self.sql(m.group(2)), self.sql(m.group(3))
+            if str(using.get("categorical", "")).lower() == "true":
+                return categorical_drift(base, cur, value_col).orderBy("category")
+            return psi_drift(
+                base, cur, value_col, n_bins=int(using.get("bins", 10))
+            ).orderBy("bin")
         m = _EVALUATE_RE.match(s)
         if m:
             from mindsdb_spark.dialect.rewriter import split_top_level

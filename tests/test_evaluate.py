@@ -147,3 +147,25 @@ def test_alter_kb_and_update_agent(engine):
         engine.sql("UPDATE AGENT no_such_agent SET model = 'x'")
     engine.sql("DROP AGENT ev_ag")
     engine.sql("DROP KNOWLEDGE_BASE ev_kb")
+
+
+def test_evaluate_drift_sql_door(spark, sf_dir):
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir, tables=["orders"])
+    out = sess.sql(
+        "EVALUATE DRIFT ON o_totalprice "
+        "FROM (SELECT o_totalprice FROM tpch_orders WHERE o_orderdate < '1998-01-01') "
+        "AGAINST (SELECT o_totalprice FROM tpch_orders WHERE o_orderdate >= '1998-01-01') "
+        "USING bins = 5"
+    ).collect()
+    assert len(out) == 5 and {r["bin"] for r in out} == {0, 1, 2, 3, 4}
+    assert all(abs(r["psi"]) < 1.0 for r in out)  # same distribution: tiny psi
+    cat = sess.sql(
+        "EVALUATE DRIFT ON o_orderpriority "
+        "FROM (SELECT o_orderpriority FROM tpch_orders WHERE o_orderdate < '1998-01-01') "
+        "AGAINST (SELECT o_orderpriority FROM tpch_orders WHERE o_orderdate >= '1998-01-01') "
+        "USING categorical = true"
+    ).collect()
+    assert len(cat) >= 2 and "category" in cat[0].asDict()

@@ -229,3 +229,24 @@ def test_semantic_dedup_plan_no_cartesian(spark, sf_dir):
     plan = _plan(semantic_dedup(load_table(spark, sf_dir, "embeddings")))
     assert "CartesianProduct" not in plan
     assert "cell" in plan
+
+
+def test_random_project_plans_zero_shuffle(spark, sf_dir):
+    # the JL projection is a pure map stage: literal sign arrays, per-lane
+    # fold — the physical plan must contain no Exchange at all
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.operators.vector import random_project
+
+    df = random_project(load_table(spark, sf_dir, "embeddings"), out_dim=4, in_dim=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_seasonal_baseline_single_exchange(spark, sf_dir):
+    # one shuffle keyed on (series key, hour-of-day), nothing else
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.operators.temporal import seasonal_baseline
+
+    df = seasonal_baseline(load_table(spark, sf_dir, "events"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
