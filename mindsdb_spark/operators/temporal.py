@@ -232,3 +232,78 @@ def seasonal_baseline(
         r6(mu).alias("baseline"),
         r6(col(value_col) - mu).alias("residual"),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Full batch sessionization: gap-based session ids (a new session
+    starts after ``gap_minutes`` of silence) and per-session aggregates —
+    the canonical event-analytics operator (the batch twin of the
+    streaming ``session_window`` in streaming/windows.py).
+
+    Plan shape: ONE exchange. The running-sum window shuffles on the user
+    key; the per-(user, session) aggregate's clustering requirement is
+    already satisfied by that partitioning (hash on a subset of the
+    grouping keys), so Catalyst plans the groupBy with no second shuffle —
+    asserted in tests/test_plans.py. ``order_col`` breaks timestamp ties.
+    """
+    w = Window.partitionBy(key_col).orderBy(col(ts_col), col(order_col))
+    prev = F.lag(col(ts_col)).over(w)
+    new_s = F.when(
+        prev.isNull()
+        | (col(ts_col) > prev + F.expr(f"INTERVAL {gap_minutes} MINUTES")),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy(key_col).orderBy(col(ts_col), col(order_col)).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s = df.select(
+        col(key_col), col(order_col), col(ts_col), new_s.alias("__ns")
+    ).withColumn("session_id", F.sum("__ns").over(run))
+    return s.groupBy(key_col, "session_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (
+            F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+        ).cast("long").alias("duration_s"),
+    )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    alpha: float = 0.3,
+    window: int = 10,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average per series: the
+    pandas ``ewm(adjust=True)`` weighting cut at ``window`` lags, so the
+    whole statistic is a fixed set of lag() terms — no recursion, no
+    per-row state beyond the ROWS frame, and the DuckDB oracle reproduces
+    it term-for-term. Weights renormalize over the lags that exist, so
+    series starts are exact, not zero-padded. One shuffle on the series
+    key; value rounded to 1e-6.
+    """
+    w = Window.partitionBy(key_col).orderBy(col(ts_col), col(order_col))
+    beta = 1.0 - alpha
+    num = None
+    den = None
+    for k in range(window):
+        lv = F.lag(col(value_col), k).over(w) if k else col(value_col)
+        wk = F.lit(beta**k)
+        term = F.when(lv.isNotNull(), lv * wk).otherwise(F.lit(0.0))
+        mass = F.when(lv.isNotNull(), wk).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = mass if den is None else den + mass
+    ewma = F.floor(num / den * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return df.select(
+        col(key_col), col(order_col), col(ts_col), col(value_col),
+    ).withColumn("ewma", ewma)

@@ -162,6 +162,61 @@ ORDER BY event_id
 """
 
 
+
+def t07_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.temporal import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events")).orderBy("user_id", "session_id")
+
+
+T07_SQL = """
+WITH f AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1
+              ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (SELECT user_id, ts,
+             CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM f)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s
+FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
+
+def t08_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.temporal import ewma_smooth
+
+    e = _t(spark, sf_dir, "events").filter("user_id < 50")
+    return ewma_smooth(e, alpha=0.3, window=10).orderBy("user_id", "event_id")
+
+
+def _t08_sql(alpha: float = 0.3, window: int = 10) -> str:
+    # mirror ewma_smooth term-for-term: same weights, same chain order
+    beta = 1.0 - alpha
+    num, den = [], []
+    for k in range(window):
+        wk = repr(beta**k)
+        lv = "value" if k == 0 else f"lag(value, {k}) OVER w"
+        num.append(f"coalesce(({lv}) * {wk}, 0)")
+        den.append(f"CASE WHEN ({lv}) IS NOT NULL THEN {wk} ELSE 0 END")
+    return f"""
+SELECT user_id, event_id, ts, value,
+       floor(({" + ".join(num)}) / ({" + ".join(den)}) * 1000000 + 0.5)
+         / 1000000 AS ewma
+FROM events WHERE user_id < 50
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+"""
+
+
+T08_SQL = _t08_sql()
+
+
 TEMPORAL_QUERIES = {
     "t01_asof_join": (t01_asof_join, T01_SQL),
     "t02_asof_forward": (t02_asof_forward, T02_SQL),
@@ -169,4 +224,6 @@ TEMPORAL_QUERIES = {
     "t04_resample": (t04_resample, T04_SQL),
     "t05_anomaly_zscore": (t05_anomaly_zscore, T05_SQL),
     "t06_seasonal_baseline": (t06_seasonal_baseline, T06_SQL),
+    "t07_sessionize": (t07_sessionize, T07_SQL),
+    "t08_ewma": (t08_ewma, T08_SQL),
 }

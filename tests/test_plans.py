@@ -250,3 +250,15 @@ def test_seasonal_baseline_single_exchange(spark, sf_dir):
     df = seasonal_baseline(load_table(spark, sf_dir, "events"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    # running-sum window shuffles on the user key; the per-(user, session)
+    # aggregate's clustering is satisfied by that partitioning (hash on a
+    # subset of the grouping keys) -> ONE exchange total
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.operators.temporal import sessionize
+
+    df = sessionize(load_table(spark, sf_dir, "events"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1

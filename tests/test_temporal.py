@@ -146,3 +146,32 @@ def test_anomaly_zscore_flags_spike_only(spark):
     assert spike["zscore"] > 100
     # unscoreable head rows (no 2-point baseline) are absent
     assert out.filter("event_id < 2").count() == 0
+
+
+def test_sessionize_gap_semantics(spark):
+    from mindsdb_spark.operators.temporal import sessionize
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00"),
+        (1, 2, "2024-01-01 10:10:00"),  # same session (10 min gap)
+        (1, 3, "2024-01-01 11:00:00"),  # 50 min gap -> new session
+        (2, 4, "2024-01-01 09:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(r["user_id"], r["session_id"]): r for r in sessionize(df).collect()}
+    assert out[(1, 1)]["n_events"] == 2 and out[(1, 1)]["duration_s"] == 600
+    assert out[(1, 2)]["n_events"] == 1
+    assert out[(2, 1)]["n_events"] == 1 and out[(2, 1)]["duration_s"] == 0
+
+
+def test_ewma_constant_series_is_identity(spark):
+    from mindsdb_spark.operators.temporal import ewma_smooth
+
+    rows = [(1, i, f"2024-01-01 10:{i:02d}:00", 5.0) for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = ewma_smooth(df).collect()
+    assert all(r["ewma"] == 5.0 for r in out)  # weights renormalize exactly
