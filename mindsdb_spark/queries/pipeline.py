@@ -1606,6 +1606,52 @@ ORDER BY rrf DESC, doc_id LIMIT 10
 """
 
 
+
+# --- K08 reciprocal-rank fusion through the KB SQL door ----------------------
+# `USING hybrid_search = true, hybrid_search_fusion = 'rrf'` — the engine's
+# score-free hybrid (engine.py _kb_search rrf branch) on the md5-embedder KB,
+# so BM25 ranks, cosine ranks and the fusion all reproduce in DuckDB.
+def k08_kb_rrf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    sess.register_knowledge_base(
+        "kbrrf", _t(spark, sf_dir, "documents"), dim=8, embedder="md5", chunk=False
+    )
+    return sess.sql(
+        "SELECT doc_id, FLOOR(distance * 1000000 + 0.5) / 1000000 AS distance "
+        "FROM kbrrf WHERE content = 'spark join fast' "
+        "ORDER BY distance, doc_id LIMIT 10 "
+        "USING hybrid_search = true, hybrid_search_fusion = 'rrf'"
+    )
+
+
+def _k08_sql() -> str:
+    store_lanes = ", ".join(_md5_lane("text", i) for i in range(8))
+    q_lanes = ", ".join(_md5_lane("'spark join fast'", i) for i in range(8))
+    tie = "md5(CAST(doc_id AS VARCHAR))"  # chunk_id = md5(doc_id), chunk=False
+    return f"""
+WITH {_bm25_cte(_Q_TERMS)},
+emb AS (SELECT doc_id, [{store_lanes}] AS embedding FROM documents),
+q AS (SELECT [{q_lanes}] AS qe),
+vecs AS (SELECT doc_id, floor(({_COS}) * 1000000 + 0.5) / 1000000 AS sim FROM emb, q),
+ktop AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, {tie}) AS rk
+         FROM bm25 ORDER BY bm25 DESC, {tie} LIMIT 50),
+vtop AS (SELECT doc_id, row_number() OVER (ORDER BY sim DESC, {tie}) AS rv
+         FROM vecs ORDER BY sim DESC, {tie} LIMIT 50),
+fused AS (SELECT doc_id,
+                 floor((coalesce(1.0 / (60 + rk), 0) + coalesce(1.0 / (60 + rv), 0))
+                       * 1000000 + 0.5) / 1000000 AS rrf
+          FROM ktop FULL OUTER JOIN vtop USING (doc_id)),
+top AS (SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, {tie} LIMIT 10)
+SELECT doc_id, floor((1.0 - rrf) * 1000000 + 0.5) / 1000000 AS distance
+FROM top ORDER BY distance, doc_id
+"""
+
+
+K08_SQL = _k08_sql()
+
+
 # --- registry ----------------------------------------------------------------
 PIPELINE = {
     "d01_dedup_exact": (d01_dedup_exact, D01_SQL),
@@ -1659,6 +1705,7 @@ PIPELINE = {
     "s06_hybrid_sql": (s06_hybrid_sql, S06_SQL),
     "s07_rerank_sql": (s07_rerank_sql, S07_SQL),
     "s08_rrf_fusion": (s08_rrf_fusion, S08_SQL),
+    "k08_kb_rrf_sql": (k08_kb_rrf_sql, K08_SQL),
     "m01_mysql_dialect": (m01_mysql_dialect, M01_SQL),
     "a01_model_apply": (a01_model_apply, A01_SQL),
     "a02_ts_forecast": (a02_ts_forecast, A02_SQL),
