@@ -105,6 +105,20 @@ def _is_interval(a: str) -> bool:
     return a.strip().upper().startswith("INTERVAL")
 
 
+def _group_concat(a: list[str]) -> str:
+    import re as _re
+
+    arg, sep = a[0], "','"
+    parts = _re.split(r"\s+SEPARATOR\s+", arg, flags=_re.IGNORECASE)
+    if len(parts) == 2:
+        arg, sep = parts
+    distinct = _re.match(r"DISTINCT\s+(.+)$", arg.strip(), _re.IGNORECASE)
+    inner = f"collect_list({distinct.group(1)})" if distinct else f"collect_list({arg})"
+    if distinct:
+        inner = f"array_distinct({inner})"
+    return f"concat_ws({sep}, sort_array({inner}))"
+
+
 def build_rules(session_vars: dict[str, str]) -> dict:
     """Rule table; `session_vars` provides DATABASE()/USER()/VERSION()."""
     db = session_vars.get("database", "mindsdb")
@@ -179,6 +193,11 @@ def build_rules(session_vars: dict[str, str]) -> dict:
         "CURRENT_USER": lambda a: f"'{user}'",
         "VERSION": lambda a: f"'{version}'",
         "CONNECTION_ID": lambda a: "1",
+        # GROUP_CONCAT([DISTINCT] x [SEPARATOR s]) — MySQL's string
+        # aggregate; rendered with a sorted element order so the result is
+        # deterministic across engines/partitionings (MySQL without
+        # ORDER BY leaves it unspecified)
+        "GROUP_CONCAT": _group_concat,
         # JSON path                                   (sql.py:294-295)
         "JSON_EXTRACT": lambda a: f"get_json_object({a[0]}, {a[1]})",
         # engine-defined SQL functions                (query_planner.py:61;

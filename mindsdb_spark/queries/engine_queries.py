@@ -580,6 +580,30 @@ FROM j, t ORDER BY category
 """
 
 
+
+def m04_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL GROUP_CONCAT through the dialect shim — rendered with sorted
+    element order so both engines agree (MySQL without ORDER BY leaves the
+    order unspecified)."""
+    sess = _session(spark, sf_dir)
+    return sess.sql(
+        """
+        SELECT c_nationkey,
+               GROUP_CONCAT(DISTINCT c_mktsegment) AS segs,
+               GROUP_CONCAT(c_mktsegment SEPARATOR '|') AS segs_all
+        FROM tpch_customer GROUP BY c_nationkey ORDER BY c_nationkey
+        """
+    )
+
+
+M04_SQL = """
+SELECT c_nationkey,
+       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segs,
+       string_agg(c_mktsegment, '|' ORDER BY c_mktsegment) AS segs_all
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
 ENGINE_QUERIES = {
     "i01_last_sql": (i01_last_sql, I01_SQL),
     "e04_create_database": (e04_create_database, E04_SQL),
@@ -595,5 +619,6 @@ ENGINE_QUERIES = {
     "a08_psi_drift": (a08_psi_drift, A08_SQL),
     "a09_categorical_drift": (a09_categorical_drift, A09_SQL),
     "m02_dialect_datetime": (m02_dialect_datetime, M02_SQL),
+    "m04_group_concat": (m04_group_concat, M04_SQL),
     "m03_dialect_string": (m03_dialect_string, M03_SQL),
 }
