@@ -103,6 +103,28 @@ class SQLServer:
                     except Exception as e:
                         self._reply(400, {"type": "error", "error_message": str(e)})
                     return
+                if path == "/api/projects/mindsdb/views":
+                    # reference: POST {view: {name, query}} → 201
+                    # (namespaces/views.py:34-63)
+                    v = body.get("view") or {}
+                    if "name" not in v or "query" not in v:
+                        self._reply(400, {"type": "error", "error_message":
+                                          'Missing "name" or "query" field'})
+                        return
+                    try:
+                        with outer._exec_lock:
+                            if v["name"].lower() in outer.session._views:
+                                self._reply(409, {"type": "error", "error_message":
+                                                  f"View {v['name']} already exists"})
+                                return
+                            outer.session.sql(
+                                f"CREATE VIEW {v['name']} AS {v['query']}"
+                            )
+                        self._reply(201, {"name": v["name"].lower(),
+                                          "query": v["query"]})
+                    except Exception as e:
+                        self._reply(400, {"type": "error", "error_message": str(e)})
+                    return
                 self._reply(404, {"type": "error", "error_message": "not found"})
 
             def do_GET(self):
@@ -167,10 +189,23 @@ class SQLServer:
                 self._reply(404, {"type": "error", "error_message": "not found"})
 
             def do_DELETE(self):
-                m = _re.match(r"^/api/databases/([\w]+)$", self.path.rstrip("/"))
+                path = self.path.rstrip("/")
+                m = _re.match(r"^/api/databases/([\w]+)$", path)
                 if m:
                     with outer._exec_lock:
                         outer.session.drop_database(m.group(1))
+                    self._reply(204, {})
+                    return
+                m = _re.match(r"^/api/projects/mindsdb/views/([\w]+)$", path)
+                if m:
+                    # reference: DELETE view (namespaces/views.py:124-138)
+                    name = m.group(1).lower()
+                    with outer._exec_lock:
+                        if name not in outer.session._views:
+                            self._reply(404, {"type": "error", "error_message":
+                                              f"view {name!r} not found"})
+                            return
+                        outer.session.sql(f"DROP VIEW {name}")
                     self._reply(204, {})
                     return
                 self._reply(404, {"type": "error", "error_message": "not found"})

@@ -111,3 +111,23 @@ def test_rest_object_namespaces(server):
     assert code == 200 and isinstance(kbs, list)
     _post(server, "DROP VIEW rest_v")
     _post(server, "DROP JOB rest_j")
+
+
+def test_rest_view_create_and_delete(server):
+    code, created = _req(server, "/api/projects/mindsdb/views", "POST",
+                         {"view": {"name": "rest_v2",
+                                   "query": "SELECT n_name FROM tpch_nation"}})
+    assert code == 201 and created["name"] == "rest_v2"
+    code, views = _req(server, "/api/projects/mindsdb/views")
+    assert any(v["name"] == "rest_v2" for v in views)
+    # conflict on duplicate name (views.py:52-54)
+    try:
+        code, _ = _req(server, "/api/projects/mindsdb/views", "POST",
+                       {"view": {"name": "rest_v2", "query": "SELECT 1"}})
+    except Exception as e:  # urllib raises on 409
+        code = e.code
+    assert code == 409
+    code, _ = _req(server, "/api/projects/mindsdb/views/rest_v2", "DELETE")
+    assert code == 204
+    code, views = _req(server, "/api/projects/mindsdb/views")
+    assert not any(v["name"] == "rest_v2" for v in views)
