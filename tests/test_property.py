@@ -283,7 +283,7 @@ def test_strip_mysql_comments_properties(parts):
     assert "#" not in outside_strings(out)
 
 
-_words_st = st.lists(
+_unit_words_st = st.lists(
     st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
     min_size=1,
     max_size=24,
@@ -291,7 +291,7 @@ _words_st = st.lists(
 
 
 @_settings
-@given(docs=st.lists(_words_st, min_size=1, max_size=6))
+@given(docs=st.lists(_unit_words_st, min_size=1, max_size=6))
 def test_boilerplate_scrub_identity_when_threshold_unreachable(spark, docs):
     # min_df above the corpus doc count can never fire: clean_text must be
     # the whitespace-normalized original for EVERY doc (reassembly is the
@@ -330,7 +330,7 @@ def test_random_project_matches_numpy(spark, vec):
 
 
 @_settings
-@given(docs=st.lists(_words_st, min_size=2, max_size=6))
+@given(docs=st.lists(_unit_words_st, min_size=2, max_size=6))
 def test_nb_quality_antisymmetric_under_label_flip(spark, docs):
     # swapping the positive/negative classes must exactly negate the
     # log-odds (prior and every token ratio flip sign)
