@@ -1652,6 +1652,57 @@ FROM top ORDER BY distance, doc_id
 K08_SQL = _k08_sql()
 
 
+
+# --- D44 curation pipeline v2: scrub → NB quality gate → split in ONE plan ---
+def d44_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 operators composed the way a production curation run
+    chains them — cross-doc boilerplate measurement, trained NB quality
+    gate, deterministic split for survivors — all ONE Catalyst plan (d32
+    is the heuristic-gate ancestor). Gates: docs that are >=50%% boilerplate
+    drop first, then NB log-odds <= -3.39 (corpus median)."""
+    from mindsdb_spark.operators.curation import boilerplate_scrub, nb_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    scrub = boilerplate_scrub(docs, k=4, min_df=2)
+    nb = nb_quality(docs, target=col("source") == "src0").select("doc_id", "score")
+    j = scrub.join(nb, "doc_id")
+    heavy = col("n_removed") * 2 >= col("n_segments")
+    lowq = col("score") <= F.lit(-3.39)
+    kept = ~heavy & ~lowq
+    bucket = (
+        F.conv(F.substring(F.md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % 1000
+    )
+    split = F.when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
+    return j.select(
+        "doc_id",
+        "n_segments",
+        "n_removed",
+        "score",
+        F.when(heavy, "boilerplate").when(lowq, "low_quality").otherwise("kept").alias("reason"),
+        kept.alias("kept"),
+        F.when(kept, split).alias("split"),
+    ).orderBy("doc_id")
+
+
+D44_SQL = f"""
+WITH scrub AS (SELECT * FROM ({D40_SQL})),
+nbq AS (SELECT * FROM ({D43_SQL}))
+SELECT s.doc_id, s.n_segments, s.n_removed, n.score,
+       CASE WHEN s.n_removed * 2 >= s.n_segments THEN 'boilerplate'
+            WHEN n.score <= -3.39 THEN 'low_quality' ELSE 'kept' END AS reason,
+       (s.n_removed * 2 < s.n_segments AND n.score > -3.39) AS kept,
+       CASE WHEN s.n_removed * 2 < s.n_segments AND n.score > -3.39 THEN
+         CASE WHEN (('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8))::UBIGINT % 1000) < 800
+              THEN 'train'
+              WHEN (('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8))::UBIGINT % 1000) < 900
+              THEN 'val' ELSE 'test' END
+       END AS split
+FROM scrub s JOIN nbq n ON s.doc_id = n.doc_id
+ORDER BY s.doc_id
+"""
+
+
 # --- registry ----------------------------------------------------------------
 PIPELINE = {
     "d01_dedup_exact": (d01_dedup_exact, D01_SQL),
@@ -1697,6 +1748,7 @@ PIPELINE = {
     "d41_random_projection": (d41_random_projection, D41_SQL),
     "d42_dup_spans": (d42_dup_spans, D42_SQL),
     "d43_nb_quality": (d43_nb_quality, D43_SQL),
+    "d44_curation_v2": (d44_curation_v2, D44_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),
