@@ -383,7 +383,96 @@ ORDER BY h, e.event_type
 """
 
 
+
+def st10_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: per-hour-window PSI of the live value
+    distribution against the historical baseline — the streaming twin of
+    the batch a08 drift report (operators/monitoring.py). The stream does
+    the STATEFUL part (watermarked tumbling (window, bin) counts — one
+    stateful aggregate, bin edges ride in as a broadcast 1-row join); the
+    PSI rollup over the drained counts is a bounded batch stage
+    (windows × n_bins rows), the foreachBatch-sink-then-rollup deployment
+    shape. Baseline shares clamp at 1e-6 exactly like psi_drift; psi
+    rounds to 1e-6 per window."""
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.streaming.windows import run_available_now
+
+    n_bins = 10
+    hist = load_table(spark, sf_dir, "events")
+    edges = hist.agg(
+        F.min("value").cast("double").alias("__lo"),
+        F.max("value").cast("double").alias("__hi"),
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    bin_of = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col("value") - F.col("__lo")) / width).cast("int")),
+    )
+    base = (
+        hist.crossJoin(F.broadcast(edges))
+        .select(bin_of.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("__nb"))
+    )
+    ev = _event_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    counts = (
+        ev.join(F.broadcast(edges))  # 1-row static side: bin edges
+        .withColumn("bin", bin_of)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "bin")
+        .agg(F.count("*").alias("__nc"))
+        .select(F.col("w.start").alias("h"), "bin", "__nc")
+    )
+    drained = run_available_now(counts, "complete")
+    # bounded batch rollup: every window × every baseline bin (missing bins
+    # clamp to the 1e-6 share, same as psi_drift)
+    wt = drained.groupBy("h").agg(F.sum("__nc").alias("__tc"))
+    bt = base.agg(F.sum("__nb").alias("__tb"))
+    grid = wt.crossJoin(F.broadcast(base)).crossJoin(F.broadcast(bt))
+    # rename the probe side: the memory-sink view appears twice in this
+    # plan (totals + per-bin counts) and needs disambiguated attributes
+    probe = drained.select(
+        F.col("h").alias("__h2"), F.col("bin").alias("__b2"), "__nc"
+    )
+    j = grid.join(
+        probe, (grid["h"] == probe["__h2"]) & (grid["bin"] == probe["__b2"]), "left"
+    ).fillna({"__nc": 0})
+    p_base = F.greatest(F.col("__nb") / F.col("__tb"), F.lit(1e-6))
+    p_cur = F.greatest(F.col("__nc") / F.col("__tc"), F.lit(1e-6))
+    psi_term = (p_cur - p_base) * F.log(p_cur / p_base)
+    return (
+        j.groupBy("h")
+        .agg(
+            F.sum("__nc").cast("long").alias("n"),
+            (F.floor(F.sum(psi_term) * 1e6 + F.lit(0.5)) / 1e6).alias("psi"),
+        )
+        .orderBy("h")
+    )
+
+
+ST10_SQL = """
+WITH ed AS (SELECT CAST(min(value) AS DOUBLE) AS lo, CAST(max(value) AS DOUBLE) AS hi
+            FROM events),
+binned AS (SELECT date_trunc('hour', ts) AS h,
+                  least(9, greatest(0, CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS INT))) AS bin
+           FROM events, ed),
+base AS (SELECT bin, count(*) AS nb FROM binned GROUP BY bin),
+bt AS (SELECT sum(nb) AS tb FROM base),
+wb AS (SELECT h, bin, count(*) AS nc FROM binned GROUP BY h, bin),
+wt AS (SELECT h, sum(nc) AS tc FROM wb GROUP BY h),
+grid AS (SELECT wt.h, base.bin, base.nb, wt.tc, coalesce(wb.nc, 0) AS nc
+         FROM wt CROSS JOIN base LEFT JOIN wb ON wb.h = wt.h AND wb.bin = base.bin),
+terms AS (SELECT h, nc,
+                 (greatest(nc / tc, 0.000001) - greatest(nb / (SELECT tb FROM bt), 0.000001))
+                 * ln(greatest(nc / tc, 0.000001) / greatest(nb / (SELECT tb FROM bt), 0.000001)) AS t
+          FROM grid)
+SELECT h, CAST(sum(nc) AS BIGINT) AS n,
+       floor(sum(t) * 1000000 + 0.5) / 1000000 AS psi
+FROM terms GROUP BY h ORDER BY h
+"""
+
+
 STREAMING_QUERIES = {
+    "st10_stream_drift": (st10_stream_drift, ST10_SQL),
     "st09_stream_seasonal": (st09_stream_seasonal, ST09_SQL),
     "st08_stream_anomaly": (st08_stream_anomaly, ST08_SQL),
     "st07_stream_model_apply": (st07_stream_model_apply, ST07_SQL),
