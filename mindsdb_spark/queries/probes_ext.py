@@ -1251,6 +1251,39 @@ FROM orders GROUP BY ALL ORDER BY ALL
 
 
 
+
+# --- P70 three-valued logic: NULLs inside IN / NOT IN subqueries --------------
+# The classic cross-engine divergence spot: `x IN (subquery with NULLs)` is
+# TRUE on a match and UNKNOWN (not FALSE) otherwise; `NOT IN` over a set
+# containing NULL can never be TRUE. Both engines must implement identical
+# SQL 3VL for the row sets to agree.
+def p70_null_in_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.queries.engine_queries import _session
+
+    sess = _session(spark, sf_dir)
+    return sess.sql(
+        """
+        SELECT c_custkey,
+               CASE WHEN c_custkey IN (
+                      SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                              ELSE o_custkey END
+                      FROM tpch_orders WHERE o_totalprice > 200000)
+                    THEN 1 ELSE 0 END AS in_rich
+        FROM tpch_customer ORDER BY c_custkey
+        """
+    )
+
+
+P70_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_custkey IN (
+              SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                          ELSE o_custkey END
+              FROM orders WHERE o_totalprice > 200000)
+            THEN 1 ELSE 0 END AS in_rich
+FROM customer ORDER BY c_custkey
+"""
+
 PROBES_EXT = {
     "p33_cube": (p33_cube, P33_SQL),
     "p34_grouping_sets": (p34_grouping_sets, P34_SQL),
@@ -1289,4 +1322,5 @@ PROBES_EXT = {
     "p67_q1_pricing": (p67_q1_pricing, P67_SQL),
     "p68_q12_priority_mix": (p68_q12_priority_mix, P68_SQL),
     "p69_group_by_all": (p69_group_by_all, P69_SQL),
+    "p70_null_in_semantics": (p70_null_in_semantics, P70_SQL),
 }
