@@ -525,6 +525,13 @@ _COND_RE = re.compile(r"([\w.`]+)\s*(>=|<=|!=|<>|=|>|<)\s*(.+)$", re.DOTALL)
 # newer rows and advance it; state keyed by query text + column,
 # context_controller.py:293-345).
 _LAST_RE = re.compile(r"([\w.`]+)\s*>\s*LAST\b", re.IGNORECASE)
+# `<col> > COALESCE(LAST, <init>)` — reference semantics: the FIRST run
+# filters against the init literal (and still pins the watermark), so the
+# initial call yields the init-bounded rows instead of nothing
+# (tests/unit/executor/test_base_queires.py:736-788 test_last_coalesce)
+_LAST_COALESCE_RE = re.compile(
+    r"([\w.`]+)\s*>\s*COALESCE\s*\(\s*LAST\s*,\s*([^)]+?)\s*\)", re.IGNORECASE
+)
 
 
 def _split_and(text: str) -> list[str]:
@@ -1765,7 +1772,12 @@ class EngineSession:
         """
         from mindsdb_spark.streaming.incremental import _to_json_value
 
-        m = _LAST_RE.search(s)
+        init = None
+        m = _LAST_COALESCE_RE.search(s)
+        if m:
+            init = m.group(2)
+        else:
+            m = _LAST_RE.search(s)
         colref = m.group(1).strip("`")
         colname = colref.split(".")[-1].lower()
         key = (
@@ -1780,10 +1792,13 @@ class EngineSession:
         cur = self.sql(f"SELECT MAX({colname}) AS m FROM {table}").head().m
         state = self.last_state._load()
         if key not in state:
-            # first run initializes the watermark and yields nothing
+            # first run initializes the watermark; plain LAST yields
+            # nothing, COALESCE(LAST, init) yields the init-bounded rows
             if cur is not None:
                 state[key] = _to_json_value(cur)
                 self.last_state._save(state)
+            if init is not None:
+                return s[: m.start()] + f"{m.group(1)} > {init}" + s[m.end():]
             return s[: m.start()] + "1 = 0" + s[m.end():]
         last = state[key]
         if cur is not None and _to_json_value(cur) > last:
@@ -1798,7 +1813,9 @@ class EngineSession:
 
             sql = strip_mysql_comments(sql)
         self._query_log.append((" ".join(sql.split())[:500], "complete"))
-        if sql.lstrip().upper().startswith(("SELECT", "WITH")) and _LAST_RE.search(sql):
+        if sql.lstrip().upper().startswith(("SELECT", "WITH")) and (
+            _LAST_RE.search(sql) or _LAST_COALESCE_RE.search(sql)
+        ):
             sql = self._apply_last(sql)
         if (
             self._native

@@ -111,3 +111,23 @@ def test_last_keyword_sql_door(spark, sf_dir, tmp_path):
     assert sess.sql(q2).count() == 0  # separate key: its own init
     sess.sql("CREATE OR REPLACE VIEW lw AS SELECT event_id FROM tpch_events WHERE event_id < 160")
     assert sess.sql(q2).count() == 10
+
+
+def test_last_coalesce_init_value(spark, sf_dir, tmp_path):
+    # `WHERE col > COALESCE(LAST, init)` — reference test_base_queires.py:
+    # 736-788: the FIRST call filters against the init literal (rows come
+    # back immediately), the watermark still pins, later calls are
+    # incremental
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark, state_dir=str(tmp_path))
+    sess.register_parquet_source("tpch", sf_dir)
+    sess.sql("CREATE OR REPLACE VIEW lc AS SELECT event_id FROM tpch_events WHERE event_id < 100")
+    q = "SELECT event_id FROM lc WHERE event_id > COALESCE(LAST, 95) ORDER BY event_id"
+    got = [r[0] for r in sess.sql(q).collect()]
+    assert got == [96, 97, 98, 99]  # init-bounded rows on the first call
+    assert sess.sql(q).count() == 0  # watermark pinned at 99
+    sess.sql("CREATE OR REPLACE VIEW lc AS SELECT event_id FROM tpch_events WHERE event_id < 120")
+    got = [r[0] for r in sess.sql(q).collect()]
+    assert got == list(range(100, 120))  # only growth, init no longer used
+    assert sess.sql(q).count() == 0
