@@ -208,10 +208,10 @@ _DROP_TABLE_RE = re.compile(
 # `CREATE JOB name AS (sql) EVERY n unit` — the reference's polling job
 # surface (mindsdb/interfaces/jobs/README.md:1-60, jobs_controller.py).
 _CREATE_JOB_RE = re.compile(
-    r"CREATE\s+JOB\s+(\w+)\s+AS\s+\((.+?)\)"
+    r"CREATE\s+JOB\s+(\w+)\s+(?:AS\s+)?\((.+?)\)"
     r"(?:\s+START\s+'([^']+)')?"
     r"(?:\s+END\s+'([^']+)')?"
-    r"\s+EVERY\s+(\d+)\s+(\w+)"
+    r"(?:\s+EVERY\s+(\d+)\s+(\w+))?"
     r"(?:\s+IF\s+\((.+)\))?$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -2652,10 +2652,14 @@ class EngineSession:
             from datetime import datetime
 
             name, body = m.group(1).lower(), m.group(2)
-            n, unit = int(m.group(5)), m.group(6).lower()
             cond = m.group(7)
-            if unit not in _PERIODS:
-                raise ValueError(f"unknown period {unit!r}")
+            if m.group(5) is not None:
+                n, unit = int(m.group(5)), m.group(6).lower()
+                if unit not in _PERIODS:
+                    raise ValueError(f"unknown period {unit!r}")
+                every = n * _PERIODS[unit]
+            else:
+                every = None  # no EVERY: one-time job (reference semantics)
 
             def _epoch(txt):
                 return datetime.fromisoformat(txt).timestamp() if txt else None
@@ -2668,7 +2672,7 @@ class EngineSession:
             self.jobs.create_job(
                 name,
                 _run,
-                every_seconds=n * _PERIODS[unit],
+                every_seconds=every,
                 start_at=_epoch(m.group(3)),
                 end_at=_epoch(m.group(4)),
                 sql=" ".join(body.split()),

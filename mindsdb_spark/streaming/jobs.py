@@ -18,13 +18,19 @@ from dataclasses import dataclass, field
 class Job:
     name: str
     fn: Callable[[], object]
-    every_seconds: float
+    every_seconds: float | None  # None = one-time job (runs once, then
+    # the scheduler drops it — reference: a job without EVERY executes a
+    # single time, jobs_controller.py / test_jobs.py test_conditional_job)
     start_at: float | None = None
     end_at: float | None = None
     last_run: float | None = None
     runs: int = 0
     history: list = field(default_factory=list)
     sql: str = ""  # the job body, surfaced in log.jobs_history
+
+    @property
+    def one_time(self) -> bool:
+        return self.every_seconds is None
 
     def due(self, now: float) -> bool:
         if self.start_at is not None and now < self.start_at:
@@ -33,6 +39,8 @@ class Job:
             return False
         if self.last_run is None:
             return True
+        if self.one_time:
+            return False
         return now - self.last_run >= self.every_seconds
 
 
@@ -60,4 +68,6 @@ class JobScheduler:
                 job.last_run = now
                 job.runs += 1
                 ran.append(job.name)
+        for name in [j.name for j in self.jobs.values() if j.one_time and j.runs > 0]:
+            del self.jobs[name]
         return ran

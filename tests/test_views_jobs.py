@@ -181,3 +181,25 @@ def test_materialized_view_lifecycle(spark, sf_dir):
     sess.sql("DROP MATERIALIZED VIEW mv_auto")
     assert "__matview_mv_auto" not in sess.jobs.jobs
     sess.sql("DROP DATABASE mv_ws")
+
+
+def test_one_time_conditional_job(spark, sf_dir, tmp_path):
+    # reference test_jobs.py:141-186: `CREATE JOB name (sql) IF (query)`
+    # with no EVERY is a ONE-TIME job; the IF gate decides whether the
+    # single run does anything, and the job disappears after running
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark, state_dir=str(tmp_path))
+    sess.register_parquet_source("tpch", sf_dir, tables=["nation"])
+    sess.sql("CREATE JOB once_no (SELECT 1) IF (SELECT * FROM tpch_nation WHERE n_nationkey = -1)")
+    assert "once_no" in sess.jobs.jobs
+    ran = sess.jobs.run_pending(now=10.0)
+    assert "once_no" in ran  # it ran (and was gated to a no-op)
+    assert "once_no" not in sess.jobs.jobs  # one-time: dropped after the run
+    # satisfied condition: the body executes
+    sess.sql("CREATE JOB once_yes (CREATE VIEW once_probe AS SELECT n_name FROM tpch_nation) "
+             "IF (SELECT * FROM tpch_nation WHERE n_nationkey = 0)")
+    assert "once_probe" not in sess._views  # body has NOT run yet
+    sess.jobs.run_pending(now=20.0)
+    assert "once_yes" not in sess.jobs.jobs
+    assert sess.sql("SELECT * FROM once_probe").count() == 25  # body ran once
