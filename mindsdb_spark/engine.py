@@ -252,6 +252,26 @@ _KB_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _CONTENT_EQ_RE = re.compile(r"^content\s*=\s*'([^']*)'$", re.IGNORECASE)
+# KB joined to a table: `FROM <kb> k JOIN <tbl> t ON ... WHERE k.content =
+# '...' [AND ...]` — the reference plans the KB search first and joins its
+# result like any table (test_knowledge_base.py:396-423 test_join_kb_table)
+_KB_JOIN_RE = re.compile(
+    r"SELECT\s+(.+?)\s+FROM\s+([\w.`]+)\s+(?:AS\s+)?(\w+)\s+"
+    r"JOIN\s+([\w.`]+)\s+(?:AS\s+)?(\w+)\s+ON\s+(.+?)\s+"
+    r"WHERE\s+(.+?)(?:\s+ORDER\s+BY\s+(.+?))?(?:\s+LIMIT\s+(\d+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CONTENT_EQ_ALIAS_RE = re.compile(
+    r"^(?:\w+\.)?content\s*=\s*'([^']*)'$", re.IGNORECASE
+)
+# KB browse without WHERE: plain store scan (reference: a KB select with no
+# content condition returns rows, filterable by id/metadata —
+# test_knowledge_base.py:424-460)
+_KB_BROWSE_RE = re.compile(
+    r"SELECT\s+(.+?)\s+FROM\s+([\w.`]+)"
+    r"(?:\s+ORDER\s+BY\s+(.+?))?(?:\s+LIMIT\s+(\d+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
 # trailing `USING k = v, ...` on a KB select (controller.py:316-330 — the
 # hybrid/rerank/threshold flags ride the USING clause). Values are literals,
 # so `JOIN ... USING (col)` never matches.
@@ -1017,6 +1037,16 @@ class EngineSession:
             "chunk_id", "doc_id", "chunk_text", "embedding"
         )
         self._kbs[name.lower()] = {"store": store, "dim": dim, "embedder": embedder}
+
+    def _kb_browse_view(self, name: str) -> None:
+        """Register the KB chunk store (minus the embedding column, with
+        chunk_text exposed as `content`) as the `__kb_browse` temp view —
+        the content-less browse surface of a KB select."""
+        store = self._kbs[name]["store"]
+        cols = [c for c in store.columns if c not in ("chunk_text", "embedding")]
+        store.select(
+            *cols, F.col("chunk_text").alias("content")
+        ).createOrReplaceTempView("__kb_browse")
 
     def _kb_embed_query(self, kb: dict, query_text: str) -> list[float]:
         from mindsdb_spark.operators.kb import resolve_embedder
@@ -2987,6 +3017,34 @@ class EngineSession:
         m = _MODEL_JOIN_RE.match(s)
         if m and self._model_of(m.group("model")) is not None:
             return self._model_join(m)
+        m = _KB_JOIN_RE.match(s)
+        if m and m.group(2).lower().strip("`").split(".")[-1] in self._kbs:
+            # KB search result joined to a table in one statement
+            # (test_knowledge_base.py:396-423): run the semantic search
+            # first, then let Catalyst plan the join over its result
+            name = m.group(2).lower().strip("`").split(".")[-1]
+            kb_alias = m.group(3)
+            content, residual = None, []
+            for cond in _split_and(m.group(7)):
+                cm = _CONTENT_EQ_ALIAS_RE.match(cond.strip())
+                if cm:
+                    content = cm.group(1)
+                else:
+                    residual.append(cond)
+            if content is not None:
+                res = self._kb_search(name, content, None)
+                res.createOrReplaceTempView("__kb_join_res")
+                sql2 = (
+                    f"SELECT {m.group(1)} FROM __kb_join_res {kb_alias} "
+                    f"JOIN {m.group(4)} {m.group(5)} ON {m.group(6)}"
+                )
+                if residual:
+                    sql2 += " WHERE " + " AND ".join(residual)
+                if m.group(8):
+                    sql2 += " ORDER BY " + m.group(8)
+                if m.group(9):
+                    sql2 += " LIMIT " + m.group(9)
+                return self.sql(sql2)
         m = _KB_RE.match(s)
         if m:
             name = m.group(2).lower().strip("`").split(".")[-1]
@@ -3024,6 +3082,29 @@ class EngineSession:
                     if m.group(4):
                         outer += " ORDER BY " + self.rewrite(m.group(4))
                     return self.spark.sql(outer)
+                # no content condition: metadata/id browse over the chunk
+                # store (reference returns plain filtered rows,
+                # test_knowledge_base.py:424-460)
+                self._kb_browse_view(name)
+                outer = (
+                    f"SELECT {self.rewrite(m.group(1))} FROM __kb_browse "
+                    f"WHERE {self.rewrite(m.group(3))}"
+                )
+                if m.group(4):
+                    outer += " ORDER BY " + self.rewrite(m.group(4))
+                if m.group(5):
+                    outer += " LIMIT " + m.group(5)
+                return self.spark.sql(outer)
+        m = _KB_BROWSE_RE.match(s)
+        if m and m.group(2).lower().strip("`").split(".")[-1] in self._kbs:
+            # whole-store browse: SELECT ... FROM <kb> [ORDER BY] [LIMIT]
+            self._kb_browse_view(m.group(2).lower().strip("`").split(".")[-1])
+            outer = f"SELECT {self.rewrite(m.group(1))} FROM __kb_browse"
+            if m.group(3):
+                outer += " ORDER BY " + self.rewrite(m.group(3))
+            if m.group(4):
+                outer += " LIMIT " + m.group(4)
+            return self.spark.sql(outer)
         m = _AGENT_RE.match(s)
         if m:
             name = m.group(2).lower().strip("`").split(".")[-1]

@@ -220,3 +220,26 @@ def test_kb_rrf_fusion_flag(kbsess):
         "USING hybrid_search = true, hybrid_search_fusion = 'rrf' LIMIT 5"
     ).collect()
     assert [r["chunk_id"] for r in rows] == [r["chunk_id"] for r in again]
+
+
+def test_kb_join_table_and_browse(kbsess, spark, sf_dir):
+    # reference test_knowledge_base.py:396-460: KB search joined to a
+    # table in one statement, and content-less browse with id filters
+    rows = kbsess.sql(
+        "SELECT t.lang, k.doc_id, k.distance FROM docs_kb k "
+        "JOIN tpch_documents t ON t.doc_id = k.doc_id "
+        "WHERE k.content = 'spark join fast' ORDER BY k.distance, k.doc_id LIMIT 5"
+    ).collect()
+    assert len(rows) == 5 and all(r["lang"] is not None for r in rows)
+    # browse: no content condition -> plain filtered store rows
+    one = kbsess.sql("SELECT * FROM docs_kb WHERE doc_id = 7").collect()
+    assert len(one) >= 1 and all(r["doc_id"] == 7 for r in one)
+    ne = kbsess.sql("SELECT DISTINCT doc_id FROM docs_kb WHERE doc_id IN (3, 5)").collect()
+    assert {r["doc_id"] for r in ne} == {3, 5}
+    notin = kbsess.sql(
+        "SELECT DISTINCT doc_id FROM docs_kb WHERE doc_id NOT IN (3, 5) ORDER BY doc_id LIMIT 4"
+    ).collect()
+    assert {r["doc_id"] for r in notin}.isdisjoint({3, 5})
+    # whole-store browse with LIMIT
+    head = kbsess.sql("SELECT doc_id, content FROM docs_kb ORDER BY doc_id LIMIT 3").collect()
+    assert len(head) == 3 and "content" in head[0].asDict()
