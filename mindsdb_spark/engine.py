@@ -195,6 +195,15 @@ _INSERT_RE = re.compile(
 _UPDATE_RE = re.compile(
     r"UPDATE\s+([\w.`]+)\s+SET\s+(.+?)\s+WHERE\s+(.+)$", re.IGNORECASE | re.DOTALL
 )
+# `UPDATE t SET col = df.col, ... FROM (select) AS df WHERE t.x = df.x` —
+# update-from-select (reference: update_step.py:16-127 builds per-row keyed
+# UPDATEs; here it lowers onto the MERGE plan — one Catalyst join, no
+# per-row statements)
+_UPDATE_FROM_RE = re.compile(
+    r"UPDATE\s+([\w.`]+)\s+SET\s+(.+?)\s+FROM\s+\((.+)\)\s+(?:AS\s+)?(\w+)"
+    r"\s+WHERE\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DELETE_RE = re.compile(
     r"DELETE\s+FROM\s+([\w.`]+)\s+WHERE\s+(.+)$", re.IGNORECASE | re.DOTALL
 )
@@ -2547,6 +2556,14 @@ class EngineSession:
                 changes["knowledge_bases"] = kbs
             self._agents[name] = dataclasses.replace(spec, **changes)
             return self.spark.createDataFrame([(name,)], "agent string")
+        m = _UPDATE_FROM_RE.match(s)
+        if m:
+            tname = m.group(1).strip("`").split(".")[-1]
+            return self.sql(
+                f"MERGE INTO {m.group(1)} AS {tname} "
+                f"USING ({m.group(3)}) AS {m.group(4)} ON {m.group(5)} "
+                f"WHEN MATCHED THEN UPDATE SET {m.group(2)}"
+            )
         m = _UPDATE_RE.match(s)
         if m:
             srcname, table = self._resolve_writable(m.group(1))

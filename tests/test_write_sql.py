@@ -220,3 +220,20 @@ def test_merge_update_only(wsess):
     )
     got = {r.id: r.v for r in wsess.sql("SELECT * FROM wh_up").collect()}
     assert got == {1: 50.0, 2: 6.0}
+
+
+def test_update_from_select(wsess):
+    # reference test_executor.py:728-763: UPDATE ... SET col = df.col
+    # FROM (select) AS df WHERE t.k = df.k — lowered onto the MERGE plan
+    wsess.sql("CREATE TABLE wh.ws_upd AS SELECT n_nationkey AS k, n_name AS name, "
+              "CAST(0 AS BIGINT) AS rank FROM tpch_nation")
+    wsess.sql(
+        "UPDATE wh.ws_upd SET rank = df.rk "
+        "FROM (SELECT n_nationkey AS k2, n_nationkey * 10 AS rk "
+        "      FROM tpch_nation WHERE n_nationkey < 5) AS df "
+        "WHERE ws_upd.k = df.k2"
+    )
+    rows = {r["k"]: r["rank"] for r in wsess.sql("SELECT k, rank FROM wh_ws_upd").collect()}
+    for k in range(5):
+        assert rows[k] == k * 10  # matched rows updated from the select
+    assert all(v == 0 for k, v in rows.items() if k >= 5)  # others untouched
