@@ -307,6 +307,7 @@ _KW_STOP = r"(?!ON\b|WHERE\b|ORDER\b|LIMIT\b|JOIN\b|INNER\b|LEFT\b|GROUP\b)"
 _MODEL_JOIN_RE = re.compile(
     r"SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<table>[\w.`]+)(?:\s+(?:AS\s+)?" + _KW_STOP + r"(?P<talias>\w+))?"
     r"\s+JOIN\s+(?P<model>[\w.`]+)(?:\s+(?:AS\s+)?" + _KW_STOP + r"(?P<malias>\w+))?"
+    r"(?:\s+ON\s+(?P<on>.+?))?"
     r"(?:\s+WHERE\s+(?P<where>.+?))?(?:\s+ORDER\s+BY\s+(?P<order>.+?))?(?:\s+LIMIT\s+(?P<limit>\d+))?$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -1676,6 +1677,33 @@ class EngineSession:
         if table_conds:
             inner_sql += " WHERE " + " AND ".join(table_conds)
         inner = self.sql(inner_sql)
+        # ON-clause column mapping (reference plan_join.py:760-818 +
+        # test_models.py:118-152): `JOIN model m ON m.input = t.a` feeds the
+        # table column/expression to the model under its input name
+        tprefixes = {
+            n.lower() for n in (talias, m.group("table").split(".")[-1]) if n
+        }
+        for cond in _split_and(m.group("on")) if m.group("on") else []:
+            cm = _COND_RE.match(cond.strip())
+            if cm is None or cm.group(2) != "=":
+                raise ValueError(f"model join ON supports equalities only: {cond!r}")
+            lhs, rhs = cm.group(1).strip(), cm.group(3).strip()
+
+            def _prefix(ref):
+                return ref.strip("`").split(".")[0].lower() if "." in ref else None
+
+            if _prefix(lhs) in mnames:
+                tgt, srcx = lhs, rhs
+            elif _prefix(rhs) in mnames:
+                tgt, srcx = rhs, lhs
+            else:
+                raise ValueError(
+                    f"model join ON needs the model alias on one side: {cond!r}"
+                )
+            tgt_col = tgt.strip("`").split(".")[-1].lower()
+            for a in tprefixes:
+                srcx = re.sub(rf"\b{re.escape(a)}\s*\.\s*", "", srcx, flags=re.IGNORECASE)
+            inner = inner.withColumn(tgt_col, F.expr(self.rewrite(srcx)))
         out = ts_apply_model(inner, spec) if spec.order_by else apply_model(inner, spec, params)
 
         # outer projection over the flat joined schema: alias prefixes drop

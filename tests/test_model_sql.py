@@ -147,3 +147,27 @@ def test_one_shot_prediction_cache(sess):
     assert len(sess._predict_cache) == 2
     sess._add_model_version("riskm", sess._models["riskm"])
     assert len(sess._predict_cache) == 0
+
+
+def test_model_join_on_column_mapping(spark, sf_dir):
+    # reference test_models.py:118-152: `JOIN model m ON m.input = t.col`
+    # feeds the table column to the model under its input name
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir, tables=["customer"])
+    sess.sql(
+        "CREATE MODEL mj_map (SELECT c_acctbal AS x, c_acctbal * 2 AS y "
+        "FROM tpch_customer) PREDICT y USING engine = 'spark_ml_linreg'"
+    )
+    # model trained on input column `x`; table provides it as c_acctbal
+    rows = sess.sql(
+        "SELECT t.c_custkey, m.y FROM tpch_customer t JOIN mj_map m "
+        "ON m.x = t.c_acctbal ORDER BY t.c_custkey LIMIT 5"
+    ).collect()
+    assert len(rows) == 5 and all(r["y"] is not None for r in rows)
+    # mapping an EXPRESSION also works
+    rows2 = sess.sql(
+        "SELECT t.c_custkey, m.y FROM tpch_customer t JOIN mj_map m "
+        "ON m.x = t.c_acctbal + 0 ORDER BY t.c_custkey LIMIT 5"
+    ).collect()
+    assert [round(a["y"], 4) for a in rows] == [round(b["y"], 4) for b in rows2]
+    sess.sql("DROP MODEL mj_map")
