@@ -308,6 +308,7 @@ _MODEL_JOIN_RE = re.compile(
     r"SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<table>[\w.`]+)(?:\s+(?:AS\s+)?" + _KW_STOP + r"(?P<talias>\w+))?"
     r"\s+JOIN\s+(?P<model>[\w.`]+)(?:\s+(?:AS\s+)?" + _KW_STOP + r"(?P<malias>\w+))?"
     r"(?:\s+ON\s+(?P<on>.+?))?"
+    r"(?:\s+USING\s+(?P<musing>\w+\s*=\s*[\w.']+(?:\s*,\s*\w+\s*=\s*[\w.']+)*))?"
     r"(?:\s+WHERE\s+(?P<where>.+?))?(?:\s+ORDER\s+BY\s+(?P<order>.+?))?(?:\s+LIMIT\s+(?P<limit>\d+))?$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -1704,7 +1705,19 @@ class EngineSession:
             for a in tprefixes:
                 srcx = re.sub(rf"\b{re.escape(a)}\s*\.\s*", "", srcx, flags=re.IGNORECASE)
             inner = inner.withColumn(tgt_col, F.expr(self.rewrite(srcx)))
-        out = ts_apply_model(inner, spec) if spec.order_by else apply_model(inner, spec, params)
+        # `USING partition_size = N` (reference model-join partitioning,
+        # fetch_dataframe_partition.py / test_models.py:153-187) bounds the
+        # rows each model call sees
+        batch_rows = None
+        for kv in (m.group("musing") or "").split(","):
+            k, _, v = kv.partition("=")
+            if k.strip().lower() == "partition_size" and v.strip().isdigit():
+                batch_rows = int(v.strip())
+        out = (
+            ts_apply_model(inner, spec)
+            if spec.order_by
+            else apply_model(inner, spec, params, batch_rows=batch_rows)
+        )
 
         # outer projection over the flat joined schema: alias prefixes drop
         strip = [a for a in (talias, malias, m.group("model").split(".")[-1]) if a]

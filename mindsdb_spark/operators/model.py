@@ -71,22 +71,42 @@ def split_model_conditions(
     return table_conds, params
 
 
-def apply_model(df: DataFrame, model: ModelSpec, params: dict | None = None) -> DataFrame:
+def apply_model(
+    df: DataFrame,
+    model: ModelSpec,
+    params: dict | None = None,
+    batch_rows: int | None = None,
+) -> DataFrame:
     """Row-wise model application: input columns pass through, prediction
     columns are appended. One Arrow-batched Python stage, no extra join.
 
     ``params`` is the reference's row_dict (query_planner.py:569-648 —
     WHERE equalities on predictor columns become fixed model inputs): the
     values are visible to ``predict`` as constant columns on its input
-    frame, without joining the passthrough output."""
+    frame, without joining the passthrough output.
+
+    ``batch_rows`` is the reference's `USING partition_size = N` on a model
+    join (fetch_dataframe_partition.py): each Arrow batch is sliced so the
+    model never sees more than N rows per call — for models whose memory
+    scales with input size. Executor parallelism is unchanged (Spark
+    already partitions the stage)."""
     in_cols = df.columns
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     full_schema = f"{schema}, {model.output_schema}"
 
     def run(batches):
         for pdf in batches:
-            preds = model.predict(pdf.assign(**params) if params else pdf)
-            yield pd.concat([pdf.reset_index(drop=True), preds.reset_index(drop=True)], axis=1)
+            if batch_rows and len(pdf) > batch_rows:
+                chunks = [
+                    pdf.iloc[i : i + batch_rows] for i in range(0, len(pdf), batch_rows)
+                ]
+            else:
+                chunks = [pdf]
+            for c in chunks:
+                preds = model.predict(c.assign(**params) if params else c)
+                yield pd.concat(
+                    [c.reset_index(drop=True), preds.reset_index(drop=True)], axis=1
+                )
 
     out = df.mapInPandas(run, schema=full_schema)
     return out.select(*in_cols, *[c for c in out.columns if c not in in_cols])

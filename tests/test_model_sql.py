@@ -171,3 +171,25 @@ def test_model_join_on_column_mapping(spark, sf_dir):
     ).collect()
     assert [round(a["y"], 4) for a in rows] == [round(b["y"], 4) for b in rows2]
     sess.sql("DROP MODEL mj_map")
+
+
+def test_model_join_partition_size(spark, sf_dir):
+    # reference test_models.py:153-187: `JOIN model USING partition_size=N`
+    # bounds each model call's input; output rows are unchanged
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir, tables=["customer"])
+    sess.sql(
+        "CREATE MODEL mj_part (SELECT c_acctbal AS x, c_acctbal * 2 AS y "
+        "FROM tpch_customer) PREDICT y USING engine = 'spark_ml_linreg'"
+    )
+    base = sess.sql(
+        "SELECT t.c_custkey, m.y FROM tpch_customer t JOIN mj_part m "
+        "ON m.x = t.c_acctbal ORDER BY t.c_custkey"
+    ).collect()
+    part = sess.sql(
+        "SELECT t.c_custkey, m.y FROM tpch_customer t JOIN mj_part m "
+        "ON m.x = t.c_acctbal USING partition_size = 7 ORDER BY t.c_custkey"
+    ).collect()
+    assert len(base) == len(part)
+    assert [round(r["y"], 6) for r in base] == [round(r["y"], 6) for r in part]
+    sess.sql("DROP MODEL mj_part")
