@@ -313,6 +313,16 @@ _MODEL_JOIN_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_MODEL_RE = re.compile(r"DROP\s+MODEL\s+(?:IF\s+EXISTS\s+)?([\w.`]+)$", re.IGNORECASE)
+# BI-tool shape: an aggregate over a derived table whose body is a model
+# join (Tableau emits `SELECT sum(...) FROM (SELECT ... JOIN model) alias
+# HAVING ...` — reference test_executor.py:1172-1229). The inner query runs
+# through the model-join door, the outer aggregate over its result.
+_NESTED_MODEL_RE = re.compile(
+    r"SELECT\s+(?P<outer>.+?)\s+FROM\s+\(\s*(?P<inner>SELECT\s.+)\s*\)\s*"
+    r"(?:AS\s+)?(?:`(?P<qalias>[^`]+)`|(?P<alias>\w+))"
+    r"(?P<tail>\s+(?:WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT)\b.*)?$",
+    re.IGNORECASE | re.DOTALL,
+)
 # `CREATE [OR REPLACE] MODEL name [FROM src] (SELECT ...) PREDICT col
 # [USING engine = '...', ...]` — reference: command_executor.py:1532-1567
 # (ML engine resolved from USING, training query runs on the integration).
@@ -3072,6 +3082,20 @@ class EngineSession:
             self._model_versions.pop(name, None)
             self._model_active.pop(name, None)
             return self.spark.createDataFrame([(name,)], "model string")
+        nm = _NESTED_MODEL_RE.match(s)
+        if nm:
+            im = _MODEL_JOIN_RE.match(" ".join(nm.group("inner").split()))
+            if im and self._model_of(im.group("model")) is not None:
+                res = self._model_join(im)
+                res.createOrReplaceTempView("__nested_model")
+                alias = nm.group("qalias") or nm.group("alias")
+                outer, tail = nm.group("outer"), nm.group("tail") or ""
+                for ref in (f"`{alias}`.", f"{alias}."):
+                    outer = outer.replace(ref, "")
+                    tail = tail.replace(ref, "")
+                return self.spark.sql(
+                    f"SELECT {self.rewrite(outer)} FROM __nested_model{self.rewrite(tail)}"
+                )
         m = _MODEL_JOIN_RE.match(s)
         if m and self._model_of(m.group("model")) is not None:
             return self._model_join(m)

@@ -193,3 +193,22 @@ def test_model_join_partition_size(spark, sf_dir):
     assert len(base) == len(part)
     assert [round(r["y"], 6) for r in base] == [round(r["y"], 6) for r in part]
     sess.sql("DROP MODEL mj_part")
+
+
+def test_model_join_nested_tableau_shape(spark, sf_dir):
+    # reference test_executor.py:1172-1229: aggregate over a derived table
+    # whose body is a model join, backquoted alias, HAVING w/o GROUP BY
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir, tables=["customer"])
+    sess.sql(
+        "CREATE MODEL mj_nest (SELECT c_acctbal AS x, c_acctbal * 2 AS y "
+        "FROM tpch_customer) PREDICT y USING engine = 'spark_ml_linreg'"
+    )
+    row = sess.sql(
+        "SELECT SUM(1) AS cnt, max(`Custom SQL Query`.`y`) AS max_pred "
+        "FROM (SELECT t.c_custkey, m.y FROM tpch_customer t "
+        "      JOIN mj_nest m ON m.x = t.c_acctbal) `Custom SQL Query` "
+        "HAVING (COUNT(1) > 0)"
+    ).collect()[0]
+    assert row["cnt"] > 0 and row["max_pred"] is not None
+    sess.sql("DROP MODEL mj_nest")
