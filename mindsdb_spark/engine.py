@@ -317,6 +317,50 @@ _DROP_MODEL_RE = re.compile(r"DROP\s+MODEL\s+(?:IF\s+EXISTS\s+)?([\w.`]+)$", re.
 # join (Tableau emits `SELECT sum(...) FROM (SELECT ... JOIN model) alias
 # HAVING ...` — reference test_executor.py:1172-1229). The inner query runs
 # through the model-join door, the outer aggregate over its result.
+# trailing `USING k = v, ...` with quoted / dict / list / bare values
+_TRAILING_USING_RE = re.compile(
+    r"\sUSING\s+(\w+\s*=\s*(?:'[^']*'|\{[^}]*\}|\[[^\]]*\]|[-\w.]+)"
+    r"(?:\s*,\s*\w+\s*=\s*(?:'[^']*'|\{[^}]*\}|\[[^\]]*\]|[-\w.]+))*)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _parse_using_params(text: str) -> dict:
+    import ast
+
+    # split on top-level commas, respecting (), {}, [] and quotes —
+    # rewriter.split_top_level only tracks parens/quotes
+    items, depth, quote, cur = [], 0, None, []
+    for ch in text:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch in "({[":
+            depth += 1
+        elif ch in ")}]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    if cur:
+        items.append("".join(cur))
+    out = {}
+    for kv in items:
+        k, _, v = kv.partition("=")
+        v = v.strip()
+        try:
+            out[k.strip().lower()] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            out[k.strip().lower()] = v.strip("'\"")
+    return out
+
+
 _NESTED_MODEL_RE = re.compile(
     r"SELECT\s+(?P<outer>.+?)\s+FROM\s+\(\s*(?P<inner>SELECT\s.+)\s*\)\s*"
     r"(?:AS\s+)?(?:`(?P<qalias>[^`]+)`|(?P<alias>\w+))"
@@ -1636,7 +1680,7 @@ class EngineSession:
         self._model_recipes[name] = (src, raw, target, engine, dict(params))
         return self.spark.createDataFrame([(name, engine)], "model string, engine string")
 
-    def _model_join(self, m: re.Match) -> DataFrame:
+    def _model_join(self, m: re.Match, extra_params: dict | None = None) -> DataFrame:
         """Execute `SELECT ... FROM table [t] JOIN model [m] ...`.
 
         Mirrors the reference's plan (plan_join.py:760-818 +
@@ -1723,6 +1767,11 @@ class EngineSession:
             k, _, v = kv.partition("=")
             if k.strip().lower() == "partition_size" and v.strip().isdigit():
                 batch_rows = int(v.strip())
+        for k, v in (extra_params or {}).items():
+            if k == "partition_size":
+                batch_rows = int(v)
+            else:
+                params[k] = v
         out = (
             ts_apply_model(inner, spec)
             if spec.order_by
@@ -3096,9 +3145,15 @@ class EngineSession:
                 return self.spark.sql(
                     f"SELECT {self.rewrite(outer)} FROM __nested_model{self.rewrite(tail)}"
                 )
-        m = _MODEL_JOIN_RE.match(s)
+        # predict-time params: trailing `USING p1 = 'a', p2 = {...}` on a
+        # model join/select (reference test_predictor_params.py — params
+        # reach predict; here via the row_dict mechanism: constant input
+        # columns on the predict frame)
+        pu = _TRAILING_USING_RE.search(s)
+        s_nu = (s[: pu.start()].rstrip() if pu else s)
+        m = _MODEL_JOIN_RE.match(s_nu if pu else s)
         if m and self._model_of(m.group("model")) is not None:
-            return self._model_join(m)
+            return self._model_join(m, extra_params=_parse_using_params(pu.group(1)) if pu else None)
         m = _KB_JOIN_RE.match(s)
         if m and m.group(2).lower().strip("`").split(".")[-1] in self._kbs:
             # KB search result joined to a table in one statement
@@ -3202,7 +3257,8 @@ class EngineSession:
                 if cols == ["*"]:
                     return res
                 return res.select(*cols)
-        m = _MODEL_SELECT_RE.match(s)
+        pu2 = _TRAILING_USING_RE.search(s)
+        m = _MODEL_SELECT_RE.match(s[: pu2.start()].rstrip() if pu2 else s)
         if m and self._model_of(m.group(2)) is not None:
             # one-shot predict: the WHERE equality dict IS the input row
             # (reference: predictor-only FROM applies the model to the
@@ -3226,6 +3282,8 @@ class EngineSession:
                         )
                     )
                 if ok and row:
+                    for k, v in (_parse_using_params(pu2.group(1)) if pu2 else {}).items():
+                        row[k] = v
                     # one-shot predictions cache on (model, version, input
                     # row) — the bounded analog of the reference's
                     # prediction cache (apply_predictor_step.py:177-186,

@@ -103,7 +103,21 @@ def apply_model(
             else:
                 chunks = [pdf]
             for c in chunks:
-                preds = model.predict(c.assign(**params) if params else c)
+                if params:
+                    # non-scalar params must broadcast per-row explicitly:
+                    # pandas .assign treats a bare dict/list as an
+                    # index-aligned mapping, not a constant
+                    kw = {
+                        k: (
+                            pd.Series([v] * len(c), index=c.index, dtype=object)
+                            if isinstance(v, (dict, list, tuple))
+                            else v
+                        )
+                        for k, v in params.items()
+                    }
+                    preds = model.predict(c.assign(**kw))
+                else:
+                    preds = model.predict(c)
                 yield pd.concat(
                     [c.reset_index(drop=True), preds.reset_index(drop=True)], axis=1
                 )

@@ -212,3 +212,27 @@ def test_model_join_nested_tableau_shape(spark, sf_dir):
     ).collect()[0]
     assert row["cnt"] > 0 and row["max_pred"] is not None
     sess.sql("DROP MODEL mj_nest")
+
+
+def test_model_predict_time_using_params(spark, sf_dir):
+    # reference test_predictor_params.py: `USING p1 = 'a', p2 = {...}`
+    # after WHERE reaches predict (here as constant input-frame columns)
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir, tables=["customer"])
+    # predict runs on executors: ECHO the received params into the output
+    def probe_predict(pdf):
+        import pandas as pd
+        ok = (
+            "p1" in pdf.columns and "p2" in pdf.columns
+            and len(pdf) > 0 and pdf["p1"].iloc[0] == "a"
+            and pdf["p2"].iloc[0] == {"x": 1, "y": 2}
+        )
+        return pd.DataFrame({"p": [1.0 if ok else 0.0] * len(pdf)})
+
+    from mindsdb_spark.operators.model import ModelSpec
+    sess.register_model(ModelSpec(name="pm", predict=probe_predict, output_schema="p double"))
+    rows = sess.sql(
+        "SELECT t.c_custkey, m.p FROM tpch_customer t JOIN pm m "
+        "WHERE t.c_custkey < 5 USING p1 = 'a', p2 = {'x': 1, 'y': 2}"
+    ).collect()
+    assert len(rows) > 0 and all(r["p"] == 1.0 for r in rows)
