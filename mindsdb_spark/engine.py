@@ -1680,6 +1680,40 @@ class EngineSession:
         self._model_recipes[name] = (src, raw, target, engine, dict(params))
         return self.spark.createDataFrame([(name, engine)], "model string, engine string")
 
+    def _inline_subselects(self, cond: str) -> str:
+        """Execute each `(SELECT ...)` inside a DML condition and inline the
+        result as a literal value list — the reference's DELETE planning
+        ("planner-resolved subselects, values inlined", planner/steps.py:
+        273-278 + query_planner.py:768-779). DataFrame filters cannot carry
+        subqueries, so the bounded subselect runs first. An empty result
+        inlines (NULL) — IN () is not valid SQL."""
+        out, i = [], 0
+        while True:
+            m = re.search(r"\(\s*SELECT\b", cond[i:], re.IGNORECASE)
+            if not m:
+                out.append(cond[i:])
+                break
+            start = i + m.start()
+            out.append(cond[i:start])
+            depth, j = 0, start
+            while j < len(cond):
+                if cond[j] == "(":
+                    depth += 1
+                elif cond[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            inner = cond[start + 1 : j]
+            vals = [r[0] for r in self.sql(inner).collect()]
+            lits = ", ".join(
+                "NULL" if v is None else (f"'{v}'" if isinstance(v, str) else repr(v))
+                for v in vals
+            ) or "NULL"
+            out.append(f"({lits})")
+            i = j + 1
+        return "".join(out)
+
     def _model_join(self, m: re.Match, extra_params: dict | None = None) -> DataFrame:
         """Execute `SELECT ... FROM table [t] JOIN model [m] ...`.
 
@@ -2705,7 +2739,10 @@ class EngineSession:
         if m:
             srcname, table = self._resolve_writable(m.group(1))
             if srcname is not None:
-                n = self._writable[srcname].delete(table, F.expr(self.rewrite(m.group(2))))
+                cond = self.rewrite(m.group(2))
+                if re.search(r"\(\s*SELECT\b", cond, re.IGNORECASE):
+                    cond = self._inline_subselects(cond)
+                n = self._writable[srcname].delete(table, F.expr(cond))
                 self._refresh_writable_views(srcname)
                 return self.spark.createDataFrame([(n,)], "deleted int")
             kbname = m.group(1).lower().strip("`").split(".")[-1]

@@ -237,3 +237,21 @@ def test_update_from_select(wsess):
     for k in range(5):
         assert rows[k] == k * 10  # matched rows updated from the select
     assert all(v == 0 for k, v in rows.items() if k >= 5)  # others untouched
+
+
+def test_delete_with_subselect(wsess):
+    # reference: DELETE subselects are planner-resolved and inlined as
+    # value lists (planner/steps.py:273-278, query_planner.py:768-779)
+    wsess.sql("CREATE TABLE wh.del_sub AS SELECT n_nationkey AS k, n_regionkey AS r "
+              "FROM tpch_nation")
+    n = wsess.sql(
+        "DELETE FROM wh.del_sub WHERE k IN "
+        "(SELECT n_nationkey FROM tpch_nation WHERE n_regionkey = 0)"
+    ).collect()[0]["deleted"]
+    assert n == 5  # five nations per region in the fixture
+    assert wsess.sql("SELECT count(*) AS n FROM wh_del_sub").collect()[0]["n"] == 20
+    # scalar subselect form
+    n = wsess.sql(
+        "DELETE FROM wh.del_sub WHERE k = (SELECT max(n_nationkey) FROM tpch_nation)"
+    ).collect()[0]["deleted"]
+    assert n == 1
