@@ -134,7 +134,7 @@ _SHOW_COLUMNS_RE = re.compile(
 # agents as virtual model tables with to_predict='answer'
 # (mindsdb/api/executor/sql_query/sql_query.py:148-161).
 _CTAS_RE = re.compile(
-    r"CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+([\w.`]+)"
+    r"CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`]+)"
     r"(?:\s+PARTITIONED\s+BY\s*\(([\w`,\s]+)\))?\s+AS\s+(SELECT.+)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -323,6 +323,30 @@ _TRAILING_USING_RE = re.compile(
     r"(?:\s*,\s*\w+\s*=\s*(?:'[^']*'|\{[^}]*\}|\[[^\]]*\]|[-\w.]+))*)\s*$",
     re.IGNORECASE,
 )
+
+
+def _split_semicolons(text: str) -> list[str]:
+    """Split a statement list on top-level semicolons (quotes/parens safe)."""
+    items, depth, quote, cur = [], 0, None, []
+    for ch in text:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == ";" and depth == 0:
+            items.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    items.append("".join(cur))
+    return items
 
 
 def _parse_using_params(text: str) -> dict:
@@ -2455,16 +2479,19 @@ class EngineSession:
                 return self.spark.createDataFrame([(table,)], "altered string")
         m = _CTAS_RE.match(s)
         if m:
-            srcname, table = self._resolve_writable(m.group(2))
-            if srcname is None and "." in m.group(2):
-                srcname = m.group(2).lower().split(".")[0]
-                table = m.group(2).lower().split(".")[-1]
+            srcname, table = self._resolve_writable(m.group(3))
+            if srcname is None and "." in m.group(3):
+                srcname = m.group(3).lower().split(".")[0]
+                table = m.group(3).lower().split(".")[-1]
                 srcname = srcname if srcname in self._writable else None
             if srcname is not None:
-                df = self.spark.sql(self.rewrite(m.group(4)))
+                if m.group(2) and table in self._writable[srcname].tables():
+                    # IF NOT EXISTS: no-op when the table is already there
+                    return self.spark.createDataFrame([(table,)], "created string")
+                df = self.spark.sql(self.rewrite(m.group(5)))
                 part = (
-                    [c.strip().strip("`").lower() for c in m.group(3).split(",")]
-                    if m.group(3)
+                    [c.strip().strip("`").lower() for c in m.group(4).split(",")]
+                    if m.group(4)
                     else None
                 )
                 self._writable[srcname].create_table(
@@ -2848,10 +2875,17 @@ class EngineSession:
             def _epoch(txt):
                 return datetime.fromisoformat(txt).timestamp() if txt else None
 
-            def _run(sql=body, cond=cond):
+            # reference job bodies are statement LISTS — `(sql; sql)`
+            # (jobs/README.md:1-60); each statement runs in order
+            stmts = [t.strip() for t in _split_semicolons(body) if t.strip()]
+
+            def _run(stmts=stmts, cond=cond):
                 if cond is not None and not self.sql(cond).take(1):
                     return "skipped"
-                return self.sql(sql).collect()
+                res = None
+                for stmt in stmts:
+                    res = self.sql(stmt).collect()
+                return res
 
             self.jobs.create_job(
                 name,

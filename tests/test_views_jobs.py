@@ -203,3 +203,21 @@ def test_one_time_conditional_job(spark, sf_dir, tmp_path):
     sess.jobs.run_pending(now=20.0)
     assert "once_yes" not in sess.jobs.jobs
     assert sess.sql("SELECT * FROM once_probe").count() == 25  # body ran once
+
+
+def test_multi_statement_job_and_ctas_if_not_exists(spark, sf_dir, tmp_path):
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark, state_dir=str(tmp_path))
+    sess.register_parquet_source("tpch", sf_dir, tables=["nation"])
+    sess.register_writable_source("whj", str(tmp_path / "whj"))
+    # reference job bodies are statement lists: `(sql; sql)`
+    sess.sql("CREATE JOB multi (CREATE TABLE whj.j1 AS SELECT n_name FROM tpch_nation; "
+             "CREATE TABLE whj.j2 AS SELECT n_nationkey FROM tpch_nation) EVERY 1 hour")
+    sess.jobs.run_pending(now=5.0)
+    assert sess.sql("SELECT count(*) AS n FROM whj_j1").collect()[0]["n"] == 25
+    assert sess.sql("SELECT count(*) AS n FROM whj_j2").collect()[0]["n"] == 25
+    sess.sql("DROP JOB multi")
+    # CTAS IF NOT EXISTS: second create is a no-op, data survives
+    sess.sql("CREATE TABLE IF NOT EXISTS whj.j1 AS SELECT 1 AS x")
+    assert sess.sql("SELECT count(*) AS n FROM whj_j1").collect()[0]["n"] == 25
