@@ -224,7 +224,7 @@ _CREATE_JOB_RE = re.compile(
     r"(?:\s+IF\s+\((.+)\))?$",
     re.IGNORECASE | re.DOTALL,
 )
-_DROP_JOB_RE = re.compile(r"DROP\s+JOB\s+(\w+)$", re.IGNORECASE)
+_DROP_JOB_RE = re.compile(r"DROP\s+JOB\s+(?:IF\s+EXISTS\s+)?(\w+)$", re.IGNORECASE)
 # `CREATE TRIGGER name ON <table> [COLUMN <col>] AS (sql)` — the
 # reference's table-change trigger (triggers_controller.py:13-88: poll the
 # table, run the stored query on change).
@@ -232,7 +232,7 @@ _CREATE_TRIGGER_RE = re.compile(
     r"CREATE\s+TRIGGER\s+(\w+)\s+ON\s+([\w.`]+)(?:\s+COLUMN\s+([\w`]+))?\s+AS\s+\((.+)\)$",
     re.IGNORECASE | re.DOTALL,
 )
-_DROP_TRIGGER_RE = re.compile(r"DROP\s+TRIGGER\s+(\w+)$", re.IGNORECASE)
+_DROP_TRIGGER_RE = re.compile(r"DROP\s+TRIGGER\s+(?:IF\s+EXISTS\s+)?(\w+)$", re.IGNORECASE)
 # `SET [SESSION] @@x = v` / `USE db` — MySQL session-state commands the
 # wire clients send (reference: command_executor.py handles SET/USE as
 # session updates; unknown vars are accepted silently, MySQL-style).
