@@ -725,3 +725,19 @@ def test_categorical_drift_new_category(spark):
     # category "c" is new in the serving window: n_base 0, big psi share
     assert rows["c"]["n_base"] == 0 and rows["c"]["n_cur"] == 60
     assert sum(r["psi"] for r in rows.values()) > 0.25
+
+
+def test_boilerplate_scrub_hot_segment_skew(spark):
+    # a banner shared by EVERY doc is the worst skew case: one segment key
+    # carries the whole corpus. The df-aggregate must combine map-side and
+    # the reassembly stays per-doc — output correct, no hot-key blowup.
+    from mindsdb_spark.operators.curation import boilerplate_scrub
+
+    banner = "accept all cookies now"
+    docs = [(i, f"{banner} unique{i} token{i} word{i} tail{i}") for i in range(2000)]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(8)
+    out = boilerplate_scrub(df, k=4, min_df=2)
+    sample = {r["doc_id"]: r for r in out.filter("doc_id < 3").collect()}
+    assert all(r["n_removed"] == 1 for r in sample.values())
+    assert sample[1]["clean_text"] == "unique1 token1 word1 tail1"
+    assert out.count() == 2000
