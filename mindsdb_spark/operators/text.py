@@ -384,3 +384,50 @@ def dup_span_frac(
             _round6(n_dup / F.count("*")).alias("dup_span_frac"),
         )
     )
+
+
+def bigram_nll(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", lam: float = 0.9
+) -> DataFrame:
+    """Per-doc NLL under an interpolated corpus bigram LM — one rung up the
+    perplexity-proxy ladder from unigram_nll: p(w_i|w_{i-1}) =
+    lam * c(prev,cur)/c(prev,*) + (1-lam) * c(cur)/N. Catches fluent-word-
+    salad documents a unigram model scores well (every token common, no
+    coherent transitions) — the filter step LM-based curation pipelines run
+    after cheap token stats. Training-data extension; no reference analog.
+
+    Plan: two corpus explodes (bigram + unigram — explodes are per-partition,
+    no shuffle), three map-side-combinable count aggregates where the
+    context-count table derives from the BIGRAM COUNT table (|bigram vocab|
+    rows, not |corpus|), then the bigram stream re-joins its statistics on
+    uniformly-distributed token keys and folds to one row per doc. The
+    corpus total rides a 1-row broadcast. Nothing collects; state per
+    executor is bounded by vocab shards, not corpus size.
+    """
+    df = parallelize_input(df)
+    ws = df.select(col(id_col), words_expr(col(text_col)).alias("__ws"))
+    bg = ws.where(F.size("__ws") >= 2).select(
+        col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__ws) - 1), "
+                "i -> struct(element_at(__ws, i) AS prev, element_at(__ws, i + 1) AS cur))"
+            )
+        ).alias("__bg"),
+    ).select(col(id_col), col("__bg.prev").alias("__prev"), col("__bg.cur").alias("__cur"))
+    uni = ws.select(F.explode("__ws").alias("__tok"))
+    uf = uni.groupBy("__tok").agg(F.count("*").alias("__cu"))
+    total = uni.agg(F.count("*").alias("__n"))
+    bc = bg.groupBy("__prev", "__cur").agg(F.count("*").alias("__c2"))
+    cc = bc.groupBy("__prev").agg(F.sum("__c2").alias("__cc"))
+    p = F.lit(lam) * col("__c2") / col("__cc") + F.lit(1.0 - lam) * col("__cu") / col("__n")
+    scored = (
+        bg.join(bc, ["__prev", "__cur"])
+        .join(cc, "__prev")
+        .join(uf, bg["__cur"] == uf["__tok"])
+        .crossJoin(F.broadcast(total))
+        .select(col(id_col), (-F.log(p)).alias("__nll"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"), _round6(F.avg("__nll")).alias("nll")
+    )

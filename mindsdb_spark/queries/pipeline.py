@@ -1703,6 +1703,32 @@ ORDER BY s.doc_id
 """
 
 
+# --- D45 bigram-LM NLL (interpolated perplexity proxy) -----------------------
+def d45_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.text import bigram_nll
+
+    return bigram_nll(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+D45_SQL = f"""
+WITH {_WORDS},
+bg AS (SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+       FROM words, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+       WHERE len(w) >= 2),
+uni AS (SELECT unnest(w) AS tok FROM words),
+uf AS (SELECT tok, count(*) AS cu FROM uni GROUP BY tok),
+tot AS (SELECT count(*) AS n FROM uni),
+bc AS (SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY prev, cur),
+cc AS (SELECT prev, sum(c2) AS ccnt FROM bc GROUP BY prev)
+SELECT bg.doc_id, count(*) AS n_bigrams,
+       floor(avg(-ln(0.9 * c2 / ccnt + 0.1 * cu / CAST(n AS DOUBLE)))
+             * 1000000 + 0.5) / 1000000 AS nll
+FROM bg JOIN bc USING (prev, cur) JOIN cc USING (prev)
+JOIN uf ON bg.cur = uf.tok, tot
+GROUP BY bg.doc_id ORDER BY bg.doc_id
+"""
+
+
 # --- registry ----------------------------------------------------------------
 PIPELINE = {
     "d01_dedup_exact": (d01_dedup_exact, D01_SQL),
@@ -1749,6 +1775,7 @@ PIPELINE = {
     "d42_dup_spans": (d42_dup_spans, D42_SQL),
     "d43_nb_quality": (d43_nb_quality, D43_SQL),
     "d44_curation_v2": (d44_curation_v2, D44_SQL),
+    "d45_bigram_nll": (d45_bigram_nll, D45_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),

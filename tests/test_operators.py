@@ -741,3 +741,41 @@ def test_boilerplate_scrub_hot_segment_skew(spark):
     assert all(r["n_removed"] == 1 for r in sample.values())
     assert sample[1]["clean_text"] == "unique1 token1 word1 tail1"
     assert out.count() == 2000
+
+
+def test_bigram_nll_matches_counter_reference(spark):
+    import math
+    from collections import Counter
+
+    from mindsdb_spark.operators.text import bigram_nll
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the cat"),
+        (2, "mat on sat cat the the"),  # same unigrams as 0, scrambled order
+        (3, "dog runs"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.n_bigrams, r.nll) for r in bigram_nll(df).collect()}
+
+    uni = Counter()
+    bc = Counter()
+    cc = Counter()
+    for _id, text in rows:
+        toks = text.split()
+        uni.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            bc[(a, b)] += 1
+            cc[a] += 1
+    n = sum(uni.values())
+    for doc_id, text in rows:
+        toks = text.split()
+        pairs = list(zip(toks, toks[1:]))
+        want = sum(
+            -math.log(0.9 * bc[(a, b)] / cc[a] + 0.1 * uni[b] / n) for a, b in pairs
+        ) / len(pairs)
+        got_n, got_nll = out[doc_id]
+        assert got_n == len(pairs), doc_id
+        assert abs(got_nll - want) < 1e-5, doc_id
+    # scrambled word order: identical unigram stats, worse bigram NLL
+    assert out[2][1] > out[0][1]
