@@ -396,13 +396,15 @@ def bigram_nll(
     coherent transitions) — the filter step LM-based curation pipelines run
     after cheap token stats. Training-data extension; no reference analog.
 
-    Plan: two corpus explodes (bigram + unigram — explodes are per-partition,
-    no shuffle), three map-side-combinable count aggregates where the
-    context-count table derives from the BIGRAM COUNT table (|bigram vocab|
-    rows, not |corpus|), then the bigram stream re-joins its statistics on
-    uniformly-distributed token keys and folds to one row per doc. The
-    corpus total rides a 1-row broadcast. Nothing collects; state per
-    executor is bounded by vocab shards, not corpus size.
+    Plan: three corpus passes total (score stream, bigram counts, unigram
+    counts — explodes are per-partition, no shuffle), each feeding a
+    map-side-combinable count aggregate. The derived statistics — context
+    counts and the corpus total — fold from the PERSISTED count tables
+    (|vocab| rows, not |corpus|; Catalyst has no cross-branch CSE, so
+    without the persist each derived table would replay its corpus scan).
+    The bigram stream then re-joins its statistics on uniformly-distributed
+    token keys and folds to one row per doc; the corpus total rides a 1-row
+    broadcast. Nothing collects; executor state is bounded by vocab shards.
     """
     df = parallelize_input(df)
     ws = df.select(col(id_col), words_expr(col(text_col)).alias("__ws"))
@@ -416,9 +418,9 @@ def bigram_nll(
         ).alias("__bg"),
     ).select(col(id_col), col("__bg.prev").alias("__prev"), col("__bg.cur").alias("__cur"))
     uni = ws.select(F.explode("__ws").alias("__tok"))
-    uf = uni.groupBy("__tok").agg(F.count("*").alias("__cu"))
-    total = uni.agg(F.count("*").alias("__n"))
-    bc = bg.groupBy("__prev", "__cur").agg(F.count("*").alias("__c2"))
+    uf = uni.groupBy("__tok").agg(F.count("*").alias("__cu")).persist()
+    total = uf.agg(F.sum("__cu").alias("__n"))
+    bc = bg.groupBy("__prev", "__cur").agg(F.count("*").alias("__c2")).persist()
     cc = bc.groupBy("__prev").agg(F.sum("__c2").alias("__cc"))
     p = F.lit(lam) * col("__c2") / col("__cc") + F.lit(1.0 - lam) * col("__cu") / col("__n")
     scored = (
