@@ -134,12 +134,16 @@ class SourceCatalog:
                 yield src, t, p
 
     def table(self, name: str) -> DataFrame:
-        """Resolve ``table`` or ``source.table`` (case-insensitive)."""
+        """Resolve ``table``, ``source.table`` or ``source_table``
+        (case-insensitive) — the same three spellings ``has_table`` accepts."""
         parts = name.lower().split(".")
         if len(parts) == 1:
-            for tbls in self._sources.values():
-                if parts[0] in tbls:
-                    return load_table(self.spark, os.path.dirname(tbls[parts[0]]), parts[0])
+            for src, tbls in self._sources.items():
+                t = parts[0]
+                if t not in tbls and t.startswith(f"{src}_"):
+                    t = t[len(src) + 1 :]
+                if t in tbls:
+                    return load_table(self.spark, os.path.dirname(tbls[t]), t)
             raise KeyError(f"unknown table {name!r}")
         source, table = parts[-2], parts[-1]
         if source not in self._sources or table not in self._sources[source]:

@@ -2101,18 +2101,33 @@ class EngineSession:
                 "Engine string, Support string, Comment string",
             )
         sm = re.match(
-            r"SHOW\s+TABLE\s+STATUS(?:\s+(?:FROM|IN)\s+`?(\w+)`?)?$", s, re.IGNORECASE
+            r"SHOW\s+TABLE\s+STATUS(?:\s+(?:FROM|IN)\s+`?(\w+)`?)?"
+            r"(?:\s+LIKE\s+'([^']*)')?$",
+            s,
+            re.IGNORECASE,
         )
         if sm:
+            # reference answers a constant MySQL-compat row per table
+            # (command_executor.py:1751-1923): Engine InnoDB, Version 10,
+            # Row_format Dynamic; Rows is honest NULL here (no stats table)
             self._refresh_information_schema()
-            cond = f"WHERE table_schema = '{sm.group(1).lower()}'" if sm.group(1) else ""
+            conds = []
+            if sm.group(1):
+                conds.append(f"table_schema = '{sm.group(1).lower()}'")
+            if sm.group(2):
+                like = sm.group(2).replace("%", ".*").replace("_", ".")
+                conds.append(f"table_name RLIKE '^{like}$'")
+            where = ("WHERE " + " AND ".join(conds)) if conds else ""
             return self.spark.sql(
-                "SELECT table_name AS `Name`, 'Spark' AS `Engine`, "
-                "CAST(NULL AS BIGINT) AS `Rows`, 'utf8mb4_general_ci' AS `Collation` "
-                f"FROM information_schema_tables {cond} ORDER BY `Name`"
+                "SELECT table_name AS `Name`, 'InnoDB' AS `Engine`, "
+                "10 AS `Version`, 'Dynamic' AS `Row_format`, "
+                "CAST(NULL AS BIGINT) AS `Rows`, "
+                "'utf8mb4_0900_ai_ci' AS `Collation` "
+                f"FROM information_schema_tables {where} ORDER BY `Name`"
             )
         if re.match(r"SHOW\s+(?:INDEX|INDEXES|KEYS)\s+(?:FROM|IN)\s+", s, re.IGNORECASE):
-            # parquet tables carry no indexes; clients expect the shape
+            # federated parquet/API tables carry no indexes; answer the shape
+            # (reference rewrites to information_schema.STATISTICS, :445-448)
             return self.spark.createDataFrame(
                 [],
                 "Table string, Non_unique int, Key_name string, "
@@ -2132,10 +2147,26 @@ class EngineSession:
             )
         cm = re.match(r"SHOW\s+CREATE\s+TABLE\s+([\w.`]+)$", s, re.IGNORECASE)
         if cm:
-            name = cm.group(1).strip("`")
-            tbl = name.split(".")[-1].lower()
-            fields = self.spark.table(self.rewrite(name)).schema.fields
-            cols = ",\n".join(f"  `{f.name}` {f.dataType.simpleString()}" for f in fields)
+            # reference answers a stub `create table t ()` (command_executor
+            # .py:1634-1645); we synthesize real DDL from the live schema.
+            # Resolve through the session catalog / writable sources first so
+            # tables that only exist as registered sources (not Spark temp
+            # views) still answer; fall back to the plain view rewrite.
+            ref = cm.group(1).strip("`")
+            tbl = ref.split(".")[-1].lower()
+            df = None
+            if self.catalog.has_table(ref) or self.catalog.has_table(tbl):
+                df = self.catalog.table(ref if self.catalog.has_table(ref) else tbl)
+            else:
+                srcname, t = self._resolve_writable(ref)
+                if srcname is not None:
+                    df, tbl = self._writable[srcname].read(t), t
+            fields = (df if df is not None else self.spark.table(self.rewrite(ref))).schema.fields
+            cols = ",\n".join(
+                f"  `{f.name}` {f.dataType.simpleString()}"
+                + ("" if f.nullable else " NOT NULL")
+                for f in fields
+            )
             ddl = f"CREATE TABLE `{tbl}` (\n{cols}\n)"
             return self.spark.createDataFrame(
                 [(tbl, ddl)], "Table string, `Create Table` string"
@@ -2153,30 +2184,6 @@ class EngineSession:
                 f"SELECT table_name AS `Tables_in_{db}` FROM information_schema_tables "
                 f"WHERE table_schema = '{db}' ORDER BY 1"
             )
-        m = re.match(r"SHOW\s+CREATE\s+TABLE\s+([\w.`]+)$", s, re.IGNORECASE)
-        if m:
-            # reference answers a stub `create table t ()` (command_executor
-            # .py:1634-1645); we synthesize real DDL from the live schema
-            ref = m.group(1).strip("`")
-            table = ref.split(".")[-1].lower()
-            df = None
-            if self.catalog.has_table(ref) or self.catalog.has_table(table):
-                df = self.catalog.table(ref if self.catalog.has_table(ref) else table)
-            else:
-                srcname, t = self._resolve_writable(ref)
-                if srcname is not None:
-                    df, table = self._writable[srcname].read(t), t
-            if df is None:
-                raise KeyError(f"table {ref!r} does not exist")
-            cols = ",\n  ".join(
-                f"`{f.name}` {f.dataType.simpleString()}"
-                + ("" if f.nullable else " NOT NULL")
-                for f in df.schema.fields
-            )
-            ddl = f"CREATE TABLE `{table}` (\n  {cols}\n)"
-            return self.spark.createDataFrame(
-                [(table, ddl)], "`Table` string, `Create Table` string"
-            )
         m = re.match(
             r"SHOW\s+(?:FULL\s+)?(?:COLUMNS|FIELDS)\s+FROM\s+([\w.`]+)"
             r"(?:\s+FROM\s+([\w`]+))?$",
@@ -2193,24 +2200,6 @@ class EngineSession:
                 "'' AS Key, NULL AS `Default`, '' AS Extra "
                 f"FROM information_schema_columns WHERE table_name = '{table}' "
                 "ORDER BY ordinal_position"
-            )
-        m = re.match(r"SHOW\s+(?:INDEX|INDEXES|KEYS)\s+FROM\s+([\w.`]+)$", s, re.IGNORECASE)
-        if m:
-            # federated parquet/API tables carry no indexes; answer the shape
-            # (reference rewrites to information_schema.STATISTICS, :445-448)
-            return self.spark.createDataFrame(
-                [],
-                "`Table` string, Non_unique int, Key_name string, "
-                "Seq_in_index int, Column_name string",
-            )
-        m = re.match(r"SHOW\s+TABLE\s+STATUS(?:\s+LIKE\s+'([^']*)')?$", s, re.IGNORECASE)
-        if m:
-            self._refresh_information_schema()
-            like = (m.group(1) or "%").replace("%", ".*").replace("_", ".")
-            return self.spark.sql(
-                "SELECT table_name AS Name, 'InnoDB' AS Engine, NULL AS Version, "
-                "'Dynamic' AS Row_format FROM information_schema_tables "
-                f"WHERE table_name RLIKE '^{like}$' ORDER BY 1"
             )
         m = _EXPLAIN_RE.match(s)
         if m:

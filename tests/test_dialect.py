@@ -291,7 +291,7 @@ def test_mysql_client_show_commands(spark, sf_dir):
     assert cols == ["r_regionkey", "r_name"]
     assert sess.sql("SHOW FULL COLUMNS IN nation FROM tpch").count() == 3
     st = sess.sql("SHOW TABLE STATUS FROM tpch").collect()
-    assert {r["Name"] for r in st} >= {"region", "nation"} and st[0]["Engine"] == "Spark"
+    assert {r["Name"] for r in st} >= {"region", "nation"} and st[0]["Engine"] == "InnoDB"
     assert sess.sql("SHOW INDEX FROM tpch_region").count() == 0
 
 
