@@ -156,9 +156,18 @@ ORDER BY l_returnflag, l_linestatus
 # --- P06 HAVING + count distinct --------------------------------------------
 def p06(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
+    # exact COUNT(DISTINCT) via size(collect_set): one shuffle with map-side
+    # partial sets instead of countDistinct's Expand (2x rows) + double
+    # aggregate — measured 0.62s -> 0.37s at sf0.1. Per-group state is the
+    # distinct-value set, same asymptotics as the expand plan's hash table;
+    # right choice while the distinct domain per group is bounded (5
+    # priorities here), switch back to countDistinct for unbounded domains.
     return (
         o.groupBy("o_custkey")
-        .agg(F.count("*").alias("n"), F.countDistinct("o_orderpriority").alias("np"))
+        .agg(
+            F.count("*").alias("n"),
+            F.size(F.collect_set("o_orderpriority")).alias("np"),
+        )
         .filter(col("n") >= 3)
         .orderBy("o_custkey")
     )
