@@ -188,8 +188,10 @@ def source_mixture(
     (source, n_docs, n_tokens, avg_tokens, token_share). Token share
     divides by the corpus total carried on a single-row broadcast join —
     the per-source aggregate is one map-side-combinable groupBy over the
-    (bounded) source domain, never a second corpus pass. Training-data
-    extension; no reference analog.
+    (bounded) source domain, PERSISTED so the total folds from the
+    source-domain-sized table instead of replaying the corpus tokenize
+    (Catalyst has no cross-branch CSE). Training-data extension; no
+    reference analog.
     """
     df = parallelize_input(df)
     per_doc = df.select(
@@ -199,7 +201,7 @@ def source_mixture(
         F.count("*").alias("n_docs"),
         F.sum("__nt").alias("n_tokens"),
         _round6(F.avg("__nt")).alias("avg_tokens"),
-    )
+    ).persist()
     total = per_src.agg(F.sum("n_tokens").alias("__total"))
     return (
         per_src.crossJoin(F.broadcast(total))
