@@ -169,9 +169,12 @@ def hash_embed_tfidf(
     dim-length aggregate (posexplode → groupBy(lane), dim keys) collapsed
     to a single broadcast row, and N rides the same row — no driver state,
     no second corpus pass over text. The per-doc weighting is then a pure
-    zip_with map stage."""
+    zip_with map stage. The TF table is PERSISTED: the df-stats branch,
+    the N branch and the weighting stage all read it, and without the
+    persist each branch would replay the tokenize+hash corpus pass
+    (Catalyst has no cross-branch CSE)."""
     base = hash_embed(df, text_col=text_col, dim=dim, out_float=False)
-    raw = base.withColumnRenamed("embedding", "__tf")
+    raw = base.withColumnRenamed("embedding", "__tf").persist()
     lanes = raw.select(F.posexplode("__tf").alias("__lane", "__v"))
     stats = (
         lanes.groupBy("__lane")
