@@ -315,7 +315,10 @@ def dsir_weights(
     ).persist()
     tf = tok.groupBy("__tok").agg(
         F.count("*").alias("__c"), F.sum("__is_t").alias("__ct")
-    )
+        # two consumers (scalar totals + join-back) and no cross-branch
+        # CSE - persisting the vocab-sized count table saves a second
+        # corpus-wide aggregate shuffle
+    ).persist()
     totals = tf.agg(
         F.sum("__c").alias("__n"),
         F.sum("__ct").alias("__t"),
@@ -476,7 +479,10 @@ def nb_quality(
     ).persist()
     tf = tok.groupBy("__tok").agg(
         F.count("*").alias("__c"), F.sum("__is_t").alias("__ct")
-    )
+        # two consumers (scalar totals + join-back) and no cross-branch
+        # CSE - persisting the vocab-sized count table saves a second
+        # corpus-wide aggregate shuffle
+    ).persist()
     totals = tf.agg(
         F.sum("__c").alias("__n"),
         F.sum("__ct").alias("__t"),
