@@ -428,7 +428,10 @@ def boilerplate_scrub(
                 f"i -> concat_ws(' ', slice(__ws, (i - 1) * {k} + 1, {k})))"
             )
         ).alias("pos", "seg"),
-    )
+        # two consumers (document-frequency aggregate + the join back) and
+        # no cross-branch CSE — persist marks the tokenize+explode
+        # compute-once per action
+    ).persist()
     dfreq = segs.groupBy("seg").agg(F.countDistinct(id_col).alias("__df"))
     flagged = segs.join(dfreq, "seg")
     kept_text = F.array_join(
