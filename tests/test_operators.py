@@ -13,8 +13,11 @@ def test_catalog_resolution(spark, sf_dir):
     cat.register_parquet_source("tpch", sf_dir)
     assert cat.table("tpch.nation").count() == 25
     assert cat.table("NATION").count() == 25  # case-insensitive, bare name
+    assert cat.table("tpch_nation").count() == 25  # source_table form, as has_table
     with pytest.raises(KeyError):
         cat.table("tpch.nope")
+    with pytest.raises(KeyError):
+        cat.table("tpch_nope")
 
 
 def test_catalog_views(spark, sf_dir):
