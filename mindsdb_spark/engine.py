@@ -2067,9 +2067,16 @@ class EngineSession:
                 f"SELECT name AS `{kind.capitalize()}` FROM {view} ORDER BY 1"
             )
         if u == "SHOW PROJECTS":
-            # reference: project-typed databases (command_executor.py:550-560);
-            # this engine runs one default project
-            return self.spark.createDataFrame([("mindsdb",)], "project string")
+            # reference: project-typed databases (command_executor.py:550-560)
+            # — the default project plus every CREATE PROJECT / engine-less
+            # CREATE DATABASE workspace
+            projects = sorted(
+                {"mindsdb"}
+                | {n for n, (eng, _p) in self._db_params.items() if eng is None}
+            )
+            return self.spark.createDataFrame(
+                [(p,) for p in projects], "project string"
+            )
         # MySQL-client introspection commands (command_executor.py:283-570
         # answers these from constants/session state so clients connect)
         vm = re.match(r"SHOW\s+(?:SESSION\s+|GLOBAL\s+)?VARIABLES(?:\s+LIKE\s+'([^']*)')?$",

@@ -505,6 +505,13 @@ def test_show_variables_and_warnings(spark, sf_dir):
 def test_show_projects_chatbots_skills_predictors(spark, sf_dir):
     sess = EngineSession(spark)
     assert [r["project"] for r in sess.sql("SHOW PROJECTS").collect()] == ["mindsdb"]
+    sess.sql("CREATE PROJECT analytics")
+    assert [r["project"] for r in sess.sql("SHOW PROJECTS").collect()] == [
+        "analytics",
+        "mindsdb",
+    ]
+    sess.sql("DROP PROJECT analytics")
+    assert [r["project"] for r in sess.sql("SHOW PROJECTS").collect()] == ["mindsdb"]
     assert sess.sql("SHOW CHATBOTS").columns == ["Chatbots"]
     assert sess.sql("SHOW SKILLS").columns == ["Skills"]
     assert sess.sql("SHOW PREDICTORS").columns == ["Models"]  # alias of MODELS
