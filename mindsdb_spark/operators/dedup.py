@@ -522,6 +522,7 @@ def incremental_dedup(
     n_hashes: int = 16,
     bands: int = 4,
     jaccard_threshold: float = 0.5,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental-ingestion dedup: flag each document of a NEW batch that
     near-duplicates anything in the EXISTING corpus — the streaming-append
@@ -534,21 +535,29 @@ def incremental_dedup(
     Candidates then confirm by exact shingle Jaccard >= threshold with the
     intersection computed only for candidate pairs. One row per batch doc:
     (id, is_dup, dup_of = min matching corpus id).
+
+    ``candidates`` (columns __bid, __cid) skips the band stage and confirms
+    an externally-derived pair set — the streaming door computes candidates
+    with per-row signatures (rowwise_lsh_bands probing a static band index)
+    and hands them here for the exact-Jaccard confirm.
     """
     rows = n_hashes // bands
     sh_b = shingle_hashes(batch, text_col, id_col).persist()
     sh_c = shingle_hashes(corpus, text_col, id_col).persist()
-    bd_b = lsh_bands(minhash_signatures(sh_b, id_col, n_hashes), id_col, bands, rows)
-    bd_c = lsh_bands(minhash_signatures(sh_c, id_col, n_hashes), id_col, bands, rows)
-    cand = (
-        bd_b.select(col(id_col).alias("__bid"), "band_id", "band_sig")
-        .join(
-            bd_c.select(col(id_col).alias("__cid"), "band_id", "band_sig"),
-            ["band_id", "band_sig"],
+    if candidates is not None:
+        cand = candidates.select("__bid", "__cid").distinct()
+    else:
+        bd_b = lsh_bands(minhash_signatures(sh_b, id_col, n_hashes), id_col, bands, rows)
+        bd_c = lsh_bands(minhash_signatures(sh_c, id_col, n_hashes), id_col, bands, rows)
+        cand = (
+            bd_b.select(col(id_col).alias("__bid"), "band_id", "band_sig")
+            .join(
+                bd_c.select(col(id_col).alias("__cid"), "band_id", "band_sig"),
+                ["band_id", "band_sig"],
+            )
+            .select("__bid", "__cid")
+            .distinct()
         )
-        .select("__bid", "__cid")
-        .distinct()
-    )
     nb = sh_b.groupBy(id_col).agg(F.count("*").alias("__nb")).withColumnRenamed(
         id_col, "__bid"
     )
@@ -628,3 +637,61 @@ def pagerank(
         if i % 2 == 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(col("node").alias(id_col), "rank")
+
+
+def rowwise_lsh_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Per-ROW LSH band signatures: the whole shingle → minhash → band fold
+    runs as higher-order functions over each document's own token array, so
+    the expression contains NO aggregation and is legal on a STREAMING
+    DataFrame (Structured Streaming forbids aggregate-then-join plans; the
+    batch minhash path groups exploded shingles). Values are IDENTICAL to
+    shingle_hashes → minhash_signatures → lsh_bands — same shingle md5,
+    same (a,b) lane family, same polynomial band fold — so a stream probing
+    a batch-built band index joins on equal keys.
+
+    Scale: state-free map stage; each row costs n_hashes array scans of its
+    own distinct-shingle array. The batch path stays preferable for batch
+    jobs (shuffle-level min() beats 16 per-row array passes when documents
+    are huge); this exists for stream-side sketching.
+    """
+    rows = n_hashes // bands
+    w = words_expr(col(text_col))
+    ln = F.size(w) - (n - 1)
+    grams = F.slice(w, 1, ln)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(w, j + 1, ln), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    sh_arr = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+    def _lane(a, b):
+        # separate factory: pyspark reads the lambda's SIGNATURE to bind HOF
+        # variables, so default-arg closure capture would read as a 3-arg HOF
+        return lambda s: (F.lit(a) * (s % F.lit(4294967296)) + F.lit(b)) % F.lit(
+            MINHASH_PRIME
+        )
+
+    lanes = [
+        F.array_min(F.transform(sh_arr, _lane(a, b)))
+        for a, b in minhash_lane_params(n_hashes)
+    ]
+    entries = []
+    for bnd in range(bands):
+        acc = lanes[bnd * rows]
+        for r in range(1, rows):
+            acc = (acc * F.lit(1000003) + lanes[bnd * rows + r]) % F.lit(MINHASH_PRIME)
+        entries.append(F.struct(F.lit(bnd).alias("band_id"), acc.alias("band_sig")))
+    return (
+        df.filter(F.size(w) >= n)
+        .select(col(id_col), F.explode(F.array(*entries)).alias("bd"))
+        .select(id_col, col("bd.band_id"), col("bd.band_sig"))
+    )

@@ -471,7 +471,63 @@ FROM terms GROUP BY h ORDER BY h
 """
 
 
+def st11_stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash-LSH dedup: documents arriving as a STREAM are
+    sketched per-row (rowwise_lsh_bands — the whole shingle→minhash→band
+    fold as higher-order functions, no aggregation, hence streaming-legal)
+    and probe a band index built from the static corpus; one streaming
+    aggregation dedups band hits into candidate pairs, the available-now
+    drain hands them to the batch exact-Jaccard confirm
+    (incremental_dedup(candidates=...)). This is d31's semantics with the
+    new-batch side executed as a real stream — at scale the band index is
+    the persisted state and each micro-batch ships only its own band keys.
+    Oracle: the identical batch SQL (D31's)."""
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.operators.dedup import incremental_dedup, lsh_bands
+    from mindsdb_spark.operators.dedup import minhash_signatures, rowwise_lsh_bands
+    from mindsdb_spark.operators.dedup import shingle_hashes
+    from mindsdb_spark.streaming.windows import run_available_now, stream_from_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") < 400)
+    bd_c = lsh_bands(minhash_signatures(shingle_hashes(corpus))).select(
+        F.col("doc_id").alias("__cid"), "band_id", "band_sig"
+    )
+
+    split_dir = os.path.join(sf_dir, "documents.parquet")
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    if os.path.isdir(split_dir):
+        stream = stream_from_parquet(spark, split_dir, schema)
+    else:
+        stream = stream_from_parquet(spark, sf_dir, schema, path_glob="documents.parquet")
+    bd_s = rowwise_lsh_bands(stream.where(F.col("doc_id") >= 400)).select(
+        F.col("doc_id").alias("__bid"), "band_id", "band_sig"
+    )
+    cand_stream = (
+        bd_s.join(bd_c, ["band_id", "band_sig"])  # stream-static index probe
+        .groupBy("__bid", "__cid")
+        .count()  # the one streaming aggregation: dedups multi-band hits
+    )
+    cand = run_available_now(cand_stream, "complete").select("__bid", "__cid")
+    return incremental_dedup(
+        corpus,
+        docs.where(F.col("doc_id") >= 400),
+        jaccard_threshold=0.5,
+        candidates=cand,
+    ).orderBy("doc_id")
+
+
+def _st11_sql() -> str:
+    from mindsdb_spark.queries.pipeline import D31_SQL
+
+    return D31_SQL
+
+
+ST11_SQL = _st11_sql()
+
+
 STREAMING_QUERIES = {
+    "st11_stream_lsh_dedup": (st11_stream_lsh_dedup, ST11_SQL),
     "st10_stream_drift": (st10_stream_drift, ST10_SQL),
     "st09_stream_seasonal": (st09_stream_seasonal, ST09_SQL),
     "st08_stream_anomaly": (st08_stream_anomaly, ST08_SQL),

@@ -85,3 +85,24 @@ def test_streaming_dedup(spark, sf_dir, events_stream_dir, tmp_path):
     ).groupBy().agg(F.count("*").alias("n"))
     got = run_available_now(stream)
     assert got.head().n == _batch_events(spark, sf_dir).count()
+
+
+def test_stream_lsh_dedup_matches_batch(spark, sf_dir):
+    # the streaming door (per-row signatures probing a static band index)
+    # must flag exactly the docs the batch incremental_dedup flags
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.operators.dedup import incremental_dedup
+    from mindsdb_spark.queries.streaming_queries import st11_stream_lsh_dedup
+
+    got = st11_stream_lsh_dedup(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    want = (
+        incremental_dedup(
+            docs.where(F.col("doc_id") < 400),
+            docs.where(F.col("doc_id") >= 400),
+            jaccard_threshold=0.5,
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert got == want and len(got) > 0
