@@ -433,3 +433,83 @@ def bigram_nll(
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_bigrams"), _round6(F.avg("__nll")).alias("nll")
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distributed BPE tokenizer training: learn the top-``k`` merge rules
+    over the corpus (Sennrich et al. 2016) — the step every pretraining
+    stack runs before tokenizing, here as a Spark-iterative algorithm like
+    the k-means/PageRank exemplars. Returns one row per learned merge:
+    (rank, lhs, rhs, merged, cnt), deterministic via (count desc, lhs, rhs)
+    tie-break.
+
+    Shape per round: pair counting is ONE map-side-combinable aggregate
+    over the WORD-FREQUENCY table (vocab-sized — corpus token multiplicity
+    rides the weight column, so the corpus explodes exactly once up front),
+    and the argmax collect is a bounded 1-row scalar (the k-means
+    precedent). Symbol state is a per-word string that each round rewrites
+    with replace() — double-space-separated symbols with single-space
+    flanked patterns make replace()'s left-to-right non-overlap scan equal
+    canonical leftmost BPE pairing, verified identical in Spark and DuckDB
+    (the oracle unrolls the same k rounds as CTE levels).
+    """
+    df = parallelize_input(df)
+    vocab = (
+        df.select(F.explode(words_expr(col(text_col))).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count("*").alias("__c"))
+        # every round's pair count reads this table; vocab-sized persist
+        .persist()
+    )
+    state = vocab.select(
+        F.concat(
+            F.lit("  "), F.regexp_replace(col("__w"), "(.)", "$1  ")
+        ).alias("__seq"),
+        col("__c"),
+    )
+    merges = []
+    for rank in range(1, k + 1):
+        syms = state.select(F.split(F.trim(col("__seq")), "  ").alias("__s"), "__c")
+        pairs = syms.where(F.size("__s") >= 2).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__s) - 1), "
+                    "i -> struct(element_at(__s, i) AS l, element_at(__s, i + 1) AS r))"
+                )
+            ).alias("__p"),
+            "__c",
+        )
+        top = (
+            pairs.groupBy(col("__p.l").alias("__l"), col("__p.r").alias("__r"))
+            .agg(F.sum("__c").alias("__cnt"))
+            .orderBy(F.desc("__cnt"), F.asc("__l"), F.asc("__r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0]
+        merges.append((rank, l, r, l + r, int(cnt)))
+        state = state.select(
+            F.expr(
+                "replace(__seq, ' ' || {l} || '  ' || {r} || ' ', "
+                "' ' || {l} || {r} || ' ')".format(
+                    l=_sql_str(l), r=_sql_str(r)
+                )
+            ).alias("__seq"),
+            "__c",
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, merged string, cnt long"
+    )
+
+
+def _sql_str(s: str) -> str:
+    """SQL single-quoted literal with quote doubling."""
+    return "'" + s.replace("'", "''") + "'"

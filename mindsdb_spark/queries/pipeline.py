@@ -1729,6 +1729,51 @@ GROUP BY bg.doc_id ORDER BY bg.doc_id
 """
 
 
+# --- D46 distributed BPE tokenizer training ----------------------------------
+def d46_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.text import bpe_train_merges
+
+    return bpe_train_merges(_t(spark, sf_dir, "documents"), k=5).orderBy("rank")
+
+
+def _d46_sql(k: int = 5) -> str:
+    """The SAME k BPE rounds the Spark operator iterates, unrolled as CTE
+    levels: per level, pair counts over the previous symbol state, argmax
+    with the (count desc, lhs, rhs) tie-break, replace() merge application.
+    replace()'s left-to-right non-overlap scan over double-space-separated
+    symbols equals canonical leftmost BPE pairing in BOTH engines."""
+    ctes = [
+        _WORDS,
+        "vocab AS (SELECT tok AS w, count(*) AS c"
+        " FROM (SELECT unnest(w) AS tok FROM words) GROUP BY tok)",
+        "s0 AS (SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS seq, c FROM vocab)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"p{i} AS (SELECT s[j] AS lhs, s[j + 1] AS rhs, sum(c) AS cnt"
+            f" FROM (SELECT string_split(trim(seq), '  ') AS s, c FROM s{i - 1}) t,"
+            f" UNNEST(generate_series(1, len(s) - 1)) AS u(j)"
+            f" WHERE len(s) >= 2 GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"t{i} AS (SELECT lhs, rhs, cnt FROM p{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
+        )
+        if i < k:
+            ctes.append(
+                f"s{i} AS (SELECT replace(seq, ' ' || t.lhs || '  ' || t.rhs || ' ',"
+                f" ' ' || t.lhs || t.rhs || ' ') AS seq, c FROM s{i - 1}, t{i} t)"
+            )
+    sel = "\nUNION ALL ".join(
+        f"SELECT {i} AS rank, lhs, rhs, lhs || rhs AS merged,"
+        f" CAST(cnt AS BIGINT) AS cnt FROM t{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel + "\nORDER BY rank"
+
+
+D46_SQL = _d46_sql()
+
+
 # --- registry ----------------------------------------------------------------
 PIPELINE = {
     "d01_dedup_exact": (d01_dedup_exact, D01_SQL),
@@ -1776,6 +1821,7 @@ PIPELINE = {
     "d43_nb_quality": (d43_nb_quality, D43_SQL),
     "d44_curation_v2": (d44_curation_v2, D44_SQL),
     "d45_bigram_nll": (d45_bigram_nll, D45_SQL),
+    "d46_bpe_merges": (d46_bpe_merges, D46_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),

@@ -782,3 +782,41 @@ def test_bigram_nll_matches_counter_reference(spark):
         assert abs(got_nll - want) < 1e-5, doc_id
     # scrambled word order: identical unigram stats, worse bigram NLL
     assert out[2][1] > out[0][1]
+
+
+def test_bpe_train_merges_matches_python_reference(spark):
+    from collections import Counter
+
+    from mindsdb_spark.operators.text import bpe_train_merges
+
+    rows = [
+        (0, "low lower lowest low low"),
+        (1, "new newer newest new"),
+        (2, "low new lower newer"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r.rank, r.lhs, r.rhs, r.merged, r.cnt) for r in bpe_train_merges(df, k=4).collect()]
+
+    vocab = Counter(w for _id, t in rows for w in t.split())
+    state = {w: list(w) for w in vocab}
+    want = []
+    for rank in range(1, 5):
+        pc = Counter()
+        for w, syms in state.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += vocab[w]
+        if not pc:
+            break
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, l, r, l + r, cnt))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    assert got == want
