@@ -513,3 +513,39 @@ def bpe_train_merges(
 def _sql_str(s: str) -> str:
     """SQL single-quoted literal with quote doubling."""
     return "'" + s.replace("'", "''") + "'"
+
+
+def bpe_tokenize_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply learned BPE merges and count the resulting tokens per document
+    — the "how many tokens is this corpus under MY tokenizer" pass that
+    follows bpe_train_merges (d15's regex count approximates a generic
+    pretokenizer; this one applies the trained merge table).
+
+    Per-word symbol counts are computed ONCE on the vocab table (each word's
+    char sequence through the ordered replace() chain — a pure map over
+    |vocab| rows) and the corpus re-joins them by word: token keys shuffle
+    uniformly, multiplicity stays in the per-doc sum, and the merge chain
+    never touches corpus-sized data.
+    """
+    df = parallelize_input(df)
+    tok = df.select(col(id_col), F.explode(words_expr(col(text_col))).alias("__w"))
+    vocab = tok.select("__w").distinct()
+    seq = F.concat(F.lit("  "), F.regexp_replace(col("__w"), "(.)", "$1  "))
+    for l, r in merges:
+        seq = F.replace(seq, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
+    counts = vocab.select(
+        "__w", F.size(F.split(F.trim(seq), "  ")).alias("__nt")
+    )
+    return (
+        tok.join(counts, "__w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("__nt").cast("long").alias("n_bpe_tokens"),
+        )
+    )

@@ -1774,6 +1774,56 @@ def _d46_sql(k: int = 5) -> str:
 D46_SQL = _d46_sql()
 
 
+# --- D47 BPE tokenization with the trained merges ----------------------------
+def d47_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.text import bpe_tokenize_counts, bpe_train_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["lhs"], r["rhs"]) for r in bpe_train_merges(docs, k=5).collect()
+    ]
+    return bpe_tokenize_counts(docs, merges).orderBy("doc_id")
+
+
+def _d47_sql(k: int = 5) -> str:
+    """d46's k training rounds unrolled with the word column carried through
+    every state level, then the FINAL symbol state joined back to the corpus
+    words — per-doc counts under the trained merges."""
+    ctes = [
+        _WORDS,
+        "vocab AS (SELECT tok AS w, count(*) AS c"
+        " FROM (SELECT unnest(w) AS tok FROM words) GROUP BY tok)",
+        "s0 AS (SELECT w, c,"
+        " '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS seq FROM vocab)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"p{i} AS (SELECT s[j] AS lhs, s[j + 1] AS rhs, sum(c) AS cnt"
+            f" FROM (SELECT string_split(trim(seq), '  ') AS s, c FROM s{i - 1}) t,"
+            f" UNNEST(generate_series(1, len(s) - 1)) AS u(j)"
+            f" WHERE len(s) >= 2 GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"t{i} AS (SELECT lhs, rhs, cnt FROM p{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT w, c, replace(seq, ' ' || t.lhs || '  ' || t.rhs || ' ',"
+            f" ' ' || t.lhs || t.rhs || ' ') AS seq FROM s{i - 1}, t{i} t)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+tokc AS (SELECT w, len(string_split(trim(seq), '  ')) AS nt FROM s{k}),
+tok AS (SELECT doc_id, unnest(w) AS tok FROM words)
+SELECT doc_id, count(*) AS n_words, CAST(sum(c.nt) AS BIGINT) AS n_bpe_tokens
+FROM tok JOIN tokc c ON c.w = tok.tok
+GROUP BY doc_id ORDER BY doc_id
+"""
+    )
+
+
+D47_SQL = _d47_sql()
+
+
 # --- registry ----------------------------------------------------------------
 PIPELINE = {
     "d01_dedup_exact": (d01_dedup_exact, D01_SQL),
@@ -1822,6 +1872,7 @@ PIPELINE = {
     "d44_curation_v2": (d44_curation_v2, D44_SQL),
     "d45_bigram_nll": (d45_bigram_nll, D45_SQL),
     "d46_bpe_merges": (d46_bpe_merges, D46_SQL),
+    "d47_bpe_tokenize": (d47_bpe_tokenize, D47_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),

@@ -820,3 +820,19 @@ def test_bpe_train_merges_matches_python_reference(spark):
                     i += 1
             state[w] = out
     assert got == want
+
+
+def test_bpe_tokenize_counts_applies_merges_in_order(spark):
+    from mindsdb_spark.operators.text import bpe_tokenize_counts
+
+    df = spark.createDataFrame(
+        [(0, "low lot"), (1, "lol low low")], "doc_id long, text string"
+    )
+    # ordered merges: l+o -> lo, lo+w -> low
+    out = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe_tokenize_counts(df, [("l", "o"), ("lo", "w")]).collect()
+    }
+    # "low" -> [low] (1), "lot" -> [lo, t] (2), "lol" -> [lo, l] (2)
+    assert out[0] == (2, 3)
+    assert out[1] == (3, 4)
