@@ -514,3 +514,75 @@ def nb_quality(
         score.alias("score"),
         (score > 0).alias("pred_target"),
     )
+
+
+def perplexity_buckets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split the
+    corpus into head/middle/tail terciles by language-model NLL — the
+    standard "keep the head, sample the middle, drop the tail" curation
+    gate, with the cheap unigram NLL standing in for the LM.
+
+    Scale shape: tercile THRESHOLDS come from one exact-percentile
+    aggregate collapsed to a broadcast row (no global ntile window — a
+    corpus-wide ordered window would single-partition at 100 TB); the
+    bucket label is then a pure map CASE. NLL is rounded to 1e-6 before
+    the percentile so both engines interpolate identical doubles.
+    """
+    from mindsdb_spark.operators.text import unigram_nll
+
+    nll = unigram_nll(df, text_col, id_col).select(id_col, "n_tokens", "nll")
+    cuts = nll.agg(
+        F.expr("percentile(nll, 1.0/3.0)").alias("__t1"),
+        F.expr("percentile(nll, 2.0/3.0)").alias("__t2"),
+    )
+    bucket = (
+        F.when(col("nll") < col("__t1"), "head")
+        .when(col("nll") < col("__t2"), "middle")
+        .otherwise("tail")
+    )
+    return nll.crossJoin(F.broadcast(cuts)).select(
+        col(id_col), col("n_tokens"), col("nll"), bucket.alias("ppl_bucket")
+    )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float = 0.5,
+    budget: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled source sampling weights: w_s ∝ p_s^alpha over the
+    token shares (the multilingual/multi-source rebalancing rule — alpha<1
+    upsamples small sources, the mT5/UniMax-family recipe), plus the token
+    allocation each source gets from a fixed training budget.
+
+    Everything downstream of source_mixture's one corpus pass is arithmetic
+    on the |sources|-row table; the normalizer folds from a persisted copy
+    of that table and rides a 1-row broadcast.
+    """
+    mix = source_mixture(df, text_col, id_col, group_col).persist()
+    # sqrt is IEEE-correctly-rounded in BOTH engines; pow(x, 0.5) is not
+    # guaranteed to be, so the canonical alpha keeps bit-exact oracle parity
+    nt = col("n_tokens").cast("double")
+    powed = mix.select(
+        col(group_col),
+        "n_tokens",
+        "token_share",
+        (F.sqrt(nt) if alpha == 0.5 else F.pow(nt, F.lit(alpha))).alias("__p"),
+    )
+    z = powed.agg(F.sum("__p").alias("__z"))
+    w = col("__p") / col("__z")
+    return (
+        powed.crossJoin(F.broadcast(z))
+        .select(
+            col(group_col),
+            "n_tokens",
+            "token_share",
+            _round6(w).alias("temp_weight"),
+            F.floor(w * F.lit(float(budget)) + F.lit(0.5)).cast("long").alias("alloc_tokens"),
+        )
+    )

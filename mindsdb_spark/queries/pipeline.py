@@ -1824,6 +1824,57 @@ GROUP BY doc_id ORDER BY doc_id
 D47_SQL = _d47_sql()
 
 
+# --- D48 CCNet perplexity buckets --------------------------------------------
+def d48_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.curation import perplexity_buckets
+
+    return perplexity_buckets(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+D48_SQL = f"""
+WITH {_WORDS},
+tok AS (SELECT doc_id, unnest(w) AS tok FROM words),
+tf AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+tot AS (SELECT count(*) AS t FROM tok),
+nll AS (SELECT doc_id, count(*) AS n_tokens,
+               floor(avg(-ln(c / CAST(t AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS nll
+        FROM tok JOIN tf USING (tok), tot GROUP BY doc_id),
+cuts AS (SELECT quantile_cont(nll, 1.0/3.0) AS t1,
+                quantile_cont(nll, 2.0/3.0) AS t2 FROM nll)
+SELECT doc_id, n_tokens, nll,
+       CASE WHEN nll < t1 THEN 'head'
+            WHEN nll < t2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+FROM nll, cuts ORDER BY doc_id
+"""
+
+
+# --- D49 temperature-scaled source mixture -----------------------------------
+def d49_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.curation import temperature_mixture
+
+    return temperature_mixture(
+        _t(spark, sf_dir, "documents"), alpha=0.5, budget=1_000_000
+    ).orderBy("source")
+
+
+D49_SQL = f"""
+WITH {_WORDS},
+per AS (SELECT d.source, count(*) AS n_docs, CAST(sum(len(w.w)) AS BIGINT) AS n_tokens
+        FROM words w JOIN documents d USING (doc_id) GROUP BY d.source),
+tot AS (SELECT sum(n_tokens) AS t FROM per),
+powed AS (SELECT source, n_tokens,
+                 floor(n_tokens / CAST(t AS DOUBLE) * 1000000 + 0.5) / 1000000
+                   AS token_share,
+                 sqrt(CAST(n_tokens AS DOUBLE)) AS p
+          FROM per, tot),
+z AS (SELECT sum(p) AS z FROM powed)
+SELECT source, n_tokens, token_share,
+       floor(p / z * 1000000 + 0.5) / 1000000 AS temp_weight,
+       CAST(floor(p / z * 1000000.0 + 0.5) AS BIGINT) AS alloc_tokens
+FROM powed, z ORDER BY source
+"""
+
+
 # --- registry ----------------------------------------------------------------
 PIPELINE = {
     "d01_dedup_exact": (d01_dedup_exact, D01_SQL),
@@ -1873,6 +1924,8 @@ PIPELINE = {
     "d45_bigram_nll": (d45_bigram_nll, D45_SQL),
     "d46_bpe_merges": (d46_bpe_merges, D46_SQL),
     "d47_bpe_tokenize": (d47_bpe_tokenize, D47_SQL),
+    "d48_ppl_buckets": (d48_ppl_buckets, D48_SQL),
+    "d49_temperature_mix": (d49_temperature_mix, D49_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),

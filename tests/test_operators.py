@@ -836,3 +836,33 @@ def test_bpe_tokenize_counts_applies_merges_in_order(spark):
     # "low" -> [low] (1), "lot" -> [lo, t] (2), "lol" -> [lo, l] (2)
     assert out[0] == (2, 3)
     assert out[1] == (3, 4)
+
+
+def test_perplexity_buckets_terciles(spark, sf_dir):
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.operators.curation import perplexity_buckets
+
+    out = perplexity_buckets(load_table(spark, sf_dir, "documents")).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.ppl_bucket, []).append(r.nll)
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    n = len(out)
+    for vals in by_bucket.values():  # terciles within one doc of n/3
+        assert abs(len(vals) - n / 3) <= max(2, n * 0.05)
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+
+
+def test_temperature_mixture_upsamples_small_sources(spark):
+    from mindsdb_spark.operators.curation import temperature_mixture
+
+    rows = [(i, "tok " * (200 if i % 10 else 2), "big" if i % 10 else "small")
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in temperature_mixture(df, alpha=0.5, budget=1000).collect()}
+    # alpha < 1 moves weight from the dominant source to the rare one
+    assert out["small"].temp_weight > out["small"].token_share
+    assert out["big"].temp_weight < out["big"].token_share
+    assert abs(sum(r.temp_weight for r in out.values()) - 1.0) < 1e-4
+    assert abs(sum(r.alloc_tokens for r in out.values()) - 1000) <= 1
