@@ -563,6 +563,13 @@ def _pipeline_table_fns() -> dict:
             curation.nb_quality(df, F.col(target_col) == target_value, **kw)
         ),
         "random_project": vector.random_project,
+        "bigram_nll": text.bigram_nll,
+        "bpe_train_merges": text.bpe_train_merges,
+        "perplexity_buckets": curation.perplexity_buckets,
+        "temperature_mixture": curation.temperature_mixture,
+        "dsir_weights": lambda df, target_col="source", target_value="src0", **kw: (
+            curation.dsir_weights(df, F.col(target_col) == target_value, **kw)
+        ),
     }
 
 

@@ -515,3 +515,25 @@ def test_show_projects_chatbots_skills_predictors(spark, sf_dir):
     assert sess.sql("SHOW CHATBOTS").columns == ["Chatbots"]
     assert sess.sql("SHOW SKILLS").columns == ["Skills"]
     assert sess.sql("SHOW PREDICTORS").columns == ["Models"]  # alias of MODELS
+
+
+def test_round3_late_table_functions_sql_door(spark, sf_dir):
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir, tables=["documents"])
+    bg = sess.sql("SELECT * FROM bigram_nll(tpch_documents) ORDER BY doc_id LIMIT 3")
+    assert bg.columns == ["doc_id", "n_bigrams", "nll"] and bg.count() == 3
+    bpe = sess.sql("SELECT * FROM bpe_train_merges(tpch_documents, k = 3) ORDER BY rank")
+    assert bpe.columns == ["rank", "lhs", "rhs", "merged", "cnt"] and bpe.count() == 3
+    pb = sess.sql("SELECT * FROM perplexity_buckets(tpch_documents) ORDER BY doc_id LIMIT 5")
+    assert "ppl_bucket" in pb.columns
+    tm = sess.sql(
+        "SELECT * FROM temperature_mixture(tpch_documents, alpha = 0.5, budget = 1000) "
+        "ORDER BY source"
+    ).collect()
+    # per-source round-half-up drifts at most 0.5 each from the budget
+    assert abs(sum(r["alloc_tokens"] for r in tm) - 1000) <= len(tm) / 2
+    dw = sess.sql(
+        "SELECT * FROM dsir_weights(tpch_documents, target_value = 'src0') "
+        "ORDER BY doc_id LIMIT 3"
+    )
+    assert "weight" in dw.columns
