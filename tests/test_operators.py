@@ -866,3 +866,23 @@ def test_temperature_mixture_upsamples_small_sources(spark):
     assert out["big"].temp_weight < out["big"].token_share
     assert abs(sum(r.temp_weight for r in out.values()) - 1.0) < 1e-4
     assert abs(sum(r.alloc_tokens for r in out.values()) - 1000) <= 1
+
+
+def test_bpe_train_merges_stops_when_no_pairs(spark):
+    from mindsdb_spark.operators.text import bpe_train_merges
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    out = bpe_train_merges(df, k=5).collect()
+    # single-char words have no within-word pairs: zero merges, empty table
+    assert out == []
+
+
+def test_bigram_nll_short_docs_excluded(spark):
+    from mindsdb_spark.operators.text import bigram_nll
+
+    df = spark.createDataFrame(
+        [(0, "one"), (1, "two words here")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.n_bigrams for r in bigram_nll(df).collect()}
+    assert 0 not in out  # 1-token doc has no bigrams
+    assert out[1] == 2
