@@ -526,7 +526,56 @@ def _st11_sql() -> str:
 ST11_SQL = _st11_sql()
 
 
+def st12_stream_ppl_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quality scoring: documents arriving as a stream are scored
+    against a STATIC corpus unigram LM — token explode (stateless), a
+    stream-static join onto the frequency table, the corpus total on a
+    static 1-row cross join, and ONE streaming aggregation per doc. The
+    deployment shape of an ingest-time perplexity filter: the LM is the
+    persisted state, each micro-batch ships only its own tokens. Oracle:
+    d27's batch SQL over the same corpus."""
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.operators.dedup import words_expr
+    from mindsdb_spark.streaming.windows import run_available_now, stream_from_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok_b = docs.select(F.explode(words_expr(F.col("text"))).alias("__tok"))
+    tf = tok_b.groupBy("__tok").agg(F.count("*").alias("__c")).persist()
+    total = tf.agg(F.sum("__c").alias("__t"))
+
+    split_dir = os.path.join(sf_dir, "documents.parquet")
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    if os.path.isdir(split_dir):
+        stream = stream_from_parquet(spark, split_dir, schema)
+    else:
+        stream = stream_from_parquet(spark, sf_dir, schema, path_glob="documents.parquet")
+    scored = (
+        stream.select("doc_id", F.explode(words_expr(F.col("text"))).alias("__tok"))
+        .join(tf, "__tok")
+        .crossJoin(total)
+        .select("doc_id", (-F.log(F.col("__c") / F.col("__t"))).alias("__nll"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.avg("__nll").alias("__a"))
+    )
+    out = run_available_now(scored, "complete")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        (F.floor(F.col("__a") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("nll"),
+    ).orderBy("doc_id")
+
+
+def _st12_sql() -> str:
+    from mindsdb_spark.queries.pipeline import D27_SQL
+
+    return D27_SQL
+
+
+ST12_SQL = _st12_sql()
+
+
 STREAMING_QUERIES = {
+    "st12_stream_ppl_score": (st12_stream_ppl_score, ST12_SQL),
     "st11_stream_lsh_dedup": (st11_stream_lsh_dedup, ST11_SQL),
     "st10_stream_drift": (st10_stream_drift, ST10_SQL),
     "st09_stream_seasonal": (st09_stream_seasonal, ST09_SQL),

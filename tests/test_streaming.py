@@ -106,3 +106,18 @@ def test_stream_lsh_dedup_matches_batch(spark, sf_dir):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_ppl_score_matches_batch(spark, sf_dir):
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.operators.text import unigram_nll
+    from mindsdb_spark.queries.streaming_queries import st12_stream_ppl_score
+
+    got = st12_stream_ppl_score(spark, sf_dir).collect()
+    want = (
+        unigram_nll(load_table(spark, sf_dir, "documents"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert len(got) == len(want) > 0
+    assert got == want
