@@ -533,7 +533,11 @@ def bpe_tokenize_counts(
     never touches corpus-sized data.
     """
     df = parallelize_input(df)
-    tok = df.select(col(id_col), F.explode(words_expr(col(text_col))).alias("__w"))
+    tok = df.select(
+        col(id_col), F.explode(words_expr(col(text_col))).alias("__w")
+        # two consumers (vocab distinct + the join back) and no cross-branch
+        # CSE — persist marks the corpus explode compute-once per action
+    ).persist()
     vocab = tok.select("__w").distinct()
     seq = F.concat(F.lit("  "), F.regexp_replace(col("__w"), "(.)", "$1  "))
     for l, r in merges:
