@@ -329,9 +329,12 @@ def unigram_nll(
     and average -ln p per doc. Training-data extension; no reference analog.
     """
     df = parallelize_input(df)
-    tok = df.select(col(id_col), F.explode(words_expr(col(text_col))).alias("__tok"))
-    tf = tok.groupBy("__tok").agg(F.count("*").alias("__c"))
-    total = tok.agg(F.count("*").alias("__t"))
+    tok = df.select(
+        col(id_col), F.explode(words_expr(col(text_col))).alias("__tok")
+        # two consumers (frequency aggregate + join-back), no cross-branch CSE
+    ).persist()
+    tf = tok.groupBy("__tok").agg(F.count("*").alias("__c")).persist()
+    total = tf.agg(F.sum("__c").alias("__t"))
     scored = (
         tok.join(tf, "__tok")
         .crossJoin(F.broadcast(total))
@@ -372,7 +375,9 @@ def dup_span_frac(
                 )
             ).alias("span"),
         )
-    )
+        # two consumers (span-frequency aggregate + the join back) and no
+        # cross-branch CSE — persist marks the explode compute-once per action
+    ).persist()
     counts = spans.groupBy("span").agg(F.count("*").alias("__c"))
     n_dup = F.sum((col("__c") > 1).cast("int"))
     return (
