@@ -68,26 +68,31 @@ def bm25_scores(
     # the tokenize subtree across join branches).
     doclen = parallelize_input(df).select(
         col(id_col), F.size(words_expr(col(text_col))).alias("dl")
+        # persisted: the score join, N and avgdl all read it — without the
+        # persist each branch replays the corpus map (no cross-branch CSE)
+    ).persist()
+    # Corpus scalars (N, avgdl) fold from the persisted doclen in ONE
+    # aggregate and stay IN the plan as a broadcast 1-row join: eager
+    # .count()/.head() here would run extra driver-synchronized jobs.
+    stats = doclen.agg(
+        F.count("*").cast("double").alias("__n"), F.avg("dl").alias("__avgdl")
     )
-    # Corpus scalars (N, avgdl) stay IN the plan as broadcast 1-row joins:
-    # eager .count()/.head() here would run extra corpus passes as separate
-    # driver-synchronized jobs on every invocation.
-    n_docs = df.agg(F.count("*").cast("double").alias("__n"))
-    avgdl = doclen.agg(F.avg("dl").alias("__avgdl"))
 
     qt = [t.lower() for t in query_terms]
     tf = (
         toks.filter(col("term").isin(qt))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
+        # two consumers (dfreq + score join); persisting the term-filtered
+        # count table saves the second corpus tokenize
+        .persist()
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log((col("__n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
     contrib = (
         tf.join(F.broadcast(dfreq), "term")
         .join(doclen, id_col)
-        .crossJoin(F.broadcast(n_docs))
-        .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(stats))
         .select(
             col(id_col),
             (
