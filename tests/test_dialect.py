@@ -537,3 +537,15 @@ def test_round3_late_table_functions_sql_door(spark, sf_dir):
         "ORDER BY doc_id LIMIT 3"
     )
     assert "weight" in dw.columns
+
+
+def test_clear_cache_reclaims_operator_persists(spark, sf_dir):
+    # operators persist() shared subtrees; a long-running session reclaims
+    # them with Spark's native CLEAR CACHE, which the SQL door passes through
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir, tables=["documents"])
+    sess.sql("SELECT * FROM unigram_nll(tpch_documents) ORDER BY doc_id LIMIT 3").collect()
+    sc = spark.sparkContext._jsc.sc()
+    assert len(sc.getRDDStorageInfo()) > 0
+    sess.sql("CLEAR CACHE")
+    assert len(sc.getRDDStorageInfo()) == 0
