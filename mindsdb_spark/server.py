@@ -103,6 +103,39 @@ class SQLServer:
                     except Exception as e:
                         self._reply(400, {"type": "error", "error_message": str(e)})
                     return
+                m = _re.match(r"^/api/projects/mindsdb/models/([\w]+)/predict$", path)
+                if m:
+                    # reference: POST /api/projects/{p}/models/{m}/predict
+                    # {data: [row, ...]} → list of prediction rows
+                    # (docs/rest/models/query-model.mdx; clients send string
+                    # values, so numeric-looking columns are coerced first)
+                    name = m.group(1).lower()
+                    spec = outer.session._models.get(name)
+                    if spec is None:
+                        self._reply(404, {"type": "error", "error_message":
+                                          f"model {name!r} not found"})
+                        return
+                    try:
+                        import pandas as pd
+
+                        from mindsdb_spark.operators.model import apply_model
+
+                        pdf = pd.DataFrame(body.get("data") or [])
+                        for c in pdf.columns:
+                            try:
+                                pdf[c] = pd.to_numeric(pdf[c])
+                            except (ValueError, TypeError):
+                                pass
+                        with outer._exec_lock:
+                            sdf = outer.session.spark.createDataFrame(pdf)
+                            rows = apply_model(sdf, spec).collect()
+                        self._reply(200, [
+                            {c: _json_value(v) for c, v in row.asDict().items()}
+                            for row in rows
+                        ])
+                    except Exception as e:
+                        self._reply(400, {"type": "error", "error_message": str(e)})
+                    return
                 if path == "/api/projects/mindsdb/views":
                     # reference: POST {view: {name, query}} → 201
                     # (namespaces/views.py:34-63)

@@ -131,3 +131,22 @@ def test_rest_view_create_and_delete(server):
     assert code == 204
     code, views = _req(server, "/api/projects/mindsdb/views")
     assert not any(v["name"] == "rest_v2" for v in views)
+
+
+def test_rest_model_predict(server):
+    # reference: POST /api/projects/{p}/models/{m}/predict {data: [...]}
+    # (docs/rest/models/query-model.mdx) — values arrive as strings
+    _post(server, "CREATE MODEL rest_m (SELECT o_totalprice AS y, o_custkey "
+                  "FROM tpch_orders) PREDICT y USING engine = 'spark_ml_linreg'")
+    code, preds = _req(server, "/api/projects/mindsdb/models/rest_m/predict",
+                       "POST", {"data": [{"o_custkey": "7"}, {"o_custkey": "11"}]})
+    assert code == 200 and len(preds) == 2
+    assert all(p["y"] is not None for p in preds)
+    assert preds[0]["o_custkey"] == 7
+    try:
+        code, _ = _req(server, "/api/projects/mindsdb/models/nope/predict",
+                       "POST", {"data": [{"x": 1}]})
+    except Exception as e:
+        code = e.code
+    assert code == 404
+    _post(server, "DROP MODEL rest_m")
