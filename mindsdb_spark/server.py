@@ -103,6 +103,26 @@ class SQLServer:
                     except Exception as e:
                         self._reply(400, {"type": "error", "error_message": str(e)})
                     return
+                if path == "/api/projects/mindsdb/models":
+                    # reference: POST {query: "CREATE MODEL ..."} trains and
+                    # deploys (namespaces/models.py:41-53 — the body IS the
+                    # SQL statement)
+                    if "query" not in body:
+                        self._reply(400, {"type": "error", "error_message":
+                                          'Missing "query" SQL statement'})
+                        return
+                    try:
+                        with outer._exec_lock:
+                            outer.session.sql(body["query"])
+                        names = set(outer.session._models)
+                        self._reply(201, [
+                            {"name": n,
+                             "active_version": outer.session._model_active.get(n, 1)}
+                            for n in sorted(names)
+                        ])
+                    except Exception as e:
+                        self._reply(400, {"type": "error", "error_message": str(e)})
+                    return
                 m = _re.match(r"^/api/projects/mindsdb/models/([\w]+)/predict$", path)
                 if m:
                     # reference: POST /api/projects/{p}/models/{m}/predict
@@ -190,6 +210,22 @@ class SQLServer:
                             for n, mm in sorted(sess._models.items())
                         ])
                         return
+                    m = _re.match(r"^/api/projects/mindsdb/models/([\w]+)$", path)
+                    if m:
+                        # reference: GET one model (namespaces/models.py:122-133)
+                        name = m.group(1).lower()
+                        mm = sess._models.get(name)
+                        if mm is None:
+                            self._reply(404, {"type": "error", "error_message":
+                                              f"model {name!r} not found"})
+                            return
+                        self._reply(200, {
+                            "name": name,
+                            "active_version": sess._model_active.get(name, 1),
+                            "predict": mm.output_schema,
+                            "info": {k: _json_value(v) for k, v in mm.info.items()},
+                        })
+                        return
                     # remaining catalog namespaces the reference serves per
                     # project (namespaces/views.py:13-33, jobs.py:13-22,
                     # agents.py, knowledge_bases.py) — list shapes only;
@@ -227,6 +263,18 @@ class SQLServer:
                 if m:
                     with outer._exec_lock:
                         outer.session.drop_database(m.group(1))
+                    self._reply(204, {})
+                    return
+                m = _re.match(r"^/api/projects/mindsdb/models/([\w]+)$", path)
+                if m:
+                    # reference: DELETE model (namespaces/models.py:167-178)
+                    name = m.group(1).lower()
+                    with outer._exec_lock:
+                        if name not in outer.session._models:
+                            self._reply(404, {"type": "error", "error_message":
+                                              f"model {name!r} not found"})
+                            return
+                        outer.session.sql(f"DROP MODEL {name}")
                     self._reply(204, {})
                     return
                 m = _re.match(r"^/api/projects/mindsdb/views/([\w]+)$", path)

@@ -150,3 +150,22 @@ def test_rest_model_predict(server):
         code = e.code
     assert code == 404
     _post(server, "DROP MODEL rest_m")
+
+
+def test_rest_model_lifecycle(server):
+    # train via POST {query} (models.py:41-53), describe via GET one,
+    # remove via DELETE (models.py:122-178)
+    code, models = _req(server, "/api/projects/mindsdb/models", "POST",
+                        {"query": "CREATE MODEL rest_m2 (SELECT o_totalprice AS y, "
+                                  "o_custkey FROM tpch_orders) PREDICT y "
+                                  "USING engine = 'spark_ml_linreg'"})
+    assert code == 201 and any(m["name"] == "rest_m2" for m in models)
+    code, one = _req(server, "/api/projects/mindsdb/models/rest_m2")
+    assert code == 200 and one["name"] == "rest_m2" and one["active_version"] == 1
+    code, _ = _req(server, "/api/projects/mindsdb/models/rest_m2", "DELETE")
+    assert code == 204
+    try:
+        code, _ = _req(server, "/api/projects/mindsdb/models/rest_m2")
+    except Exception as e:
+        code = e.code
+    assert code == 404
