@@ -762,6 +762,7 @@ class EngineSession:
 
         self.jobs = JobScheduler()
         self._views: dict[str, str] = {}
+        self._files: dict[str, str] = {}  # registered file tables → path
         # engine+params per CREATE DATABASE, so ALTER DATABASE can merge new
         # parameters and re-attach (reference: command_executor.py:1308-1313
         # answer_alter_database → database_controller.update)
@@ -1101,6 +1102,16 @@ class EngineSession:
         df = read_file(self.spark, path)
         df.createOrReplaceTempView(name.lower())
         df.createOrReplaceTempView(f"files_{name.lower()}")
+        self._files[name.lower()] = path
+
+    def drop_file(self, name: str) -> None:
+        """Detach a registered file's views (file_controller.delete_file)."""
+        n = name.lower()
+        if n not in self._files:
+            raise FileNotFoundError(f"file {n!r} is not registered")
+        del self._files[n]
+        self.spark.catalog.dropTempView(n)
+        self.spark.catalog.dropTempView(f"files_{n}")
 
     def register_knowledge_base(
         self,

@@ -190,6 +190,14 @@ class SQLServer:
                     if path == "/api/databases":
                         self._reply(200, outer._database_list())
                         return
+                    if path == "/api/files":
+                        # reference: GET /api/files lists uploads
+                        # (namespaces/file.py:33-35)
+                        self._reply(200, [
+                            {"name": n, "source": p}
+                            for n, p in sorted(sess._files.items())
+                        ])
+                        return
                     if path == "/api/projects":
                         self._reply(200, [{"name": "mindsdb"}])
                         return
@@ -257,8 +265,59 @@ class SQLServer:
                         return
                 self._reply(404, {"type": "error", "error_message": "not found"})
 
+            def do_PUT(self):
+                # reference: PUT /api/files/{name} registers a file as the
+                # queryable table files.{name} (namespaces/file.py:43-90;
+                # multipart or JSON). This door takes the JSON forms:
+                # {source_type: "path", source: "/local/file"} or
+                # {source_type: "data", content: "<base64>", format: "csv"}
+                path = self.path.rstrip("/")
+                m = _re.match(r"^/api/files/([\w]+)$", path)
+                if not m:
+                    self._reply(404, {"type": "error", "error_message": "not found"})
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(length) or b"{}")
+                except Exception as e:
+                    self._reply(400, {"type": "error", "error_message": str(e)})
+                    return
+                name = m.group(1).lower()
+                try:
+                    if body.get("source_type") == "data":
+                        import base64
+                        import tempfile
+
+                        suffix = "." + body.get("format", "csv").lstrip(".")
+                        fd, fpath = tempfile.mkstemp(
+                            prefix="mindsdb_file_", suffix=suffix
+                        )
+                        with open(fd, "wb") as f:
+                            f.write(base64.b64decode(body["content"]))
+                    elif body.get("source_type") in ("path", "file"):
+                        fpath = body["source"]
+                    else:
+                        self._reply(400, {"type": "error", "error_message":
+                                          'source_type must be "path" or "data"'})
+                        return
+                    with outer._exec_lock:
+                        outer.session.register_file(name, fpath)
+                    self._reply(201, {"name": name})
+                except Exception as e:
+                    self._reply(400, {"type": "error", "error_message": str(e)})
+
             def do_DELETE(self):
                 path = self.path.rstrip("/")
+                m = _re.match(r"^/api/files/([\w]+)$", path)
+                if m:
+                    # reference: DELETE file (namespaces/file.py:286-294)
+                    try:
+                        with outer._exec_lock:
+                            outer.session.drop_file(m.group(1))
+                        self._reply(204, {})
+                    except FileNotFoundError as e:
+                        self._reply(400, {"type": "error", "error_message": str(e)})
+                    return
                 m = _re.match(r"^/api/databases/([\w]+)$", path)
                 if m:
                     with outer._exec_lock:

@@ -169,3 +169,29 @@ def test_rest_model_lifecycle(server):
     except Exception as e:
         code = e.code
     assert code == 404
+
+
+def test_rest_files_namespace(server, tmp_path):
+    import base64
+
+    # upload by local path (reference file.py:43-90 JSON form)
+    p = tmp_path / "pets.csv"
+    p.write_text("pet,n\ncat,2\ndog,1\n")
+    code, created = _req(server, "/api/files/pets", "PUT",
+                         {"source_type": "path", "source": str(p)})
+    assert code == 201 and created["name"] == "pets"
+    out = _post(server, "SELECT pet, n FROM files_pets ORDER BY pet")
+    assert out["data"] == [["cat", 2], ["dog", 1]]
+    # upload raw content
+    blob = base64.b64encode(b"x,y\n1,2\n").decode()
+    code, _ = _req(server, "/api/files/tiny", "PUT",
+                   {"source_type": "data", "content": blob, "format": "csv"})
+    assert code == 201
+    assert _post(server, "SELECT y FROM files_tiny")["data"] == [[2]]
+    code, files = _req(server, "/api/files")
+    assert {f["name"] for f in files} >= {"pets", "tiny"}
+    code, _ = _req(server, "/api/files/pets", "DELETE")
+    assert code == 204
+    code, files = _req(server, "/api/files")
+    assert not any(f["name"] == "pets" for f in files)
+    _req(server, "/api/files/tiny", "DELETE")
