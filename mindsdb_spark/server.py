@@ -212,8 +212,10 @@ class SQLServer:
                         self._reply(200, [{"name": t} for t in sorted(tables)])
                         return
                     if _re.match(r"^/api/projects/mindsdb/models$", path):
+                        # reference lists with_versions=True (models.py:37)
                         self._reply(200, [
                             {"name": n, "active_version": sess._model_active.get(n, 1),
+                             "versions": list(range(1, len(sess._model_versions.get(n, [0])) + 1)),
                              "predict": mm.output_schema}
                             for n, mm in sorted(sess._models.items())
                         ])
