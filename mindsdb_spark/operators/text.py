@@ -500,12 +500,11 @@ def bpe_train_merges(
             break
         l, r, cnt = top[0]
         merges.append((rank, l, r, l + r, int(cnt)))
+        # F.replace with literal columns, not a formatted F.expr string —
+        # tokens containing quotes/backslashes would misparse as SQL literals
         state = state.select(
-            F.expr(
-                "replace(__seq, ' ' || {l} || '  ' || {r} || ' ', "
-                "' ' || {l} || {r} || ' ')".format(
-                    l=_sql_str(l), r=_sql_str(r)
-                )
+            F.replace(
+                col("__seq"), F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
             ).alias("__seq"),
             "__c",
         )
@@ -513,11 +512,6 @@ def bpe_train_merges(
     return spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, merged string, cnt long"
     )
-
-
-def _sql_str(s: str) -> str:
-    """SQL single-quoted literal with quote doubling."""
-    return "'" + s.replace("'", "''") + "'"
 
 
 def bpe_tokenize_counts(
