@@ -517,25 +517,34 @@ def nb_quality(
 
 
 def perplexity_buckets(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    exact: bool = True,
 ) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): split the
     corpus into head/middle/tail terciles by language-model NLL — the
     standard "keep the head, sample the middle, drop the tail" curation
     gate, with the cheap unigram NLL standing in for the LM.
 
-    Scale shape: tercile THRESHOLDS come from one exact-percentile
-    aggregate collapsed to a broadcast row (no global ntile window — a
-    corpus-wide ordered window would single-partition at 100 TB); the
-    bucket label is then a pure map CASE. NLL is rounded to 1e-6 before
-    the percentile so both engines interpolate identical doubles.
+    Scale shape: tercile THRESHOLDS come from one percentile aggregate
+    collapsed to a broadcast row (no global ntile window — a corpus-wide
+    ordered window would single-partition at 100 TB); the bucket label is
+    then a pure map CASE. NLL is rounded to 1e-6 before the percentile so
+    both engines interpolate identical doubles.
+
+    ``exact=True`` (the oracle-parity default) uses Spark's exact
+    `percentile`, whose aggregation state holds every per-DOC value — fine
+    into the hundreds of millions of docs, not at billions. At that scale
+    pass ``exact=False``: `approx_percentile` keeps a bounded sketch and
+    the bucket boundary moves by at most the sketch error (CCNet's gate is
+    a heuristic; a hair of boundary drift changes nothing downstream).
     """
     from mindsdb_spark.operators.text import unigram_nll
 
     nll = unigram_nll(df, text_col, id_col).select(id_col, "n_tokens", "nll")
+    pfn = "percentile" if exact else "approx_percentile"
     cuts = nll.agg(
-        F.expr("percentile(nll, 1.0/3.0)").alias("__t1"),
-        F.expr("percentile(nll, 2.0/3.0)").alias("__t2"),
+        F.expr(f"{pfn}(nll, 1.0/3.0)").alias("__t1"),
+        F.expr(f"{pfn}(nll, 2.0/3.0)").alias("__t2"),
     )
     bucket = (
         F.when(col("nll") < col("__t1"), "head")
