@@ -155,3 +155,83 @@ def rewrite_sql(sql: str, rules: dict[str, Rule], vars_: dict[str, str] | None =
         out.append(c)
         i += 1
     return "".join(out)
+
+
+_QUALIFY_TERMINATORS = ("ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT")
+
+
+def _scan_top_level_words(sql: str):
+    """Yield (index, upper_word) for every bare word at paren depth 0,
+    outside string literals and backtick identifiers."""
+    depth, i, n = 0, 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            i = _skip_string(sql, i, c)
+            continue
+        if c == "(":
+            depth += 1
+            i += 1
+            continue
+        if c == ")":
+            depth -= 1
+            i += 1
+            continue
+        if depth == 0 and (c.isalpha() or c == "_"):
+            j = i
+            while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                j += 1
+            yield i, sql[i:j].upper()
+            i = j
+            continue
+        i += 1
+
+
+def rewrite_qualify(sql: str) -> str:
+    """QUALIFY clause support: DuckDB (the reference's internal executor)
+    accepts `... QUALIFY <window predicate>`; Spark has no QUALIFY, so the
+    clause rewrites to the standard subquery form —
+
+        SELECT * EXCEPT (__qualify__) FROM (
+            SELECT <targets>, (<pred>) AS __qualify__ <rest-of-query>
+        ) WHERE __qualify__ <order/limit tail>
+
+    — which is semantically what QUALIFY means (filter after window
+    evaluation, before ORDER BY/LIMIT). Top-level QUALIFY only; set
+    operations around it and DISTINCT targets are refused with a clear
+    error rather than silently changing semantics.
+    """
+    words = list(_scan_top_level_words(sql))
+    q = [(i, w) for i, w in words if w == "QUALIFY"]
+    if not q:
+        return sql
+    if len(q) > 1:
+        raise ValueError("multiple top-level QUALIFY clauses are not supported")
+    qi, _ = q[0]
+    if any(w in ("UNION", "INTERSECT", "EXCEPT") for i, w in words if i < qi):
+        raise ValueError("QUALIFY combined with set operations is not supported")
+    selects = [i for i, w in words if w == "SELECT"]
+    froms = [i for i, w in words if w == "FROM" and i < qi]
+    if not selects or not froms:
+        raise ValueError("QUALIFY requires a SELECT ... FROM query")
+    sel_i = selects[0]
+    from_i = froms[0]
+    if any(w == "DISTINCT" and sel_i < i < from_i for i, w in words):
+        raise ValueError("QUALIFY with SELECT DISTINCT is not supported")
+    # predicate runs until the first top-level terminator after QUALIFY
+    tail_i = len(sql)
+    for i, w in words:
+        if i > qi and w in _QUALIFY_TERMINATORS:
+            tail_i = i
+            break
+    pred = sql[qi + len("QUALIFY"):tail_i].strip().rstrip(";")
+    tail = sql[tail_i:].strip()
+    inner = (
+        sql[:from_i].rstrip()
+        + f", ({pred}) AS __qualify__ "
+        + sql[from_i:qi].strip()
+    )
+    out = f"SELECT * EXCEPT (__qualify__) FROM ({inner}) WHERE __qualify__"
+    if tail:
+        out += " " + tail
+    return out

@@ -1922,6 +1922,10 @@ class EngineSession:
 
     def rewrite(self, sql: str) -> str:
         out = rewrite_sql(sql, self._rules, self._vars)
+        if "qualify" in out.lower():
+            from mindsdb_spark.dialect.rewriter import rewrite_qualify
+
+            out = rewrite_qualify(out)
         # information_schema.* is emulated with session views (the reference
         # computes ~30 virtual tables in-engine: datahub/datanodes/
         # system_tables.py:48-782); dotted names become view names.

@@ -1878,6 +1878,36 @@ FROM powed, z ORDER BY source
 """
 
 
+# --- M05 QUALIFY clause (DuckDB-dialect window filter) -----------------------
+def m05_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY through the SQL door: the reference's internal DuckDB
+    executor accepts it natively; our engine rewrites it to the subquery
+    form (dialect/rewriter.py:rewrite_qualify). Top order per customer."""
+    from mindsdb_spark.engine import EngineSession
+
+    es = EngineSession(spark)
+    es.register_parquet_source("tpch", sf_dir)
+    return es.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        WHERE o_orderstatus = 'F'
+        QUALIFY row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) = 1
+        ORDER BY o_custkey
+        """
+    )
+
+
+# DuckDB runs the IDENTICAL text — QUALIFY is native there
+M05_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+WHERE o_orderstatus = 'F'
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) = 1
+ORDER BY o_custkey
+"""
+
+
 # --- registry ----------------------------------------------------------------
 PIPELINE = {
     "d01_dedup_exact": (d01_dedup_exact, D01_SQL),
@@ -1939,6 +1969,7 @@ PIPELINE = {
     "s08_rrf_fusion": (s08_rrf_fusion, S08_SQL),
     "k08_kb_rrf_sql": (k08_kb_rrf_sql, K08_SQL),
     "m01_mysql_dialect": (m01_mysql_dialect, M01_SQL),
+    "m05_qualify": (m05_qualify, M05_SQL),
     "a01_model_apply": (a01_model_apply, A01_SQL),
     "a02_ts_forecast": (a02_ts_forecast, A02_SQL),
 }

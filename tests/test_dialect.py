@@ -549,3 +549,29 @@ def test_clear_cache_reclaims_operator_persists(spark, sf_dir):
     assert len(sc.getRDDStorageInfo()) > 0
     sess.sql("CLEAR CACHE")
     assert len(sc.getRDDStorageInfo()) == 0
+
+
+def test_qualify_rewrite_forms(spark, sf_dir):
+    # QUALIFY (native in the reference's DuckDB executor) rewrites to the
+    # subquery form; ORDER/LIMIT after it apply post-filter
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir)
+    top = sess.sql(
+        "SELECT o_custkey, o_orderkey FROM tpch_orders "
+        "QUALIFY row_number() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey) = 1 ORDER BY o_custkey LIMIT 3"
+    ).collect()
+    assert len(top) == 3
+    assert [r["o_custkey"] for r in top] == sorted({r["o_custkey"] for r in top})
+    # the helper flag column never leaks
+    df = sess.sql(
+        "SELECT o_custkey FROM tpch_orders "
+        "QUALIFY rank() OVER (ORDER BY o_custkey) <= 2"
+    )
+    assert df.columns == ["o_custkey"]
+    with pytest.raises(ValueError, match="DISTINCT"):
+        sess.sql("SELECT DISTINCT o_custkey FROM tpch_orders "
+                 "QUALIFY row_number() OVER (ORDER BY o_custkey) = 1")
+    # the word inside a string literal does not trigger the rewrite
+    v = sess.sql("SELECT 'qualify me' AS s").collect()[0]["s"]
+    assert v == "qualify me"
