@@ -1926,6 +1926,10 @@ class EngineSession:
             from mindsdb_spark.dialect.rewriter import rewrite_qualify
 
             out = rewrite_qualify(out)
+        # DuckDB star-EXCLUDE (native in the reference's internal executor)
+        # → Spark's star-EXCEPT; the `* EXCLUDE (` shape can't collide with
+        # the set operation
+        out = re.sub(r"(\*\s+)EXCLUDE(\s*\()", r"\1EXCEPT\2", out, flags=re.IGNORECASE)
         # information_schema.* is emulated with session views (the reference
         # computes ~30 virtual tables in-engine: datahub/datanodes/
         # system_tables.py:48-782); dotted names become view names.

@@ -575,3 +575,15 @@ def test_qualify_rewrite_forms(spark, sf_dir):
     # the word inside a string literal does not trigger the rewrite
     v = sess.sql("SELECT 'qualify me' AS s").collect()[0]["s"]
     assert v == "qualify me"
+
+
+def test_star_exclude_rewrite(spark, sf_dir):
+    # DuckDB `* EXCLUDE (cols)` → Spark `* EXCEPT (cols)`
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir, tables=["region"])
+    df = sess.sql("SELECT * EXCLUDE (r_name) FROM tpch_region ORDER BY r_regionkey")
+    assert df.columns == ["r_regionkey"] and df.count() == 5
+    # the set operation EXCEPT is untouched
+    n = sess.sql("SELECT r_regionkey FROM tpch_region EXCEPT "
+                 "SELECT r_regionkey FROM tpch_region WHERE r_regionkey > 2").count()
+    assert n == 3
