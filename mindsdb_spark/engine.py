@@ -567,6 +567,7 @@ def _pipeline_table_fns() -> dict:
         "bpe_train_merges": text.bpe_train_merges,
         "perplexity_buckets": curation.perplexity_buckets,
         "temperature_mixture": curation.temperature_mixture,
+        "gopher_rules": curation.gopher_rules,
         "dsir_weights": lambda df, target_col="source", target_value="src0", **kw: (
             curation.dsir_weights(df, F.col(target_col) == target_value, **kw)
         ),

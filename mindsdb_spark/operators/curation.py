@@ -595,3 +595,52 @@ def temperature_mixture(
             F.floor(w * F.lit(float(budget)) + F.lit(0.5)).cast("long").alias("alloc_tokens"),
         )
     )
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, Appendix A1.1) — the
+# document-level subset that applies to single-line fixture text; the
+# line-level rules (bullet starts, ellipsis line endings) need newline
+# structure and activate on real corpora with the same plan shape.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style quality gate: each published rule as its own boolean
+    column plus the conjunctive keep flag — the composite filter table a
+    curation run materializes for auditability (why was this doc dropped?).
+
+    Rules (document-level subset): 50 <= word count <= 100000; mean word
+    length in [3, 10]; symbol-to-word ratio (# or ...) < 0.1; >= 80% of
+    words contain an alphabetic character; >= 2 distinct stopword hits.
+    One pure map stage over the corpus — every statistic is a HOF fold over
+    the doc's own token array; zero shuffle, zero Python.
+    """
+    df = parallelize_input(df)
+    w = words_expr(col(text_col))
+    n = F.size(w)
+    mean_len = F.aggregate(
+        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    ) / n
+    n_symbolish = F.size(F.filter(w, lambda x: x.contains("#") | x.contains("...")))
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(w), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    )
+    r_count = (n >= 50) & (n <= 100000)
+    r_wordlen = (mean_len >= 3.0) & (mean_len <= 10.0)
+    r_symbol = (n_symbolish / n) < 0.1
+    r_alpha = (n_alpha / n) >= 0.8
+    r_stop = n_stop >= 2
+    return df.select(
+        col(id_col),
+        n.cast("long").alias("n_words"),
+        _round6(mean_len).alias("mean_word_len"),
+        r_count.alias("ok_word_count"),
+        r_wordlen.alias("ok_word_length"),
+        r_symbol.alias("ok_symbol_ratio"),
+        r_alpha.alias("ok_alpha_words"),
+        r_stop.alias("ok_stopwords"),
+        (r_count & r_wordlen & r_symbol & r_alpha & r_stop).alias("keep"),
+    )

@@ -1908,6 +1908,37 @@ ORDER BY o_custkey
 """
 
 
+# --- D50 Gopher quality rules ------------------------------------------------
+def d50_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.operators.curation import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+D50_SQL = f"""
+WITH {_WORDS},
+stats AS (
+  SELECT doc_id, len(w) AS n,
+         list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w) AS ml,
+         len(list_filter(w, x -> contains(x, '#') OR contains(x, '...'))) AS nsym,
+         len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS nalpha,
+         len(list_intersect(list_distinct(w),
+             ['the','be','to','of','and','that','have','with'])) AS nstop
+  FROM words)
+SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+       floor(ml * 1000000 + 0.5) / 1000000 AS mean_word_len,
+       n >= 50 AND n <= 100000 AS ok_word_count,
+       ml >= 3.0 AND ml <= 10.0 AS ok_word_length,
+       nsym * 1.0 / n < 0.1 AS ok_symbol_ratio,
+       nalpha * 1.0 / n >= 0.8 AS ok_alpha_words,
+       nstop >= 2 AS ok_stopwords,
+       (n >= 50 AND n <= 100000) AND (ml >= 3.0 AND ml <= 10.0)
+         AND (nsym * 1.0 / n < 0.1) AND (nalpha * 1.0 / n >= 0.8)
+         AND (nstop >= 2) AS keep
+FROM stats ORDER BY doc_id
+"""
+
+
 # --- registry ----------------------------------------------------------------
 PIPELINE = {
     "d01_dedup_exact": (d01_dedup_exact, D01_SQL),
@@ -1959,6 +1990,7 @@ PIPELINE = {
     "d47_bpe_tokenize": (d47_bpe_tokenize, D47_SQL),
     "d48_ppl_buckets": (d48_ppl_buckets, D48_SQL),
     "d49_temperature_mix": (d49_temperature_mix, D49_SQL),
+    "d50_gopher_rules": (d50_gopher_rules, D50_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),

@@ -886,3 +886,18 @@ def test_bigram_nll_short_docs_excluded(spark):
     out = {r.doc_id: r.n_bigrams for r in bigram_nll(df).collect()}
     assert 0 not in out  # 1-token doc has no bigrams
     assert out[1] == 2
+
+
+def test_gopher_rules_flags(spark):
+    from mindsdb_spark.operators.curation import gopher_rules
+
+    good = "the cat and dog have fun with toys that " * 10  # 100 words, stopwords
+    short = "tiny doc with few words"
+    symbolic = ("the and of " + "#tag " * 30) * 3  # symbol-heavy but long
+    df = spark.createDataFrame(
+        [(0, good), (1, short), (2, symbolic)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert out[0].keep and out[0].ok_word_count and out[0].ok_stopwords
+    assert not out[1].keep and not out[1].ok_word_count
+    assert not out[2].ok_symbol_ratio and not out[2].keep
