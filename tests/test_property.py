@@ -344,3 +344,20 @@ def test_nb_quality_antisymmetric_under_label_flip(spark, docs):
     neg = {r["doc_id"]: r["score"] for r in nb_quality(df, F.col("source") == "b").collect()}
     for i in pos:
         assert abs(pos[i] + neg[i]) < 5e-6  # rounded at 1e-6 each side
+
+
+@_settings
+@given(docs=st.lists(_unit_words_st, min_size=1, max_size=5))
+def test_rowwise_lsh_bands_equal_batch_path(spark, docs):
+    # the streaming-legal per-row signature fold must be BIT-identical to
+    # shingle_hashes -> minhash_signatures -> lsh_bands on any corpus
+    from mindsdb_spark.operators.dedup import (
+        lsh_bands, minhash_signatures, rowwise_lsh_bands, shingle_hashes,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple, rowwise_lsh_bands(df).collect()))
+    want = sorted(map(tuple,
+        lsh_bands(minhash_signatures(shingle_hashes(df))).collect()))
+    assert got == want
