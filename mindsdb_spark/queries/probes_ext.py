@@ -1284,6 +1284,45 @@ SELECT c_custkey,
 FROM customer ORDER BY c_custkey
 """
 
+# --- P71 cohort retention matrix ---------------------------------------------
+def p71_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-event week, distinct
+    actives counted per weeks-since-cohort — the canonical product-analytics
+    rollup. Two aggregates (first-event per user, distinct user-week
+    actions) joined on the user key; week arithmetic stays integer
+    (floor(day-diff / 7)) so both engines agree exactly."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    acts = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    week_n = F.floor(
+        F.datediff(F.col("wk"), F.col("cohort")) / F.lit(7)
+    ).cast("int")
+    return (
+        acts.join(first, "user_id")
+        .select("cohort", week_n.alias("week_n"), "user_id")
+        .groupBy("cohort", "week_n")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort", "week_n")
+    )
+
+
+P71_SQL = """
+WITH first AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+               FROM events GROUP BY user_id),
+acts AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+SELECT f.cohort,
+       CAST(floor(date_diff('day', f.cohort, a.wk) / 7.0) AS INT) AS week_n,
+       count(DISTINCT a.user_id) AS n_users
+FROM acts a JOIN first f USING (user_id)
+GROUP BY f.cohort, week_n
+ORDER BY f.cohort, week_n
+"""
+
+
 PROBES_EXT = {
     "p33_cube": (p33_cube, P33_SQL),
     "p34_grouping_sets": (p34_grouping_sets, P34_SQL),
@@ -1323,4 +1362,5 @@ PROBES_EXT = {
     "p68_q12_priority_mix": (p68_q12_priority_mix, P68_SQL),
     "p69_group_by_all": (p69_group_by_all, P69_SQL),
     "p70_null_in_semantics": (p70_null_in_semantics, P70_SQL),
+    "p71_retention": (p71_retention, P71_SQL),
 }
