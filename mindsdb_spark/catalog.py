@@ -98,6 +98,11 @@ def parallelize_input(df: DataFrame) -> DataFrame:
     scans carry thousands of row groups, the condition is false, and this is
     a no-op — plain scans/aggregations never pay the shuffle.
     """
+    if df.isStreaming:
+        # micro-batch partitioning is the source's concern (maxFilesPerTrigger
+        # etc.), and .rdd is illegal on a streaming plan — pass through so
+        # map-stage operators compose onto streams unchanged
+        return df
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < max(sc.defaultParallelism // 2, 2):
         return df.repartition(sc.defaultParallelism)

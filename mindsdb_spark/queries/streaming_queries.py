@@ -574,7 +574,37 @@ def _st12_sql() -> str:
 ST12_SQL = _st12_sql()
 
 
+def st13_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Gopher quality gate: the per-rule boolean table as a pure
+    MAP over the stream — no aggregation, no watermark, zero state. The
+    ingest-shape every streaming curation pipeline starts with (filter at
+    the door, before anything stateful); append-mode drain, batch oracle
+    (d50's SQL). Complements the stateful st-queries: this one proves the
+    zero-state path end-to-end."""
+    from mindsdb_spark.operators.curation import gopher_rules
+    from mindsdb_spark.streaming.windows import run_available_now, stream_from_parquet
+
+    split_dir = os.path.join(sf_dir, "documents.parquet")
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    if os.path.isdir(split_dir):
+        stream = stream_from_parquet(spark, split_dir, schema)
+    else:
+        stream = stream_from_parquet(spark, sf_dir, schema, path_glob="documents.parquet")
+    out = run_available_now(gopher_rules(stream), "append")
+    return out.orderBy("doc_id")
+
+
+def _st13_sql() -> str:
+    from mindsdb_spark.queries.pipeline import D50_SQL
+
+    return D50_SQL
+
+
+ST13_SQL = _st13_sql()
+
+
 STREAMING_QUERIES = {
+    "st13_stream_quality_gate": (st13_stream_quality_gate, ST13_SQL),
     "st12_stream_ppl_score": (st12_stream_ppl_score, ST12_SQL),
     "st11_stream_lsh_dedup": (st11_stream_lsh_dedup, ST11_SQL),
     "st10_stream_drift": (st10_stream_drift, ST10_SQL),

@@ -121,3 +121,13 @@ def test_stream_ppl_score_matches_batch(spark, sf_dir):
     )
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_stream_quality_gate_matches_batch(spark, sf_dir):
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.operators.curation import gopher_rules
+    from mindsdb_spark.queries.streaming_queries import st13_stream_quality_gate
+
+    got = st13_stream_quality_gate(spark, sf_dir).collect()
+    want = gopher_rules(load_table(spark, sf_dir, "documents")).orderBy("doc_id").collect()
+    assert got == want and len(got) > 0
