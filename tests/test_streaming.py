@@ -131,3 +131,23 @@ def test_stream_quality_gate_matches_batch(spark, sf_dir):
     got = st13_stream_quality_gate(spark, sf_dir).collect()
     want = gopher_rules(load_table(spark, sf_dir, "documents")).orderBy("doc_id").collect()
     assert got == want and len(got) > 0
+
+
+def test_map_operators_compose_on_streams(spark, sf_dir):
+    # parallelize_input passes streams through, so pure-map operators run
+    # unchanged on a readStream plan
+    import os
+
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.operators.text import text_quality
+    from mindsdb_spark.streaming.windows import run_available_now, stream_from_parquet
+
+    split_dir = os.path.join(sf_dir, "documents.parquet")
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    if os.path.isdir(split_dir):
+        stream = stream_from_parquet(spark, split_dir, schema)
+    else:
+        stream = stream_from_parquet(spark, sf_dir, schema, path_glob="documents.parquet")
+    got = run_available_now(text_quality(stream), "append").orderBy("doc_id").collect()
+    want = text_quality(load_table(spark, sf_dir, "documents")).orderBy("doc_id").collect()
+    assert got == want and len(got) > 0
