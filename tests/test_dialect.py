@@ -587,3 +587,11 @@ def test_star_exclude_rewrite(spark, sf_dir):
     n = sess.sql("SELECT r_regionkey FROM tpch_region EXCEPT "
                  "SELECT r_regionkey FROM tpch_region WHERE r_regionkey > 2").count()
     assert n == 3
+
+
+def test_explain_composes_with_table_functions(spark, sf_dir):
+    # EXPLAIN routes through sess.sql, so it sees the table-function door too
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir, tables=["documents"])
+    plan = sess.sql("EXPLAIN SELECT * FROM token_stats(tpch_documents)").collect()[0][0]
+    assert "Physical Plan" in plan
