@@ -1939,6 +1939,47 @@ FROM stats ORDER BY doc_id
 """
 
 
+# --- D51 duplicate-cluster size distribution ---------------------------------
+def d51_dup_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup audit report: how much of the corpus sits in duplicate groups
+    of each size — (dup_count, n_groups, n_docs, doc_share). The first
+    table a curation run inspects after exact dedup (is duplication mass
+    head-heavy or long-tail?). Two map-side-combinable aggregates over the
+    hash-group table; the corpus total folds from the persisted histogram.
+    """
+    from mindsdb_spark.operators.dedup import exact_dedup
+
+    groups = exact_dedup(_t(spark, sf_dir, "documents"))
+    hist = (
+        groups.groupBy("dup_count")
+        .agg(F.count("*").alias("n_groups"))
+        .persist()
+    )
+    total = hist.agg(F.sum(col("dup_count") * col("n_groups")).alias("__t"))
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            col("dup_count"),
+            col("n_groups"),
+            (col("dup_count") * col("n_groups")).alias("n_docs"),
+            r6(col("dup_count") * col("n_groups") / col("__t")).alias("doc_share"),
+        )
+        .orderBy("dup_count")
+    )
+
+
+D51_SQL = """
+WITH g AS (SELECT count(*) AS dup_count FROM documents GROUP BY md5(text)),
+h AS (SELECT dup_count, count(*) AS n_groups FROM g GROUP BY dup_count),
+t AS (SELECT sum(dup_count * n_groups) AS t FROM h)
+SELECT dup_count, n_groups, dup_count * n_groups AS n_docs,
+       floor(dup_count * n_groups / CAST(t AS DOUBLE) * 1000000 + 0.5) / 1000000
+         AS doc_share
+FROM h, t ORDER BY dup_count
+"""
+
+
 # --- registry ----------------------------------------------------------------
 PIPELINE = {
     "d01_dedup_exact": (d01_dedup_exact, D01_SQL),
@@ -1991,6 +2032,7 @@ PIPELINE = {
     "d48_ppl_buckets": (d48_ppl_buckets, D48_SQL),
     "d49_temperature_mix": (d49_temperature_mix, D49_SQL),
     "d50_gopher_rules": (d50_gopher_rules, D50_SQL),
+    "d51_dup_distribution": (d51_dup_distribution, D51_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),
