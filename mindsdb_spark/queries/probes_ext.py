@@ -1323,6 +1323,52 @@ ORDER BY f.cohort, week_n
 """
 
 
+# --- P72 DAU / WAU / stickiness ----------------------------------------------
+def p72_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users, trailing-7-day actives, and the DAU/WAU
+    stickiness ratio — the canonical engagement rollup. The trailing
+    distinct-user count is a range self-join on the (day, user) DISTINCT
+    table (windowed COUNT DISTINCT doesn't exist in either engine); the
+    joined table is days x active-users, already deduplicated, so the join
+    fans out by window width (7), not event volume."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("d"), "user_id"
+    ).distinct()
+    dau = days.groupBy("d").agg(F.count("*").alias("dau"))
+    anchors = days.select("d").distinct().withColumnRenamed("d", "ad")
+    wau = (
+        anchors.join(
+            days,
+            (F.col("d") <= F.col("ad"))
+            & (F.col("d") >= F.expr("ad - INTERVAL 6 DAYS")),
+        )
+        .groupBy("ad")
+        .agg(F.count_distinct("user_id").alias("wau"))
+        .withColumnRenamed("ad", "d")
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        dau.join(wau, "d")
+        .select("d", "dau", "wau", r6(F.col("dau") / F.col("wau")).alias("stickiness"))
+        .orderBy("d")
+    )
+
+
+P72_SQL = """
+WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events),
+dau AS (SELECT d, count(*) AS dau FROM days GROUP BY d),
+wau AS (SELECT a.d, count(DISTINCT b.user_id) AS wau
+        FROM (SELECT DISTINCT d FROM days) a
+        JOIN days b ON b.d <= a.d AND b.d >= a.d - INTERVAL 6 DAY
+        GROUP BY a.d)
+SELECT dau.d, dau.dau, wau.wau,
+       floor(dau.dau / CAST(wau.wau AS DOUBLE) * 1000000 + 0.5) / 1000000
+         AS stickiness
+FROM dau JOIN wau USING (d) ORDER BY d
+"""
+
+
 PROBES_EXT = {
     "p33_cube": (p33_cube, P33_SQL),
     "p34_grouping_sets": (p34_grouping_sets, P34_SQL),
@@ -1363,4 +1409,5 @@ PROBES_EXT = {
     "p69_group_by_all": (p69_group_by_all, P69_SQL),
     "p70_null_in_semantics": (p70_null_in_semantics, P70_SQL),
     "p71_retention": (p71_retention, P71_SQL),
+    "p72_stickiness": (p72_stickiness, P72_SQL),
 }
