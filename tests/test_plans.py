@@ -262,3 +262,28 @@ def test_sessionize_single_exchange(spark, sf_dir):
     df = sessionize(load_table(spark, sf_dir, "events"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_gopher_rules_is_zero_shuffle(spark, sf_dir):
+    # the quality-rule table is a pure map stage: no Exchange anywhere
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.operators.curation import gopher_rules
+
+    df = load_table(spark, sf_dir, "documents")
+    plan = _plan(gopher_rules(df))
+    # parallelize_input may add ONE round-robin repartition on the tiny
+    # single-row-group fixture; no key-partitioned (hash/range) exchange
+    # may appear — that would mean an accidental aggregation or join
+    assert "hashpartitioning" not in plan.lower()
+    assert "rangepartitioning" not in plan.lower().replace("roundrobinpartitioning", "")
+
+
+def test_bigram_nll_reuses_persisted_count_tables(spark, sf_dir):
+    # the derived stats must read the persisted vocab-sized tables, not
+    # replay the corpus explode (no cross-branch CSE in Catalyst)
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.operators.text import bigram_nll
+
+    df = load_table(spark, sf_dir, "documents")
+    plan = _plan(bigram_nll(df))
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
