@@ -69,7 +69,8 @@ def strip_mysql_comments(sql: str) -> str:
 
 def _split_args(body: str) -> list[str]:
     """Split a parenthesized body on top-level commas, respecting nesting
-    and string literals."""
+    (parens, braces, brackets — JSON-object USING values) and string
+    literals."""
     args, depth, cur, i = [], 0, [], 0
     while i < len(body):
         c = body[i]
@@ -78,9 +79,9 @@ def _split_args(body: str) -> list[str]:
             cur.append(body[i:j])
             i = j
             continue
-        if c == "(":
+        if c in "({[":
             depth += 1
-        elif c == ")":
+        elif c in ")}]":
             depth -= 1
         elif c == "," and depth == 0:
             args.append("".join(cur).strip())

@@ -3032,14 +3032,32 @@ class EngineSession:
                 k, _, v = kv.partition("=")
                 params[k.strip().lower()] = self._param_value(v)
             transport = self._agent_transport
+            # the documented JSON forms (docs/mindsdb_sql/agents/
+            # agent_syntax.mdx): model = {"provider":.., "model_name":..}
+            # and data = {"knowledge_bases": [...], "tables": [...]} —
+            # accepted alongside the flat model='x', knowledge_bases='a,b'
+            model = params.get("model", "mock-llm")
+            if isinstance(model, str) and model.lstrip().startswith("{"):
+                mj = json.loads(model)
+                model = mj.get("model_name") or mj.get("provider") or "mock-llm"
+            kb_list: list[str] = []
+            data = params.get("data")
+            if isinstance(data, str) and data.lstrip().startswith("{"):
+                dj = json.loads(data)
+                # project prefixes resolve to the single default project
+                kb_list = [
+                    str(kb).lower().split(".")[-1]
+                    for kb in dj.get("knowledge_bases", [])
+                ]
             # data sources: USING knowledge_bases = 'kb1, kb2' attaches KB
             # retrieval before completion (reference: agents_controller.py
             # params.data.knowledge_bases)
-            kbs = tuple(
+            kb_list += [
                 kb.strip().lower()
-                for kb in params.get("knowledge_bases", "").split(",")
+                for kb in str(params.get("knowledge_bases", "")).split(",")
                 if kb.strip()
-            )
+            ]
+            kbs = tuple(dict.fromkeys(kb_list))
             for kb in kbs:
                 if kb not in self._kbs:
                     raise KeyError(f"knowledge base {kb!r} does not exist")
@@ -3047,7 +3065,7 @@ class EngineSession:
                 name=name,
                 complete=transport,
                 output_col=params.get("output_col", "answer"),
-                model_name=params.get("model", "mock-llm"),
+                model_name=model,
                 knowledge_bases=kbs,
                 retrieval_k=int(params.get("retrieval_k", 3)),
             )

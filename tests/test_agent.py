@@ -43,3 +43,24 @@ def test_non_agent_table_not_hijacked(spark, agent, sf_dir):
     # a real table with a `question`-less filter must go through spark.sql
     n = sess.sql("SELECT count(*) AS n FROM customer").collect()[0]["n"]
     assert n > 0
+
+
+def test_create_agent_documented_json_syntax(spark, sf_dir):
+    # the reference's documented form (agent_syntax.mdx): model/data are
+    # JSON objects; brace-nested commas must survive the USING split
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir, tables=["documents"])
+    sess.sql("CREATE KNOWLEDGE_BASE kbj USING embedder = 'md5'")
+    sess.sql(
+        'CREATE AGENT json_agent USING '
+        'model = {"provider": "openai", "model_name": "gpt-4o"}, '
+        'data = {"knowledge_bases": ["mindsdb.kbj"], "tables": []}, '
+        "prompt_template = 'describe data'"
+    )
+    spec = sess._agents["json_agent"]
+    assert spec.model_name == "gpt-4o"
+    assert spec.knowledge_bases == ("kbj",)
+    sess.sql("DROP AGENT json_agent")
+    sess.sql("DROP KNOWLEDGE_BASE kbj")
