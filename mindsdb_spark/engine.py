@@ -2949,20 +2949,52 @@ class EngineSession:
             # chunk store; INSERT INTO <kb> <select> fills it through the
             # chunk → embed → content-hash-upsert pipeline
             # (controller.py:647-983)
+            from mindsdb_spark.dialect.rewriter import split_top_level
+
             name = m.group(1).lower().strip("`").split(".")[-1]
+            # brace/bracket-aware split: the documented create.mdx syntax
+            # passes embedding_model/reranking_model as JSON objects and
+            # metadata/content_columns as arrays — naive comma split breaks
             using = dict(
                 (kv.partition("=")[0].strip().lower(), self._param_value(kv.partition("=")[2]))
-                for kv in (m.group(2) or "").split(",")
+                for kv in split_top_level(m.group(2) or "")
                 if "=" in kv
             )
+
+            def _jsonish(v):
+                if isinstance(v, str) and v.lstrip()[:1] in "[{":
+                    try:
+                        return json.loads(v)
+                    except ValueError:
+                        return json.loads(v.replace("'", '"'))
+                return v
+
             store = self.spark.createDataFrame(
                 [], "chunk_id string, doc_id long, chunk_text string, embedding array<float>"
             )
+            emb = _jsonish(using.get("embedding_model"))
             self._kbs[name] = {
                 "store": store,
                 "dim": int(using.get("dim", 16)),
+                # flat `embedder = 'md5'` names a registry embedder; the
+                # documented embedding_model JSON rides along as metadata
+                # (its provider models need network; the mock registry is
+                # the container-honest transport)
                 "embedder": using.get("embedder"),
             }
+            for key in ("storage", "id_column"):
+                if key in using:
+                    self._kbs[name][key] = using[key]
+            if emb is not None:
+                self._kbs[name]["embedding_model"] = emb
+            if "reranking_model" in using:
+                self._kbs[name]["reranking_model"] = _jsonish(using["reranking_model"])
+            for key in ("metadata_columns", "content_columns"):
+                if key in using:
+                    cols = _jsonish(using[key])
+                    self._kbs[name][key] = (
+                        [str(c) for c in cols] if isinstance(cols, list) else cols
+                    )
             # chunking config rides on the KB and applies at every insert
             # (reference: preprocessing text_chunking_config —
             # controller.py create params)

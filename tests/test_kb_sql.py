@@ -243,3 +243,26 @@ def test_kb_join_table_and_browse(kbsess, spark, sf_dir):
     # whole-store browse with LIMIT
     head = kbsess.sql("SELECT doc_id, content FROM docs_kb ORDER BY doc_id LIMIT 3").collect()
     assert len(head) == 3 and "content" in head[0].asDict()
+
+
+def test_create_kb_documented_json_syntax(spark):
+    # the reference's documented create.mdx form: JSON model objects and
+    # array column lists survive the USING split and land on the KB record
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    sess.sql(
+        "CREATE KNOWLEDGE_BASE kb_doc USING "
+        'embedding_model = {"provider": "openai", "model_name": "text-embedding-3-large"}, '
+        'reranking_model = {"provider": "openai", "model_name": "gpt-4o"}, '
+        "metadata_columns = ['date', 'creator'], "
+        "content_columns = ['review'], "
+        "id_column = 'id'"
+    )
+    kb = sess._kbs["kb_doc"]
+    assert kb["embedding_model"]["model_name"] == "text-embedding-3-large"
+    assert kb["reranking_model"]["provider"] == "openai"
+    assert kb["metadata_columns"] == ["date", "creator"]
+    assert kb["content_columns"] == ["review"]
+    assert kb["id_column"] == "id"
+    sess.sql("DROP KNOWLEDGE_BASE kb_doc")
