@@ -1624,6 +1624,12 @@ class EngineSession:
             return hits.orderBy(F.col("relevance").desc(), "chunk_id").limit(k)
         if threshold is not None:
             hits = hits.filter((1.0 - F.col("distance")) >= threshold)
+        # default relevance = 1 - distance (query.mdx: without a reranking
+        # model the relevance column still exists and is filterable)
+        hits = hits.withColumn(
+            "relevance",
+            F.floor((F.lit(1.0) - F.col("distance")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+        )
         return hits.orderBy(F.col("distance").asc(), "chunk_id").limit(k)
 
     def register_agent(self, agent) -> None:
@@ -3343,11 +3349,31 @@ class EngineSession:
                     )
                 if m is None:
                     raise ValueError("malformed knowledge-base SELECT")
-                content, meta = None, []
-                for cond in _split_and(m.group(3)):
+
+                def _kb_alias(t: str, projection: bool = False) -> str:
+                    # documented schema names (query.mdx): chunk_content is
+                    # the chunk text, bare id is the CHUNK id (the
+                    # reference's TableField.ID is chunk-level); in the
+                    # projection the documented name stays on the output
+                    t = re.sub(r"\bchunk_content\b", "content", t, flags=re.IGNORECASE)
+                    repl = "chunk_id AS id" if projection else "chunk_id"
+                    return re.sub(r"\bid\b", repl, t, flags=re.IGNORECASE)
+
+                conds = _kb_alias(m.group(3))
+                if re.search(r"\(\s*SELECT\b", conds, re.IGNORECASE):
+                    # nested KB subselects (query.mdx: `id NOT IN (SELECT
+                    # DISTINCT id FROM kb WHERE content=..)`) execute first
+                    # and inline as value lists — same treatment as DELETE
+                    conds = self._inline_subselects(conds)
+                content, meta, post = None, [], []
+                for cond in _split_and(conds):
                     cm = _CONTENT_EQ_RE.match(cond.strip())
                     if cm:
                         content = cm.group(1)
+                    elif re.search(r"\brelevance\b", cond, re.IGNORECASE):
+                        # relevance exists on the SEARCH RESULT, not the
+                        # store — it filters after the top-k (query.mdx)
+                        post.append(cond)
                     else:
                         meta.append(cond)
                 if content is not None:
@@ -3358,21 +3384,23 @@ class EngineSession:
                         prefilter=" AND ".join(meta) if meta else None,
                         using=kb_using,
                     )
+                    for cond in post:
+                        res = res.filter(F.expr(self.rewrite(cond)))
                     res.createOrReplaceTempView("__kb_select")
-                    outer = f"SELECT {self.rewrite(m.group(1))} FROM __kb_select"
+                    outer = f"SELECT {self.rewrite(_kb_alias(m.group(1), projection=True))} FROM __kb_select"
                     if m.group(4):
-                        outer += " ORDER BY " + self.rewrite(m.group(4))
+                        outer += " ORDER BY " + self.rewrite(_kb_alias(m.group(4)))
                     return self.spark.sql(outer)
                 # no content condition: metadata/id browse over the chunk
                 # store (reference returns plain filtered rows,
                 # test_knowledge_base.py:424-460)
                 self._kb_browse_view(name)
                 outer = (
-                    f"SELECT {self.rewrite(m.group(1))} FROM __kb_browse "
-                    f"WHERE {self.rewrite(m.group(3))}"
+                    f"SELECT {self.rewrite(_kb_alias(m.group(1), projection=True))} FROM __kb_browse "
+                    f"WHERE {self.rewrite(' AND '.join(meta + post))}"
                 )
                 if m.group(4):
-                    outer += " ORDER BY " + self.rewrite(m.group(4))
+                    outer += " ORDER BY " + self.rewrite(_kb_alias(m.group(4)))
                 if m.group(5):
                     outer += " LIMIT " + m.group(5)
                 return self.spark.sql(outer)

@@ -19,7 +19,9 @@ def kbsess(spark, sf_dir):
 def test_kb_select_default_limit(kbsess):
     rows = kbsess.sql("SELECT * FROM docs_kb WHERE content = 'spark joins'").collect()
     assert len(rows) == 10  # reference default limit (controller.py:356-360)
-    assert set(rows[0].asDict()) == {"chunk_id", "doc_id", "content", "distance"}
+    assert set(rows[0].asDict()) == {
+        "chunk_id", "doc_id", "content", "distance", "relevance"
+    }
     # ranked ascending by distance
     dists = [r["distance"] for r in rows]
     assert dists == sorted(dists)
@@ -266,3 +268,21 @@ def test_create_kb_documented_json_syntax(spark):
     assert kb["content_columns"] == ["review"]
     assert kb["id_column"] == "id"
     sess.sql("DROP KNOWLEDGE_BASE kb_doc")
+
+
+def test_kb_documented_query_forms(kbsess):
+    # query.mdx forms: relevance filter after top-k, chunk_content browse,
+    # id-scoped nested subselect excluded from a second search
+    r = kbsess.sql(
+        "SELECT chunk_id, relevance FROM docs_kb "
+        "WHERE content = 'spark joins' AND relevance >= 0.0 LIMIT 3"
+    ).collect()
+    assert len(r) == 3 and all(0.0 <= x.relevance <= 1.0 for x in r)
+    b = kbsess.sql("SELECT * FROM docs_kb WHERE chunk_content LIKE '%spark%' LIMIT 2")
+    assert b.count() > 0 and "content" in b.columns
+    sub = kbsess.sql(
+        "SELECT id FROM docs_kb WHERE id NOT IN "
+        "(SELECT DISTINCT id FROM docs_kb WHERE content = 'spark joins' LIMIT 2) "
+        "LIMIT 3"
+    )
+    assert sub.columns == ["id"] and sub.count() == 3
