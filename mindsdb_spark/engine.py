@@ -3301,6 +3301,69 @@ class EngineSession:
         # columns on the predict frame)
         pu = _TRAILING_USING_RE.search(s)
         s_nu = (s[: pu.start()].rstrip() if pu else s)
+        mm = re.match(
+            r"SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<table>[\w.`]+)"
+            r"(?:\s+(?:AS\s+)?(?P<talias>\w+))?"
+            r"(?P<joins>(?:\s+JOIN\s+[\w.`]+(?:\s+(?:AS\s+)?\w+)?){2,})"
+            r"(?:\s+WHERE\s+(?P<where>.+?))?"
+            r"(?:\s+ORDER\s+BY\s+(?P<order>.+?))?(?:\s+LIMIT\s+(?P<limit>\d+))?$",
+            s_nu if pu else s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if mm:
+            joins = re.findall(
+                r"JOIN\s+([\w.`]+)(?:\s+(?:AS\s+)?(\w+))?", mm.group("joins"), re.IGNORECASE
+            )
+            specs = [
+                (self._model_of(jn), (ja or jn.split(".")[-1]).lower())
+                for jn, ja in joins
+            ]
+            if specs and all(sp is not None for sp, _a in specs):
+                # multi-model batch predict (get-batch-predictions.mdx:17-23
+                # `JOIN mindsdb.m1 AS m1 JOIN mindsdb.m2 AS m2 ...`): every
+                # model applies row-wise to the same table fetch; each
+                # model's outputs are alias-scoped so same-named predictions
+                # don't collide. One Arrow stage per model, no join.
+                from mindsdb_spark.operators.model import apply_model
+
+                df = self.sql(f"SELECT * FROM {mm.group('table')}")
+                col_map: dict[str, dict[str, str]] = {}
+                for spec, alias in specs:
+                    before = set(df.columns)
+                    df = apply_model(df, spec)
+                    renames = {
+                        c: f"__{alias}__{c}" for c in df.columns if c not in before
+                    }
+                    for old, newc in renames.items():
+                        df = df.withColumnRenamed(old, newc)
+                    col_map[alias] = renames
+
+                def _requal(t: str) -> str:
+                    for alias, renames in col_map.items():
+                        t = re.sub(
+                            rf"\b{re.escape(alias)}\.(\w+)",
+                            lambda g: renames.get(g.group(1), g.group(1)),
+                            t,
+                            flags=re.IGNORECASE,
+                        )
+                    if mm.group("talias"):
+                        t = re.sub(
+                            rf"\b{re.escape(mm.group('talias'))}\.(\w+)",
+                            r"\1",
+                            t,
+                            flags=re.IGNORECASE,
+                        )
+                    return t
+
+                df.createOrReplaceTempView("__multi_model")
+                outer = f"SELECT {self.rewrite(_requal(mm.group('sel')))} FROM __multi_model"
+                if mm.group("where"):
+                    outer += " WHERE " + self.rewrite(_requal(mm.group("where")))
+                if mm.group("order"):
+                    outer += " ORDER BY " + self.rewrite(_requal(mm.group("order")))
+                if mm.group("limit"):
+                    outer += " LIMIT " + mm.group("limit")
+                return self.spark.sql(outer)
         m = _MODEL_JOIN_RE.match(s_nu if pu else s)
         if m and self._model_of(m.group("model")) is not None:
             return self._model_join(m, extra_params=_parse_using_params(pu.group(1)) if pu else None)

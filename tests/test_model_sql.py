@@ -236,3 +236,31 @@ def test_model_predict_time_using_params(spark, sf_dir):
         "WHERE t.c_custkey < 5 USING p1 = 'a', p2 = {'x': 1, 'y': 2}"
     ).collect()
     assert len(rows) > 0 and all(r["p"] == 1.0 for r in rows)
+
+
+def test_multi_model_batch_join(spark, sf_dir):
+    # get-batch-predictions.mdx:17-23 — several models joined in one
+    # statement; each model's outputs are alias-scoped
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir)
+    sess.sql("CREATE MODEL mm1 (SELECT c_acctbal AS pred, c_custkey, c_nationkey "
+             "FROM tpch_customer) PREDICT pred USING engine = 'spark_ml_linreg'")
+    sess.sql("CREATE MODEL mm2 (SELECT c_nationkey AS cl, c_custkey, c_acctbal "
+             "FROM tpch_customer) PREDICT cl USING engine = 'spark_ml_kmeans'")
+    rows = sess.sql(
+        "SELECT t.c_custkey, m1.pred AS p1, m2.cl AS cluster "
+        "FROM tpch_customer AS t JOIN mindsdb.mm1 AS m1 JOIN mindsdb.mm2 AS m2 "
+        "WHERE t.c_custkey < 50 ORDER BY t.c_custkey LIMIT 4"
+    ).collect()
+    assert len(rows) == 4
+    assert all(r["p1"] is not None and r["cluster"] is not None for r in rows)
+    assert [r["c_custkey"] for r in rows] == sorted(r["c_custkey"] for r in rows)
+    # ordinary multi-table joins must NOT be hijacked by the model path
+    n = sess.sql(
+        "SELECT count(*) AS n FROM tpch_region JOIN tpch_nation "
+        "ON r_regionkey = n_regionkey JOIN tpch_customer ON n_nationkey = c_nationkey"
+    ).collect()[0]["n"]
+    assert n > 0
+    sess.sql("DROP MODEL mm1"); sess.sql("DROP MODEL mm2")
