@@ -3540,6 +3540,25 @@ class EngineSession:
                             self._predict_cache.pop(next(iter(self._predict_cache)))
                         res = self.spark.createDataFrame(*self._predict_cache[ckey])
                     cols = [c.strip(" `") for c in m.group(1).split(",")]
+                    # documented `<target>_explain` JSON column
+                    # (get-single-prediction.mdx:17,57): predicted_value +
+                    # the reference explain-dict shape; confidence fields
+                    # are honest NULLs for engines that don't estimate them
+                    target = spec.output_schema.split()[0].strip("`")
+                    explain_col = f"{target}_explain"
+                    if any(c.lower() == explain_col for c in cols):
+                        res = res.withColumn(
+                            explain_col,
+                            F.to_json(
+                                F.struct(
+                                    F.col(target).alias("predicted_value"),
+                                    F.lit(None).cast("double").alias("confidence"),
+                                    F.lit(None).cast("boolean").alias("anomaly"),
+                                    F.lit(None).cast("double").alias("truth"),
+                                ),
+                                {"ignoreNullFields": "false"},
+                            ),
+                        )
                     if cols == ["*"]:
                         return res
                     return res.select(*cols)

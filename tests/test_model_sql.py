@@ -264,3 +264,25 @@ def test_multi_model_batch_join(spark, sf_dir):
     ).collect()[0]["n"]
     assert n > 0
     sess.sql("DROP MODEL mm1"); sess.sql("DROP MODEL mm2")
+
+
+def test_single_prediction_explain_column(spark, sf_dir):
+    # get-single-prediction.mdx: `SELECT target, target_explain FROM model
+    # WHERE input = value` — the explain JSON carries predicted_value and
+    # honest-NULL confidence fields for engines that don't estimate them
+    import json as _json
+
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir)
+    sess.sql("CREATE MODEL sxm (SELECT c_acctbal AS pred, c_custkey, c_nationkey "
+             "FROM tpch_customer) PREDICT pred USING engine = 'spark_ml_linreg'")
+    r = sess.sql(
+        "SELECT pred, pred_explain FROM mindsdb.sxm "
+        "WHERE c_custkey = 7 AND c_nationkey = 3"
+    ).collect()[0]
+    exp = _json.loads(r["pred_explain"])
+    assert exp["predicted_value"] == r["pred"]
+    assert "confidence" in exp
+    sess.sql("DROP MODEL sxm")
