@@ -208,7 +208,8 @@ _DELETE_RE = re.compile(
     r"DELETE\s+FROM\s+([\w.`]+)\s+WHERE\s+(.+)$", re.IGNORECASE | re.DOTALL
 )
 _CREATE_VIEW_RE = re.compile(
-    r"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.`]+)\s+AS\s+(.+)$", re.IGNORECASE | re.DOTALL
+    r"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s+AS\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
 )
 _DROP_VIEW_RE = re.compile(r"DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.`]+)$", re.IGNORECASE)
 _DROP_TABLE_RE = re.compile(
@@ -220,7 +221,7 @@ _CREATE_JOB_RE = re.compile(
     r"CREATE\s+JOB\s+(\w+)\s+(?:AS\s+)?\((.+?)\)"
     r"(?:\s+START\s+'([^']+)')?"
     r"(?:\s+END\s+'([^']+)')?"
-    r"(?:\s+EVERY\s+(\d+)\s+(\w+))?"
+    r"(?:\s+EVERY\s+(\d+)?\s*(\w+))?"
     r"(?:\s+IF\s+\((.+)\))?$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -2829,8 +2830,12 @@ class EngineSession:
             # Views are stored SQL expanded per query, like the reference's
             # project views (mindsdb/interfaces/database/views.py:9-40);
             # registering a Spark temp view keeps expansion inside Catalyst.
-            name = m.group(1).lower().strip("`").split(".")[-1]
-            body = self.rewrite(m.group(2))
+            name = m.group(2).lower().strip("`").split(".")[-1]
+            if m.group(1) and name in self._views:
+                # IF NOT EXISTS: an existing view stays untouched
+                # (create/view.mdx:15)
+                return self.spark.createDataFrame([(name,)], "view string")
+            body = self.rewrite(m.group(3))
             self._views[name] = body
             self.spark.sql(body).createOrReplaceTempView(name)
             return self.spark.createDataFrame([(name,)], "view string")
@@ -2893,8 +2898,10 @@ class EngineSession:
 
             name, body = m.group(1).lower(), m.group(2)
             cond = m.group(7)
-            if m.group(5) is not None:
-                n, unit = int(m.group(5)), m.group(6).lower()
+            if m.group(6) is not None:
+                # `EVERY [number] period` — number defaults to 1
+                # (create/jobs.mdx:40)
+                n, unit = int(m.group(5) or 1), m.group(6).lower()
                 if unit not in _PERIODS:
                     raise ValueError(f"unknown period {unit!r}")
                 every = n * _PERIODS[unit]

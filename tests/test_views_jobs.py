@@ -221,3 +221,17 @@ def test_multi_statement_job_and_ctas_if_not_exists(spark, sf_dir, tmp_path):
     # CTAS IF NOT EXISTS: second create is a no-op, data survives
     sess.sql("CREATE TABLE IF NOT EXISTS whj.j1 AS SELECT 1 AS x")
     assert sess.sql("SELECT count(*) AS n FROM whj_j1").collect()[0]["n"] == 25
+
+
+def test_create_view_if_not_exists_and_default_every(spark, sf_dir):
+    # create/view.mdx + create/jobs.mdx documented forms
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir, tables=["region"])
+    sess.sql("CREATE VIEW IF NOT EXISTS mindsdb.vix AS (SELECT r_name FROM tpch_region)")
+    sess.sql("CREATE VIEW IF NOT EXISTS mindsdb.vix AS (SELECT 1 AS z)")
+    assert sess.sql("SELECT * FROM vix").columns == ["r_name"]  # untouched
+    sess.sql("CREATE JOB jix AS (SELECT 1 AS x) EVERY hour")  # number defaults to 1
+    assert sess.jobs.jobs["jix"].every_seconds == 3600
+    sess.sql("DROP JOB jix"); sess.sql("DROP VIEW vix")
