@@ -3598,20 +3598,31 @@ class EngineSession:
                 "has_index boolean, metadata_columns string",
             )
         dm = re.match(
-            r"(?:DESCRIBE|DESC)\s+MODEL\s+([\w.`]+)\.(features|model|info)$",
+            r"(?:DESCRIBE|DESC)\s+(?:MODEL\s+)?([\w.`]+)\.(features|model|info|args|metadata)$",
             s,
             re.IGNORECASE,
         )
         if dm and self._model_of(dm.group(1)) is not None:
-            # attribute paths (reference: answer_describe_predictor —
-            # `DESCRIBE MODEL m.features` etc., command_executor.py:931-960)
+            # attribute paths, MODEL keyword optional (reference:
+            # answer_describe_predictor — `DESCRIBE [MODEL] m.features`
+            # etc., command_executor.py:931-960; api/describe.mdx)
             spec = self._model_of(dm.group(1))
             attr = dm.group(2).lower()
             if attr == "features":
                 rows = [(c,) for c in (spec.features or [])] or [("(not recorded)",)]
                 return self.spark.createDataFrame(rows, "feature string")
+            if attr == "args":
+                # the USING arguments the model was created with
+                mname = dm.group(1).lower().strip("`").split(".")[-1]
+                recipe = self._model_recipes.get(mname)
+                params = dict(recipe[4]) if recipe else {}
+                if recipe:
+                    params.setdefault("engine", recipe[3])
+                rows = [(k, json.dumps(v) if not isinstance(v, str) else v)
+                        for k, v in sorted(params.items())] or [("engine", "registered")]
+                return self.spark.createDataFrame(rows, "key string, value string")
             info = dict(spec.info or {})
-            if attr == "model":
+            if attr in ("model", "metadata"):
                 rows = [(k, json.dumps(v) if not isinstance(v, str) else v)
                         for k, v in sorted(info.items())] or [("engine", "registered")]
                 return self.spark.createDataFrame(rows, "attribute string, value string")
@@ -3620,7 +3631,7 @@ class EngineSession:
                   "ts" if spec.order_by else "row")],
                 "name string, engine string, outputs string, kind string",
             )
-        dm = re.match(r"(?:DESCRIBE|DESC)\s+MODEL\s+([\w.`]+)$", s, re.IGNORECASE)
+        dm = re.match(r"(?:DESCRIBE|DESC)\s+(?:MODEL\s+)?([\w.`]+)$", s, re.IGNORECASE)
         if dm and self._model_of(dm.group(1)) is not None:
             # one row per surviving version, newest last; `active` marks the
             # version bare-name joins resolve to (reference DESCRIBE MODEL

@@ -286,3 +286,22 @@ def test_single_prediction_explain_column(spark, sf_dir):
     assert exp["predicted_value"] == r["pred"]
     assert "confidence" in exp
     sess.sql("DROP MODEL sxm")
+
+
+def test_describe_model_keyword_optional_and_attrs(spark, sf_dir):
+    # api/describe.mdx: `DESCRIBE [MODEL] name[.attribute]` with the full
+    # attribute set; plain table DESCRIBE is untouched
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir)
+    sess.sql("CREATE MODEL ddm (SELECT c_acctbal AS pred, c_custkey, c_nationkey "
+             "FROM tpch_customer) PREDICT pred USING engine = 'spark_ml_linreg'")
+    assert sess.sql("DESCRIBE ddm").collect()[0]["name"] == "ddm"
+    assert sess.sql("DESCRIBE ddm.features").count() >= 1
+    args = {r["key"]: r["value"] for r in sess.sql("DESCRIBE MODEL ddm.args").collect()}
+    assert args.get("engine") == "spark_ml_linreg"
+    assert sess.sql("DESCRIBE MODEL ddm.metadata").columns == ["attribute", "value"]
+    # table describe still answers the MySQL column shape
+    assert sess.sql("DESCRIBE region").columns[:2] == ["Field", "Type"]
+    sess.sql("DROP MODEL ddm")
