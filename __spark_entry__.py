@@ -47,12 +47,14 @@ def _registries() -> list[dict]:
     ]
 
 
-def _recording_priority() -> "Callable[[str], int]":
-    """The driver records only a ~50-entry prefix of the 124-query dict, so
-    rotate what rides in the window each round: keys never recorded in any
-    CORRECTNESS_r*.json come first, then keys recorded in an older round
-    but not the latest, then the keys the latest round already verified.
-    Consecutive rounds therefore jointly record ~100 distinct queries."""
+def _recording_priority() -> "Callable[[str], tuple]":
+    """The driver records only a ~50-entry prefix of the ~190-query dict, so
+    rotate what rides in the window each round: keys never recorded green in
+    any CORRECTNESS_r*.json come first, then keys by the round they were
+    last recorded (least-recently-verified first). Ties (same tier, same
+    last-round) keep registration order — OLDEST first — so new registry
+    additions queue BEHIND the never-recorded backlog instead of displacing
+    it (round-3 verdict item 1)."""
     import glob
     import json
     import os
@@ -60,9 +62,7 @@ def _recording_priority() -> "Callable[[str], int]":
 
     here = os.path.dirname(os.path.abspath(__file__))
     files = glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
-    ever: set[str] = set()
-    latest: set[str] = set()
-    latest_n = -1
+    last_green: dict[str, int] = {}
     for p in files:
         m = re.search(r"_r(\d+)\.json$", p)
         try:
@@ -72,27 +72,29 @@ def _recording_priority() -> "Callable[[str], int]":
             continue
         # a record that wasn't fully hash-green (no_oracle / hash-red) needs
         # re-recording once fixed — treat it as never recorded
-        keys = {k for k, v in recs.items() if v.get("hash_match") is True}
-        ever |= keys
         n = int(m.group(1)) if m else -1
-        if n > latest_n:
-            latest_n, latest = n, keys
+        for k, v in recs.items():
+            if v.get("hash_match") is True:
+                last_green[k] = max(last_green.get(k, -1), n)
 
-    def prio(key: str) -> int:
-        if key not in ever:
-            return 0
-        return 2 if key in latest else 1
+    def prio(key: str) -> tuple:
+        # (never-green? 0 : 1, round-last-green) — never-green keys lead,
+        # then ascending recency; registration order breaks ties (stable sort)
+        if key not in last_green:
+            return (0, 0)
+        return (1, last_green[key])
 
     return prio
 
 
 def _interleaved() -> list[tuple[str, tuple]]:
     """Round-robin across query FAMILIES (key prefix: p/d/s/k/t/e/m/a/i/st),
-    each family ordered by recording priority (never-recorded first, then
-    least-recently-recorded — see _recording_priority), newest-first within
-    a priority tier. Any recorded prefix of the dict covers every family
-    and prefers the queries with the least driver-file verification. The
-    key SET is stable across rounds; only iteration order changes."""
+    each family ordered by registration order (oldest first), then globally
+    stable-sorted by recording priority (never-driver-green first, then
+    least-recently-recorded — see _recording_priority). Any recorded prefix
+    of the dict covers every family and prefers the queries with the least
+    driver-file verification. The key SET is stable across rounds; only
+    iteration order changes."""
     import re
     from itertools import zip_longest
 
@@ -102,13 +104,13 @@ def _interleaved() -> list[tuple[str, tuple]]:
         for key, val in reg.items():
             fam = re.match(r"[a-z]+", key).group(0)[: 2 if key.startswith("st") else 1]
             families.setdefault(fam, []).append((key, val))
-    ordered = [list(reversed(items)) for _fam, items in sorted(families.items())]
+    ordered = [items for _fam, items in sorted(families.items())]
     merged: list[tuple[str, tuple]] = []
     for tup in zip_longest(*ordered):
         merged.extend(kv for kv in tup if kv is not None)
-    # stable global sort: un/least-recorded keys first (family interleave
-    # preserved within each priority tier) so the driver's ~50-entry window
-    # records the complement of the previous round's file
+    # stable global sort: never-green keys first, then ascending last-green
+    # round (family interleave preserved within each tier) so the driver's
+    # ~50-entry window drains the verification backlog before re-verifying
     merged.sort(key=lambda kv: prio(kv[0]))
     return merged
 
