@@ -14,6 +14,7 @@ exactly the role the reference's SQLAlchemy-level adapter plays.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 # rule: (args: list[str]) -> replacement SQL
@@ -161,6 +162,25 @@ def rewrite_sql(sql: str, rules: dict[str, Rule], vars_: dict[str, str] | None =
 _QUALIFY_TERMINATORS = ("ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT")
 
 
+def sub_outside_strings(pattern: str, repl: str, text: str, flags: int = 0) -> str:
+    """``re.sub`` applied only to segments outside quoted string literals —
+    identifiers (including backticked ones) are still rewritten, but a
+    literal like ``'document id 5'`` is never mutated (round-3 advice:
+    _kb_alias and the star-EXCLUDE rewrite corrupted literals)."""
+    out, i, n, start = [], 0, len(text), 0
+    while i < n:
+        c = text[i]
+        if c in ("'", '"'):
+            out.append(re.sub(pattern, repl, text[start:i], flags=flags))
+            j = _skip_string(text, i, c)
+            out.append(text[i:j])
+            i = start = j
+        else:
+            i += 1
+    out.append(re.sub(pattern, repl, text[start:], flags=flags))
+    return "".join(out)
+
+
 def _scan_top_level_words(sql: str):
     """Yield (index, upper_word) for every bare word at paren depth 0,
     outside string literals and backtick identifiers."""
@@ -203,16 +223,33 @@ def rewrite_qualify(sql: str) -> str:
     error rather than silently changing semantics.
     """
     words = list(_scan_top_level_words(sql))
-    q = [(i, w) for i, w in words if w == "QUALIFY"]
+    froms_all = [i for i, w in words if w == "FROM"]
+    # a QUALIFY clause can only follow the FROM — a bare identifier named
+    # `qualify` in the projection must not trigger the rewrite
+    q = [
+        (i, w)
+        for i, w in words
+        if w == "QUALIFY" and froms_all and i > froms_all[0]
+    ]
     if not q:
         return sql
     if len(q) > 1:
         raise ValueError("multiple top-level QUALIFY clauses are not supported")
     qi, _ = q[0]
-    if any(w in ("UNION", "INTERSECT", "EXCEPT") for i, w in words if i < qi):
+
+    def _is_star_except(idx: int) -> bool:
+        # `* EXCEPT (cols)` / `t.* EXCEPT (cols)` is a projection modifier,
+        # not a set operation — recognized by the `*` immediately before
+        return sql[:idx].rstrip().endswith("*")
+
+    if any(
+        w in ("UNION", "INTERSECT") or (w == "EXCEPT" and not _is_star_except(i))
+        for i, w in words
+        if i < qi
+    ):
         raise ValueError("QUALIFY combined with set operations is not supported")
     selects = [i for i, w in words if w == "SELECT"]
-    froms = [i for i, w in words if w == "FROM" and i < qi]
+    froms = [i for i in froms_all if i < qi]
     if not selects or not froms:
         raise ValueError("QUALIFY requires a SELECT ... FROM query")
     sel_i = selects[0]

@@ -1730,23 +1730,41 @@ class EngineSession:
         self._model_recipes[name] = (src, raw, target, engine, dict(params))
         return self.spark.createDataFrame([(name, engine)], "model string, engine string")
 
-    def _inline_subselects(self, cond: str) -> str:
-        """Execute each `(SELECT ...)` inside a DML condition and inline the
-        result as a literal value list — the reference's DELETE planning
-        ("planner-resolved subselects, values inlined", planner/steps.py:
-        273-278 + query_planner.py:768-779). DataFrame filters cannot carry
-        subqueries, so the bounded subselect runs first. An empty result
-        inlines (NULL) — IN () is not valid SQL."""
-        out, i = [], 0
-        while True:
-            m = re.search(r"\(\s*SELECT\b", cond[i:], re.IGNORECASE)
+    def _subselects_to_views(self, cond: str) -> tuple[str, list[str]]:
+        """Replace each `(SELECT ...)` inside a DML/KB condition with a
+        subquery over a temp view holding the engine-executed (so
+        federation/KB/model-aware) subselect. The reference plans DML
+        subselects by collecting values and inlining them as literals
+        (planner/steps.py:273-278 + query_planner.py:768-779); that builds
+        an O(result) SQL string on the driver. Spark 4 accepts IN/scalar
+        subqueries inside ``F.expr`` filters and projections, and Catalyst
+        plans the membership test as a left-semi/anti join (broadcast when
+        the subselect is small) — so the subselect result never touches the
+        driver. String literals are skipped, so `note = '(select' ` text
+        is untouched. Returns (rewritten condition, created view names) —
+        views can be dropped once the consuming statement has executed."""
+        import uuid as _uuid
+
+        from mindsdb_spark.dialect.rewriter import _skip_string
+
+        out, views, i, n = [], [], 0, len(cond)
+        while i < n:
+            c = cond[i]
+            if c in ("'", '"'):
+                j = _skip_string(cond, i, c)
+                out.append(cond[i:j])
+                i = j
+                continue
+            m = re.match(r"\(\s*SELECT\b", cond[i:], re.IGNORECASE)
             if not m:
-                out.append(cond[i:])
-                break
-            start = i + m.start()
-            out.append(cond[i:start])
-            depth, j = 0, start
-            while j < len(cond):
+                out.append(c)
+                i += 1
+                continue
+            depth, j = 0, i
+            while j < n:
+                if cond[j] in ("'", '"'):
+                    j = _skip_string(cond, j, cond[j])
+                    continue
                 if cond[j] == "(":
                     depth += 1
                 elif cond[j] == ")":
@@ -1754,15 +1772,13 @@ class EngineSession:
                     if depth == 0:
                         break
                 j += 1
-            inner = cond[start + 1 : j]
-            vals = [r[0] for r in self.sql(inner).collect()]
-            lits = ", ".join(
-                "NULL" if v is None else (f"'{v}'" if isinstance(v, str) else repr(v))
-                for v in vals
-            ) or "NULL"
-            out.append(f"({lits})")
+            inner = cond[i + 1 : j]
+            vname = f"__dml_sq_{_uuid.uuid4().hex[:8]}"
+            self.sql(inner).createOrReplaceTempView(vname)
+            views.append(vname)
+            out.append(f"(SELECT * FROM {vname})")
             i = j + 1
-        return "".join(out)
+        return "".join(out), views
 
     def _model_join(self, m: re.Match, extra_params: dict | None = None) -> DataFrame:
         """Execute `SELECT ... FROM table [t] JOIN model [m] ...`.
@@ -1936,8 +1952,13 @@ class EngineSession:
             out = rewrite_qualify(out)
         # DuckDB star-EXCLUDE (native in the reference's internal executor)
         # → Spark's star-EXCEPT; the `* EXCLUDE (` shape can't collide with
-        # the set operation
-        out = re.sub(r"(\*\s+)EXCLUDE(\s*\()", r"\1EXCEPT\2", out, flags=re.IGNORECASE)
+        # the set operation. Literal-aware: a string containing the same
+        # text must not mutate.
+        from mindsdb_spark.dialect.rewriter import sub_outside_strings
+
+        out = sub_outside_strings(
+            r"(\*\s+)EXCLUDE(\s*\()", r"\1EXCEPT\2", out, re.IGNORECASE
+        )
         # information_schema.* is emulated with session views (the reference
         # computes ~30 virtual tables in-engine: datahub/datanodes/
         # system_tables.py:48-782); dotted names become view names.
@@ -2765,9 +2786,13 @@ class EngineSession:
                 for assign in split_top_level(m.group(2)):
                     colname, _, rhs = assign.partition("=")
                     set_map[colname.strip().strip("`")] = F.expr(self.rewrite(rhs.strip()))
-                n = self._writable[srcname].update(
-                    table, set_map, F.expr(self.rewrite(m.group(3)))
-                )
+                cond = self.rewrite(m.group(3))
+                sq_views = []
+                if re.search(r"\(\s*SELECT\b", cond, re.IGNORECASE):
+                    cond, sq_views = self._subselects_to_views(cond)
+                n = self._writable[srcname].update(table, set_map, F.expr(cond))
+                for v in sq_views:
+                    self.spark.catalog.dropTempView(v)
                 self._refresh_writable_views(srcname)
                 return self.spark.createDataFrame([(n,)], "updated int")
             kbname = m.group(1).lower().strip("`").split(".")[-1]
@@ -2797,14 +2822,20 @@ class EngineSession:
             srcname, table = self._resolve_writable(m.group(1))
             if srcname is not None:
                 cond = self.rewrite(m.group(2))
+                sq_views: list[str] = []
                 if re.search(r"\(\s*SELECT\b", cond, re.IGNORECASE):
-                    cond = self._inline_subselects(cond)
+                    cond, sq_views = self._subselects_to_views(cond)
                 n = self._writable[srcname].delete(table, F.expr(cond))
+                for v in sq_views:  # delete() ran eagerly — views done
+                    self.spark.catalog.dropTempView(v)
                 self._refresh_writable_views(srcname)
                 return self.spark.createDataFrame([(n,)], "deleted int")
             kbname = m.group(1).lower().strip("`").split(".")[-1]
             if kbname in self._kbs:
-                return self._kb_delete(kbname, F.expr(self.rewrite(m.group(2))))
+                cond = self.rewrite(m.group(2))
+                if re.search(r"\(\s*SELECT\b", cond, re.IGNORECASE):
+                    cond, _ = self._subselects_to_views(cond)
+                return self._kb_delete(kbname, F.expr(cond))
             nsrc, ntable = self._resolve_native_dml(m.group(1))
             if nsrc is not None:
                 n = self._native[nsrc].execute(
@@ -3424,17 +3455,25 @@ class EngineSession:
                     # documented schema names (query.mdx): chunk_content is
                     # the chunk text, bare id is the CHUNK id (the
                     # reference's TableField.ID is chunk-level); in the
-                    # projection the documented name stays on the output
-                    t = re.sub(r"\bchunk_content\b", "content", t, flags=re.IGNORECASE)
+                    # projection the documented name stays on the output.
+                    # Literal-aware: WHERE content = 'document id 5' must
+                    # keep its literal intact (round-3 advice, medium).
+                    from mindsdb_spark.dialect.rewriter import sub_outside_strings
+
+                    t = sub_outside_strings(
+                        r"\bchunk_content\b", "content", t, re.IGNORECASE
+                    )
                     repl = "chunk_id AS id" if projection else "chunk_id"
-                    return re.sub(r"\bid\b", repl, t, flags=re.IGNORECASE)
+                    return sub_outside_strings(r"\bid\b", repl, t, re.IGNORECASE)
 
                 conds = _kb_alias(m.group(3))
                 if re.search(r"\(\s*SELECT\b", conds, re.IGNORECASE):
                     # nested KB subselects (query.mdx: `id NOT IN (SELECT
                     # DISTINCT id FROM kb WHERE content=..)`) execute first
-                    # and inline as value lists — same treatment as DELETE
-                    conds = self._inline_subselects(conds)
+                    # and become temp-view subqueries — same semi/anti-join
+                    # treatment as DELETE (views stay registered: the KB
+                    # result df is evaluated lazily downstream)
+                    conds, _ = self._subselects_to_views(conds)
                 content, meta, post = None, [], []
                 for cond in _split_and(conds):
                     cm = _CONTENT_EQ_RE.match(cond.strip())

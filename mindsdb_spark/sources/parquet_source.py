@@ -112,13 +112,18 @@ class ParquetSource:
         from pyspark.sql import Observation
 
         # deleted-row count rides the write pass as an observed metric on
-        # the pre-filter rows — no separate count() scan (round-3 scale nit)
+        # the pre-filter rows — no separate count() scan (round-3 scale nit).
+        # The condition is materialized as a projected column first: Spark
+        # allows IN/scalar subqueries in projections but not inside a
+        # CollectMetrics expression, and the engine's DML-subselect path
+        # hands us conditions carrying temp-view subqueries.
         hit = F.coalesce(condition, F.lit(False))
         obs = Observation()
-        df = self.read(table).observe(obs, F.sum(hit.cast("long")).alias("n"))
+        df = self.read(table).withColumn("__hit__", hit)
+        df = df.observe(obs, F.sum(F.col("__hit__").cast("long")).alias("n"))
         # SQL deletes only condition=TRUE rows; a bare ~condition would also
         # drop NULL-predicate rows under three-valued logic
-        survivors = df.filter(~hit)
+        survivors = df.filter(~F.col("__hit__")).drop("__hit__")
         self._rewrite(table, survivors)
         return int(obs.get["n"] or 0)
 
@@ -129,13 +134,18 @@ class ParquetSource:
         pass — no pre-count scan."""
         from pyspark.sql import Observation
 
+        # condition projected to a column first — see delete() (subquery
+        # conditions are legal in projections, not in CollectMetrics)
         obs = Observation()
-        df = self.read(table).observe(
-            obs, F.sum(condition.cast("long")).alias("n")
+        df = self.read(table).withColumn(
+            "__hit__", F.coalesce(condition, F.lit(False))
         )
+        df = df.observe(obs, F.sum(F.col("__hit__").cast("long")).alias("n"))
         for colname, expr in set_map.items():
-            df = df.withColumn(colname, F.when(condition, expr).otherwise(F.col(colname)))
-        self._rewrite(table, df)
+            df = df.withColumn(
+                colname, F.when(F.col("__hit__"), expr).otherwise(F.col(colname))
+            )
+        self._rewrite(table, df.drop("__hit__"))
         return int(obs.get["n"] or 0)
 
     def _rewrite(self, table: str, df: DataFrame) -> int:

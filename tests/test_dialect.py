@@ -595,3 +595,31 @@ def test_explain_composes_with_table_functions(spark, sf_dir):
     sess.register_parquet_source("tpch", sf_dir, tables=["documents"])
     plan = sess.sql("EXPLAIN SELECT * FROM token_stats(tpch_documents)").collect()[0][0]
     assert "Physical Plan" in plan
+
+
+def test_qualify_with_star_except_projection(spark, sf_dir):
+    # round-3 advice: `SELECT * EXCEPT (cols) ... QUALIFY` was misread as a
+    # set operation; and a bare column named `qualify` must not engage the
+    # rewrite at all
+    s = EngineSession(spark)
+    s.register_parquet_source("tpch", sf_dir)
+    rows = s.sql(
+        "SELECT * EXCEPT (n_name) FROM tpch_nation "
+        "QUALIFY row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) = 1"
+    ).collect()
+    assert len(rows) == 5
+    assert "n_name" not in rows[0].asDict()
+    # identifier named qualify (projection position) passes through untouched
+    from mindsdb_spark.dialect.rewriter import rewrite_qualify
+
+    passthrough = "SELECT qualify FROM t"
+    assert rewrite_qualify(passthrough) == passthrough
+
+
+def test_star_exclude_inside_string_literal_untouched(spark, sf_dir):
+    s = EngineSession(spark)
+    s.register_parquet_source("tpch", sf_dir)
+    rows = s.sql(
+        "SELECT '* EXCLUDE (x)' AS lit, n_nationkey FROM tpch_nation LIMIT 1"
+    ).collect()
+    assert rows[0]["lit"] == "* EXCLUDE (x)"

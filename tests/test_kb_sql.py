@@ -286,3 +286,26 @@ def test_kb_documented_query_forms(kbsess):
         "LIMIT 3"
     )
     assert sub.columns == ["id"] and sub.count() == 3
+
+
+def test_kb_content_literal_with_id_word_not_rewritten(kbsess):
+    # round-3 advice (medium): _kb_alias rewrote `id`/`chunk_content`
+    # INSIDE string literals, silently mutating the search text
+    import mindsdb_spark.operators.vector as vec
+
+    seen = {}
+    orig = kbsess._kb_search
+
+    def spy(name, content, *a, **k):
+        seen["content"] = content
+        return orig(name, content, *a, **k)
+
+    kbsess._kb_search = spy
+    try:
+        rows = kbsess.sql(
+            "SELECT * FROM docs_kb WHERE content = 'document id 5 chunk_content'"
+        ).collect()
+    finally:
+        kbsess._kb_search = orig
+    assert seen["content"] == "document id 5 chunk_content"
+    assert len(rows) == 10

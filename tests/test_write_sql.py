@@ -255,3 +255,73 @@ def test_delete_with_subselect(wsess):
         "DELETE FROM wh.del_sub WHERE k = (SELECT max(n_nationkey) FROM tpch_nation)"
     ).collect()[0]["deleted"]
     assert n == 1
+
+def test_delete_subselect_never_materializes_on_driver(wsess, monkeypatch):
+    # round-3 verdict item 2: `DELETE ... WHERE k IN (SELECT <big>)` must
+    # plan as a left-semi/anti join, NOT a driver-collected literal list.
+    # A 150k-row subselect executes with DataFrame.collect forbidden.
+    wsess.sql("CREATE TABLE wh.del_big AS SELECT l_orderkey AS k, l_partkey AS p "
+              "FROM tpch_lineitem")
+    total = wsess.sql("SELECT count(*) AS n FROM wh_del_big").collect()[0]["n"]
+    from pyspark.sql import DataFrame
+
+    def _no_collect(self):
+        raise AssertionError("driver-side collect during subselect DML")
+
+    monkeypatch.setattr(DataFrame, "collect", _no_collect)
+    res = wsess.sql(
+        "DELETE FROM wh.del_big WHERE k IN (SELECT o_orderkey FROM tpch_orders "
+        "WHERE o_orderstatus = 'F')"
+    )
+    monkeypatch.undo()
+    n = res.collect()[0]["deleted"]
+    left = wsess.sql("SELECT count(*) AS n FROM wh_del_big").collect()[0]["n"]
+    expect = wsess.spark.sql(
+        "SELECT count(*) AS n FROM tpch_lineitem l JOIN tpch_orders o "
+        "ON l.l_orderkey = o.o_orderkey WHERE o.o_orderstatus = 'F'"
+    ).collect()[0]["n"]
+    assert n == expect and left == total - expect and n > 1000
+
+
+def test_delete_not_in_subselect_null_semantics(wsess):
+    # `x NOT IN (sub)` is never TRUE when sub contains a NULL — the
+    # temp-view subquery inherits Spark's standard 3VL, which literal
+    # inlining had to emulate
+    wsess.sql("CREATE OR REPLACE TABLE wh.ni AS SELECT * FROM VALUES "
+              "(1), (2), (3) AS t(k)")
+    wsess.sql("CREATE OR REPLACE TABLE wh.probe AS SELECT * FROM VALUES "
+              "(1), (NULL) AS t(v)")
+    n = wsess.sql(
+        "DELETE FROM wh.ni WHERE k NOT IN (SELECT v FROM wh_probe)"
+    ).collect()[0]["deleted"]
+    assert n == 0  # NULL in the probe set → NOT IN never TRUE
+    wsess.sql("DELETE FROM wh.probe WHERE v IS NULL")
+    n = wsess.sql(
+        "DELETE FROM wh.ni WHERE k NOT IN (SELECT v FROM wh_probe)"
+    ).collect()[0]["deleted"]
+    assert n == 2  # 2 and 3 go; 1 matches the probe
+
+
+def test_update_with_subselect_condition(wsess):
+    wsess.sql("CREATE OR REPLACE TABLE wh.upd_sub AS SELECT n_nationkey AS k, "
+              "0 AS flag FROM tpch_nation")
+    n = wsess.sql(
+        "UPDATE wh.upd_sub SET flag = 1 WHERE k IN "
+        "(SELECT n_nationkey FROM tpch_nation WHERE n_regionkey = 2)"
+    ).collect()[0]["updated"]
+    assert n == 5
+    got = wsess.sql("SELECT sum(flag) AS s FROM wh_upd_sub").collect()[0]["s"]
+    assert got == 5
+
+
+def test_delete_string_literal_containing_select_untouched(wsess):
+    # a literal that LOOKS like a subselect must not be executed/rewritten
+    wsess.sql("CREATE OR REPLACE TABLE wh.lit AS SELECT * FROM VALUES "
+              "(1, '(select secret)'), (2, 'plain') AS t(id, note)")
+    n = wsess.sql(
+        "DELETE FROM wh.lit WHERE note = '(select secret)' AND id IN "
+        "(SELECT 1)"
+    ).collect()[0]["deleted"]
+    assert n == 1
+    left = wsess.sql("SELECT note FROM wh_lit").collect()
+    assert [r["note"] for r in left] == ["plain"]
