@@ -1384,6 +1384,116 @@ class EngineSession:
             F.avg("ndcg").alias("ndcg"),
         )
 
+    def _kb_evaluate_generated(self, name: str, params: dict) -> DataFrame:
+        """``EVALUATE KNOWLEDGE_BASE kb USING generate = true [, count = N]
+        [, k = K] [, test_table = t]`` — generate the test set from the
+        stored chunks via the (mock) LLM transport, persist it to
+        ``test_table`` when given, then score retrieval by document id:
+        the reference's ``generate_data`` + EvaluateDocID flow
+        (interfaces/knowledge_base/evaluate.py:117-186 sample+generate+save,
+        468-560 doc_found / doc_position / top-10 accuracy / recall summary;
+        TOP_K = 20, DEFAULT_QUESTION_COUNT = 20).
+
+        Deviations, deliberate: the chunk sample is deterministic
+        (md5-ordered) instead of ``df.sample`` so runs are reproducible and
+        oracle-checkable; the mock LLM "generation" asks the extractive
+        question (the chunk text itself) with the hashed mock completion as
+        reference answer — with the md5 conformance embedder that preserves
+        the reference's intent (a generated question retrieves its source
+        chunk) without a live model. ``answers_digest`` hashes the mock
+        completions so the oracle checks generation, not just retrieval.
+        ``id``/``created_at`` columns are omitted (wall-clock values)."""
+        from pyspark.sql.window import Window
+
+        from mindsdb_spark.operators.kb import resolve_embedder
+        from mindsdb_spark.operators.vector import _dot, _norm
+
+        kb = self._kbs[name]
+        count = int(params.get("count", 20))
+        k = int(params.get("k", 20))
+        store = kb["store"]
+        sample = (
+            store.select("chunk_id", "doc_id", "chunk_text")
+            .orderBy(F.md5(F.concat(F.col("chunk_id"), F.lit(":sample"))))
+            .limit(count)
+        )
+        test = sample.select(
+            F.col("chunk_id").alias("qid"),
+            F.col("doc_id").alias("rel_doc_id"),
+            F.col("chunk_text").alias("question"),
+            F.expr("mindsdb_llm(chunk_text)").alias("answer"),
+        )
+        if params.get("test_table"):
+            srcname, table = self._resolve_writable(str(params["test_table"]))
+            if srcname is not None:
+                self._writable[srcname].create_table(
+                    table,
+                    test.select(
+                        "question", "answer", F.col("rel_doc_id").alias("doc_id")
+                    ),
+                    replace=True,
+                )
+                self._refresh_writable_views(srcname)
+        test = test.persist()  # two consumers: ranking + answers digest
+        q = resolve_embedder(kb.get("embedder"))(
+            test.select("qid", "rel_doc_id", F.col("question").alias("chunk_text")),
+            dim=kb["dim"],
+        ).select("qid", "rel_doc_id", F.col("embedding").alias("__qe"))
+        sim = _dot(
+            F.col("embedding").cast("array<double>"), F.col("__qe").cast("array<double>")
+        ) / (
+            _norm(F.col("embedding").cast("array<double>"))
+            * _norm(F.col("__qe").cast("array<double>"))
+        )
+        ranked = (
+            store.crossJoin(F.broadcast(q))
+            .withColumn("__sim", sim)
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("qid").orderBy(
+                        F.col("__sim").desc(), F.col("chunk_id")
+                    )
+                ),
+            )
+            .filter(F.col("rank") <= k)
+        )
+        # reference doc_position is 0-based (retrieved_doc_ids.index)
+        per_q = ranked.groupBy("qid").agg(
+            F.min(
+                F.when(F.col("doc_id") == F.col("rel_doc_id"), F.col("rank") - 1)
+            ).alias("first_pos")
+        )
+        metrics = per_q.agg(
+            F.count("*").alias("total_questions"),
+            F.sum(F.col("first_pos").isNotNull().cast("int")).alias("total_found"),
+            F.sum(
+                F.when(F.col("first_pos") < 10, 1).otherwise(0)
+            ).alias("accurate_in_top_10"),
+            F.avg("first_pos").alias("avg_first_position"),
+        ).withColumn(
+            "cumulative_recall_at_10",
+            F.col("accurate_in_top_10") / F.col("total_questions"),
+        )
+        digest = test.agg(
+            F.md5(F.concat_ws("|", F.array_sort(F.collect_list("answer")))).alias(
+                "answers_digest"
+            )
+        )
+        return (
+            metrics.crossJoin(digest)
+            .withColumn("name", F.lit(name))
+            .select(
+                "name",
+                "total_questions",
+                "total_found",
+                "accurate_in_top_10",
+                "avg_first_position",
+                "cumulative_recall_at_10",
+                "answers_digest",
+            )
+        )
+
     def _evaluate_metric(
         self, metric: str, inner_sql: str, n_decimals: int = 3
     ) -> DataFrame:
@@ -3217,8 +3327,12 @@ class EngineSession:
             for kv in split_top_level(m.group(2)):
                 k, _, v = kv.partition("=")
                 params[k.strip().lower()] = self._param_value(v)
+            kbn = m.group(1).lower().strip("`").split(".")[-1]
+            gen = params.get("generate", params.get("generate_data"))
+            if gen is not None and str(gen).lower() not in ("false", "0"):
+                return self._kb_evaluate_generated(kbn, params)
             return self._kb_evaluate(
-                m.group(1).lower().strip("`").split(".")[-1],
+                kbn,
                 params["test_table"],
                 int(params.get("k", 10)),
             )

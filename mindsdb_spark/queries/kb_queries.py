@@ -425,6 +425,84 @@ FROM top ORDER BY distance, doc_id
 S08_SQL = _s08_sql()
 
 
+# --- K09 KB evaluate with LLM-generated test set -----------------------------
+# `EVALUATE KNOWLEDGE_BASE kb USING generate = true` (round-3 VERDICT item
+# 4): sample chunks deterministically, "generate" the QA pair via the mock
+# LLM transport, score retrieval by doc id (EvaluateDocID: doc_found /
+# doc_position / top-10 accuracy; reference evaluate.py:117-186,468-560).
+# The oracle replays chunking, md5 embedding, the md5-ordered sample, the
+# mock completions (answers_digest pins them), the per-question top-20
+# cosine ranking and the summary row.
+def k09_kb_evaluate_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    sess.register_parquet_source("src", sf_dir)
+    sess.sql("CREATE KNOWLEDGE_BASE kbe USING dim = 8, embedder = 'md5'")
+    sess.sql("INSERT INTO kbe SELECT doc_id, text FROM src_documents WHERE doc_id < 60")
+    res = sess.sql("EVALUATE KNOWLEDGE_BASE kbe USING generate = true, count = 20, k = 20")
+    return res.select(
+        "name",
+        "total_questions",
+        "total_found",
+        "accurate_in_top_10",
+        F.expr(
+            "floor(avg_first_position * 1000000 + 0.5) / 1000000"
+        ).alias("avg_first_position"),
+        F.expr(
+            "floor(cumulative_recall_at_10 * 1000000 + 0.5) / 1000000"
+        ).alias("cumulative_recall_at_10"),
+        "answers_digest",
+    )
+
+
+def _k09_sql() -> str:
+    lanes = ", ".join(_md5_lane_sql("chunk_text", i) for i in range(8))
+    q_lanes = ", ".join(_md5_lane_sql("question", i) for i in range(8))
+    return f"""
+WITH {_K04_CHUNKS},
+emb AS (SELECT doc_id, chunk_id, chunk_text, [{lanes}] AS embedding
+        FROM ch WHERE doc_id < 60),
+samp AS (SELECT chunk_id AS qid, doc_id AS rel_doc_id, chunk_text AS question
+         FROM emb ORDER BY md5(chunk_id || ':sample') LIMIT 20),
+q AS (SELECT qid, rel_doc_id, question,
+             'llm:' || substr(md5(question), 1, 12) AS answer,
+             [{q_lanes}] AS qe
+      FROM samp),
+ranked AS (
+  SELECT qid, rel_doc_id, doc_id,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY ({_COS_SQL}) DESC, chunk_id
+         ) AS rnk
+  FROM emb, q
+),
+per_q AS (
+  SELECT qid,
+         min(CASE WHEN doc_id = rel_doc_id THEN rnk - 1 END) AS first_pos
+  FROM ranked WHERE rnk <= 20 GROUP BY qid
+),
+m AS (
+  SELECT count(*) AS total_questions,
+         CAST(sum(CASE WHEN first_pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS total_found,
+         CAST(sum(CASE WHEN first_pos < 10 THEN 1 ELSE 0 END) AS BIGINT)
+           AS accurate_in_top_10,
+         avg(first_pos) AS avg_first_position
+  FROM per_q
+),
+d AS (SELECT md5(string_agg(answer, '|' ORDER BY answer)) AS answers_digest FROM q)
+SELECT 'kbe' AS name, total_questions, total_found, accurate_in_top_10,
+       floor(avg_first_position * 1000000 + 0.5) / 1000000 AS avg_first_position,
+       floor(accurate_in_top_10 * 1.0 / total_questions * 1000000 + 0.5) / 1000000
+         AS cumulative_recall_at_10,
+       answers_digest
+FROM m, d
+"""
+
+
+K09_SQL = _k09_sql()
+
+
 KB_QUERIES = {
     "k01_kb_chunks": (k01_kb_chunks, K01_SQL),
     "k02_kb_eval": (k02_kb_eval, K02_SQL),
@@ -434,4 +512,5 @@ KB_QUERIES = {
     "k06_agent_rag": (k06_agent_rag, K06_SQL),
     "k07_chatbot_tick": (k07_chatbot_tick, K07_SQL),
     "s08_kb_metadata_sql": (s08_kb_metadata_sql, S08_SQL),
+    "k09_kb_evaluate_generated": (k09_kb_evaluate_generated, K09_SQL),
 }

@@ -52,3 +52,26 @@ def get_spark(app_name: str = "mindsdb-spark", cpus: str | int | None = None) ->
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+
+
+def tune_file_partitioning(spark: SparkSession, data_dir: str, cpus: int | None = None) -> int:
+    """Size ``spark.sql.files.maxPartitionBytes`` / ``openCostInBytes``
+    from the directory's actual parquet bytes so a many-small-file layout
+    schedules ~2x-cores scan tasks instead of one task per tiny file (open
+    cost amortizes packing) or a single packed task (the 128 MB default
+    swallows a whole small table). At cluster scale against 100 TB the
+    defaults are already right — this matters only when table bytes are
+    within an order of magnitude of cores x minimum split, i.e. local/test
+    layouts; returns the chosen maxPartitionBytes."""
+    ncpu = int(cpus or DEFAULT_CPUS)
+    total = 0
+    for root, _dirs, files in os.walk(data_dir):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    target = max(4 * 1024 * 1024, min(128 * 1024 * 1024, total // max(1, 2 * ncpu)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(max(256 * 1024, target // 4)))
+    return target

@@ -169,3 +169,27 @@ def test_evaluate_drift_sql_door(spark, sf_dir):
         "USING categorical = true"
     ).collect()
     assert len(cat) >= 2 and "category" in cat[0].asDict()
+
+
+def test_kb_evaluate_generate_mode(spark, sf_dir, tmp_path):
+    # EVALUATE KNOWLEDGE_BASE ... USING generate = true: the test set is
+    # generated from stored chunks via the mock LLM, persisted to
+    # test_table when given, then scored by doc id (reference
+    # evaluate.py:117-186 generate_data + EvaluateDocID)
+    s = EngineSession(spark)
+    s.register_parquet_source("src", sf_dir)
+    s.register_writable_source("wh", str(tmp_path / "wh"))
+    s.sql("CREATE KNOWLEDGE_BASE kbgen USING dim = 8, embedder = 'md5'")
+    s.sql("INSERT INTO kbgen SELECT doc_id, text FROM src_documents WHERE doc_id < 30")
+    row = s.sql(
+        "EVALUATE KNOWLEDGE_BASE kbgen USING generate = true, count = 5, k = 20, "
+        "test_table = wh.kb_testset"
+    ).collect()[0]
+    assert row["total_questions"] == 5
+    assert 0 <= row["total_found"] <= 5
+    assert row["answers_digest"]
+    # the generated test set persisted with the reference's column shape
+    saved = s.sql("SELECT * FROM wh_kb_testset").collect()
+    assert len(saved) == 5
+    assert set(saved[0].asDict()) == {"question", "answer", "doc_id"}
+    assert all(r["answer"].startswith("llm:") for r in saved)
