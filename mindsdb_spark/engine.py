@@ -1918,10 +1918,33 @@ class EngineSession:
             if gm:
                 where_text, group_tail = where_text[: gm.start()].strip(), where_text[gm.start():]
         mnames = {n.lower() for n in (malias, m.group("model").split(".")[-1]) if n}
+        order_cols = {
+            c.lower()
+            for c in (
+                spec.order_by
+                if isinstance(spec.order_by, list)
+                else [spec.order_by]
+                if spec.order_by
+                else []
+            )
+        }
         table_conds, post_conds, params = [], [], {}
         for cond in _split_and(where_text) if where_text else []:
             cm = _COND_RE.match(cond)
             colname = cm.group(1).strip("`").split(".")[-1].lower() if cm else None
+            if cm and cm.group(3).strip().strip("`").upper() == "LATEST":
+                # `WHERE t.<order col> > LATEST` — the reference's
+                # forecast-only time filter (plan_join_ts.py:266-276:
+                # fetch the last `window` rows per group, predict, return
+                # only the horizon rows). ts_apply_model already emits
+                # exactly the horizon rows beyond the window, so the
+                # condition is satisfied by construction and drops here.
+                if colname in order_cols and cm.group(2) in (">", "="):
+                    continue
+                raise ValueError(
+                    "LATEST is only valid as `<order column> > LATEST` on a "
+                    "time-series model join"
+                )
             prefix = cm.group(1).strip("`").split(".")[0].lower() if cm and "." in cm.group(1) else None
             model_ns = colname in model_cols or prefix in mnames
             if model_ns and cm.group(2) == "=":

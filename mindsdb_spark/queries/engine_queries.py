@@ -604,6 +604,52 @@ FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+# --- A10: multi-series TS forecast with `> LATEST` + group pushdown ----------
+def a10_ts_latest_multiseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 verdict item 7: the reference's signature TS query —
+    ``WHERE t.<time> > LATEST`` (forecast-only, plan_join_ts.py:266-276:
+    fetch the last `window` rows per group, return only the horizon rows)
+    combined with a group filter pushed into the per-group window fetch,
+    over many series at horizon 3. Every forecast value is the naive-drift
+    pure function of the per-group input window, so DuckDB replays it from
+    the same window arithmetic."""
+    import pyspark.sql.functions as F
+
+    sess = _session(spark, sf_dir)
+    sess.sql(
+        "CREATE OR REPLACE MODEL a10_drift (SELECT user_id, event_id, ts, value "
+        "FROM tpch_events) PREDICT value ORDER BY ts, event_id GROUP BY user_id "
+        "WINDOW 7 HORIZON 3 USING engine = 'ts_naive_drift'"
+    )
+    out = sess.sql(
+        "SELECT m.user_id, m.value FROM tpch_events t JOIN a10_drift m "
+        "WHERE t.ts > LATEST AND t.user_id < 30"
+    )
+    return out.select(
+        "user_id",
+        (F.floor(F.col("value") * 1e6 + F.lit(0.5)) / 1e6).alias("value"),
+    ).orderBy("user_id", "value")
+
+
+A10_SQL = """
+WITH r AS (SELECT user_id, ts, event_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events WHERE user_id < 30),
+w AS (SELECT * FROM r WHERE rn <= 7),
+a AS (SELECT user_id, max(rn) AS n,
+             max(CASE WHEN rn = 1 THEN value END) AS y_last
+      FROM w GROUP BY user_id),
+b AS (SELECT w.user_id, w.value AS y_first
+      FROM w JOIN a ON w.user_id = a.user_id AND w.rn = a.n),
+f AS (SELECT a.user_id,
+             a.y_last + h * ((a.y_last - b.y_first) / greatest(a.n - 1, 1)) AS value
+      FROM a JOIN b USING (user_id), UNNEST(generate_series(1, 3)) AS t(h))
+SELECT user_id, floor(value * 1000000 + 0.5) / 1000000 AS value
+FROM f ORDER BY user_id, value
+"""
+
+
 ENGINE_QUERIES = {
     "i01_last_sql": (i01_last_sql, I01_SQL),
     "e04_create_database": (e04_create_database, E04_SQL),
@@ -618,6 +664,7 @@ ENGINE_QUERIES = {
     "a07_ts_model_sql": (a07_ts_model_sql, A07_SQL),
     "a08_psi_drift": (a08_psi_drift, A08_SQL),
     "a09_categorical_drift": (a09_categorical_drift, A09_SQL),
+    "a10_ts_latest_multiseries": (a10_ts_latest_multiseries, A10_SQL),
     "m02_dialect_datetime": (m02_dialect_datetime, M02_SQL),
     "m04_group_concat": (m04_group_concat, M04_SQL),
     "m03_dialect_string": (m03_dialect_string, M03_SQL),

@@ -305,3 +305,19 @@ def test_describe_model_keyword_optional_and_attrs(spark, sf_dir):
     # table describe still answers the MySQL column shape
     assert sess.sql("DESCRIBE region").columns[:2] == ["Field", "Type"]
     sess.sql("DROP MODEL ddm")
+
+
+def test_ts_model_join_latest(sess):
+    # `WHERE t.<time col> > LATEST` (reference plan_join_ts.py:266-276):
+    # forecast-only output; a group filter rides into the window fetch
+    rows = sess.sql(
+        "SELECT m.user_id, m.h FROM tpch_events t JOIN fcast m "
+        "WHERE t.ts > LATEST AND t.user_id < 5 ORDER BY m.user_id, m.h"
+    ).collect()
+    assert rows and all(r["user_id"] < 5 for r in rows)
+    assert len(rows) % 2 == 0  # horizon rows only
+    # LATEST anywhere else is a planning error, as in the reference
+    with pytest.raises(ValueError, match="LATEST"):
+        sess.sql(
+            "SELECT m.user_id FROM tpch_events t JOIN fcast m WHERE t.value > LATEST"
+        )
