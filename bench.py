@@ -120,12 +120,19 @@ def _prepare_split(spark) -> str:
 
 
 def _prepare_sf1(spark) -> str:
-    """Derived sf1: ten key-shifted copies of the driver's sf0.1 fixtures,
-    written as 32-file parquet per table under /tmp. BENCH-ONLY data (the
-    correctness gate stays on the driver's own sf0.01) — its purpose is the
-    honest scale datapoint: Spark's fixed per-query floor amortizes with
-    data volume while single-threaded-per-query work does not.
-    Deterministic: copy i shifts every key column by i * 10^9."""
+    """True sf1 fixtures (round-3 verdict item 8): regenerated at 10x the
+    sf0.1 row counts with the driver fixtures' measured distributions
+    (mindsdb_spark/fixtures.py, seed 42) — TPC-H-shaped rows rather than
+    the round-3 10-way duplicated corpus, so the scale sections compare
+    engines on realistic data. BENCH-ONLY (the correctness gate stays on
+    the driver's own fixtures). SPARK_GRAFT_SF1_MODE=derived restores the
+    key-shifted 10-copy corpus (the worst-case dedup stress variant)."""
+    if os.environ.get("SPARK_GRAFT_SF1_MODE", "gen") == "gen":
+        from mindsdb_spark.fixtures import generate_sf
+
+        return generate_sf(
+            spark, os.path.join(SPLIT_DIR, "sf1_gen"), scale=10.0, seed=42
+        )
     from pyspark.sql import functions as F
 
     from mindsdb_spark.catalog import TPCH_TABLES, load_table
@@ -349,6 +356,7 @@ def main() -> None:
             "duckdb_total": r1_duck,
             "ratio": round(r1_spark / r1_duck, 3) if r1_duck else None,
         },
+        "sf1_mode": os.environ.get("SPARK_GRAFT_SF1_MODE", "gen"),
         "sf1_headline": _summ(sf1_variant),
         "sf1_pipeline": _summ(sf1_pipeline),
         "split32_headline": split_variant,

@@ -652,6 +652,60 @@ _LAST_COALESCE_RE = re.compile(
 )
 
 
+def _find_top_keyword(text: str, keyword: str) -> int:
+    """Index of the first bare ``keyword`` at paren depth 0 outside string
+    literals and backtick identifiers; -1 if absent. The statement
+    dispatchers use this instead of lazy regex splits so a literal like
+    ``' WHERE x'`` can never provide the clause boundary (round-3 advice:
+    literal-robustness of the regex command layer)."""
+    from mindsdb_spark.dialect.rewriter import _skip_string
+
+    depth, i, n, kw = 0, 0, len(text), keyword.upper()
+    while i < n:
+        c = text[i]
+        if c in ("'", '"', "`"):
+            i = _skip_string(text, i, c)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (c.isalpha() or c == "_") and depth == 0:
+            j = i
+            while j < n and (text[j].isalnum() or text[j] == "_"):
+                j += 1
+            if text[i:j].upper() == kw:
+                return i
+            i = j
+            continue
+        i += 1
+    return -1
+
+
+def _collapse_ws(text: str) -> str:
+    """Collapse whitespace runs to single spaces OUTSIDE string literals and
+    backtick identifiers — the command layer's normalization must not edit
+    literal content (literal-fuzz finding: `'a  b'` became `'a b'`)."""
+    from mindsdb_spark.dialect.rewriter import _skip_string
+
+    out, i, n = [], 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in ("'", '"', "`"):
+            j = _skip_string(text, i, c)
+            out.append(text[i:j])
+            i = j
+            continue
+        if c.isspace():
+            while i < n and text[i].isspace():
+                i += 1
+            out.append(" ")
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out).strip()
+
+
 def _split_and(text: str) -> list[str]:
     """Split a WHERE body on top-level ANDs (strings and parens respected)."""
     from mindsdb_spark.dialect.rewriter import _skip_string
@@ -765,6 +819,7 @@ class EngineSession:
         self.jobs = JobScheduler()
         self._views: dict[str, str] = {}
         self._files: dict[str, str] = {}  # registered file tables → path
+        self._owned_files: set[str] = set()  # upload temp files to unlink
         # engine+params per CREATE DATABASE, so ALTER DATABASE can merge new
         # parameters and re-attach (reference: command_executor.py:1308-1313
         # answer_alter_database → database_controller.update)
@@ -1094,24 +1149,43 @@ class EngineSession:
         for t in dropped:
             self.spark.catalog.dropTempView(f"{n}_{t}")
 
-    def register_file(self, name: str, path: str) -> None:
+    def register_file(self, name: str, path: str, owned: bool = False) -> None:
         """Register a data file as a queryable table (the reference's `files`
         integration: upload once, query as files.<name> — file_handler.py:
         80-196). Format is sniffed from content; the view is exposed both
-        bare and as files_<name>."""
+        bare and as files_<name>. ``owned=True`` marks the path as created
+        by the engine (the REST upload's temp file) — it is unlinked on
+        drop or re-register (round-3 advice: temp-file leak)."""
         from mindsdb_spark.sources.files import read_file
 
         df = read_file(self.spark, path)
-        df.createOrReplaceTempView(name.lower())
-        df.createOrReplaceTempView(f"files_{name.lower()}")
-        self._files[name.lower()] = path
+        n = name.lower()
+        old = self._files.get(n)
+        if old and old != path and n in self._owned_files:
+            self._owned_files.discard(n)
+            try:
+                os.unlink(old)
+            except OSError:
+                pass
+        df.createOrReplaceTempView(n)
+        df.createOrReplaceTempView(f"files_{n}")
+        self._files[n] = path
+        if owned:
+            self._owned_files.add(n)
 
     def drop_file(self, name: str) -> None:
-        """Detach a registered file's views (file_controller.delete_file)."""
+        """Detach a registered file's views (file_controller.delete_file);
+        engine-owned upload temp files are deleted from disk."""
         n = name.lower()
         if n not in self._files:
             raise FileNotFoundError(f"file {n!r} is not registered")
-        del self._files[n]
+        path = self._files.pop(n)
+        if n in self._owned_files:
+            self._owned_files.discard(n)
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
         self.spark.catalog.dropTempView(n)
         self.spark.catalog.dropTempView(f"files_{n}")
 
@@ -1409,8 +1483,14 @@ class EngineSession:
         from mindsdb_spark.operators.vector import _dot, _norm
 
         kb = self._kbs[name]
+        version = str(params.get("version", "doc_id")).lower()
+        if version not in ("doc_id", "llm_relevancy"):
+            raise NotImplementedError(
+                f"Version of evaluator is not implemented: {version}"
+            )
         count = int(params.get("count", 20))
-        k = int(params.get("k", 20))
+        # reference TOP_K: EvaluateDocID 20, EvaluateRerank 10
+        k = int(params.get("k", 20 if version == "doc_id" else 10))
         store = kb["store"]
         sample = (
             store.select("chunk_id", "doc_id", "chunk_text")
@@ -1458,6 +1538,89 @@ class EngineSession:
             )
             .filter(F.col("rank") <= k)
         )
+        if version == "llm_relevancy":
+            # EvaluateRerank (evaluate.py:271-466): score each retrieved
+            # chunk with the (mock) LLM relevance scorer, binary at 0.5,
+            # then MRR / hit@k / precision@k / entropy / nDCG per query
+            # averaged over queries — all as array aggregates, no loop.
+            rel = (
+                F.conv(
+                    F.substring(F.md5(F.col("chunk_text")), 1, 4), 16, 10
+                ).cast("double")
+                / 65535.0
+            )
+            scored = ranked.withColumn("score", rel).withColumn(
+                "rel_bin", (F.col("score") >= 0.5).cast("int")
+            )
+            per_q = scored.groupBy("qid").agg(
+                F.avg("score").alias("q_rel"),
+                F.min(F.when(F.col("rel_bin") == 1, F.col("rank") - 1)).alias(
+                    "first_pos"
+                ),
+                F.max("rel_bin").alias("hit_k"),
+                (F.sum("rel_bin") / F.count("*")).alias("prec_k"),
+                F.expr(
+                    "transform(array_sort(collect_list(struct(rank, score))),"
+                    " x -> x.score)"
+                ).alias("sc"),
+            )
+            dcg = (
+                "aggregate(zip_with({0}, sequence(0, size({0}) - 1),"
+                " (s, i) -> s / log2(i + 2)), 0D, (a, x) -> a + x)"
+            )
+            per_q = per_q.withColumn(
+                "ndcg",
+                F.coalesce(
+                    F.expr(dcg.format("sc"))
+                    / F.expr(dcg.format("reverse(array_sort(sc))")),
+                    F.lit(0.0),  # reference: ndcg = 0 when ideal dcg is 0
+                ),
+            ).withColumn(
+                "entropy",
+                F.expr(
+                    "aggregate(transform(filter(sc, x -> x > 0),"
+                    " x -> x / aggregate(sc, 0D, (a, y) -> a + y)),"
+                    " 0D, (a, p) -> a - p * ln(p))"
+                ),
+            )
+            r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+            metrics = per_q.agg(
+                F.count("*").alias("total_questions"),
+                r6(F.avg("q_rel")).alias("avg_relevancy"),
+                r6(F.avg("first_pos")).alias("avg_first_relevant_position"),
+                r6(
+                    F.avg(
+                        F.coalesce(
+                            F.lit(1.0) / (F.col("first_pos") + 1), F.lit(0.0)
+                        )
+                    )
+                ).alias("mean_mrr"),
+                r6(F.avg("hit_k")).alias("hit_at_k"),
+                r6(F.avg("prec_k")).alias("bin_precision_at_k"),
+                r6(F.avg("entropy")).alias("avg_entropy"),
+                r6(F.avg("ndcg")).alias("avg_ndcg"),
+            )
+            digest = test.agg(
+                F.md5(
+                    F.concat_ws("|", F.array_sort(F.collect_list("answer")))
+                ).alias("answers_digest")
+            )
+            return (
+                metrics.crossJoin(digest)
+                .withColumn("name", F.lit(name))
+                .select(
+                    "name",
+                    "total_questions",
+                    "avg_relevancy",
+                    "avg_first_relevant_position",
+                    "mean_mrr",
+                    "hit_at_k",
+                    "bin_precision_at_k",
+                    "avg_entropy",
+                    "avg_ndcg",
+                    "answers_digest",
+                )
+            )
         # reference doc_position is 0-based (retrieved_doc_ids.index)
         per_q = ranked.groupBy("qid").agg(
             F.min(
@@ -2225,7 +2388,7 @@ class EngineSession:
     # Mirrors the reference's SHOW rewrites into information_schema SELECTs
     # (command_executor.py:283-570), minus the MySQL-wire-only commands.
     def _try_command(self, sql: str) -> DataFrame | None:
-        s = " ".join(sql.strip().rstrip(";").split())
+        s = _collapse_ws(sql.strip().rstrip(";"))
         u = s.upper()
         if u in ("SHOW PROCESSLIST", "SHOW FULL PROCESSLIST"):
             self._refresh_information_schema()
@@ -2901,25 +3064,42 @@ class EngineSession:
                 changes["knowledge_bases"] = kbs
             self._agents[name] = dataclasses.replace(spec, **changes)
             return self.spark.createDataFrame([(name,)], "agent string")
-        m = _UPDATE_FROM_RE.match(s)
-        if m:
-            tname = m.group(1).strip("`").split(".")[-1]
-            return self.sql(
-                f"MERGE INTO {m.group(1)} AS {tname} "
-                f"USING ({m.group(3)}) AS {m.group(4)} ON {m.group(5)} "
-                f"WHEN MATCHED THEN UPDATE SET {m.group(2)}"
-            )
+        # UPDATE clause boundaries come from top-level keyword scanning, not
+        # lazy regex splits — `SET note = ' WHERE x'` must not end the SET
+        # clause at the literal's WHERE (literal-fuzz finding, round 4)
         m = _UPDATE_RE.match(s)
+        u_set = u_cond = None
+        if m:
+            rest = s[m.start(2):]
+            wi = _find_top_keyword(rest, "WHERE")
+            if wi < 0:
+                m = None
+            else:
+                u_set, u_cond = rest[:wi].strip(), rest[wi + len("WHERE"):].strip()
+                fi = _find_top_keyword(u_set, "FROM")
+                if fi >= 0:
+                    fm = re.match(
+                        r"\((.+)\)\s*(?:AS\s+)?(\w+)\s*$",
+                        u_set[fi + len("FROM"):].strip(),
+                        re.IGNORECASE | re.DOTALL,
+                    )
+                    if fm:
+                        tname = m.group(1).strip("`").split(".")[-1]
+                        return self.sql(
+                            f"MERGE INTO {m.group(1)} AS {tname} "
+                            f"USING ({fm.group(1)}) AS {fm.group(2)} ON {u_cond} "
+                            f"WHEN MATCHED THEN UPDATE SET {u_set[:fi].strip()}"
+                        )
         if m:
             srcname, table = self._resolve_writable(m.group(1))
             if srcname is not None:
                 from mindsdb_spark.dialect.rewriter import split_top_level
 
                 set_map = {}
-                for assign in split_top_level(m.group(2)):
+                for assign in split_top_level(u_set):
                     colname, _, rhs = assign.partition("=")
                     set_map[colname.strip().strip("`")] = F.expr(self.rewrite(rhs.strip()))
-                cond = self.rewrite(m.group(3))
+                cond = self.rewrite(u_cond)
                 sq_views = []
                 if re.search(r"\(\s*SELECT\b", cond, re.IGNORECASE):
                     cond, sq_views = self._subselects_to_views(cond)
@@ -2933,13 +3113,13 @@ class EngineSession:
                 from mindsdb_spark.dialect.rewriter import split_top_level
 
                 set_map = {}
-                for assign in split_top_level(m.group(2)):
+                for assign in split_top_level(u_set):
                     colname, _, rhs = assign.partition("=")
                     set_map[colname.strip().strip("`").lower()] = F.expr(
                         self.rewrite(rhs.strip())
                     )
                 return self._kb_update(
-                    kbname, set_map, F.expr(self.rewrite(m.group(3)))
+                    kbname, set_map, F.expr(self.rewrite(u_cond))
                 )
             nsrc, ntable = self._resolve_native_dml(m.group(1))
             if nsrc is not None:
@@ -2947,7 +3127,7 @@ class EngineSession:
                 # runs it there (update_step.py:16-127); the exemplar ships
                 # the ANSI statement with the bare table name
                 n = self._native[nsrc].execute(
-                    f"UPDATE {ntable} SET {m.group(2)} WHERE {m.group(3)}"
+                    f"UPDATE {ntable} SET {u_set} WHERE {u_cond}"
                 )
                 return self.spark.createDataFrame([(n,)], "updated int")
         m = _DELETE_RE.match(s)
@@ -3497,18 +3677,58 @@ class EngineSession:
                 # multi-model batch predict (get-batch-predictions.mdx:17-23
                 # `JOIN mindsdb.m1 AS m1 JOIN mindsdb.m2 AS m2 ...`): every
                 # model applies row-wise to the same table fetch; each
-                # model's outputs are alias-scoped so same-named predictions
-                # don't collide. One Arrow stage per model, no join.
+                # model's outputs are alias-scoped by its DECLARED output
+                # schema (a column-set diff would silently skip an output
+                # that shadows an input column — round-3 advice), and the
+                # WHERE's pure-input conditions push into the table fetch
+                # before any model runs. One Arrow stage per model, no join.
                 from mindsdb_spark.operators.model import apply_model
 
                 df = self.sql(f"SELECT * FROM {mm.group('table')}")
+                declared: dict[str, list[str]] = {
+                    alias: [
+                        p.strip().split()[0].strip("`").lower()
+                        for p in spec.output_schema.split(",")
+                        if p.strip()
+                    ]
+                    for spec, alias in specs
+                }
+                out_names = {n for outs in declared.values() for n in outs}
+                clash = out_names & {c.lower() for c in df.columns}
+                if clash:
+                    raise ValueError(
+                        f"model output column(s) {sorted(clash)} collide with "
+                        f"table columns in multi-model join — alias or rename "
+                        "the table columns"
+                    )
+                where_conds = (
+                    _split_and(mm.group("where")) if mm.group("where") else []
+                )
+                aliases = {a for _sp, a in specs}
+                pre, post_where = [], []
+                for cond in where_conds:
+                    model_ref = any(
+                        re.search(rf"\b{re.escape(a)}\s*\.", cond, re.IGNORECASE)
+                        for a in aliases
+                    ) or any(
+                        re.search(rf"\b{re.escape(n)}\b", cond, re.IGNORECASE)
+                        for n in out_names
+                    )
+                    (post_where if model_ref else pre).append(cond)
+                if pre:
+                    stripped = " AND ".join(pre)
+                    if mm.group("talias"):
+                        stripped = re.sub(
+                            rf"\b{re.escape(mm.group('talias'))}\s*\.\s*",
+                            "",
+                            stripped,
+                            flags=re.IGNORECASE,
+                        )
+                    df = df.filter(F.expr(self.rewrite(stripped)))
                 col_map: dict[str, dict[str, str]] = {}
                 for spec, alias in specs:
-                    before = set(df.columns)
                     df = apply_model(df, spec)
-                    renames = {
-                        c: f"__{alias}__{c}" for c in df.columns if c not in before
-                    }
+                    renames = {c: f"__{alias}__{c}" for c in declared[alias]}
                     for old, newc in renames.items():
                         df = df.withColumnRenamed(old, newc)
                     col_map[alias] = renames
@@ -3532,8 +3752,10 @@ class EngineSession:
 
                 df.createOrReplaceTempView("__multi_model")
                 outer = f"SELECT {self.rewrite(_requal(mm.group('sel')))} FROM __multi_model"
-                if mm.group("where"):
-                    outer += " WHERE " + self.rewrite(_requal(mm.group("where")))
+                if post_where:
+                    outer += " WHERE " + self.rewrite(
+                        _requal(" AND ".join(post_where))
+                    )
                 if mm.group("order"):
                     outer += " ORDER BY " + self.rewrite(_requal(mm.group("order")))
                 if mm.group("limit"):

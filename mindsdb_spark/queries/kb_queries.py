@@ -503,6 +503,97 @@ FROM m, d
 K09_SQL = _k09_sql()
 
 
+# --- K10 KB evaluate, llm_relevancy version ----------------------------------
+# `EVALUATE ... USING generate = true, version = 'llm_relevancy'` — the
+# reference's EvaluateRerank (evaluate.py:271-466): per question, top-10 by
+# cosine, every retrieved chunk scored by the (mock) relevance model,
+# binary cut at 0.5, then avg relevancy / first-relevant position / MRR /
+# hit@k / precision@k / entropy / nDCG averaged over queries. The oracle
+# replays retrieval, the md5-mock scorer, and every metric as list math.
+def k10_kb_evaluate_relevancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    sess.register_parquet_source("src", sf_dir)
+    sess.sql("CREATE KNOWLEDGE_BASE kbr USING dim = 8, embedder = 'md5'")
+    sess.sql("INSERT INTO kbr SELECT doc_id, text FROM src_documents WHERE doc_id < 60")
+    return sess.sql(
+        "EVALUATE KNOWLEDGE_BASE kbr USING generate = true, count = 20, "
+        "version = 'llm_relevancy'"
+    )
+
+
+def _k10_sql() -> str:
+    lanes = ", ".join(_md5_lane_sql("chunk_text", i) for i in range(8))
+    q_lanes = ", ".join(_md5_lane_sql("question", i) for i in range(8))
+    dcg = (
+        "list_sum(list_transform(generate_series(1, len({0})),"
+        " i -> {0}[i] / log2(i + 1)))"
+    )
+    return f"""
+WITH {_K04_CHUNKS},
+emb AS (SELECT doc_id, chunk_id, chunk_text, [{lanes}] AS embedding
+        FROM ch WHERE doc_id < 60),
+samp AS (SELECT chunk_id AS qid, doc_id AS rel_doc_id, chunk_text AS question
+         FROM emb ORDER BY md5(chunk_id || ':sample') LIMIT 20),
+q AS (SELECT qid, question,
+             'llm:' || substr(md5(question), 1, 12) AS answer,
+             [{q_lanes}] AS qe
+      FROM samp),
+ranked AS (
+  SELECT qid, chunk_text,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY ({_COS_SQL}) DESC, chunk_id
+         ) AS rnk
+  FROM emb, q
+),
+scored AS (
+  SELECT qid, rnk,
+         ('0x' || substr(md5(chunk_text), 1, 4))::UBIGINT / 65535.0 AS score
+  FROM ranked WHERE rnk <= 10
+),
+per_q AS (
+  SELECT qid,
+         avg(score) AS q_rel,
+         min(CASE WHEN score >= 0.5 THEN rnk - 1 END) AS first_pos,
+         max(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS hit_k,
+         sum(CASE WHEN score >= 0.5 THEN 1.0 ELSE 0 END) / count(*) AS prec_k,
+         list(score ORDER BY rnk) AS sc
+  FROM scored GROUP BY qid
+),
+per_q2 AS (
+  SELECT *,
+         coalesce({dcg.format("sc")}
+                  / {dcg.format("list_reverse_sort(sc)")}, 0.0) AS ndcg,
+         list_sum(list_transform(
+           list_filter(sc, x -> x > 0),
+           x -> -(x / list_sum(sc)) * ln(x / list_sum(sc)))) AS entropy
+  FROM per_q
+),
+m AS (
+  SELECT count(*) AS total_questions,
+         floor(avg(q_rel) * 1000000 + 0.5) / 1000000 AS avg_relevancy,
+         floor(avg(first_pos) * 1000000 + 0.5) / 1000000
+           AS avg_first_relevant_position,
+         floor(avg(coalesce(1.0 / (first_pos + 1), 0.0)) * 1000000 + 0.5) / 1000000
+           AS mean_mrr,
+         floor(avg(hit_k) * 1000000 + 0.5) / 1000000 AS hit_at_k,
+         floor(avg(prec_k) * 1000000 + 0.5) / 1000000 AS bin_precision_at_k,
+         floor(avg(entropy) * 1000000 + 0.5) / 1000000 AS avg_entropy,
+         floor(avg(ndcg) * 1000000 + 0.5) / 1000000 AS avg_ndcg
+  FROM per_q2
+),
+d AS (SELECT md5(string_agg(answer, '|' ORDER BY answer)) AS answers_digest FROM q)
+SELECT 'kbr' AS name, total_questions, avg_relevancy,
+       avg_first_relevant_position, mean_mrr, hit_at_k, bin_precision_at_k,
+       avg_entropy, avg_ndcg, answers_digest
+FROM m, d
+"""
+
+
+K10_SQL = _k10_sql()
+
+
 KB_QUERIES = {
     "k01_kb_chunks": (k01_kb_chunks, K01_SQL),
     "k02_kb_eval": (k02_kb_eval, K02_SQL),
@@ -513,4 +604,5 @@ KB_QUERIES = {
     "k07_chatbot_tick": (k07_chatbot_tick, K07_SQL),
     "s08_kb_metadata_sql": (s08_kb_metadata_sql, S08_SQL),
     "k09_kb_evaluate_generated": (k09_kb_evaluate_generated, K09_SQL),
+    "k10_kb_evaluate_relevancy": (k10_kb_evaluate_relevancy, K10_SQL),
 }

@@ -111,15 +111,33 @@ class SQLServer:
                         self._reply(400, {"type": "error", "error_message":
                                           'Missing "query" SQL statement'})
                         return
+                    # reference answers 409 Conflict when the model already
+                    # exists (namespaces/models.py:69-73) instead of
+                    # silently retraining
+                    cm = _re.match(
+                        r"\s*CREATE\s+(?P<rep>OR\s+REPLACE\s+)?MODEL\s+"
+                        r"(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)",
+                        body["query"],
+                        _re.IGNORECASE,
+                    )
+                    new_name = (
+                        cm.group(2).lower().strip("`").split(".")[-1] if cm else None
+                    )
+                    if (
+                        new_name in outer.session._models
+                        and cm.group("rep") is None
+                    ):
+                        self._reply(409, {"type": "error", "error_message":
+                                          f"model {new_name!r} already exists"})
+                        return
                     try:
                         with outer._exec_lock:
                             outer.session.sql(body["query"])
-                        names = set(outer.session._models)
-                        self._reply(201, [
-                            {"name": n,
-                             "active_version": outer.session._model_active.get(n, 1)}
-                            for n in sorted(names)
-                        ])
+                        n = new_name if new_name in outer.session._models else None
+                        self._reply(201, {
+                            "name": n,
+                            "active_version": outer.session._model_active.get(n, 1),
+                        } if n else {"name": None})
                     except Exception as e:
                         self._reply(400, {"type": "error", "error_message": str(e)})
                     return
@@ -303,7 +321,9 @@ class SQLServer:
                                           'source_type must be "path" or "data"'})
                         return
                     with outer._exec_lock:
-                        outer.session.register_file(name, fpath)
+                        outer.session.register_file(
+                            name, fpath, owned=body.get("source_type") == "data"
+                        )
                     self._reply(201, {"name": name})
                 except Exception as e:
                     self._reply(400, {"type": "error", "error_message": str(e)})

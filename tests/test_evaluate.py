@@ -193,3 +193,25 @@ def test_kb_evaluate_generate_mode(spark, sf_dir, tmp_path):
     assert len(saved) == 5
     assert set(saved[0].asDict()) == {"question", "answer", "doc_id"}
     assert all(r["answer"].startswith("llm:") for r in saved)
+
+
+def test_kb_evaluate_llm_relevancy_version(spark, sf_dir):
+    # version = 'llm_relevancy' (reference EvaluateRerank,
+    # evaluate.py:271-466): mock-scored relevance metrics per query
+    s = EngineSession(spark)
+    s.register_parquet_source("src", sf_dir)
+    s.sql("CREATE KNOWLEDGE_BASE kbrel USING dim = 8, embedder = 'md5'")
+    s.sql("INSERT INTO kbrel SELECT doc_id, text FROM src_documents WHERE doc_id < 20")
+    row = s.sql(
+        "EVALUATE KNOWLEDGE_BASE kbrel USING generate = true, count = 4, "
+        "version = 'llm_relevancy'"
+    ).collect()[0]
+    assert row["total_questions"] == 4
+    assert 0.0 <= row["avg_relevancy"] <= 1.0
+    assert 0.0 <= row["avg_ndcg"] <= 1.0
+    assert 0.0 <= row["mean_mrr"] <= 1.0
+    with pytest.raises(NotImplementedError):
+        s.sql(
+            "EVALUATE KNOWLEDGE_BASE kbrel USING generate = true, "
+            "version = 'bogus'"
+        )

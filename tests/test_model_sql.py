@@ -321,3 +321,22 @@ def test_ts_model_join_latest(sess):
         sess.sql(
             "SELECT m.user_id FROM tpch_events t JOIN fcast m WHERE t.value > LATEST"
         )
+
+
+def test_multi_model_join_output_collision_errors(spark, sf_dir):
+    # round-3 advice: an output column shadowing an input column used to be
+    # silently skipped by the column-set-diff rename — now a clear error
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir)
+    sess.sql("CREATE MODEL mc1 (SELECT c_acctbal, c_custkey, c_nationkey "
+             "FROM tpch_customer) PREDICT c_acctbal USING engine = 'spark_ml_linreg'")
+    sess.sql("CREATE MODEL mc2 (SELECT c_nationkey AS cl, c_custkey, c_acctbal "
+             "FROM tpch_customer) PREDICT cl USING engine = 'spark_ml_kmeans'")
+    with pytest.raises(ValueError, match="collide"):
+        sess.sql(
+            "SELECT t.c_custkey, m1.c_acctbal, m2.cl "
+            "FROM tpch_customer AS t JOIN mindsdb.mc1 AS m1 JOIN mindsdb.mc2 AS m2"
+        )
+    sess.sql("DROP MODEL mc1"); sess.sql("DROP MODEL mc2")

@@ -155,11 +155,21 @@ def test_rest_model_predict(server):
 def test_rest_model_lifecycle(server):
     # train via POST {query} (models.py:41-53), describe via GET one,
     # remove via DELETE (models.py:122-178)
-    code, models = _req(server, "/api/projects/mindsdb/models", "POST",
-                        {"query": "CREATE MODEL rest_m2 (SELECT o_totalprice AS y, "
-                                  "o_custkey FROM tpch_orders) PREDICT y "
-                                  "USING engine = 'spark_ml_linreg'"})
-    assert code == 201 and any(m["name"] == "rest_m2" for m in models)
+    code, created = _req(server, "/api/projects/mindsdb/models", "POST",
+                         {"query": "CREATE MODEL rest_m2 (SELECT o_totalprice AS y, "
+                                   "o_custkey FROM tpch_orders) PREDICT y "
+                                   "USING engine = 'spark_ml_linreg'"})
+    assert code == 201 and created["name"] == "rest_m2"
+    # re-creating an existing model answers 409 Conflict
+    # (reference namespaces/models.py:69-73), not a silent retrain
+    try:
+        code, _ = _req(server, "/api/projects/mindsdb/models", "POST",
+                       {"query": "CREATE MODEL rest_m2 (SELECT o_totalprice AS y, "
+                                 "o_custkey FROM tpch_orders) PREDICT y "
+                                 "USING engine = 'spark_ml_linreg'"})
+    except Exception as e:
+        code = e.code
+    assert code == 409
     code, one = _req(server, "/api/projects/mindsdb/models/rest_m2")
     assert code == 200 and one["name"] == "rest_m2" and one["active_version"] == 1
     code, _ = _req(server, "/api/projects/mindsdb/models/rest_m2", "DELETE")
@@ -194,4 +204,12 @@ def test_rest_files_namespace(server, tmp_path):
     assert code == 204
     code, files = _req(server, "/api/files")
     assert not any(f["name"] == "pets" for f in files)
+    # the data-upload temp file is engine-owned: DELETE unlinks it from disk
+    import os
+
+    tiny_path = server.session._files["tiny"]
+    assert os.path.exists(tiny_path)
     _req(server, "/api/files/tiny", "DELETE")
+    assert not os.path.exists(tiny_path)
+    # the path-upload file is user-owned and must survive its DELETE
+    assert p.exists()
