@@ -1492,11 +1492,31 @@ class EngineSession:
         # reference TOP_K: EvaluateDocID 20, EvaluateRerank 10
         k = int(params.get("k", 20 if version == "doc_id" else 10))
         store = kb["store"]
-        sample = (
-            store.select("chunk_id", "doc_id", "chunk_text")
-            .orderBy(F.md5(F.concat(F.col("chunk_id"), F.lit(":sample"))))
-            .limit(count)
-        )
+        if params.get("from_sql"):
+            # generate the test set from a user query instead of the KB
+            # (evaluate.py:118-137: requires a `content` column; `id` is
+            # the relevant-document key for the doc_id version)
+            src = self.sql(str(params["from_sql"]))
+            cols = {c.lower(): c for c in src.columns}
+            if "content" not in cols:
+                raise ValueError(
+                    "`content` column isn't found in provided sql: "
+                    f"{params['from_sql']}"
+                )
+            pool = src.select(
+                F.col(cols.get("id", cols["content"])).cast("string").alias(
+                    "chunk_id"
+                ),
+                F.col(cols["id"]).alias("doc_id")
+                if "id" in cols
+                else F.lit(None).cast("long").alias("doc_id"),
+                F.col(cols["content"]).alias("chunk_text"),
+            ).limit(10000)  # DEFAULT_SAMPLE_SIZE
+        else:
+            pool = store.select("chunk_id", "doc_id", "chunk_text")
+        sample = pool.orderBy(
+            F.md5(F.concat(F.col("chunk_id"), F.lit(":sample")))
+        ).limit(count)
         test = sample.select(
             F.col("chunk_id").alias("qid"),
             F.col("doc_id").alias("rel_doc_id"),
@@ -1605,7 +1625,7 @@ class EngineSession:
                     F.concat_ws("|", F.array_sort(F.collect_list("answer")))
                 ).alias("answers_digest")
             )
-            return (
+            return self._kb_eval_save(
                 metrics.crossJoin(digest)
                 .withColumn("name", F.lit(name))
                 .select(
@@ -1619,7 +1639,8 @@ class EngineSession:
                     "avg_entropy",
                     "avg_ndcg",
                     "answers_digest",
-                )
+                ),
+                params,
             )
         # reference doc_position is 0-based (retrieved_doc_ids.index)
         per_q = ranked.groupBy("qid").agg(
@@ -1643,7 +1664,7 @@ class EngineSession:
                 "answers_digest"
             )
         )
-        return (
+        return self._kb_eval_save(
             metrics.crossJoin(digest)
             .withColumn("name", F.lit(name))
             .select(
@@ -1654,8 +1675,23 @@ class EngineSession:
                 "avg_first_position",
                 "cumulative_recall_at_10",
                 "answers_digest",
-            )
+            ),
+            params,
         )
+
+    def _kb_eval_save(self, scores: DataFrame, params: dict) -> DataFrame:
+        """``save_to = <table>`` appends the evaluation scores row
+        (reference run_evaluate, evaluate.py:222-228)."""
+        if params.get("save_to"):
+            srcname, table = self._resolve_writable(str(params["save_to"]))
+            if srcname is not None:
+                ps = self._writable[srcname]
+                if ps.exists(table):
+                    ps.insert(table, scores)
+                else:
+                    ps.create_table(table, scores)
+                self._refresh_writable_views(srcname)
+        return scores
 
     def _evaluate_metric(
         self, metric: str, inner_sql: str, n_decimals: int = 3

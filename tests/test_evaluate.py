@@ -215,3 +215,33 @@ def test_kb_evaluate_llm_relevancy_version(spark, sf_dir):
             "EVALUATE KNOWLEDGE_BASE kbrel USING generate = true, "
             "version = 'bogus'"
         )
+
+
+def test_kb_evaluate_from_sql_and_save_to(spark, sf_dir, tmp_path):
+    # generate_data from_sql source + save_to scores sink (reference
+    # evaluate.py:118-137, 222-228)
+    s = EngineSession(spark)
+    s.register_parquet_source("src", sf_dir)
+    s.register_writable_source("wh", str(tmp_path / "wh"))
+    s.sql("CREATE KNOWLEDGE_BASE kbfs USING dim = 8, embedder = 'md5'")
+    s.sql("INSERT INTO kbfs SELECT doc_id, text FROM src_documents WHERE doc_id < 20")
+    row = s.sql(
+        "EVALUATE KNOWLEDGE_BASE kbfs USING generate = true, count = 3, "
+        "from_sql = 'SELECT doc_id AS id, text AS content FROM src_documents "
+        "WHERE doc_id < 20', save_to = wh.kb_scores"
+    ).collect()[0]
+    assert row["total_questions"] == 3
+    saved = s.sql("SELECT * FROM wh_kb_scores").collect()
+    assert len(saved) == 1 and saved[0]["total_questions"] == 3
+    # a second run appends
+    s.sql(
+        "EVALUATE KNOWLEDGE_BASE kbfs USING generate = true, count = 3, "
+        "save_to = wh.kb_scores"
+    ).collect()
+    assert len(s.sql("SELECT * FROM wh_kb_scores").collect()) == 2
+    # from_sql without a content column is the reference's error
+    with pytest.raises(Exception, match="content"):
+        s.sql(
+            "EVALUATE KNOWLEDGE_BASE kbfs USING generate = true, "
+            "from_sql = 'SELECT doc_id FROM src_documents'"
+        )
