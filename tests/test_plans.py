@@ -287,3 +287,24 @@ def test_bigram_nll_reuses_persisted_count_tables(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents")
     plan = _plan(bigram_nll(df))
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+def test_dml_subselect_plans_as_semi_join(spark, sf_dir, tmp_path):
+    # round-3 verdict item 2: the DELETE-subselect condition must compile
+    # to a (broadcast) left-semi membership join, never a literal list
+    from mindsdb_spark.engine import EngineSession
+
+    s = EngineSession(spark)
+    s.register_parquet_source("tpch", sf_dir)
+    s.register_writable_source("whp", str(tmp_path / "whp"))
+    s.sql("CREATE TABLE whp.t AS SELECT l_orderkey AS k FROM tpch_lineitem")
+    cond, views = s._subselects_to_views(
+        "k IN (SELECT o_orderkey FROM tpch_orders WHERE o_orderstatus = 'F')"
+    )
+    from pyspark.sql import functions as F
+
+    df = s.sql("SELECT * FROM whp_t").filter(F.expr(cond))
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    for v in views:
+        spark.catalog.dropTempView(v)
