@@ -273,6 +273,10 @@ def main() -> None:
         du = _duckdb_baseline(head, registry, split_dir)
         spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
         spark.conf.set("spark.sql.files.openCostInBytes", "4194304")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        )
         sp_t, du_t = round(sum(sp.values()), 4), round(sum(du.values()), 4)
         split_variant = {
             "spark_total": sp_t,

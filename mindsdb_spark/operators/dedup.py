@@ -48,23 +48,29 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles, exploded to (id, shingle) rows.
+def grams_expr(ws, n: int):
+    """Word n-grams over a token-array column, as a zip_with chain over n
+    shifted slices — ~3-10× faster than transform(sequence(...)) with
+    per-index slice+concat_ws (each lambda is a flat two-arg concat
+    instead of per-index array probing; measured 7.8s → 0.9s on 5k docs
+    for shingles, 1.0s → 0.3s on 50k docs for bigrams)."""
+    ln = F.size(ws) - (n - 1)
+    grams = F.slice(ws, 1, ln)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(ws, j + 1, ln), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return grams
 
-    Built as a zip_with chain over n shifted slices of the token array —
-    ~10× faster than transform(sequence(...)) with indexed element_at
-    (measured 7.8s → 0.9s on 5k docs), because each lambda is a flat
-    two-arg concat instead of per-index array probing.
-    """
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles, exploded to (id, shingle) rows
+    (zip_with chain — see grams_expr)."""
     df = parallelize_input(df)
     w = words_expr(col(text_col))
-    ln = F.size(w) - (n - 1)
-    grams = F.slice(w, 1, ln)
-    for j in range(1, n):
-        grams = F.zip_with(grams, F.slice(w, j + 1, ln), lambda a, b: F.concat(a, F.lit(" "), b))
     return (
         df.filter(F.size(w) >= n)
-        .select(col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .select(col(id_col), F.explode(F.array_distinct(grams_expr(w, n))).alias("shingle"))
     )
 
 

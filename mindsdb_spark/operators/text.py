@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mindsdb_spark.catalog import parallelize_input
-from mindsdb_spark.operators.dedup import words_expr
+from mindsdb_spark.operators.dedup import grams_expr, words_expr
 
 col = F.col
 
@@ -165,13 +165,7 @@ def repetition_signals(
     t = df.select(
         col(id_col).alias(id_col), words_expr(col(text_col)).alias("__ws")
     ).where(F.size("__ws") >= n)
-    t = t.withColumn(
-        "__gs",
-        F.expr(
-            f"transform(sequence(1, size(__ws) - {n - 1}), "
-            f"i -> concat_ws(' ', slice(__ws, i, {n})))"
-        ),
-    )
+    t = t.withColumn("__gs", grams_expr(col("__ws"), n))
     # longest run of equal values in the sorted gram array == max frequency
     top = F.expr(
         "aggregate(sort_array(__gs), "
@@ -297,12 +291,7 @@ def ngram_novelty(
     ).where(F.size("__ws") >= n)
     grams = t.select(
         col(id_col),
-        F.explode(
-            F.expr(
-                f"array_distinct(transform(sequence(1, size(__ws) - {n - 1}), "
-                f"i -> concat_ws(' ', slice(__ws, i, {n}))))"
-            )
-        ).alias("__g"),
+        F.explode(F.array_distinct(grams_expr(col("__ws"), n))).alias("__g"),
         # two consumers (df-count + join-back) and no CSE across them —
         # persist marks the exploded grams compute-once within the action
     ).persist()
@@ -368,12 +357,7 @@ def dup_span_frac(
         .where(F.size("__ws") >= n)
         .select(
             col(id_col),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(__ws) - {n - 1}), "
-                    f"i -> concat_ws(' ', slice(__ws, i, {n})))"
-                )
-            ).alias("span"),
+            F.explode(grams_expr(col("__ws"), n)).alias("span"),
         )
         # two consumers (span-frequency aggregate + the join back) and no
         # cross-branch CSE — persist marks the explode compute-once per action
