@@ -47,6 +47,14 @@ _NANOS_TS_COLS = {"events": ("ts",)}
 
 _TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+# Lazy-plan construction cache: (abspath, table) -> (mtime, DataFrame).
+# `spark.read.parquet` pays a JVM footer/schema read + Py4J round trips per
+# call (~0.1-0.5 s across a multi-table query); the returned DataFrame is
+# immutable, so re-handing the same lazy plan is free and semantically
+# identical. Keyed on the path's mtime so DML sinks that rewrite the file
+# (INSERT/UPDATE/DELETE in sources/parquet_source.py) invalidate the entry.
+_PLAN_CACHE: dict[tuple[str, str], tuple[float, DataFrame]] = {}
+
 
 def cache_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Pin one fixture table in executor memory, pre-repartitioned to session
@@ -64,10 +72,18 @@ def cache_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazily read one fixture table from a scale-factor directory."""
-    cached = _TABLE_CACHE.get((os.path.abspath(sf_dir), name))
+    key = (os.path.abspath(sf_dir), name)
+    cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        mtime = os.stat(path).st_mtime
+    except OSError:
+        mtime = -1.0
+    plan = _PLAN_CACHE.get(key)
+    if plan is not None and plan[0] == mtime:
+        return plan[1]
     nanos_cols = _NANOS_TS_COLS.get(name, ())
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -82,6 +98,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # pinned to UTC this cast is instant-preserving and matches the
             # DuckDB oracle's naive-UTC reading
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+    _PLAN_CACHE[key] = (mtime, df)
     return df
 
 
