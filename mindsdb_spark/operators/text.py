@@ -516,11 +516,18 @@ def bpe_tokenize_counts(
     never touches corpus-sized data.
     """
     df = parallelize_input(df)
-    tok = df.select(
-        col(id_col), F.explode(words_expr(col(text_col))).alias("__w")
+    # collapse the raw token stream to (doc, word, multiplicity) FIRST: the
+    # groupBy combines map-side, so the join below shuffles distinct
+    # doc-word pairs (≈Σ unique words per doc) instead of every token —
+    # strictly less shuffle volume at any scale
+    tok = (
+        df.select(col(id_col), F.explode(words_expr(col(text_col))).alias("__w"))
+        .groupBy(id_col, "__w")
+        .agg(F.count("*").alias("__m"))
         # two consumers (vocab distinct + the join back) and no cross-branch
-        # CSE — persist marks the corpus explode compute-once per action
-    ).persist()
+        # CSE — persist marks the corpus pass compute-once per action
+        .persist()
+    )
     vocab = tok.select("__w").distinct()
     seq = F.concat(F.lit("  "), F.regexp_replace(col("__w"), "(.)", "$1  "))
     for l, r in merges:
@@ -529,10 +536,14 @@ def bpe_tokenize_counts(
         "__w", F.size(F.split(F.trim(seq), "  ")).alias("__nt")
     )
     return (
+        # deliberately NOT a forced broadcast: distinct-word vocab of a web
+        # corpus can reach 10^8+ rows (hapax-heavy), which would OOM a
+        # broadcast at 100 TB — AQE converts this join to broadcast at
+        # runtime exactly when the counts side measures small
         tok.join(counts, "__w")
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("n_words"),
-            F.sum("__nt").cast("long").alias("n_bpe_tokens"),
+            F.sum("__m").cast("long").alias("n_words"),
+            F.sum(col("__m") * col("__nt")).cast("long").alias("n_bpe_tokens"),
         )
     )

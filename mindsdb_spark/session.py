@@ -74,16 +74,22 @@ def tune_file_partitioning(spark: SparkSession, data_dir: str, cpus: int | None 
     target = max(4 * 1024 * 1024, min(128 * 1024 * 1024, total // max(1, 2 * ncpu)))
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
     spark.conf.set("spark.sql.files.openCostInBytes", str(max(256 * 1024, target // 4)))
-    # below ~64 MB of input, per-task overhead dominates shuffles: size the
-    # shuffle partition count to the data (~4 MB each, floor 8) instead of
-    # the core count — measured 35% off the split32 per-query floor. Larger
-    # inputs keep cpus partitions (shuffle volume can far exceed input for
-    # amplifying operators; AQE coalesces downward when it doesn't).
+    # below ~64 MB of input, per-task/per-stage overhead dominates shuffles:
+    # size the shuffle partition count to the data (~4 MB each, floor 4)
+    # instead of the core count, and turn AQE off — AQE exists to re-plan
+    # big shuffles at runtime, and at toy scale its per-stage
+    # materialization barrier is pure latency (measured on the 13-query
+    # split32 set: p8+AQE 5.3 s → p4+no-AQE 4.4 s on 20 MB input). Larger
+    # inputs keep cpus partitions and AQE on (shuffle volume can far exceed
+    # input for amplifying operators; AQE coalesces/skew-splits as designed
+    # at the 100 TB posture this engine targets).
     if total < 64 * 1024 * 1024:
         spark.conf.set(
             "spark.sql.shuffle.partitions",
-            str(max(8, min(ncpu, total // (4 * 1024 * 1024)))),
+            str(max(4, min(ncpu, total // (4 * 1024 * 1024)))),
         )
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     else:
         spark.conf.set("spark.sql.shuffle.partitions", str(ncpu))
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
     return target
