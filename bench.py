@@ -239,8 +239,12 @@ def main() -> None:
     from mindsdb_spark.session import tune_file_partitioning
 
     primary_dir = _prepare_split(spark) if SPLIT else SF_DIR
-    if SPLIT:
-        tune_file_partitioning(spark, primary_dir)
+    # size-keyed session tuning for whatever layout is primary: at sf0.1
+    # (17 MB!) per-stage overhead dominates, and the small-input branch
+    # (shuffle partitions ~data/4MB, AQE off) takes the 54-query primary
+    # set from ~42 s to ~31 s; at sf1+ the large branch restores the
+    # cluster posture (cores-sized shuffles, AQE on)
+    tune_file_partitioning(spark, primary_dir)
     # warmup: pin the fixture tables in executor memory once — the Spark
     # analog of the DuckDB warmup run's warmed OS page cache (every DuckDB
     # timing below reads the same warmed file bytes; these files are a few
