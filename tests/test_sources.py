@@ -80,3 +80,26 @@ def test_information_schema_sql(spark, sf_dir):
         "WHERE table_schema = 'tpch' ORDER BY table_name"
     ).collect()
     assert len(rows) == 10
+
+
+def test_load_table_plan_cache_invalidates_on_rewrite(spark, tmp_path):
+    """The lazy-plan cache (catalog._PLAN_CACHE) is keyed on file mtime:
+    repeat loads reuse the same DataFrame object, a rewrite is seen."""
+    import os
+    import time
+
+    d = str(tmp_path / "cachedir")
+    os.makedirs(d)
+    p = os.path.join(d, "t.parquet")
+    spark.range(3).toDF("a").coalesce(1).write.parquet(p)
+    df1 = load_table(spark, d, "t")
+    assert load_table(spark, d, "t") is df1  # cached plan object reused
+    assert df1.count() == 3
+    time.sleep(1.05)  # distinct mtime even on 1s-resolution filesystems
+    import shutil
+
+    shutil.rmtree(p)
+    spark.range(5).toDF("a").coalesce(1).write.parquet(p)
+    df2 = load_table(spark, d, "t")
+    assert df2 is not df1
+    assert df2.count() == 5
