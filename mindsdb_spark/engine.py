@@ -4065,14 +4065,19 @@ class EngineSession:
                   "ts" if spec.order_by else "row")],
                 "name string, engine string, outputs string, kind string",
             )
-        dm = re.match(r"(?:DESCRIBE|DESC)\s+(?:MODEL\s+)?([\w.`]+)$", s, re.IGNORECASE)
-        if dm and self._model_of(dm.group(1)) is not None:
+        dm = re.match(r"(?:DESCRIBE|DESC)\s+(MODEL\s+)?([\w.`]+)$", s, re.IGNORECASE)
+        if dm and dm.group(1) and self._model_of(dm.group(2)) is None:
+            # explicit MODEL keyword names a missing model: the reference
+            # raises a clean not-found (command_executor.py:931
+            # answer_describe_predictor), not a table-resolution error
+            raise KeyError(f"model {dm.group(2).strip('`')!r} does not exist")
+        if dm and self._model_of(dm.group(2)) is not None:
             # one row per surviving version, newest last; `active` marks the
             # version bare-name joins resolve to (reference DESCRIBE MODEL
             # surfaces the versions table, mindsdb/interfaces/model/)
-            name = dm.group(1).lower().strip("`").split(".")[-1]
+            name = dm.group(2).lower().strip("`").split(".")[-1]
             if name.isdigit():
-                name = dm.group(1).lower().strip("`").split(".")[-2]
+                name = dm.group(2).lower().strip("`").split(".")[-2]
             recipe = self._model_recipes.get(name)
             rows = [
                 (

@@ -304,6 +304,10 @@ def test_describe_model_keyword_optional_and_attrs(spark, sf_dir):
     assert sess.sql("DESCRIBE MODEL ddm.metadata").columns == ["attribute", "value"]
     # table describe still answers the MySQL column shape
     assert sess.sql("DESCRIBE region").columns[:2] == ["Field", "Type"]
+    # explicit MODEL keyword + missing model = clean not-found (reference
+    # command_executor.py:931), not a Spark table-resolution error
+    with pytest.raises(KeyError, match="does not exist"):
+        sess.sql("DESCRIBE MODEL no_such_model")
     sess.sql("DROP MODEL ddm")
 
 
