@@ -2494,6 +2494,16 @@ class EngineSession:
                 [("Spark", "DEFAULT", "Apache Spark via mindsdb_spark")],
                 "Engine string, Support string, Comment string",
             )
+        if u == "SHOW PLUGINS":
+            # reference rewrites to SELECT * FROM information_schema.PLUGINS
+            # (command_executor.py:307-314; filters rejected there too)
+            self._refresh_information_schema()
+            return self.spark.sql("SELECT * FROM information_schema_plugins")
+        if u == "SHOW SEARCH_PATH":
+            # postgres-client handshake constant (command_executor.py:403-409)
+            return self.spark.createDataFrame(
+                [('"$user", public',)], "search_path string"
+            )
         sm = re.match(
             r"SHOW\s+TABLE\s+STATUS(?:\s+(?:FROM|IN)\s+`?(\w+)`?)?"
             r"(?:\s+LIKE\s+'([^']*)')?$",
@@ -2579,7 +2589,7 @@ class EngineSession:
                 f"WHERE table_schema = '{db}' ORDER BY 1"
             )
         m = re.match(
-            r"SHOW\s+(?:FULL\s+)?(?:COLUMNS|FIELDS)\s+FROM\s+([\w.`]+)"
+            r"(?:SHOW\s+(?:FULL\s+)?(?:COLUMNS|FIELDS)\s+FROM|EXPLAIN)\s+([\w.`]+)"
             r"(?:\s+FROM\s+([\w`]+))?$",
             s,
             re.IGNORECASE,

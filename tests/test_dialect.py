@@ -284,6 +284,10 @@ def test_mysql_client_show_commands(spark, sf_dir):
     cs = {r["Charset"] for r in sess.sql("SHOW CHARACTER SET").collect()}
     assert "utf8mb4" in cs
     assert sess.sql("SHOW COLLATION").count() == 2
+    # SHOW PLUGINS answers information_schema.PLUGINS; SHOW SEARCH_PATH is
+    # the postgres handshake constant (command_executor.py:307-314,403-409)
+    assert sess.sql("SHOW PLUGINS").count() > 0
+    assert sess.sql("SHOW SEARCH_PATH").collect()[0][0] == '"$user", public'
     row = sess.sql("SHOW CREATE TABLE tpch_nation").collect()[0]
     assert row["Table"] == "tpch_nation"
     assert "`n_name` string" in row["Create Table"]
