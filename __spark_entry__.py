@@ -23,7 +23,9 @@ from pyspark.sql import DataFrame, SparkSession
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from mindsdb_spark.queries.probes import p31
+    from mindsdb_spark.session import apply_runtime_tuning
 
+    apply_runtime_tuning(spark)
     return p31(spark, "/root/testdata/sf0.001")
 
 
@@ -115,9 +117,22 @@ def _interleaved() -> list[tuple[str, tuple]]:
     return merged
 
 
+def _tuned(fn: "Callable[[SparkSession, str], DataFrame]"):
+    """Apply runtime session tuning (memoized no-op after the first call)
+    before each registry query — the driver's session skips get_spark."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from mindsdb_spark.session import apply_runtime_tuning
+
+        apply_runtime_tuning(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: fn for name, (fn, _sql) in _interleaved()}
+    return {name: _tuned(fn) for name, (fn, _sql) in _interleaved()}
 
 
 def oracle_sql() -> dict[str, str]:

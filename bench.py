@@ -348,22 +348,15 @@ def main() -> None:
             return None
         return dict(sorted(d.items(), key=lambda kv: -kv[1])[:10])
 
-    def _summ(v: dict | None) -> dict | None:
-        # variant sections embed only totals + top-10-slowest per engine;
-        # complete per-query detail goes to BENCH_DETAIL.json
+    def _tot(v: dict | None) -> dict | None:
+        # variant sections embed totals + ratio only; complete per-query
+        # detail for every section goes to BENCH_DETAIL.json
         if v is None:
             return None
-        out = {k: v[k] for k in ("spark_total", "duckdb_total", "ratio")}
-        if "queries_spark" in v:
-            out["top10_spark"] = _top10(v["queries_spark"])
-            out["top10_duckdb"] = _top10(v["queries_duckdb"])
-        return out
+        return {k: v[k] for k in ("spark_total", "duckdb_total", "ratio")}
 
-    # ONE stdout line, summaries FIRST and per-query dicts capped at the
-    # 10 slowest — the driver's capture truncated the r03 full dicts, so
-    # totals/ratios/top-10 must survive regardless of which end is cut.
-    # Complete per-query timings for every section land in BENCH_DETAIL.json.
-    record = {
+    # Full record — every per-query dict — lands in BENCH_DETAIL.json.
+    detail = {
         "metric": "headline_total_best_of_%d" % RUNS,
         "value": total,
         "unit": "sec",
@@ -378,17 +371,14 @@ def main() -> None:
             "ratio": round(r1_spark / r1_duck, 3) if r1_duck else None,
         },
         "sf1_mode": os.environ.get("SPARK_GRAFT_SF1_MODE", "gen"),
-        "sf1_headline": _summ(sf1_variant),
-        "sf1_pipeline": _summ(sf1_pipeline),
+        "sf1_headline": sf1_variant,
+        "sf1_pipeline": sf1_pipeline,
         "split32_headline": split_variant,
         "top10_spark": _top10(timings),
         "top10_duckdb": _top10(baseline),
         "queries": timings,
         "duckdb_same_window": {"total": base_total, "queries": baseline},
     }
-    detail = dict(record)
-    detail["sf1_headline"] = sf1_variant
-    detail["sf1_pipeline"] = sf1_pipeline
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
@@ -397,7 +387,33 @@ def main() -> None:
             json.dump(detail, f, indent=1)
     except OSError:
         pass
-    print(json.dumps(record))
+    # The driver records only the LAST 2000 bytes of stdout and parses the
+    # final JSON line (r02-r04 all failed to parse because the single big
+    # record line exceeded that window from either end). So stdout's final —
+    # and only — line is a compact summary guaranteed to fit: totals, ratios,
+    # the per-section rollups, and the 10 slowest spark queries.
+    summary = {
+        "metric": detail["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "headline_total": total,
+        "duckdb_total": base_total,
+        "ratio": detail["ratio_vs_duckdb"],
+        "layout": detail["layout"],
+        "load1": load1,
+        "r1_subset": detail["r1_subset"],
+        "split32": split_variant,
+        "sf1_headline": _tot(sf1_variant),
+        "sf1_pipeline": _tot(sf1_pipeline),
+        "top10_spark": _top10(timings),
+        "queries": "see BENCH_DETAIL.json",
+    }
+    line = json.dumps(summary)
+    if len(line) > 1900:  # belt-and-braces: never exceed the capture window
+        summary.pop("top10_spark", None)
+        line = json.dumps(summary)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -45,15 +45,56 @@ TPCH_TABLES = (
 _NANOS_TS_COLS = {"events": ("ts",)}
 
 
-_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+# (abspath, table) -> (content signature, pinned DataFrame). Signature is
+# re-checked on every hit so an in-place rewrite of a pinned table drops the
+# stale in-memory copy instead of serving deleted part-files.
+_TABLE_CACHE: dict[tuple[str, str], tuple[tuple, DataFrame]] = {}
 
-# Lazy-plan construction cache: (abspath, table) -> (mtime, DataFrame).
+# Lazy-plan construction cache: (abspath, table) -> (signature, DataFrame).
 # `spark.read.parquet` pays a JVM footer/schema read + Py4J round trips per
 # call (~0.1-0.5 s across a multi-table query); the returned DataFrame is
 # immutable, so re-handing the same lazy plan is free and semantically
-# identical. Keyed on the path's mtime so DML sinks that rewrite the file
-# (INSERT/UPDATE/DELETE in sources/parquet_source.py) invalidate the entry.
-_PLAN_CACHE: dict[tuple[str, str], tuple[float, DataFrame]] = {}
+# identical. Keyed on a content signature — sorted part-file names, sizes
+# and ns-resolution mtimes, not just the directory mtime — so DML sinks
+# that rewrite files (INSERT/UPDATE/DELETE in sources/parquet_source.py)
+# invalidate the entry even when the rewrite lands within the directory
+# mtime's granularity.
+_PLAN_CACHE: dict[tuple[str, str], tuple[tuple, DataFrame]] = {}
+
+
+def _content_signature(path: str) -> tuple:
+    """Cheap content identity for a parquet file or directory-of-parts:
+    (name, size, mtime_ns) per member file. One listdir + one stat per
+    part — metadata-only, no data IO."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return ("missing",)
+    if not os.path.isdir(path):
+        return ((os.path.basename(path), st.st_size, st.st_mtime_ns),)
+    sig = []
+    try:
+        for f in sorted(os.listdir(path)):
+            if f.startswith("."):
+                continue
+            try:
+                fs = os.stat(os.path.join(path, f))
+                sig.append((f, fs.st_size, fs.st_mtime_ns))
+            except OSError:
+                sig.append((f, -1, -1))
+    except OSError:
+        return ("unreadable",)
+    return tuple(sig)
+
+
+def invalidate_table(sf_dir: str, name: str) -> None:
+    """Drop both cache entries for one (dir, table) — call after any write
+    into a fixture directory (bench split/sf-gen rewrites)."""
+    key = (os.path.abspath(sf_dir), name)
+    pinned = _TABLE_CACHE.pop(key, None)
+    if pinned is not None:
+        pinned[1].unpersist()
+    _PLAN_CACHE.pop(key, None)
 
 
 def cache_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -63,26 +104,31 @@ def cache_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     embedding tables — the Spark analog of the DuckDB baseline's warmed OS
     page cache; operator code is unchanged (same lazy-DataFrame contract)."""
     key = (os.path.abspath(sf_dir), name)
-    if key not in _TABLE_CACHE:
+    sig = _content_signature(os.path.join(sf_dir, f"{name}.parquet"))
+    hit = _TABLE_CACHE.get(key)
+    if hit is None or hit[0] != sig:
+        if hit is not None:
+            hit[1].unpersist()
+            _PLAN_CACHE.pop(key, None)
         df = parallelize_input(load_table(spark, sf_dir, name)).persist()
         df.count()
-        _TABLE_CACHE[key] = df
-    return _TABLE_CACHE[key]
+        _TABLE_CACHE[key] = (sig, df)
+    return _TABLE_CACHE[key][1]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazily read one fixture table from a scale-factor directory."""
     key = (os.path.abspath(sf_dir), name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    sig = _content_signature(path)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
-        return cached
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    try:
-        mtime = os.stat(path).st_mtime
-    except OSError:
-        mtime = -1.0
+        if cached[0] == sig:
+            return cached[1]
+        cached[1].unpersist()
+        _TABLE_CACHE.pop(key, None)
     plan = _PLAN_CACHE.get(key)
-    if plan is not None and plan[0] == mtime:
+    if plan is not None and plan[0] == sig:
         return plan[1]
     nanos_cols = _NANOS_TS_COLS.get(name, ())
     if nanos_cols:
@@ -98,7 +144,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # pinned to UTC this cast is instant-preserving and matches the
             # DuckDB oracle's naive-UTC reading
             df = df.withColumn(c, F.col(c).cast("timestamp"))
-    _PLAN_CACHE[key] = (mtime, df)
+    _PLAN_CACHE[key] = (sig, df)
     return df
 
 
@@ -215,6 +261,7 @@ def write_bucketed(
     layout control at all; its federated frames always re-hash in memory.
     """
     keys = [key] if isinstance(key, str) else list(key)
+    _clear_stale_table_location(df.sparkSession, name)
     (
         df.write.format("parquet")
         .mode("overwrite")
@@ -222,3 +269,19 @@ def write_bucketed(
         .sortBy(*keys)
         .saveAsTable(name)
     )
+
+
+def _clear_stale_table_location(spark: SparkSession, name: str) -> None:
+    """saveAsTable refuses a managed-table name whose warehouse directory
+    survives from a DIFFERENT session (LOCATION_ALREADY_EXISTS — the
+    metastore is per-session Derby, the directory is not). Drop any
+    current-session table, then remove an orphaned location."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", os.path.join(os.getcwd(), "spark-warehouse")
+    ).removeprefix("file:")
+    stale = os.path.join(warehouse, name.lower())
+    if os.path.isdir(stale):
+        shutil.rmtree(stale, ignore_errors=True)

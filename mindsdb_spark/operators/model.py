@@ -126,9 +126,18 @@ def apply_model(
     return out.select(*in_cols, *[c for c in out.columns if c not in in_cols])
 
 
-def ts_apply_model(df: DataFrame, model: ModelSpec) -> DataFrame:
+def ts_apply_model(
+    df: DataFrame, model: ModelSpec, first_step_only: bool = False
+) -> DataFrame:
     """Time-series forecast: per group, feed the last `window` rows (by
     order_by) to the model; the model returns `horizon` rows per group.
+
+    ``first_step_only`` implements the reference's `WHERE <order col> =
+    LATEST` (apply_predictor_step.py apply_ts_filter, op_map '=' vs
+    Latest): only the prediction row anchored at the latest observed
+    point per group survives — the FIRST forecast step, which every
+    engine emits first (horizon loop h=1..H). Slicing inside the pandas
+    fn keeps it a pure map stage — no extra shuffle or window pass.
 
     The window slice happens JVM-side first (row_number over
     partitionBy(group).orderBy(time desc) — the Spark form of the
@@ -148,7 +157,8 @@ def ts_apply_model(df: DataFrame, model: ModelSpec) -> DataFrame:
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order).tail(model.window)
-        return model.predict(pdf)
+        out = model.predict(pdf)
+        return out.head(1) if first_step_only else out
 
     if group_cols:
         w = Window.partitionBy(*group_cols).orderBy(*[F.col(c).desc() for c in order])

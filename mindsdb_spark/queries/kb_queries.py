@@ -594,6 +594,97 @@ FROM m, d
 K10_SQL = _k10_sql()
 
 
+# --- S09 idf-weighted KB retrieval (store-side frozen statistics) ------------
+# `CREATE KNOWLEDGE_BASE ... USING embedder = 'hash_tfidf'` (round-4 verdict
+# item 5): the first INSERT fits per-bucket idf weights over the full chunk
+# corpus and FREEZES them (engine._kb_insert → kb.fit_idf_weights); both the
+# stored chunk vectors and every query embedding reuse the frozen weights
+# (engine._kb_embed_fn → kb.hash_embed_idf). The oracle refits the identical
+# statistics in DuckDB and replays the exact computation order — TF fold,
+# L2-normalize, idf-weight, re-normalize, float32 quantize — so the top-10
+# distances hash-match end-to-end.
+def s09_kb_tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    sess.register_parquet_source("src", sf_dir)
+    sess.sql("CREATE KNOWLEDGE_BASE kbw USING dim = 8, embedder = 'hash_tfidf'")
+    sess.sql(
+        "INSERT INTO kbw SELECT doc_id, text FROM src_documents WHERE doc_id < 60"
+    )
+    return sess.sql(
+        "SELECT doc_id, FLOOR(distance * 1000000 + 0.5) / 1000000 AS distance "
+        "FROM kbw WHERE content = 'spark join fast' ORDER BY distance, doc_id "
+        "LIMIT 10"
+    )
+
+
+def _s09_sql() -> str:
+    def tf_lanes(text_sql: str) -> str:
+        bks = (
+            f"list_transform(string_split_regex(lower(trim({text_sql})), '\\s+'), "
+            "t -> ('0x' || substr(md5(t), 1, 8))::UBIGINT % 8)"
+        )
+        return (
+            "list_transform(generate_series(0, 7), i -> "
+            f"CAST(len(list_filter({bks}, b -> b = i)) AS DOUBLE))"
+        )
+
+    l2 = "greatest(sqrt(list_sum(list_transform({0}, y -> y * y))), 1e-12)"
+    return f"""
+WITH c AS (
+  SELECT doc_id, i - 1 AS chunk_idx,
+         substr(text, (i - 1) * 150 + 1, 200) AS chunk_text
+  FROM documents,
+       UNNEST(generate_series(1,
+         greatest(CAST(ceil((length(text) - 50) / 150.0) AS BIGINT), 1))) AS t(i)
+  WHERE doc_id < 60
+),
+ch AS (
+  SELECT doc_id,
+         md5(doc_id || ':' || chunk_idx || ':' || chunk_text) AS chunk_id,
+         chunk_text
+  FROM ch_base
+),
+tf AS (SELECT doc_id, chunk_id, {tf_lanes('chunk_text')} AS tfv FROM ch),
+tfn AS (SELECT doc_id, chunk_id,
+               list_transform(tfv, x -> x / {l2.format('tfv')}) AS tfnv,
+               tfv
+        FROM tf),
+lanes AS (
+  SELECT i,
+         CAST(count(*) FILTER (WHERE tfv[i + 1] > 0) AS DOUBLE) AS dfc,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM tf, UNNEST(generate_series(0, 7)) AS u(i)
+  GROUP BY i
+),
+w AS (SELECT list(ln(n / (1 + dfc)) ORDER BY i) AS wv FROM lanes),
+emb AS (
+  SELECT doc_id, chunk_id,
+         list_transform(wv2, x -> CAST(x / {l2.format('wv2')} AS FLOAT)) AS embedding
+  FROM (SELECT doc_id, chunk_id,
+               list_transform(generate_series(1, 8), i -> tfnv[i] * wv[i]) AS wv2
+        FROM tfn, w)
+),
+qtf AS (SELECT {tf_lanes("'spark join fast'")} AS tfv),
+qtfn AS (SELECT list_transform(tfv, x -> x / {l2.format('tfv')}) AS tfnv FROM qtf),
+q AS (
+  SELECT list_transform(wv2, x -> CAST(x / {l2.format('wv2')} AS FLOAT)) AS qe
+  FROM (SELECT list_transform(generate_series(1, 8), i -> tfnv[i] * wv[i]) AS wv2
+        FROM qtfn, w)
+),
+top AS (
+  SELECT doc_id, chunk_id, 1.0 - ({_COS_SQL}) AS dist
+  FROM emb, q ORDER BY dist, chunk_id LIMIT 10
+)
+SELECT doc_id, floor(dist * 1000000 + 0.5) / 1000000 AS distance
+FROM top ORDER BY distance, doc_id
+""".replace("ch_base", "c")
+
+
+S09_SQL = _s09_sql()
+
+
 KB_QUERIES = {
     "k01_kb_chunks": (k01_kb_chunks, K01_SQL),
     "k02_kb_eval": (k02_kb_eval, K02_SQL),
@@ -605,4 +696,5 @@ KB_QUERIES = {
     "s08_kb_metadata_sql": (s08_kb_metadata_sql, S08_SQL),
     "k09_kb_evaluate_generated": (k09_kb_evaluate_generated, K09_SQL),
     "k10_kb_evaluate_relevancy": (k10_kb_evaluate_relevancy, K10_SQL),
+    "s09_kb_tfidf_retrieval": (s09_kb_tfidf_retrieval, S09_SQL),
 }

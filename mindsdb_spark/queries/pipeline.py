@@ -695,12 +695,16 @@ def d33_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").where(col("doc_id") < 100)
     out = hash_embed(docs, text_col="text", dim=16, out_float=False)
+    # coalesce(1)+sortWithinPartitions, not orderBy: a global sort range-
+    # samples, which re-runs the whole embed plan a second time — pure
+    # overhead on this 100-doc conformance slice (1,600 output rows). The
+    # scale path embeds the full corpus unsorted.
     return out.select(
         "doc_id", F.posexplode(col("embedding")).alias("lane", "v")
     ).select(
         "doc_id", "lane",
         (F.floor(col("v") * 1e6 + F.lit(0.5)) / 1e6).alias("v"),
-    ).orderBy("doc_id", "lane")
+    ).coalesce(1).sortWithinPartitions("doc_id", "lane")
 
 
 D33_SQL = r"""
@@ -728,12 +732,13 @@ def d34_tfidf_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").where(col("doc_id") < 100)
     out = hash_embed_tfidf(docs, text_col="text", dim=16, out_float=False)
+    # same no-global-sort shape as d33 (tiny conformance slice)
     return out.select(
         "doc_id", F.posexplode(col("embedding")).alias("lane", "v")
     ).select(
         "doc_id", "lane",
         (F.floor(col("v") * 1e6 + F.lit(0.5)) / 1e6).alias("v"),
-    ).orderBy("doc_id", "lane")
+    ).coalesce(1).sortWithinPartitions("doc_id", "lane")
 
 
 D34_SQL = r"""

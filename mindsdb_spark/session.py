@@ -47,11 +47,40 @@ def get_spark(app_name: str = "mindsdb-spark", cpus: str | int | None = None) ->
         # through the Python Data Source V2 reader.
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate clones the generator's child expression
+        # into a `size(x) > 0 AND isnotnull(x)` pre-filter. When the
+        # exploded array is COMPUTED (tokenize/hash/fold chains — our text
+        # operators), that duplicates the heaviest expression in the plan
+        # 2x, and higher-order-function lambdas get no codegen CSE —
+        # measured 12x on the hash-embed probe (0.5 s -> 6 s). The rule's
+        # benefit (skipping empty-array rows before Generate) is semantics
+        # Generate enforces anyway; excluding it changes no results.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+
+
+def apply_runtime_tuning(spark: SparkSession) -> None:
+    """Runtime-settable confs for a SparkSession we did NOT build (the
+    driver hands its own session to ``__spark_entry__`` callables). Safe to
+    call repeatedly — memoized per JVM session id."""
+    sid = spark.sparkContext.applicationId
+    if getattr(apply_runtime_tuning, "_done", None) == sid:
+        return
+    # see get_spark: InferFiltersFromGenerate duplicates computed-array
+    # generator children into a pre-filter; with HOF-heavy text exprs that
+    # is a measured 12x regression and zero semantic effect.
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
+    apply_runtime_tuning._done = sid
 
 
 def tune_file_partitioning(spark: SparkSession, data_dir: str, cpus: int | None = None) -> int:

@@ -309,3 +309,36 @@ def test_kb_content_literal_with_id_word_not_rewritten(kbsess):
         kbsess._kb_search = orig
     assert seen["content"] == "document id 5 chunk_content"
     assert len(rows) == 10
+
+
+def test_kb_hash_tfidf_frozen_idf(spark, sf_dir):
+    # embedder = 'hash_tfidf' (round-4 verdict item 5): first INSERT fits
+    # idf weights over the insert's chunk corpus and freezes them; queries
+    # and later inserts reuse the frozen statistics
+    s = EngineSession(spark)
+    s.register_parquet_source("tpch", sf_dir)
+    s.sql("CREATE KNOWLEDGE_BASE kbw USING dim = 8, embedder = 'hash_tfidf'")
+    # querying before any insert is a clear error (no statistics yet)
+    with pytest.raises(ValueError, match="idf"):
+        s.sql("SELECT * FROM kbw WHERE content = 'spark'").collect()
+    s.sql("INSERT INTO kbw SELECT doc_id, text FROM tpch_documents WHERE doc_id < 40")
+    w1 = list(s._kbs["kbw"]["idf_weights"])
+    assert len(w1) == 8 and any(x != 0.0 for x in w1)
+    rows = s.sql(
+        "SELECT doc_id, distance FROM kbw WHERE content = 'spark join fast' LIMIT 5"
+    ).collect()
+    assert len(rows) == 5
+    dists = [r["distance"] for r in rows]
+    assert dists == sorted(dists)
+    # a second insert must NOT refit: stored vectors stay mutually consistent
+    s.sql(
+        "INSERT INTO kbw SELECT doc_id, text FROM tpch_documents "
+        "WHERE doc_id >= 40 AND doc_id < 60"
+    )
+    assert list(s._kbs["kbw"]["idf_weights"]) == w1
+    # register_knowledge_base path fits at creation time
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    s.register_knowledge_base("kbw2", docs, dim=8, embedder="hash_tfidf")
+    assert len(s._kbs["kbw2"]["idf_weights"]) == 8
+    hits = s.sql("SELECT doc_id FROM kbw2 WHERE content = 'data' LIMIT 3").collect()
+    assert len(hits) == 3

@@ -102,3 +102,80 @@ def test_dml_literal_roundtrips(fsess, lit):
         "deleted"
     ]
     assert d == 1
+
+
+@pytest.fixture(scope="module")
+def doorsess(spark, sf_dir):
+    # round-4 verdict item 8: fuzz the KB, model-join and agent/KB-DML
+    # routers too — the regex dispatchers most exposed to keyword-shaped
+    # literals (`(SELECT`, `JOIN model`, `id`, LATEST, quotes, backslashes)
+    import pandas as pd
+
+    from mindsdb_spark.operators.model import ModelSpec
+
+    s = EngineSession(spark)
+    s.register_parquet_source("tpch", sf_dir, tables=["orders", "documents"])
+    docs = s.sql("SELECT doc_id, text FROM tpch_documents LIMIT 100")
+    s.register_knowledge_base("fkb", docs)
+
+    def predict(pdf):
+        risk = (pdf["o_totalprice"] / 500000.0).clip(upper=1.0)
+        return pd.DataFrame(
+            {"risk": risk, "band": risk.map(lambda r: "hi" if r > 0.5 else "lo")}
+        )
+
+    s.register_model(
+        ModelSpec(name="fm", predict=predict, output_schema="risk double, band string")
+    )
+    return s
+
+
+@_settings
+@given(lit=_literals)
+def test_kb_search_literal_is_search_text(doorsess, lit):
+    # the content literal must reach the KB search byte-identical — no
+    # alias rewrite (`id`, `chunk_content`), no subselect routing, no
+    # QUALIFY/LATEST misfire inside the quoted text
+    seen = {}
+    orig = doorsess._kb_search
+
+    def spy(name, content, *a, **k):
+        seen["content"] = content
+        return orig(name, content, *a, **k)
+
+    doorsess._kb_search = spy
+    try:
+        rows = doorsess.sql(
+            f"SELECT doc_id FROM fkb WHERE content = '{_esc(lit)}' LIMIT 3"
+        ).collect()
+    finally:
+        doorsess._kb_search = orig
+    assert seen["content"] == lit
+    assert len(rows) == 3
+
+
+@_settings
+@given(lit=_literals)
+def test_model_join_output_literal_filter(doorsess, lit):
+    # model-join WHERE with a fuzz literal on an output column: the literal
+    # must act as a plain post-apply equality — band is only 'hi'/'lo', so
+    # the count is 0 — and must not trip the LATEST/param/subselect routes
+    rows = doorsess.sql(
+        f"SELECT t.o_orderkey, m.band FROM tpch_orders t JOIN fm m "
+        f"WHERE t.o_orderkey <= 20 AND m.band = '{_esc(lit)}'"
+    ).collect()
+    assert rows == []
+
+
+@_settings
+@given(lit=_literals)
+def test_kb_delete_literal_no_subselect_misroute(doorsess, lit):
+    # KB DELETE with a keyword-shaped literal: `(SELECT` inside the quoted
+    # string must not be lifted into a subquery view; equality on a
+    # non-matching literal deletes exactly 0 chunks
+    before = doorsess._kbs["fkb"]["store"].count()
+    out = doorsess.sql(
+        f"DELETE FROM fkb WHERE chunk_text = '{_esc(lit)}'"
+    ).collect()[0][0]
+    assert out == 0
+    assert doorsess._kbs["fkb"]["store"].count() == before

@@ -320,6 +320,18 @@ def test_ts_model_join_latest(sess):
     ).collect()
     assert rows and all(r["user_id"] < 5 for r in rows)
     assert len(rows) % 2 == 0  # horizon rows only
+    # `= LATEST` (reference apply_predictor_step.py apply_ts_filter,
+    # op_map '=' vs Latest): ONLY the first forecast step per group — one
+    # row, not the whole horizon
+    eq_rows = sess.sql(
+        "SELECT m.user_id, m.h FROM tpch_events t JOIN fcast m "
+        "WHERE t.ts = LATEST AND t.user_id < 5 ORDER BY m.user_id"
+    ).collect()
+    assert eq_rows and all(r["h"] == 1 for r in eq_rows)
+    assert len(eq_rows) == len(rows) // 2  # one row per group vs horizon=2
+    assert [r["user_id"] for r in eq_rows] == sorted(
+        {r["user_id"] for r in rows}
+    )
     # LATEST anywhere else is a planning error, as in the reference
     with pytest.raises(ValueError, match="LATEST"):
         sess.sql(

@@ -127,9 +127,12 @@ def test_q19_disjunction_keeps_equi_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
-def test_bucketed_join_has_no_exchange(spark, sf_dir):
+def test_bucketed_join_agg_no_exchange_broadcast_disabled(spark, sf_dir):
     # bucketed co-located join: the shuffle is paid once at write time,
     # joins on the bucket key then plan with zero Exchange nodes
+    # (renamed from test_bucketed_join_has_no_exchange — it shadowed the
+    # merge-hint custkey variant above and neither ran; see the duplicate
+    # name guard at the bottom of this file)
     from mindsdb_spark.catalog import load_table, write_bucketed
 
     o = load_table(spark, sf_dir, "orders")
@@ -308,3 +311,28 @@ def test_dml_subselect_plans_as_semi_join(spark, sf_dir, tmp_path):
     assert "LeftSemi" in plan
     for v in views:
         spark.catalog.dropTempView(v)
+
+
+def test_no_shadowed_test_definitions():
+    """F811 guard: a duplicate `def test_x` in the same module silently
+    shadows the earlier one and pytest collects only the last — exactly what
+    hid test_bucketed_join_has_no_exchange for two rounds. AST-scan every
+    test module and fail on any repeated top-level function name."""
+    import ast
+    import glob
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    dupes = []
+    for path in sorted(glob.glob(os.path.join(here, "test_*.py"))):
+        tree = ast.parse(open(path).read())
+        seen: dict[str, int] = {}
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                if node.name in seen:
+                    dupes.append(
+                        f"{os.path.basename(path)}: {node.name} at lines "
+                        f"{seen[node.name]} and {node.lineno}"
+                    )
+                seen[node.name] = node.lineno
+    assert not dupes, f"shadowed definitions: {dupes}"
