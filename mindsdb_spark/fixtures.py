@@ -57,13 +57,19 @@ def _pick(seed: int, tag: str, options: list[str], *cols):
 
 def generate_sf(
     spark: SparkSession, out_dir: str, scale: float = 10.0, seed: int = 42,
-    files: int = 32,
+    files: int = 32, tables: set[str] | None = None,
 ) -> str:
-    """Write the full fixture star schema at ``scale`` x sf0.1 row counts
-    under ``out_dir`` (32-file parquet per table, INT64-micros
-    timestamps). Idempotent via a done marker."""
-    done = os.path.join(out_dir, "_GEN_DONE")
-    if os.path.exists(done):
+    """Write the fixture star schema at ``scale`` x sf0.1 row counts under
+    ``out_dir`` (32-file parquet per table, INT64-micros timestamps).
+    Idempotent via a done marker. ``tables`` restricts generation to a
+    subset (e.g. {"documents"} for a dedup-only scale run — lineitem
+    dominates the full-schema bytes ~10:1); subset runs use their own done
+    marker so a later full generation still proceeds."""
+    suffix = "" if tables is None else "_" + "_".join(sorted(tables))
+    done = os.path.join(out_dir, f"_GEN_DONE{suffix}")
+    if os.path.exists(done) or (tables is not None and os.path.exists(
+        os.path.join(out_dir, "_GEN_DONE")
+    )):
         return out_dir
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     s = scale
@@ -71,24 +77,31 @@ def generate_sf(
     n_ord, n_ev = int(150000 * s), int(100000 * s)
     n_doc, n_emb = int(5000 * s), int(2000 * s)
 
+    def _want(name: str) -> bool:
+        return tables is None or name in tables
+
     def _write(df: DataFrame, name: str, parts: int = files) -> None:
+        if not _want(name):
+            return
         df.repartition(parts).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{name}.parquet")
         )
 
-    region = spark.createDataFrame(
-        [(i, n) for i, n in enumerate(_REGIONS)], "r_regionkey int, r_name string"
-    )
-    region.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "region.parquet")
-    )
-    nation = spark.createDataFrame(
-        [(i, f"NATION_{i}", i % 5) for i in range(25)],
-        "n_nationkey int, n_name string, n_regionkey int",
-    )
-    nation.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "nation.parquet")
-    )
+    if _want("region"):
+        region = spark.createDataFrame(
+            [(i, n) for i, n in enumerate(_REGIONS)], "r_regionkey int, r_name string"
+        )
+        region.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "region.parquet")
+        )
+    if _want("nation"):
+        nation = spark.createDataFrame(
+            [(i, f"NATION_{i}", i % 5) for i in range(25)],
+            "n_nationkey int, n_name string, n_regionkey int",
+        )
+        nation.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "nation.parquet")
+        )
 
     rid = F.col("id")
     _write(

@@ -290,7 +290,7 @@ def a05_evaluate_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(metric).alias("metric"), F.col(metric).alias("value")
         )
         out = one if out is None else out.unionAll(one)
-    return out.orderBy("metric")
+    return out.repartition(1).sortWithinPartitions("metric")
 
 
 A05_SQL = """
@@ -332,7 +332,7 @@ def a06_evaluate_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(metric).alias("metric"), F.col(metric).alias("value")
         )
         out = one if out is None else out.unionAll(one)
-    return out.orderBy("metric")
+    return out.repartition(1).sortWithinPartitions("metric")
 
 
 A06_SQL = """
@@ -383,7 +383,7 @@ def a07_ts_model_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id",
         (F.floor(F.col("value") * 1e6 + F.lit(0.5)) / 1e6).alias("value"),
-    ).orderBy("user_id", "value")
+    ).repartition(1).sortWithinPartitions("user_id", "value")
 
 
 A07_SQL = """
@@ -524,7 +524,7 @@ def a08_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     base = orders.filter("o_orderdate < '1998-01-01'")
     cur = orders.filter("o_orderdate >= '1998-01-01'")
-    return psi_drift(base, cur, "o_totalprice", n_bins=10).orderBy("bin")
+    return psi_drift(base, cur, "o_totalprice", n_bins=10).repartition(1).sortWithinPartitions("bin")
 
 
 A08_SQL = """
@@ -559,7 +559,7 @@ def a09_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     base = orders.filter("o_orderdate < '1998-01-01'")
     cur = orders.filter("o_orderdate >= '1998-01-01'")
-    return categorical_drift(base, cur, "o_orderpriority").orderBy("category")
+    return categorical_drift(base, cur, "o_orderpriority").repartition(1).sortWithinPartitions("category")
 
 
 A09_SQL = """
@@ -628,7 +628,7 @@ def a10_ts_latest_multiseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id",
         (F.floor(F.col("value") * 1e6 + F.lit(0.5)) / 1e6).alias("value"),
-    ).orderBy("user_id", "value")
+    ).repartition(1).sortWithinPartitions("user_id", "value")
 
 
 A10_SQL = """

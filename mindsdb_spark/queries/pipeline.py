@@ -4,6 +4,17 @@ multimodal plumbing — each a (spark_fn, oracle_sql) pair like the probes.
 The oracle SQL mirrors the Spark expression tree op-for-op (same tokenizer
 regex, same hash prefixes, same floor-based rounding) so results are
 bit-comparable; see probes._roundc for the cross-engine rounding rationale.
+
+Terminal sorts use ``.repartition(1).sortWithinPartitions(...)`` instead of
+``.orderBy(...)``: a global sort's RangePartitioner SAMPLES its child,
+which re-runs the entire upstream plan a second time (AQE's stage
+materialization avoids this only when adaptive execution is on — it is off
+in the small-input session branch). These result sets are bounded by
+construction (per-document signals, top-k, rollups), so a single-partition
+presentation sort after one round-robin exchange is both faster and
+scale-safe — the same contract as TakeOrderedAndProject. Operators keep
+their internal partitioning; only the final user-facing ordering changes
+shape.
 """
 
 from __future__ import annotations
@@ -166,7 +177,7 @@ ORDER BY jac DESC, doc_a, doc_b LIMIT 20
 def d07_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         D.lsh_candidate_pairs(D.shingle_hashes(_t(spark, sf_dir, "documents")))
-        .orderBy("doc_a", "doc_b")
+        .repartition(1).sortWithinPartitions("doc_a", "doc_b")
     )
 
 
@@ -256,7 +267,7 @@ def d10_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .filter(col("rnk") <= 5)
         .select("query_id", "vec_id", "rnk")
-        .orderBy("query_id", "rnk")
+        .repartition(1).sortWithinPartitions("query_id", "rnk")
     )
 
 
@@ -307,7 +318,7 @@ def d12_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             (F.floor(F.avg(k) * 1e6 + F.lit(0.5)) / 1e6).alias("avg_k"),
         )
-        .orderBy("event_type")
+        .repartition(1).sortWithinPartitions("event_type")
     )
 
 
@@ -391,7 +402,7 @@ def d16_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = D.shingle_hashes(_t(spark, sf_dir, "documents"))
     return contamination_check(
         sh.filter(col("doc_id") >= 20), sh.filter(col("doc_id") < 20)
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 D16_SQL = f"""
@@ -415,7 +426,7 @@ def d17_stopword_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return stopword_scrub(
         _t(spark, sf_dir, "documents"), ["a", "the"]
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 D17_SQL = f"""
@@ -440,7 +451,7 @@ def d18_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         stratified_sample(_t(spark, sf_dir, "documents"), _D18_RATES)
         .select("doc_id", "lang")
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -458,7 +469,7 @@ def d19_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     toks = T.token_stats(docs).join(docs.select("doc_id", "lang"), "doc_id")
-    return pack_sequences(toks, budget=512).orderBy("doc_id")
+    return pack_sequences(toks, budget=512).repartition(1).sortWithinPartitions("doc_id")
 
 
 D19_SQL = f"""
@@ -487,7 +498,7 @@ def d20_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         # never empty, so outer semantics are identical and the transform
         # runs once
         "vec_id", "amax", F.posexplode_outer("q").alias("lane", "qv")
-    ).orderBy("vec_id", "lane")
+    ).repartition(1).sortWithinPartitions("vec_id", "lane")
 
 
 D20_SQL = """
@@ -508,7 +519,7 @@ ORDER BY vec_id, lane
 def d21_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.operators.text import repetition_signals
 
-    return repetition_signals(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+    return repetition_signals(_t(spark, sf_dir, "documents")).repartition(1).sortWithinPartitions("doc_id")
 
 
 D21_SQL = f"""
@@ -529,7 +540,7 @@ FROM per GROUP BY doc_id ORDER BY doc_id
 def d28_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.operators.text import ngram_novelty
 
-    return ngram_novelty(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+    return ngram_novelty(_t(spark, sf_dir, "documents")).repartition(1).sortWithinPartitions("doc_id")
 
 
 D28_SQL = f"""
@@ -554,7 +565,7 @@ def d29_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.operators.curation import dsir_weights
 
     docs = _t(spark, sf_dir, "documents")
-    return dsir_weights(docs, target=col("source") == "src0").orderBy("doc_id")
+    return dsir_weights(docs, target=col("source") == "src0").repartition(1).sortWithinPartitions("doc_id")
 
 
 D29_SQL = f"""
@@ -578,7 +589,7 @@ def d30_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (random vectors barely correlate); real corpora run ~0.95
     return D.semantic_dedup(
         _t(spark, sf_dir, "embeddings"), threshold=0.35, sign_bits=4
-    ).orderBy("vec_id")
+    ).repartition(1).sortWithinPartitions("vec_id")
 
 
 D30_SQL = """
@@ -611,7 +622,7 @@ def d31_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(col("doc_id") < 400),
         docs.where(col("doc_id") >= 400),
         jaccard_threshold=0.5,
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 D31_SQL = f"""
@@ -665,7 +676,7 @@ def d32_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reason",
             F.when(col("reason").isNull(), col("split")).alias("split"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -775,7 +786,7 @@ def d35_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         "doc_id",
         (F.floor(col("rank") * 1e9 + F.lit(0.5)) / 1e9).alias("rank"),
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
@@ -820,7 +831,7 @@ def d36_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     pairs = D.lsh_candidate_pairs(D.shingle_hashes(docs))
-    return contrastive_triplets(docs.select("doc_id"), pairs).orderBy("doc_id")
+    return contrastive_triplets(docs.select("doc_id"), pairs).repartition(1).sortWithinPartitions("doc_id")
 
 
 D36_SQL = f"""
@@ -901,7 +912,7 @@ SELECT vec_id FROM dist ORDER BY dist ASC, vec_id ASC LIMIT 10
 
 # --- D38 per-source Zipf rank-frequency slope --------------------------------
 def d38_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.zipf_slope(_t(spark, sf_dir, "documents")).orderBy("source")
+    return T.zipf_slope(_t(spark, sf_dir, "documents")).repartition(1).sortWithinPartitions("source")
 
 
 D38_SQL = r"""
@@ -929,7 +940,7 @@ def d39_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     sh = D.shingle_hashes(docs)
-    return containment_pairs(sh, D.lsh_candidate_pairs(sh)).orderBy("doc_a", "doc_b")
+    return containment_pairs(sh, D.lsh_candidate_pairs(sh)).repartition(1).sortWithinPartitions("doc_a", "doc_b")
 
 
 D39_SQL = f"""
@@ -957,7 +968,7 @@ ORDER BY doc_a, doc_b
 def d22_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.operators.text import vocab_coverage
 
-    return vocab_coverage(_t(spark, sf_dir, "documents"), vocab_size=50).orderBy("doc_id")
+    return vocab_coverage(_t(spark, sf_dir, "documents"), vocab_size=50).repartition(1).sortWithinPartitions("doc_id")
 
 
 D22_SQL = f"""
@@ -998,7 +1009,7 @@ FROM per, tot ORDER BY source
 def d24_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = D.lsh_candidate_pairs(D.shingle_hashes(docs))
-    return D.connected_components(docs.select("doc_id"), pairs).orderBy("doc_id")
+    return D.connected_components(docs.select("doc_id"), pairs).repartition(1).sortWithinPartitions("doc_id")
 
 
 D24_SQL = f"""
@@ -1026,7 +1037,7 @@ def d25_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.avg("v") * 1e6 + F.lit(0.5)) / 1e6).alias("c"),
             F.count("*").alias("n"),
         )
-        .orderBy("label", "lane")
+        .repartition(1).sortWithinPartitions("label", "lane")
     )
 
 
@@ -1044,7 +1055,7 @@ def d26_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.operators.curation import split_assign
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
-    return split_assign(docs).orderBy("doc_id")
+    return split_assign(docs).repartition(1).sortWithinPartitions("doc_id")
 
 
 D26_SQL = """
@@ -1062,7 +1073,7 @@ FROM documents ORDER BY doc_id
 def d27_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.operators.text import unigram_nll
 
-    return unigram_nll(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+    return unigram_nll(_t(spark, sf_dir, "documents")).repartition(1).sortWithinPartitions("doc_id")
 
 
 D27_SQL = f"""
@@ -1108,7 +1119,7 @@ def s01_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = bm25_scores(docs, _Q_TERMS)
     return (
         scores.select("doc_id", (F.floor(col("bm25") * 1e6 + F.lit(0.5)) / 1e6).alias("bm25"))
-        .orderBy(col("bm25").desc(), "doc_id")
+        .repartition(1).sortWithinPartitions(col("bm25").desc(), "doc_id")
         .limit(10)
     )
 
@@ -1126,7 +1137,7 @@ def s02_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return boolean_search(
         docs, must=[["spark", "join"], ["table"]], must_not=["vector"]
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 S02_SQL = f"""
@@ -1171,7 +1182,7 @@ def s03_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             col("__id").alias("doc_id"),
             (F.floor(dist * 1e6 + F.lit(0.5)) / 1e6).alias("distance"),
         )
-        .orderBy(col("distance").asc(), "doc_id")
+        .repartition(1).sortWithinPartitions(col("distance").asc(), "doc_id")
         .limit(10)
     )
 
@@ -1201,7 +1212,7 @@ def s04_metadata_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = cosine_similarity(col("embedding"), [float(x) for x in q])
     return (
         filtered.select("vec_id", sim.alias("__sim"))
-        .orderBy(col("__sim").desc(), "vec_id")
+        .repartition(1).sortWithinPartitions(col("__sim").desc(), "vec_id")
         .limit(10)
         .select("vec_id")
     )
@@ -1227,7 +1238,7 @@ def s05_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         bm25_scores(docs, _Q_TERMS)
         .select("doc_id", (F.floor(col("bm25") * 1e6 + F.lit(0.5)) / 1e6).alias("bm25"))
-        .orderBy(col("bm25").desc(), "doc_id")
+        .repartition(1).sortWithinPartitions(col("bm25").desc(), "doc_id")
         .limit(n_cand)
     )
     # mock LLM relevance: first 4 md5 hex chars of the text / 65535 — the
@@ -1238,7 +1249,7 @@ def s05_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.filter(col("relevance") >= 0.2)
-        .orderBy(col("relevance").desc(), "doc_id")
+        .repartition(1).sortWithinPartitions(col("relevance").desc(), "doc_id")
         .limit(10)
     )
 
@@ -1447,7 +1458,7 @@ def a02_ts_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         horizon=HORIZON,
     )
     e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
-    return ts_apply_model(e, model).orderBy("user_id", "h")
+    return ts_apply_model(e, model).repartition(1).sortWithinPartitions("user_id", "h")
 
 
 A02_SQL = """
@@ -1470,7 +1481,7 @@ FROM agg, h ORDER BY user_id, h
 def d40_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.operators.curation import boilerplate_scrub
 
-    return boilerplate_scrub(_t(spark, sf_dir, "documents"), k=4, min_df=2).orderBy(
+    return boilerplate_scrub(_t(spark, sf_dir, "documents"), k=4, min_df=2).repartition(1).sortWithinPartitions(
         "doc_id"
     )
 
@@ -1494,7 +1505,7 @@ def d41_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return random_project(
         _t(spark, sf_dir, "embeddings"), out_dim=16, in_dim=64, seed=0
-    ).orderBy("vec_id", "lane")
+    ).repartition(1).sortWithinPartitions("vec_id", "lane")
 
 
 def _d41_sql() -> str:
@@ -1521,7 +1532,7 @@ D41_SQL = _d41_sql()
 def d42_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.operators.text import dup_span_frac
 
-    return dup_span_frac(_t(spark, sf_dir, "documents"), n=3).orderBy("doc_id")
+    return dup_span_frac(_t(spark, sf_dir, "documents"), n=3).repartition(1).sortWithinPartitions("doc_id")
 
 
 D42_SQL = f"""
@@ -1545,7 +1556,7 @@ def d43_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.operators.curation import nb_quality
 
     docs = _t(spark, sf_dir, "documents")
-    return nb_quality(docs, target=col("source") == "src0").orderBy("doc_id")
+    return nb_quality(docs, target=col("source") == "src0").repartition(1).sortWithinPartitions("doc_id")
 
 
 D43_SQL = f"""
@@ -1687,7 +1698,7 @@ def d44_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(heavy, "boilerplate").when(lowq, "low_quality").otherwise("kept").alias("reason"),
         kept.alias("kept"),
         F.when(kept, split).alias("split"),
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 D44_SQL = f"""
@@ -1712,7 +1723,7 @@ ORDER BY s.doc_id
 def d45_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.operators.text import bigram_nll
 
-    return bigram_nll(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+    return bigram_nll(_t(spark, sf_dir, "documents")).repartition(1).sortWithinPartitions("doc_id")
 
 
 D45_SQL = f"""
@@ -1741,7 +1752,7 @@ def d46_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k=3 for the gate/bench query: each round is a fixed-cost Spark job
     # (the fixture vocab is tiny, so rounds are pure scheduling floor that
     # only amortizes at scale); the operator default stays 8
-    return bpe_train_merges(_t(spark, sf_dir, "documents"), k=3).orderBy("rank")
+    return bpe_train_merges(_t(spark, sf_dir, "documents"), k=3).repartition(1).sortWithinPartitions("rank")
 
 
 def _d46_sql(k: int = 3) -> str:
@@ -1790,7 +1801,7 @@ def d47_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = [
         (r["lhs"], r["rhs"]) for r in bpe_train_merges(docs, k=3).collect()
     ]
-    return bpe_tokenize_counts(docs, merges).orderBy("doc_id")
+    return bpe_tokenize_counts(docs, merges).repartition(1).sortWithinPartitions("doc_id")
 
 
 def _d47_sql(k: int = 3) -> str:
@@ -1836,7 +1847,7 @@ D47_SQL = _d47_sql()
 def d48_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.operators.curation import perplexity_buckets
 
-    return perplexity_buckets(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+    return perplexity_buckets(_t(spark, sf_dir, "documents")).repartition(1).sortWithinPartitions("doc_id")
 
 
 D48_SQL = f"""
@@ -1862,7 +1873,7 @@ def d49_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return temperature_mixture(
         _t(spark, sf_dir, "documents"), alpha=0.5, budget=1_000_000
-    ).orderBy("source")
+    ).repartition(1).sortWithinPartitions("source")
 
 
 D49_SQL = f"""
@@ -1917,7 +1928,7 @@ ORDER BY o_custkey
 def d50_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.operators.curation import gopher_rules
 
-    return gopher_rules(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+    return gopher_rules(_t(spark, sf_dir, "documents")).repartition(1).sortWithinPartitions("doc_id")
 
 
 D50_SQL = f"""
@@ -1970,7 +1981,7 @@ def d51_dup_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (col("dup_count") * col("n_groups")).alias("n_docs"),
             r6(col("dup_count") * col("n_groups") / col("__t")).alias("doc_share"),
         )
-        .orderBy("dup_count")
+        .repartition(1).sortWithinPartitions("dup_count")
     )
 
 

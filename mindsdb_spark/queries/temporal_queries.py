@@ -34,7 +34,7 @@ def t01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     purchases = e.filter(col("event_type") == "purchase").select("event_id", "ts", "user_id")
     res = asof_join(purchases, _clicks(e), on="ts", by="user_id")
-    return res.select("event_id", "user_id", "click_id", "click_value").orderBy("event_id")
+    return res.select("event_id", "user_id", "click_id", "click_value").repartition(1).sortWithinPartitions("event_id")
 
 
 T01_SQL = """
@@ -52,7 +52,7 @@ def t02_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     purchases = e.filter(col("event_type") == "purchase").select("event_id", "ts", "user_id")
     res = asof_join(purchases, _clicks(e), on="ts", by="user_id", direction="forward")
-    return res.select("event_id", "user_id", "click_id", "click_value").orderBy("event_id")
+    return res.select("event_id", "user_id", "click_id", "click_value").repartition(1).sortWithinPartitions("event_id")
 
 
 # Forward as-of with an inverted comparison. DuckDB requires the inequality
@@ -84,7 +84,7 @@ def t03_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, windows, point_col="ts", start_col="w_start", end_col="w_end",
         by="user_id", bucket_width_seconds=1800,
     )
-    return res.select("event_id", "user_id", "err_id").orderBy("event_id", "err_id")
+    return res.select("event_id", "user_id", "err_id").repartition(1).sortWithinPartitions("event_id", "err_id")
 
 
 T03_SQL = """
@@ -105,7 +105,7 @@ def t04_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.operators.temporal import resample_fill
 
     e = _t(spark, sf_dir, "events")
-    return resample_fill(e).orderBy("user_id", "bucket")
+    return resample_fill(e).repartition(1).sortWithinPartitions("user_id", "bucket")
 
 
 T04_SQL = """
@@ -125,7 +125,7 @@ def t05_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.operators.temporal import anomaly_zscore
 
     e = _t(spark, sf_dir, "events").filter("user_id < 30")
-    return anomaly_zscore(e).orderBy("user_id", "event_id")
+    return anomaly_zscore(e).repartition(1).sortWithinPartitions("user_id", "event_id")
 
 
 T05_SQL = """
@@ -149,7 +149,7 @@ ORDER BY user_id, event_id
 def t06_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.operators.temporal import seasonal_baseline
 
-    return seasonal_baseline(_t(spark, sf_dir, "events")).orderBy("event_id")
+    return seasonal_baseline(_t(spark, sf_dir, "events")).repartition(1).sortWithinPartitions("event_id")
 
 
 T06_SQL = """
@@ -166,7 +166,7 @@ ORDER BY event_id
 def t07_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.operators.temporal import sessionize
 
-    return sessionize(_t(spark, sf_dir, "events")).orderBy("user_id", "session_id")
+    return sessionize(_t(spark, sf_dir, "events")).repartition(1).sortWithinPartitions("user_id", "session_id")
 
 
 T07_SQL = """
@@ -192,7 +192,7 @@ def t08_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindsdb_spark.operators.temporal import ewma_smooth
 
     e = _t(spark, sf_dir, "events").filter("user_id < 50")
-    return ewma_smooth(e, alpha=0.3, window=10).orderBy("user_id", "event_id")
+    return ewma_smooth(e, alpha=0.3, window=10).repartition(1).sortWithinPartitions("user_id", "event_id")
 
 
 def _t08_sql(alpha: float = 0.3, window: int = 10) -> str:

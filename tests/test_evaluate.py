@@ -245,3 +245,22 @@ def test_kb_evaluate_from_sql_and_save_to(spark, sf_dir, tmp_path):
             "EVALUATE KNOWLEDGE_BASE kbfs USING generate = true, "
             "from_sql = 'SELECT doc_id FROM src_documents'"
         )
+
+
+def test_kb_evaluate_unwritable_save_to_raises(spark, sf_dir):
+    # round-4 advice: save_to / test_table that don't resolve to a writable
+    # source must raise instead of silently skipping the persist
+    s = EngineSession(spark)
+    s.register_parquet_source("src", sf_dir)
+    s.sql("CREATE KNOWLEDGE_BASE kberr USING dim = 8, embedder = 'md5'")
+    s.sql("INSERT INTO kberr SELECT doc_id, text FROM src_documents WHERE doc_id < 10")
+    with pytest.raises(ValueError, match="save_to"):
+        s.sql(
+            "EVALUATE KNOWLEDGE_BASE kberr USING generate = true, count = 2, "
+            "save_to = nosuchsrc.scores"
+        )
+    with pytest.raises(ValueError, match="test_table"):
+        s.sql(
+            "EVALUATE KNOWLEDGE_BASE kberr USING generate = true, count = 2, "
+            "test_table = nosuchsrc.testset"
+        )
