@@ -1996,6 +1996,57 @@ FROM h, t ORDER BY dup_count
 """
 
 
+# --- D52 audio DSP features over synthesized PCM -----------------------------
+# Real decode + real DSP (np.frombuffer int16 -> windowed RMS with an EXACT
+# int64 sum-of-squares + zero-crossing rate), Arrow-batched mapInPandas;
+# only the SIGNAL is synthetic (no audio files in the container) — a
+# deterministic ramp both engines recompute from the same closed form
+# (sample_i = (md5-seed * i) % 65536 - 32768), so the oracle checks the
+# full decode->window->feature chain without parsing bytes in SQL.
+def d52_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(col("doc_id") < 100)
+    pcm = M.synth_pcm(docs, n_samples=2000)
+    feats = M.audio_features(pcm, window=250)
+    return feats.select(
+        "media_id", "win",
+        (F.floor(col("rms") * 1e6 + F.lit(0.5)) / 1e6).alias("rms"),
+        (F.floor(col("zcr") * 1e6 + F.lit(0.5)) / 1e6).alias("zcr"),
+    ).repartition(1).sortWithinPartitions("media_id", "win")
+
+
+D52_SQL = """
+WITH seeds AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS seed
+  FROM documents WHERE doc_id < 100
+),
+samp AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, 2000),
+           i -> CAST((seed * i) % 65536 AS BIGINT) - 32768) AS s
+  FROM seeds
+),
+wins AS (
+  SELECT doc_id AS media_id, w AS win, s[w * 250 + 1 : (w + 1) * 250] AS seg
+  FROM samp, UNNEST(generate_series(0, 7)) AS t(w)
+),
+feat AS (
+  SELECT media_id, win,
+         sqrt(list_sum(list_transform(seg, x -> x * x)) / 250.0) AS rms,
+         (SELECT CAST(coalesce(list_sum(list_transform(
+             generate_series(2, len(sv)),
+             i -> CASE WHEN sv[i] <> sv[i - 1] THEN 1 ELSE 0 END)), 0) AS DOUBLE)
+          FROM (SELECT list_transform(list_filter(seg, x -> x <> 0),
+                       x -> CASE WHEN x > 0 THEN 1 ELSE -1 END) AS sv)
+         ) / 249.0 AS zcr
+  FROM wins
+)
+SELECT media_id, win,
+       floor(rms * 1000000 + 0.5) / 1000000 AS rms,
+       floor(zcr * 1000000 + 0.5) / 1000000 AS zcr
+FROM feat ORDER BY media_id, win
+"""
+
 # --- registry ----------------------------------------------------------------
 PIPELINE = {
     "d01_dedup_exact": (d01_dedup_exact, D01_SQL),
@@ -2049,6 +2100,7 @@ PIPELINE = {
     "d49_temperature_mix": (d49_temperature_mix, D49_SQL),
     "d50_gopher_rules": (d50_gopher_rules, D50_SQL),
     "d51_dup_distribution": (d51_dup_distribution, D51_SQL),
+    "d52_audio_features": (d52_audio_features, D52_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),

@@ -1369,6 +1369,45 @@ FROM dau JOIN wau USING (d) ORDER BY d
 """
 
 
+# --- P73 recursive CTE (delegated SELECT surface) ---------------------------
+def p73_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE through the SQL surface (reference: everything inside
+    a QueryStep/SubSelectStep runs on DuckDB, whose SELECT surface includes
+    recursive CTEs — utilities/sql.py:208-352; Spark 4 executes them
+    natively as an iterative union loop). The recursion walks 6 steps from
+    the ASIA region key and joins each step back to `nation` — anchor on a
+    real table, recursive arithmetic, table join over the recursion output.
+    """
+    _t(spark, sf_dir, "region").createOrReplaceTempView("p73_region")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("p73_nation")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(rk, step) AS (
+          SELECT CAST(r_regionkey AS INT), 1 FROM p73_region
+          WHERE r_name = 'ASIA'
+          UNION ALL
+          SELECT rk + 4, step + 1 FROM walk WHERE step < 6
+        )
+        SELECT w.step, w.rk, n.n_name
+        FROM walk w JOIN p73_nation n ON n.n_nationkey = w.rk
+        ORDER BY w.step
+        """
+    )
+
+
+P73_SQL = """
+WITH RECURSIVE walk(rk, step) AS (
+  SELECT CAST(r_regionkey AS INT) AS rk, 1 AS step FROM region
+  WHERE r_name = 'ASIA'
+  UNION ALL
+  SELECT rk + 4, step + 1 FROM walk WHERE step < 6
+)
+SELECT w.step, w.rk, n.n_name
+FROM walk w JOIN nation n ON n.n_nationkey = w.rk
+ORDER BY w.step
+"""
+
+
 PROBES_EXT = {
     "p33_cube": (p33_cube, P33_SQL),
     "p34_grouping_sets": (p34_grouping_sets, P34_SQL),
@@ -1410,4 +1449,5 @@ PROBES_EXT = {
     "p70_null_in_semantics": (p70_null_in_semantics, P70_SQL),
     "p71_retention": (p71_retention, P71_SQL),
     "p72_stickiness": (p72_stickiness, P72_SQL),
+    "p73_recursive_cte": (p73_recursive_cte, P73_SQL),
 }

@@ -627,3 +627,23 @@ def test_star_exclude_inside_string_literal_untouched(spark, sf_dir):
         "SELECT '* EXCLUDE (x)' AS lit, n_nationkey FROM tpch_nation LIMIT 1"
     ).collect()
     assert rows[0]["lit"] == "* EXCLUDE (x)"
+
+
+def test_recursive_cte_through_engine_door(spark, sf_dir):
+    # the reference's delegated SELECT surface (QueryStep -> DuckDB,
+    # utilities/sql.py:208-352) includes recursive CTEs; Spark 4 executes
+    # WITH RECURSIVE natively and the engine door passes it through with
+    # source-name resolution intact (probe p73 oracle-checks the values)
+    from mindsdb_spark.engine import EngineSession
+
+    s = EngineSession(spark)
+    s.register_parquet_source("tpch", sf_dir, tables=["region", "nation"])
+    rows = s.sql(
+        "WITH RECURSIVE walk(rk, step) AS ("
+        "  SELECT CAST(r_regionkey AS INT), 1 FROM tpch_region WHERE r_name = 'ASIA'"
+        "  UNION ALL SELECT rk + 4, step + 1 FROM walk WHERE step < 3"
+        ") SELECT w.step, n.n_name FROM walk w "
+        "JOIN tpch_nation n ON n.n_nationkey = w.rk ORDER BY w.step"
+    ).collect()
+    assert [r["step"] for r in rows] == [1, 2, 3]
+    assert rows[0]["n_name"] == "NATION_2"

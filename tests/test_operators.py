@@ -901,3 +901,38 @@ def test_gopher_rules_flags(spark):
     assert out[0].keep and out[0].ok_word_count and out[0].ok_stopwords
     assert not out[1].keep and not out[1].ok_word_count
     assert not out[2].ok_symbol_ratio and not out[2].keep
+
+
+def test_synth_pcm_and_audio_features(spark, sf_dir):
+    # audio DSP over synthesized PCM: real pcm16le bytes (4000 per row at
+    # n_samples=2000), real frombuffer decode, RMS from an exact int64
+    # sum-of-squares, ZCR sign-flip count — deterministic across reruns
+    import hashlib
+
+    import numpy as np
+
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.operators.multimodal import audio_features, synth_pcm
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    pcm = synth_pcm(docs, n_samples=2000)
+    rows = {r["media_id"]: r for r in pcm.collect()}
+    assert all(len(r["content"]) == 4000 for r in rows.values())
+    # byte-level contract: sample_i = (md5-seed * (i+1)) % 65536 - 32768
+    mid, r = next(iter(rows.items()))
+    seed = int(hashlib.md5(str(mid).encode()).hexdigest()[:8], 16)
+    samples = np.frombuffer(r["content"], dtype="<i2")
+    expect = ((seed * np.arange(1, 2001, dtype=np.int64)) % 65536 - 32768)
+    assert (samples == expect).all()
+    feats = audio_features(pcm, window=250).collect()
+    assert len(feats) == 5 * 8
+    by_key = {(f["media_id"], f["win"]): f for f in feats}
+    # manual recompute of one window
+    seg = expect[:250]
+    rms = (float((seg * seg).sum()) / 250.0) ** 0.5
+    sv = np.sign(seg)
+    sv = sv[sv != 0]
+    zcr = float((sv[1:] != sv[:-1]).sum()) / 249.0
+    got = by_key[(mid, 0)]
+    assert got["rms"] == pytest.approx(rms, abs=1e-9)
+    assert got["zcr"] == pytest.approx(zcr, abs=1e-12)
