@@ -275,3 +275,98 @@ def audio_features(
     return media.select("media_id", "content").mapInPandas(
         run, schema=AUDIO_FEATURE_SCHEMA
     )
+
+
+# --- image: synthetic bitmap + REAL block-mean downsample --------------------
+# Same honesty split as the audio pair above: the PIXELS are synthesized
+# (no image files/codecs in the container) from a closed form both engines
+# recompute, but the downsample is real raster math — numpy frombuffer
+# uint8 decode, reshape to (height, width), exact integer block sums.
+
+
+def synth_image(
+    df: DataFrame, id_col: str = "doc_id", width: int = 32, height: int = 32
+) -> DataFrame:
+    """Deterministic grayscale bitmap per row: pixel(x, y) =
+    (seed * (y*width + x + 1)) % 256 with seed = first-8-hex of md5(id),
+    packed row-major as REAL uint8 bytes with typed width/height metadata.
+    Pure map stage."""
+    import numpy as np
+
+    n_px = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(1, n_px + 1, dtype=np.int64)
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf["__id"]:
+                seed = int(hashlib.md5(str(mid).encode()).hexdigest()[:8], 16)
+                px = ((seed * idx) % 256).astype(np.uint8)
+                ids.append(mid)
+                blobs.append(px.tobytes())
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    out = df.select(col(id_col).alias("__id")).mapInPandas(
+        run,
+        schema=StructType(
+            [
+                StructField("media_id", LongType()),
+                StructField("content", BinaryType()),
+            ]
+        ),
+    )
+    return out.select(
+        "media_id",
+        "content",
+        F.lit("image/x-gray8").alias("mime"),
+        F.lit(width).cast("long").alias("meta_width"),
+        F.lit(height).cast("long").alias("meta_height"),
+    )
+
+
+BLOCK_MEAN_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("by", LongType()),
+        StructField("bx", LongType()),
+        StructField("mean", DoubleType()),
+    ]
+)
+
+
+def downsample_block_mean(media: DataFrame, block: int = 8) -> DataFrame:
+    """Block-mean downsample of gray8 payloads: decode bytes to a
+    (height, width) uint8 raster, average every block x block tile with an
+    EXACT int64 sum (mean = sum / block² in one deterministic double
+    division — no float accumulation order for engines to disagree on).
+    The standard thumbnail/pooling step, Arrow-batched; payloads stay on
+    executors, only (media_id, by, bx, mean) rows come out."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bys, bxs, means = [], [], [], []
+            for _, r in pdf.iterrows():
+                w, h = int(r["meta_width"]), int(r["meta_height"])
+                img = np.frombuffer(r["content"] or b"", dtype=np.uint8)
+                if len(img) != w * h:
+                    continue  # malformed payload: skip, never crash the stage
+                img = img.reshape(h, w).astype(np.int64)
+                for by in range(h // block):
+                    for bx in range(w // block):
+                        tile = img[
+                            by * block : (by + 1) * block,
+                            bx * block : (bx + 1) * block,
+                        ]
+                        ids.append(r["media_id"])
+                        bys.append(by)
+                        bxs.append(bx)
+                        means.append(int(tile.sum()) / float(block * block))
+            yield pd.DataFrame(
+                {"media_id": ids, "by": bys, "bx": bxs,
+                 "mean": pd.Series(means, dtype="float64")}
+            )
+
+    return media.select("media_id", "content", "meta_width", "meta_height").mapInPandas(
+        run, schema=BLOCK_MEAN_SCHEMA
+    )

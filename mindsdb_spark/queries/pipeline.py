@@ -2047,6 +2047,41 @@ SELECT media_id, win,
 FROM feat ORDER BY media_id, win
 """
 
+# --- D53 image block-mean downsample over synthesized bitmaps ----------------
+# Companion to d52: real raster math (np.frombuffer uint8 -> reshape ->
+# exact int64 tile sums -> one double division) over pixels both engines
+# recompute from the same closed form (pixel(x,y) = (md5-seed * (y*W+x+1))
+# % 256). Completes the computable multimodal trio: image (this), audio
+# (d52), video frame fan-out (d13/sample_frames).
+def d53_image_blockmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(col("doc_id") < 100)
+    img = M.synth_image(docs, width=32, height=32)
+    blocks = M.downsample_block_mean(img, block=8)
+    return blocks.select(
+        "media_id", "by", "bx",
+        (F.floor(col("mean") * 1e6 + F.lit(0.5)) / 1e6).alias("mean"),
+    ).repartition(1).sortWithinPartitions("media_id", "by", "bx")
+
+
+D53_SQL = """
+WITH seeds AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS seed
+  FROM documents WHERE doc_id < 100
+),
+px AS (
+  SELECT doc_id,
+         CAST((i - 1) % 32 AS BIGINT) AS x,
+         CAST((i - 1) // 32 AS BIGINT) AS y,
+         CAST((seed * i) % 256 AS BIGINT) AS v
+  FROM seeds, UNNEST(generate_series(1, 1024)) AS t(i)
+)
+SELECT doc_id AS media_id, y // 8 AS by, x // 8 AS bx,
+       floor(sum(v) / 64.0 * 1000000 + 0.5) / 1000000 AS mean
+FROM px GROUP BY doc_id, y // 8, x // 8
+ORDER BY media_id, by, bx
+"""
+
 # --- registry ----------------------------------------------------------------
 PIPELINE = {
     "d01_dedup_exact": (d01_dedup_exact, D01_SQL),
@@ -2101,6 +2136,7 @@ PIPELINE = {
     "d50_gopher_rules": (d50_gopher_rules, D50_SQL),
     "d51_dup_distribution": (d51_dup_distribution, D51_SQL),
     "d52_audio_features": (d52_audio_features, D52_SQL),
+    "d53_image_blockmean": (d53_image_blockmean, D53_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),

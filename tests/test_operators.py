@@ -936,3 +936,29 @@ def test_synth_pcm_and_audio_features(spark, sf_dir):
     got = by_key[(mid, 0)]
     assert got["rms"] == pytest.approx(rms, abs=1e-9)
     assert got["zcr"] == pytest.approx(zcr, abs=1e-12)
+
+
+def test_synth_image_and_block_mean(spark, sf_dir):
+    # real raster math over synthesized gray8 bitmaps: byte-level pixel
+    # contract + one tile recomputed by hand; malformed payloads skip
+    import hashlib
+
+    import numpy as np
+
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.operators.multimodal import downsample_block_mean, synth_image
+
+    docs = load_table(spark, sf_dir, "documents").limit(4)
+    img = synth_image(docs, width=32, height=32)
+    rows = {r["media_id"]: r for r in img.collect()}
+    assert all(len(r["content"]) == 1024 for r in rows.values())
+    mid, r = next(iter(rows.items()))
+    seed = int(hashlib.md5(str(mid).encode()).hexdigest()[:8], 16)
+    px = np.frombuffer(r["content"], dtype=np.uint8)
+    expect = ((seed * np.arange(1, 1025, dtype=np.int64)) % 256)
+    assert (px == expect).all()
+    blocks = downsample_block_mean(img, block=8).collect()
+    assert len(blocks) == 4 * 16  # 4 images x (32/8)^2 tiles
+    by_key = {(b["media_id"], b["by"], b["bx"]): b["mean"] for b in blocks}
+    tile = expect.reshape(32, 32)[:8, :8]
+    assert by_key[(mid, 0, 0)] == pytest.approx(tile.sum() / 64.0, abs=1e-12)

@@ -336,3 +336,22 @@ def test_no_shadowed_test_definitions():
                     )
                 seen[node.name] = node.lineno
     assert not dupes, f"shadowed definitions: {dupes}"
+
+
+def test_generate_over_computed_array_no_expression_duplication(spark, sf_dir):
+    # InferFiltersFromGenerate is excluded session-wide (session.py): it
+    # clones a Generate's computed child into a size>0/isnotnull
+    # pre-filter, and HOF lambdas get no codegen CSE — measured 12x on the
+    # hash-embed probe. The optimized plan must evaluate the embedding
+    # expression exactly ONCE (one md5 occurrence), with no inferred
+    # Filter over the generator child.
+    from pyspark.sql import functions as F
+
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.operators.kb import hash_embed
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    emb = hash_embed(docs, text_col="text", dim=8, out_float=False)
+    expl = emb.select("doc_id", F.posexplode(F.col("embedding")).alias("lane", "v"))
+    optimized = expl._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("md5(") == 1
