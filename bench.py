@@ -96,7 +96,7 @@ def _prepare_split(spark) -> str:
     files the way a real multi-row-group/multi-file layout does at scale."""
     import hashlib
 
-    from mindsdb_spark.catalog import TPCH_TABLES, load_table
+    from mindsdb_spark.catalog import TPCH_TABLES, invalidate_table, load_table
 
     # write timestamps as INT64 micros, not Spark's INT96 legacy default —
     # keeps the split copy's physical schema aligned with the driver
@@ -114,6 +114,9 @@ def _prepare_split(spark) -> str:
             load_table(spark, SF_DIR, t).repartition(32).write.mode(
                 "overwrite"
             ).parquet(os.path.join(out_dir, f"{t}.parquet"))
+            # deterministic eviction of any cached plan over the old
+            # part-files (a prior partial split without the done marker)
+            invalidate_table(out_dir, t)
         with open(done, "w") as f:
             f.write("ok")
     return out_dir
@@ -177,10 +180,15 @@ def _prepare_sf1(spark) -> str:
     return out_dir
 
 
-def _duckdb_baseline(names: list[str], registry: dict, data_dir: str) -> dict[str, float]:
-    """Best-of-RUNS timings for the identical oracle SQL in DuckDB, measured
-    in the SAME window — this host carries variable co-tenant load (absolute
-    totals swing ±30%), so only same-window ratios are meaningful."""
+def _duckdb_baseline(
+    names: list[str], registry: dict, data_dir: str, runs: int = RUNS
+) -> dict[str, float]:
+    """Best-of-``runs`` timings for the identical oracle SQL in DuckDB,
+    measured in the SAME window — this host carries variable co-tenant load
+    (absolute totals swing ±30%), so only same-window ratios are meaningful.
+    ``runs`` must match the attempt count of the Spark side it is compared
+    against (best-of-2 sections pass 2): an extra min() attempt for one
+    engine systematically biases the ratio."""
     import duckdb
 
     con = duckdb.connect()
@@ -204,7 +212,7 @@ def _duckdb_baseline(names: list[str], registry: dict, data_dir: str) -> dict[st
             (lambda t0: (con.execute(sql).fetchall(), time.perf_counter() - t0)[1])(
                 time.perf_counter()
             )
-            for _ in range(RUNS)
+            for _ in range(runs)
         )
         out[name] = round(best, 4)
     return out
@@ -282,7 +290,7 @@ def main() -> None:
         # best-of-2: the split32 ratio is a judged gate and single-pass
         # timings on this co-tenant host swing 2x run-to-run
         sp = _time_set(head, split_dir, 2)
-        du = _duckdb_baseline(head, registry, split_dir)
+        du = _duckdb_baseline(head, registry, split_dir, runs=2)
         spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
         spark.conf.set("spark.sql.files.openCostInBytes", "4194304")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -312,7 +320,7 @@ def main() -> None:
         # best-of-2: the sf1 sections are the headline scale evidence, and a
         # co-tenant load spike during a single pass can triple a 20 s query
         sp1 = _time_set(head, sf1_dir, 2)
-        du1 = _duckdb_baseline(head, registry, sf1_dir)
+        du1 = _duckdb_baseline(head, registry, sf1_dir, runs=2)
         sp1_t, du1_t = round(sum(sp1.values()), 4), round(sum(du1.values()), 4)
         sf1_variant = {
             "spark_total": sp1_t,
@@ -325,7 +333,7 @@ def main() -> None:
         # "Spark-first wins as data grows" must hold on the heavy shapes
         pipe = [n for n in SF1_PIPELINE if n in registry]
         spp = _time_set(pipe, sf1_dir, 2)
-        dup = _duckdb_baseline(pipe, registry, sf1_dir)
+        dup = _duckdb_baseline(pipe, registry, sf1_dir, runs=2)
         spp_t, dup_t = round(sum(spp.values()), 4), round(sum(dup.values()), 4)
         sf1_pipeline = {
             "spark_total": spp_t,

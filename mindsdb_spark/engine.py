@@ -275,15 +275,32 @@ def _sql_literal_text(raw: str) -> str:
     round-5 literal fuzz on the KB door)."""
     out, i, n = [], 0, len(raw)
     esc = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "0": "\0",
-           "\\": "\\", "'": "'", '"': '"'}
+           "Z": "\x1a", "\\": "\\", "'": "'", '"': '"',
+           # Spark keeps the backslash on \% and \_ (LIKE escapes,
+           # ParserUtils.unescapeSQLString)
+           "%": "\\%", "_": "\\_"}
     while i < n:
         c = raw[i]
         if c == "'" and i + 1 < n and raw[i + 1] == "'":
             out.append("'")
             i += 2
         elif c == "\\" and i + 1 < n:
-            out.append(esc.get(raw[i + 1], raw[i + 1]))
-            i += 2
+            nxt = raw[i + 1]
+            # \uXXXX — Spark's parser decodes 4-hex unicode escapes
+            if nxt == "u" and i + 5 < n and all(
+                ch in "0123456789abcdefABCDEF" for ch in raw[i + 2 : i + 6]
+            ):
+                out.append(chr(int(raw[i + 2 : i + 6], 16)))
+                i += 6
+            # \ooo — exactly three octal digits (Spark requires all three)
+            elif nxt in "01234567" and i + 3 < n and all(
+                ch in "01234567" for ch in raw[i + 1 : i + 4]
+            ):
+                out.append(chr(int(raw[i + 1 : i + 4], 8)))
+                i += 4
+            else:
+                out.append(esc.get(nxt, nxt))
+                i += 2
         else:
             out.append(c)
             i += 1
@@ -1449,6 +1466,18 @@ class EngineSession:
             if kb["dim"] != dim or kb.get("embedder") != embed_name:
                 raise ValueError(
                     "agent knowledge bases must share embedder and dimension"
+                )
+            # embedder name + dim is not the whole embedding space for
+            # weighted embedders: hash_tfidf freezes per-corpus idf weights
+            # at CREATE time, and chunks embedded under different weights
+            # are not cosine-comparable — reject instead of silently
+            # ranking across incompatible spaces.
+            if kb.get("idf_weights") != kbs[0].get("idf_weights"):
+                raise ValueError(
+                    "agent knowledge bases use per-corpus idf weights that "
+                    "differ; their vectors are not comparable in one "
+                    "ranking — use a corpus-independent embedder (e.g. "
+                    "'hash') for multi-KB agents"
                 )
         store = kbs[0]["store"]
         for kb in kbs[1:]:

@@ -22,6 +22,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mindsdb_spark.catalog import invalidate_table
+
 _P = 1_000_000_007
 
 # the sf0.1 driver fixture vocabulary (31 words, measured)
@@ -86,6 +88,10 @@ def generate_sf(
         df.repartition(parts).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{name}.parquet")
         )
+        # a re-generation overwrites in place — evict any pinned/cached
+        # plan for this (dir, table) deterministically rather than relying
+        # on the lazy content-signature check
+        invalidate_table(out_dir, name)
 
     if _want("region"):
         region = spark.createDataFrame(

@@ -248,8 +248,10 @@ def audio_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, wins, rmss, zcrs = [], [], [], []
-            for _, r in pdf.iterrows():
-                samples = np.frombuffer(r["content"] or b"", dtype="<i2")
+            # plain column zip, not iterrows (which builds a Series per row
+            # and dominates the batch cost over the numpy DSP itself)
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                samples = np.frombuffer(content or b"", dtype="<i2")
                 n_win = len(samples) // window
                 for w in range(n_win):
                     seg = samples[w * window : (w + 1) * window].astype(np.int64)
@@ -259,7 +261,7 @@ def audio_features(
                     nz = signs != 0
                     sv = signs[nz]
                     flips = int((sv[1:] != sv[:-1]).sum()) if len(sv) > 1 else 0
-                    ids.append(r["media_id"])
+                    ids.append(media_id)
                     wins.append(w)
                     rmss.append(rms)
                     zcrs.append(flips / (window - 1))
@@ -346,22 +348,31 @@ def downsample_block_mean(media: DataFrame, block: int = 8) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, bys, bxs, means = [], [], [], []
-            for _, r in pdf.iterrows():
-                w, h = int(r["meta_width"]), int(r["meta_height"])
-                img = np.frombuffer(r["content"] or b"", dtype=np.uint8)
+            # plain column zip, not iterrows (Series-per-row construction
+            # would dominate the numpy pooling below)
+            for media_id, content, w, h in zip(
+                pdf["media_id"], pdf["content"], pdf["meta_width"], pdf["meta_height"]
+            ):
+                w, h = int(w), int(h)
+                img = np.frombuffer(content or b"", dtype=np.uint8)
                 if len(img) != w * h:
                     continue  # malformed payload: skip, never crash the stage
                 img = img.reshape(h, w).astype(np.int64)
-                for by in range(h // block):
-                    for bx in range(w // block):
-                        tile = img[
-                            by * block : (by + 1) * block,
-                            bx * block : (bx + 1) * block,
-                        ]
-                        ids.append(r["media_id"])
-                        bys.append(by)
-                        bxs.append(bx)
-                        means.append(int(tile.sum()) / float(block * block))
+                nby, nbx = h // block, w // block
+                if nby and nbx:
+                    # one vectorized 2x2-block reduction per image instead of
+                    # a Python loop per tile
+                    tiles = (
+                        img[: nby * block, : nbx * block]
+                        .reshape(nby, block, nbx, block)
+                        .sum(axis=(1, 3))
+                    )
+                    for by in range(nby):
+                        for bx in range(nbx):
+                            ids.append(media_id)
+                            bys.append(by)
+                            bxs.append(bx)
+                            means.append(int(tiles[by, bx]) / float(block * block))
             yield pd.DataFrame(
                 {"media_id": ids, "by": bys, "bx": bxs,
                  "mean": pd.Series(means, dtype="float64")}

@@ -66,21 +66,25 @@ def get_spark(app_name: str = "mindsdb-spark", cpus: str | int | None = None) ->
     )
 
 
+_INFER_GEN_RULE = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
+
 def apply_runtime_tuning(spark: SparkSession) -> None:
     """Runtime-settable confs for a SparkSession we did NOT build (the
     driver hands its own session to ``__spark_entry__`` callables). Safe to
-    call repeatedly — memoized per JVM session id."""
-    sid = spark.sparkContext.applicationId
-    if getattr(apply_runtime_tuning, "_done", None) == sid:
-        return
+    call repeatedly. ``excludedRules`` is a per-SparkSession conf (a
+    ``newSession()`` sharing the applicationId gets its own copy), so the
+    check must read the target session's conf, not a process-level memo —
+    and we append rather than overwrite so a host driver's own exclusions
+    survive."""
     # see get_spark: InferFiltersFromGenerate duplicates computed-array
     # generator children into a pre-filter; with HOF-heavy text exprs that
     # is a measured 12x regression and zero semantic effect.
-    spark.conf.set(
-        "spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
-    )
-    apply_runtime_tuning._done = sid
+    current = spark.conf.get("spark.sql.optimizer.excludedRules", None) or ""
+    rules = [r for r in (s.strip() for s in current.split(",")) if r]
+    if _INFER_GEN_RULE not in rules:
+        rules.append(_INFER_GEN_RULE)
+        spark.conf.set("spark.sql.optimizer.excludedRules", ",".join(rules))
 
 
 def tune_file_partitioning(spark: SparkSession, data_dir: str, cpus: int | None = None) -> int:

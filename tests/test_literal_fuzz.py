@@ -179,3 +179,30 @@ def test_kb_delete_literal_no_subselect_misroute(doorsess, lit):
     ).collect()[0][0]
     assert out == 0
     assert doorsess._kbs["fkb"]["store"].count() == before
+
+
+# Raw literal SOURCE strings (the text between the quotes) whose decode must
+# be byte-identical to Spark's own parser — unicode/octal escapes included
+# (the KB content regexes hand _sql_literal_text exactly this raw source).
+# Built with chr(92) so no tool/layer ever pre-decodes the escapes.
+_BS = chr(92)
+_ESCAPE_SOURCES = [
+    _BS + "u0041BC",                    # 4-hex unicode escape -> "ABC"
+    _BS + "u00e9 caf" + _BS + "u00e9",  # lowercase hex, repeated
+    _BS + "101BC",                      # 3-digit octal -> "ABC"
+    _BS + "12x",                        # too-short octal: backslash drops
+    _BS + "uZZZZ",                      # malformed unicode: backslash drops
+    "a" + _BS + "nb" + _BS + "tc",      # classic single-char escapes
+    "back" + _BS + _BS + "slash",
+    "pct " + _BS + "% und " + _BS + "_",  # LIKE escapes keep the backslash
+    "ctrl " + _BS + "Z end",
+    "two''quotes",
+]
+
+
+@pytest.mark.parametrize("raw", _ESCAPE_SOURCES)
+def test_sql_literal_text_matches_spark_parser(spark, raw):
+    from mindsdb_spark.engine import _sql_literal_text
+
+    expected = spark.sql("SELECT '" + raw + "' AS v").first()["v"]
+    assert _sql_literal_text(raw) == expected

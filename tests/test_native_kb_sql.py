@@ -250,6 +250,43 @@ def test_kb_backed_agent_rag(spark, sf_dir):
     sess.sql("DROP KNOWLEDGE_BASE ragkb")
 
 
+def test_multi_kb_agent_rejects_mixed_idf_spaces(spark, sf_dir):
+    """Two hash_tfidf KBs with different corpora freeze DIFFERENT idf
+    weights; embedder name + dim alone don't make their vectors
+    cosine-comparable, so a multi-KB agent over them must error instead of
+    silently ranking across incompatible embedding spaces."""
+    s = EngineSession(spark)
+    s.register_parquet_source("tpch", sf_dir, tables=["documents"])
+    s.sql("CREATE KNOWLEDGE_BASE mixa USING dim = 8, embedder = 'hash_tfidf'")
+    s.sql("INSERT INTO mixa SELECT doc_id, text FROM tpch_documents WHERE doc_id < 30")
+    s.sql("CREATE KNOWLEDGE_BASE mixb USING dim = 8, embedder = 'hash_tfidf'")
+    s.sql(
+        "INSERT INTO mixb SELECT doc_id, text FROM tpch_documents "
+        "WHERE doc_id >= 30 AND doc_id < 60"
+    )
+    assert s._kbs["mixa"]["idf_weights"] != s._kbs["mixb"]["idf_weights"]
+    s.sql(
+        "CREATE AGENT mixed_rag USING model = 'mock-llm', "
+        "knowledge_bases = 'mixa, mixb', retrieval_k = 2"
+    )
+    with pytest.raises(ValueError, match="idf"):
+        s.sql("SELECT answer FROM mixed_rag WHERE question = 'what'").collect()
+    # corpus-independent embedders stay unioned and answer fine
+    s.sql("CREATE KNOWLEDGE_BASE plna USING dim = 8, embedder = 'md5'")
+    s.sql("INSERT INTO plna SELECT doc_id, text FROM tpch_documents WHERE doc_id < 30")
+    s.sql("CREATE KNOWLEDGE_BASE plnb USING dim = 8, embedder = 'md5'")
+    s.sql(
+        "INSERT INTO plnb SELECT doc_id, text FROM tpch_documents "
+        "WHERE doc_id >= 30 AND doc_id < 60"
+    )
+    s.sql(
+        "CREATE AGENT union_rag USING model = 'mock-llm', "
+        "knowledge_bases = 'plna, plnb', retrieval_k = 2"
+    )
+    row = s.sql("SELECT answer FROM union_rag WHERE question = 'what'").collect()[0]
+    assert row["answer"].startswith("llm:")
+
+
 def test_evaluate_knowledge_base(sess, spark):
     sess.sql("CREATE KNOWLEDGE_BASE evkb USING dim = 8")
     sess.sql("INSERT INTO evkb SELECT doc_id, text FROM tpch_documents WHERE doc_id < 30")
