@@ -118,8 +118,10 @@ def _interleaved() -> list[tuple[str, tuple]]:
 
 
 def _tuned(fn: "Callable[[SparkSession, str], DataFrame]"):
-    """Apply runtime session tuning (memoized no-op after the first call)
-    before each registry query — the driver's session skips get_spark."""
+    """Apply runtime session tuning before each registry query — the
+    driver's session skips get_spark. apply_runtime_tuning reads the
+    session's conf and appends only if missing, so repeat calls are
+    cheap and newSession() clones are covered too."""
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         from mindsdb_spark.session import apply_runtime_tuning

@@ -286,14 +286,22 @@ def _sql_literal_text(raw: str) -> str:
             i += 2
         elif c == "\\" and i + 1 < n:
             nxt = raw[i + 1]
+            hexd = "0123456789abcdefABCDEF"
             # \uXXXX — Spark's parser decodes 4-hex unicode escapes
             if nxt == "u" and i + 5 < n and all(
-                ch in "0123456789abcdefABCDEF" for ch in raw[i + 2 : i + 6]
+                ch in hexd for ch in raw[i + 2 : i + 6]
             ):
                 out.append(chr(int(raw[i + 2 : i + 6], 16)))
                 i += 6
-            # \ooo — exactly three octal digits (Spark requires all three)
-            elif nxt in "01234567" and i + 3 < n and all(
+            # \UXXXXXXXX — 8-hex 32-bit escapes (unescapeSQLString)
+            elif nxt == "U" and i + 9 < n and all(
+                ch in hexd for ch in raw[i + 2 : i + 10]
+            ) and int(raw[i + 2 : i + 10], 16) <= 0x10FFFF:
+                out.append(chr(int(raw[i + 2 : i + 10], 16)))
+                i += 10
+            # \0oo–\1oo — three octal digits, first 0/1 only (Spark caps
+            # the code point at 0o177; \2xx–\3xx just drop the backslash)
+            elif nxt in "01" and i + 3 < n and all(
                 ch in "01234567" for ch in raw[i + 1 : i + 4]
             ):
                 out.append(chr(int(raw[i + 1 : i + 4], 8)))

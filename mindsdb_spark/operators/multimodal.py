@@ -360,19 +360,22 @@ def downsample_block_mean(media: DataFrame, block: int = 8) -> DataFrame:
                 img = img.reshape(h, w).astype(np.int64)
                 nby, nbx = h // block, w // block
                 if nby and nbx:
-                    # one vectorized 2x2-block reduction per image instead of
-                    # a Python loop per tile
+                    # fully vectorized per image: one block-sum reduction,
+                    # then array-level index/mean emission (no per-tile
+                    # Python loop — a 4096x4096/block=8 image is 262k tiles)
                     tiles = (
                         img[: nby * block, : nbx * block]
                         .reshape(nby, block, nbx, block)
                         .sum(axis=(1, 3))
                     )
-                    for by in range(nby):
-                        for bx in range(nbx):
-                            ids.append(media_id)
-                            bys.append(by)
-                            bxs.append(bx)
-                            means.append(int(tiles[by, bx]) / float(block * block))
+                    ids.extend([media_id] * (nby * nbx))
+                    bys.extend(np.repeat(np.arange(nby), nbx).tolist())
+                    bxs.extend(np.tile(np.arange(nbx), nby).tolist())
+                    means.extend(
+                        (tiles.astype("float64") / float(block * block))
+                        .ravel()
+                        .tolist()
+                    )
             yield pd.DataFrame(
                 {"media_id": ids, "by": bys, "bx": bxs,
                  "mean": pd.Series(means, dtype="float64")}

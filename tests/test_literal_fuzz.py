@@ -197,6 +197,11 @@ _ESCAPE_SOURCES = [
     "pct " + _BS + "% und " + _BS + "_",  # LIKE escapes keep the backslash
     "ctrl " + _BS + "Z end",
     "two''quotes",
+    _BS + "177hi",                      # octal max: 0o177 decodes
+    _BS + "377hi",                      # first digit >1: backslash drops
+    _BS + "201hi",                      # first digit 2: backslash drops
+    _BS + "U0001F600ok",                # 8-hex 32-bit escape -> emoji
+    _BS + "U0001F6",                    # truncated 8-hex: backslash drops
 ]
 
 
