@@ -202,6 +202,8 @@ _ESCAPE_SOURCES = [
     _BS + "201hi",                      # first digit 2: backslash drops
     _BS + "U0001F600ok",                # 8-hex 32-bit escape -> emoji
     _BS + "U0001F6",                    # truncated 8-hex: backslash drops
+    _BS + "08x",                        # \0 + non-octal: NUL then "8x"
+    _BS + "0end",                       # bare \0 -> NUL
 ]
 
 
