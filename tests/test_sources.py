@@ -103,3 +103,32 @@ def test_load_table_plan_cache_invalidates_on_rewrite(spark, tmp_path):
     df2 = load_table(spark, d, "t")
     assert df2 is not df1
     assert df2.count() == 5
+
+
+def test_invalidate_table_drops_pinned_copy(spark, tmp_path):
+    """invalidate_table evicts both the pinned in-memory copy and the lazy
+    plan entry deterministically (the fixture rewriters call it after each
+    in-place overwrite rather than relying on the content-signature check)."""
+    import os
+
+    from mindsdb_spark.catalog import (
+        _PLAN_CACHE,
+        _TABLE_CACHE,
+        cache_table,
+        invalidate_table,
+        load_table,
+    )
+
+    d = str(tmp_path / "invdir")
+    os.makedirs(d)
+    p = os.path.join(d, "t.parquet")
+    spark.range(4).toDF("a").coalesce(1).write.parquet(p)
+    pinned = cache_table(spark, d, "t")
+    key = (os.path.abspath(d), "t")
+    assert key in _TABLE_CACHE
+    assert load_table(spark, d, "t") is pinned  # load serves the pinned copy
+    invalidate_table(d, "t")
+    assert key not in _TABLE_CACHE and key not in _PLAN_CACHE
+    fresh = load_table(spark, d, "t")
+    assert fresh is not pinned
+    assert fresh.count() == 4
