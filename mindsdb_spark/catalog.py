@@ -87,13 +87,24 @@ def _content_signature(path: str) -> tuple:
     return tuple(sig)
 
 
+def _safe_unpersist(df: DataFrame) -> None:
+    """Unpersist a pinned copy, tolerating a stopped SparkContext — the
+    module-level caches outlive sessions, and eviction's only REQUIRED
+    effect is dropping the dict entry; the JVM-side blocks died with the
+    old context anyway."""
+    try:
+        df.unpersist()
+    except Exception:
+        pass
+
+
 def invalidate_table(sf_dir: str, name: str) -> None:
     """Drop both cache entries for one (dir, table) — call after any write
     into a fixture directory (bench split/sf-gen rewrites)."""
     key = (os.path.abspath(sf_dir), name)
     pinned = _TABLE_CACHE.pop(key, None)
     if pinned is not None:
-        pinned[1].unpersist()
+        _safe_unpersist(pinned[1])
     _PLAN_CACHE.pop(key, None)
 
 
@@ -106,9 +117,9 @@ def cache_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (os.path.abspath(sf_dir), name)
     sig = _content_signature(os.path.join(sf_dir, f"{name}.parquet"))
     hit = _TABLE_CACHE.get(key)
-    if hit is None or hit[0] != sig:
+    if hit is None or hit[0] != sig or hit[1].sparkSession is not spark:
         if hit is not None:
-            hit[1].unpersist()
+            _safe_unpersist(hit[1])
             _PLAN_CACHE.pop(key, None)
         df = parallelize_input(load_table(spark, sf_dir, name)).persist()
         df.count()
@@ -123,12 +134,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     sig = _content_signature(path)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
-        if cached[0] == sig:
+        # a cached frame from a PREVIOUS (stopped) session is dead — evict
+        # rather than hand out a DataFrame whose context is gone
+        if cached[0] == sig and cached[1].sparkSession is spark:
             return cached[1]
-        cached[1].unpersist()
+        _safe_unpersist(cached[1])
         _TABLE_CACHE.pop(key, None)
     plan = _PLAN_CACHE.get(key)
-    if plan is not None and plan[0] == sig:
+    if plan is not None and plan[0] == sig and plan[1].sparkSession is spark:
         return plan[1]
     nanos_cols = _NANOS_TS_COLS.get(name, ())
     if nanos_cols:

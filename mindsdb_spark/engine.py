@@ -313,6 +313,59 @@ def _sql_literal_text(raw: str) -> str:
             out.append(c)
             i += 1
     return "".join(out)
+
+
+def _mask_literals(text: str) -> str:
+    """Same-length copy of ``text`` with the INTERIOR of every string
+    literal / backtick identifier replaced by ``x``. Clause-keyword regexes
+    (`ORDER BY`, `LIMIT`, `WHERE`, `JOIN`, …) match against the masked copy
+    so a literal like ``'alpha ORDER BY beta'`` can never supply a clause
+    boundary; group spans are then sliced from the ORIGINAL text
+    (positions are identical by construction)."""
+    from mindsdb_spark.dialect.rewriter import _skip_string
+
+    out = list(text)
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in ("'", '"', "`"):
+            j = _skip_string(text, i, c)
+            for k in range(i + 1, j - 1):
+                out[k] = "x"
+            i = j
+        else:
+            i += 1
+    return "".join(out)
+
+
+class _SpanMatch:
+    """A match produced on literal-masked text whose groups slice the
+    original statement, so extracted clauses keep their literals intact."""
+
+    __slots__ = ("_m", "_orig")
+
+    def __init__(self, m: "re.Match", orig: str):
+        self._m, self._orig = m, orig
+
+    def group(self, idx: "int | str" = 0) -> "str | None":
+        s, e = self._m.start(idx), self._m.end(idx)
+        return None if s == -1 else self._orig[s:e]
+
+    def start(self, idx: "int | str" = 0) -> int:
+        return self._m.start(idx)
+
+    def end(self, idx: "int | str" = 0) -> int:
+        return self._m.end(idx)
+
+
+def _match_clauses(regex: "re.Pattern", text: str) -> "_SpanMatch | None":
+    """``regex.match`` with clause keywords recognized only OUTSIDE string
+    literals. The KB/model/agent statement routers use lazy ``(.+?)`` groups
+    bounded by keywords (WHERE/ORDER BY/LIMIT/JOIN); on raw text a keyword
+    INSIDE a quoted literal splits the clause mid-literal (found by review:
+    ``WHERE content = 'alpha ORDER BY beta'`` broke the KB door)."""
+    m = regex.match(_mask_literals(text))
+    return _SpanMatch(m, text) if m else None
 # KB joined to a table: `FROM <kb> k JOIN <tbl> t ON ... WHERE k.content =
 # '...' [AND ...]` — the reference plans the KB search first and joins its
 # result like any table (test_knowledge_base.py:396-423 test_join_kb_table)
@@ -1269,8 +1322,10 @@ class EngineSession:
         if embedder == "hash_tfidf":
             from mindsdb_spark.operators.kb import fit_idf_weights, hash_embed_idf
 
+            # weights stay None on an EMPTY corpus so the first non-empty
+            # insert fits them instead of freezing all-zero idf forever
             weights = fit_idf_weights(chunks, dim=dim)
-            store = hash_embed_idf(chunks, weights)
+            store = hash_embed_idf(chunks, weights or [0.0] * dim)
             self._kbs[name.lower()] = {
                 "store": store.select("chunk_id", "doc_id", "chunk_text", "embedding"),
                 "dim": dim,
@@ -3817,9 +3872,9 @@ class EngineSession:
             self._model_versions.pop(name, None)
             self._model_active.pop(name, None)
             return self.spark.createDataFrame([(name,)], "model string")
-        nm = _NESTED_MODEL_RE.match(s)
+        nm = _match_clauses(_NESTED_MODEL_RE, s)
         if nm:
-            im = _MODEL_JOIN_RE.match(" ".join(nm.group("inner").split()))
+            im = _match_clauses(_MODEL_JOIN_RE, _collapse_ws(nm.group("inner")))
             if im and self._model_of(im.group("model")) is not None:
                 res = self._model_join(im)
                 res.createOrReplaceTempView("__nested_model")
@@ -3837,14 +3892,16 @@ class EngineSession:
         # columns on the predict frame)
         pu = _TRAILING_USING_RE.search(s)
         s_nu = (s[: pu.start()].rstrip() if pu else s)
-        mm = re.match(
-            r"SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<table>[\w.`]+)"
-            r"(?:\s+(?:AS\s+)?(?P<talias>\w+))?"
-            r"(?P<joins>(?:\s+JOIN\s+[\w.`]+(?:\s+(?:AS\s+)?\w+)?){2,})"
-            r"(?:\s+WHERE\s+(?P<where>.+?))?"
-            r"(?:\s+ORDER\s+BY\s+(?P<order>.+?))?(?:\s+LIMIT\s+(?P<limit>\d+))?$",
+        mm = _match_clauses(
+            re.compile(
+                r"SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<table>[\w.`]+)"
+                r"(?:\s+(?:AS\s+)?(?P<talias>\w+))?"
+                r"(?P<joins>(?:\s+JOIN\s+[\w.`]+(?:\s+(?:AS\s+)?\w+)?){2,})"
+                r"(?:\s+WHERE\s+(?P<where>.+?))?"
+                r"(?:\s+ORDER\s+BY\s+(?P<order>.+?))?(?:\s+LIMIT\s+(?P<limit>\d+))?$",
+                re.IGNORECASE | re.DOTALL,
+            ),
             s_nu if pu else s,
-            re.IGNORECASE | re.DOTALL,
         )
         if mm:
             joins = re.findall(
@@ -3942,10 +3999,10 @@ class EngineSession:
                 if mm.group("limit"):
                     outer += " LIMIT " + mm.group("limit")
                 return self.spark.sql(outer)
-        m = _MODEL_JOIN_RE.match(s_nu if pu else s)
+        m = _match_clauses(_MODEL_JOIN_RE, s_nu if pu else s)
         if m and self._model_of(m.group("model")) is not None:
             return self._model_join(m, extra_params=_parse_using_params(pu.group(1)) if pu else None)
-        m = _KB_JOIN_RE.match(s)
+        m = _match_clauses(_KB_JOIN_RE, s)
         if m and m.group(2).lower().strip("`").split(".")[-1] in self._kbs:
             # KB search result joined to a table in one statement
             # (test_knowledge_base.py:396-423): run the semantic search
@@ -3973,7 +4030,7 @@ class EngineSession:
                 if m.group(9):
                     sql2 += " LIMIT " + m.group(9)
                 return self.sql(sql2)
-        m = _KB_RE.match(s)
+        m = _match_clauses(_KB_RE, s)
         if m:
             name = m.group(2).lower().strip("`").split(".")[-1]
             if name in self._kbs:
@@ -3985,8 +4042,9 @@ class EngineSession:
                     for kv in split_top_level(um.group(1)):
                         uk, _, uv = kv.partition("=")
                         kb_using[uk.strip().lower()] = self._param_value(uv)
-                    m = _KB_RE.match(
-                        " ".join((s[: um.start()] + " " + s[um.end():]).split())
+                    m = _match_clauses(
+                        _KB_RE,
+                        _collapse_ws(s[: um.start()] + " " + s[um.end():]),
                     )
                 if m is None:
                     raise ValueError("malformed knowledge-base SELECT")
@@ -4053,7 +4111,7 @@ class EngineSession:
                 if m.group(5):
                     outer += " LIMIT " + m.group(5)
                 return self.spark.sql(outer)
-        m = _KB_BROWSE_RE.match(s)
+        m = _match_clauses(_KB_BROWSE_RE, s)
         if m and m.group(2).lower().strip("`").split(".")[-1] in self._kbs:
             # whole-store browse: SELECT ... FROM <kb> [ORDER BY] [LIMIT]
             self._kb_browse_view(m.group(2).lower().strip("`").split(".")[-1])
@@ -4063,7 +4121,7 @@ class EngineSession:
             if m.group(4):
                 outer += " LIMIT " + m.group(4)
             return self.spark.sql(outer)
-        m = _AGENT_RE.match(s)
+        m = _match_clauses(_AGENT_RE, s)
         if m:
             name = m.group(2).lower().strip("`").split(".")[-1]
             if name in self._agents:
@@ -4079,7 +4137,7 @@ class EngineSession:
                     return res
                 return res.select(*cols)
         pu2 = _TRAILING_USING_RE.search(s)
-        m = _MODEL_SELECT_RE.match(s[: pu2.start()].rstrip() if pu2 else s)
+        m = _match_clauses(_MODEL_SELECT_RE, s[: pu2.start()].rstrip() if pu2 else s)
         if m and self._model_of(m.group(2)) is not None:
             # one-shot predict: the WHERE equality dict IS the input row
             # (reference: predictor-only FROM applies the model to the

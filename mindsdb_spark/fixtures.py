@@ -93,21 +93,21 @@ def generate_sf(
         # on the lazy content-signature check
         invalidate_table(out_dir, name)
 
-    if _want("region"):
-        region = spark.createDataFrame(
+    _write(
+        spark.createDataFrame(
             [(i, n) for i, n in enumerate(_REGIONS)], "r_regionkey int, r_name string"
-        )
-        region.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(out_dir, "region.parquet")
-        )
-    if _want("nation"):
-        nation = spark.createDataFrame(
+        ),
+        "region",
+        parts=1,
+    )
+    _write(
+        spark.createDataFrame(
             [(i, f"NATION_{i}", i % 5) for i in range(25)],
             "n_nationkey int, n_name string, n_regionkey int",
-        )
-        nation.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(out_dir, "nation.parquet")
-        )
+        ),
+        "nation",
+        parts=1,
+    )
 
     rid = F.col("id")
     _write(

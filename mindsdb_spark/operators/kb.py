@@ -183,12 +183,14 @@ def hash_embed_tfidf(
     saved nothing over this (its stats materialization was itself a full
     pass) and leaked a cached DataFrame per call."""
     weights = fit_idf_weights(df, text_col=text_col, dim=dim)
+    if weights is None:  # empty corpus: result is empty, weights don't matter
+        weights = [0.0] * dim
     return hash_embed_idf(df, weights, text_col=text_col, out_float=out_float)
 
 
 def fit_idf_weights(
     df: DataFrame, text_col: str = "chunk_text", dim: int = 32
-) -> list[float]:
+) -> "list[float] | None":
     """Fit per-bucket idf weights w_i = ln(N / (1 + df_i)) over a chunk
     corpus — the store-side statistics for weighted hash retrieval
     (round-4 verdict item 5; reference KBs fit their embedding model once
@@ -213,7 +215,11 @@ def fit_idf_weights(
         .collect()
     )
     if not rows:
-        return [0.0] * dim
+        # an EMPTY corpus fits nothing — returning a zero vector here would
+        # freeze all-zero weights forever (every embedding becomes the zero
+        # vector and retrieval degenerates silently); None means "unfitted,
+        # fit on the first non-empty insert" (engine._kb_insert)
+        return None
     import math
 
     n_docs = rows[0]["__n"]

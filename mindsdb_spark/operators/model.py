@@ -158,7 +158,16 @@ def ts_apply_model(
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order).tail(model.window)
         out = model.predict(pdf)
-        return out.head(1) if first_step_only else out
+        if first_step_only:
+            # the first forecast step is the EARLIEST forecast order-value —
+            # select it by the order column(s) when the model emits them,
+            # not positionally (predict() may return horizon rows in any
+            # order); positional head(1) only as a last resort
+            if all(c in out.columns for c in order):
+                out = out.sort_values(order, kind="stable").head(1)
+            else:
+                out = out.head(1)
+        return out
 
     if group_cols:
         w = Window.partitionBy(*group_cols).orderBy(*[F.col(c).desc() for c in order])

@@ -245,6 +245,11 @@ def audio_features(
     query edge for the oracle hash."""
     import numpy as np
 
+    if window < 2:
+        # zcr divides by (window - 1); fail at plan time with a clear
+        # message instead of a ZeroDivisionError inside the executor UDF
+        raise ValueError("audio_features requires window >= 2")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, wins, rmss, zcrs = [], [], [], []

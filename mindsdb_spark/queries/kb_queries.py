@@ -644,7 +644,7 @@ ch AS (
   SELECT doc_id,
          md5(doc_id || ':' || chunk_idx || ':' || chunk_text) AS chunk_id,
          chunk_text
-  FROM ch_base
+  FROM c
 ),
 tf AS (SELECT doc_id, chunk_id, {tf_lanes('chunk_text')} AS tfv FROM ch),
 tfn AS (SELECT doc_id, chunk_id,
@@ -679,7 +679,7 @@ top AS (
 )
 SELECT doc_id, floor(dist * 1000000 + 0.5) / 1000000 AS distance
 FROM top ORDER BY distance, doc_id
-""".replace("ch_base", "c")
+"""
 
 
 S09_SQL = _s09_sql()

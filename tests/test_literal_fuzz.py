@@ -32,6 +32,8 @@ _FRAGMENTS = [
     "chunk_content",
     "AND y",
     "GROUP BY z",
+    "ORDER BY beta",
+    "LIMIT 5",
     "> LATEST",
     "-- comment",
     "# hash",

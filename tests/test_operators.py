@@ -936,6 +936,42 @@ def test_synth_pcm_and_audio_features(spark, sf_dir):
     got = by_key[(mid, 0)]
     assert got["rms"] == pytest.approx(rms, abs=1e-9)
     assert got["zcr"] == pytest.approx(zcr, abs=1e-12)
+    # window=1 would divide by zero inside the executor UDF — clear plan-time
+    # error instead
+    with pytest.raises(ValueError, match="window"):
+        M.audio_features(pcm, window=1)
+
+
+def test_ts_first_step_picks_earliest_not_positional(spark):
+    # `= LATEST` selects the forecast row anchored at the latest observed
+    # point — the EARLIEST forecast order-value — even when the model emits
+    # its horizon rows in descending order (review finding: positional
+    # head(1) silently returned the LAST step for such models)
+    import pandas as pd
+
+    from mindsdb_spark.operators.model import ModelSpec, ts_apply_model
+
+    df = spark.createDataFrame(
+        [(g, t, float(g * 10 + t)) for g in (1, 2) for t in (1, 2, 3, 4)],
+        "g int, ts int, v double",
+    )
+
+    def predict(pdf: pd.DataFrame) -> pd.DataFrame:
+        last = int(pdf["ts"].max())
+        g = int(pdf["g"].iloc[0])
+        # horizon rows emitted DESCENDING on purpose
+        return pd.DataFrame(
+            {"g": [g, g], "ts": [last + 2, last + 1], "pred": [2.0, 1.0]}
+        )
+
+    spec = ModelSpec(
+        name="desc_ts", predict=predict,
+        output_schema="g int, ts int, pred double",
+        order_by=["ts"], group_by=["g"], window=3, horizon=2,
+    )
+    rows = {r["g"]: r for r in ts_apply_model(df, spec, first_step_only=True).collect()}
+    assert set(rows) == {1, 2}
+    assert all(r["ts"] == 5 and r["pred"] == 1.0 for r in rows.values())
 
 
 def test_synth_image_and_block_mean(spark, sf_dir):
