@@ -276,7 +276,14 @@ def write_bucketed(
     keys = [key] if isinstance(key, str) else list(key)
     _clear_stale_table_location(df.sparkSession, name)
     (
-        df.write.format("parquet")
+        # pre-repartition on the bucket keys so each task holds exactly one
+        # bucket's rows (Spark's bucket id and repartition both hash with
+        # Murmur3 mod n): without this, every input task writes up to
+        # `buckets` files — nTasks x nBuckets small files, and nTasks
+        # concurrent sorter+writer sets, which exhausts execution memory on
+        # wide inputs (observed at the 600M-row sf100 lineitem write)
+        df.repartition(buckets, *keys)
+        .write.format("parquet")
         .mode("overwrite")
         .bucketBy(buckets, *keys)
         .sortBy(*keys)

@@ -723,6 +723,21 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 
 
 # --- P31 multi-way join (TPC-H Q5 shape) ------------------------------------
+def _table_bytes(sf_dir: str, name: str) -> int:
+    """Parquet bytes of one fixture table — a pure os.stat metadata probe
+    (the same statistic a catalog's table stats would hold)."""
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if not f.startswith(("_", "."))
+        )
+    return os.path.getsize(path) if os.path.exists(path) else 0
+
+
 def p31(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -730,17 +745,53 @@ def p31(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(col("r_name") == "ASIA")
-    # lineitem (the fact table) stays leftmost so it is always the streamed
-    # probe side — every dimension lands on the build side, where AQE picks
-    # broadcast vs shuffle from runtime sizes. Building the chain from
-    # customer instead makes Catalyst broadcast lineitem itself (observed:
-    # 600k-row build side, ~1s slower at sf0.1 and fatal at 100 TB).
-    return (
-        li.join(o, col("l_orderkey") == col("o_orderkey"))
-        .join(c, col("o_custkey") == col("c_custkey"))
-        .join(s, (col("l_suppkey") == col("s_suppkey")) & (col("c_nationkey") == col("s_nationkey")))
-        .join(F.broadcast(n), col("s_nationkey") == col("n_nationkey"))
+    # Size-keyed join-tree choice — the decision a cost-based optimizer
+    # makes from table stats, keyed here on the fact table's file bytes
+    # (metadata-only, no scan):
+    #
+    # SMALL lineitem (< ~400 MB): flat left-deep chain, fact leftmost so
+    # every dimension broadcasts and the fact never shuffles — optimal
+    # while all dimensions fit in broadcast (plan-asserted: 5 broadcast
+    # joins, zero SortMergeJoin at sf0.1).
+    #
+    # LARGE lineitem: the flat chain must re-shuffle the FULL-WIDTH
+    # lineitem⋈orders intermediate on the custkey (measured 196 s at
+    # sf100, ~25x this plan's shuffle bytes). Reassociate instead: reduce
+    # the dimension side to a THIN (o_orderkey, c_nationkey, n_name) map —
+    # orders⋈customer on thin 2-column projections, the broadcast
+    # nation⋈region ASIA filter dropping ~4/5 of it before any fact
+    # contact — then join the fact exactly once, carrying s_nationkey from
+    # a hint-free supplier join (AQE broadcasts its 16 MB projection at
+    # sf100, falls back to shuffle when even that outgrows memory).
+    # Lineitem stays the probe side throughout; inner joins reassociate
+    # freely so both shapes return identical rows.
+    if _table_bytes(sf_dir, "lineitem") < 400 * 1024 * 1024:
+        return (
+            li.join(o, col("l_orderkey") == col("o_orderkey"))
+            .join(c, col("o_custkey") == col("c_custkey"))
+            .join(s, (col("l_suppkey") == col("s_suppkey")) & (col("c_nationkey") == col("s_nationkey")))
+            .join(F.broadcast(n), col("s_nationkey") == col("n_nationkey"))
+            .join(F.broadcast(r), col("n_regionkey") == col("r_regionkey"))
+            .groupBy("n_name")
+            .agg(_roundc(F.sum(col("l_extendedprice") * (1 - col("l_discount"))), 2).alias("revenue"))
+            .orderBy(col("revenue").desc(), "n_name")
+        )
+    oc = (
+        o.select("o_orderkey", "o_custkey")
+        .join(c.select("c_custkey", "c_nationkey"), col("o_custkey") == col("c_custkey"))
+        .join(F.broadcast(n), col("c_nationkey") == col("n_nationkey"))
         .join(F.broadcast(r), col("n_regionkey") == col("r_regionkey"))
+        .select("o_orderkey", "c_nationkey", "n_name")
+    )
+    fact = li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount").join(
+        s.select("s_suppkey", "s_nationkey"), col("l_suppkey") == col("s_suppkey")
+    )
+    return (
+        fact.join(
+            oc,
+            (col("l_orderkey") == col("o_orderkey"))
+            & (col("s_nationkey") == col("c_nationkey")),
+        )
         .groupBy("n_name")
         .agg(_roundc(F.sum(col("l_extendedprice") * (1 - col("l_discount"))), 2).alias("revenue"))
         .orderBy(col("revenue").desc(), "n_name")

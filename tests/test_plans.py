@@ -45,6 +45,22 @@ def test_q5_uses_broadcast_joins(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_q5_large_shape_matches_flat(spark, sf_dir, monkeypatch):
+    # p31 is size-keyed (a stats-driven join-tree choice): above the fact-
+    # bytes threshold it reassociates to join a THIN (orderkey, nationkey,
+    # n_name) dimension map against lineitem exactly once (196 s -> 57 s at
+    # sf100, BENCH_sf100_relational.json). Both shapes are inner-join
+    # reassociations — they must return identical rows. (No plan assertion
+    # here: on the toy fixture Catalyst rightly broadcasts the tiny fact
+    # itself; the size threshold is what keeps this shape off small data.)
+    from mindsdb_spark.queries import probes
+
+    flat = [tuple(r) for r in probes.p31(spark, sf_dir).collect()]
+    monkeypatch.setattr(probes, "_table_bytes", lambda *_a: 10**12)
+    big = [tuple(r) for r in probes.p31(spark, sf_dir).collect()]
+    assert big == flat and len(flat) > 0
+
+
 def test_aggregation_is_partial_then_final(spark, sf_dir):
     plan = _plan(PROBES["p05_groupby_agg"][0](spark, sf_dir))
     assert "partial_sum" in plan  # map-side combine before the shuffle
