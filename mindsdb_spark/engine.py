@@ -315,13 +315,20 @@ def _sql_literal_text(raw: str) -> str:
     return "".join(out)
 
 
+_MASK_MEMO: list = ["", ""]
+
+
 def _mask_literals(text: str) -> str:
     """Same-length copy of ``text`` with the INTERIOR of every string
     literal / backtick identifier replaced by ``x``. Clause-keyword regexes
     (`ORDER BY`, `LIMIT`, `WHERE`, `JOIN`, …) match against the masked copy
     so a literal like ``'alpha ORDER BY beta'`` can never supply a clause
     boundary; group spans are then sliced from the ORIGINAL text
-    (positions are identical by construction)."""
+    (positions are identical by construction). A 1-entry memo keeps the
+    router chain (~9 sequential regex probes per statement) from
+    re-scanning the same statement each time."""
+    if text == _MASK_MEMO[0]:
+        return _MASK_MEMO[1]
     from mindsdb_spark.dialect.rewriter import _skip_string
 
     out = list(text)
@@ -335,7 +342,9 @@ def _mask_literals(text: str) -> str:
             i = j
         else:
             i += 1
-    return "".join(out)
+    masked = "".join(out)
+    _MASK_MEMO[0], _MASK_MEMO[1] = text, masked
+    return masked
 
 
 class _SpanMatch:
@@ -365,6 +374,14 @@ def _match_clauses(regex: "re.Pattern", text: str) -> "_SpanMatch | None":
     INSIDE a quoted literal splits the clause mid-literal (found by review:
     ``WHERE content = 'alpha ORDER BY beta'`` broke the KB door)."""
     m = regex.match(_mask_literals(text))
+    return _SpanMatch(m, text) if m else None
+
+
+def _search_clauses(regex: "re.Pattern", text: str) -> "_SpanMatch | None":
+    """``regex.search`` over the literal-masked statement — for trailing
+    USING clauses, whose value patterns otherwise match USING-shaped
+    phrases INSIDE a content/question literal and excise them from it."""
+    m = regex.search(_mask_literals(text))
     return _SpanMatch(m, text) if m else None
 # KB joined to a table: `FROM <kb> k JOIN <tbl> t ON ... WHERE k.content =
 # '...' [AND ...]` — the reference plans the KB search first and joins its
@@ -1436,6 +1453,11 @@ class EngineSession:
             kb["idf_weights"] = fit_idf_weights(
                 chunk_documents(prepared, **chunk_kw), dim=kb["dim"]
             )
+            if kb["idf_weights"] is None:
+                # the insert itself was empty: nothing to embed or store,
+                # and the KB stays unfitted for the first REAL insert — a
+                # zero-row INSERT must remain a no-op, not an error
+                return self.spark.createDataFrame([(0,)], "inserted_chunks long")
         embed = self._kb_embed_fn(kb)
 
         def _write_batch(rows: DataFrame, _i: int) -> None:
@@ -3890,7 +3912,7 @@ class EngineSession:
         # model join/select (reference test_predictor_params.py — params
         # reach predict; here via the row_dict mechanism: constant input
         # columns on the predict frame)
-        pu = _TRAILING_USING_RE.search(s)
+        pu = _search_clauses(_TRAILING_USING_RE, s)
         s_nu = (s[: pu.start()].rstrip() if pu else s)
         mm = _match_clauses(
             re.compile(
@@ -4037,7 +4059,7 @@ class EngineSession:
                 from mindsdb_spark.dialect.rewriter import split_top_level
 
                 kb_using: dict[str, str] = {}
-                um = _KB_USING_RE.search(s)
+                um = _search_clauses(_KB_USING_RE, s)
                 if um:
                     for kv in split_top_level(um.group(1)):
                         uk, _, uv = kv.partition("=")
@@ -4128,15 +4150,18 @@ class EngineSession:
                 from mindsdb_spark.operators.agent import agent_ask
 
                 agent = self._agents[name]
+                # decode the question literal the way Spark's parser would
+                # ('' / backslash escapes) — same contract as the KB door
+                question = _sql_literal_text(m.group(3))
                 if agent.knowledge_bases:
-                    res = self._agent_rag_ask(agent, m.group(3))
+                    res = self._agent_rag_ask(agent, question)
                 else:
-                    res = agent_ask(self.spark, agent, m.group(3))
+                    res = agent_ask(self.spark, agent, question)
                 cols = [c.strip(" `") for c in m.group(1).split(",")]
                 if cols == ["*"]:
                     return res
                 return res.select(*cols)
-        pu2 = _TRAILING_USING_RE.search(s)
+        pu2 = _search_clauses(_TRAILING_USING_RE, s)
         m = _match_clauses(_MODEL_SELECT_RE, s[: pu2.start()].rstrip() if pu2 else s)
         if m and self._model_of(m.group(2)) is not None:
             # one-shot predict: the WHERE equality dict IS the input row

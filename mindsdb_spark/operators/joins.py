@@ -99,7 +99,17 @@ def write_bucketed(
 
     bcols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
     _clear_stale_table_location(df.sparkSession, table)
-    w = df.write.format("parquet").mode("overwrite").bucketBy(n_buckets, *bcols)
+    # pre-repartition on the bucket keys (same Murmur3-mod-n as the bucket
+    # id) so each task writes exactly one bucket — without this, every input
+    # task writes up to n_buckets files and runs its own sorter+writer set,
+    # which exhausted execution memory on a 600M-row write (same fix as
+    # catalog.write_bucketed)
+    w = (
+        df.repartition(n_buckets, *bcols)
+        .write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(n_buckets, *bcols)
+    )
     if sort_cols:
         scols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
         w = w.sortBy(*scols)

@@ -36,6 +36,16 @@ def test_agent_sql_path(spark, agent):
     assert rows[0]["answer"] == mock_complete(["hello"])[0]
 
 
+def test_agent_question_literal_decodes(spark, agent):
+    # escaped quotes in the question literal decode the way Spark's parser
+    # would before the agent sees them (review finding: the door previously
+    # passed the raw backslash-quote text through)
+    sess = EngineSession(spark)
+    sess.register_agent(agent)
+    rows = sess.sql("SELECT answer FROM helper WHERE question = 'what''s new'").collect()
+    assert rows[0]["answer"] == mock_complete(["what's new"])[0]
+
+
 def test_non_agent_table_not_hijacked(spark, agent, sf_dir):
     sess = EngineSession(spark)
     sess.register_agent(agent)

@@ -342,3 +342,13 @@ def test_kb_hash_tfidf_frozen_idf(spark, sf_dir):
     assert len(s._kbs["kbw2"]["idf_weights"]) == 8
     hits = s.sql("SELECT doc_id FROM kbw2 WHERE content = 'data' LIMIT 3").collect()
     assert len(hits) == 3
+    # an EMPTY corpus must not freeze all-zero weights (review finding):
+    # registration and a zero-row insert stay unfitted no-ops, the first
+    # real insert fits
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    s.register_knowledge_base("kbw3", empty, dim=8, embedder="hash_tfidf")
+    assert s._kbs["kbw3"]["idf_weights"] is None
+    assert s._kb_insert("kbw3", empty).collect()[0][0] == 0
+    assert s._kbs["kbw3"]["idf_weights"] is None
+    s._kb_insert("kbw3", docs)
+    assert any(x != 0.0 for x in s._kbs["kbw3"]["idf_weights"])

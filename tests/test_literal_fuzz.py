@@ -34,6 +34,7 @@ _FRAGMENTS = [
     "GROUP BY z",
     "ORDER BY beta",
     "LIMIT 5",
+    "USING hybrid = true",
     "> LATEST",
     "-- comment",
     "# hash",
