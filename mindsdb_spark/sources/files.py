@@ -6,9 +6,11 @@ mindsdb/integrations/handlers/file_handler/file_handler.py:80-196; format
 detection integrations/utilities/files/file_reader.py:27-214). Here the
 sniffed format dispatches to the matching distributed Spark reader —
 spark.read.{csv,json,parquet,text} — so file size is unbounded. XLSX goes
-through pandas read_excel → createDataFrame (driver-side, like the
-reference; gated on openpyxl being installed); PDF extraction likewise
-requires a pdf library and raises NotImplementedError in this container.
+through pandas read_excel → createDataFrame when openpyxl is present and
+otherwise through a standard-library zip+XML reader (an .xlsx IS a zip of
+XML parts), so the format works in any environment; PDF prefers
+pypdf/pymupdf and falls back to a stdlib extractor for plain/Flate text
+streams (image-only or CID-encoded PDFs raise a clear error).
 """
 
 from __future__ import annotations
@@ -47,6 +49,157 @@ def sniff_format(path: str) -> str:
     return "csv"
 
 
+def _read_xlsx_stdlib(path: str):
+    """XLSX reader on the standard library alone (zipfile + ElementTree):
+    an .xlsx file is a zip of XML parts — shared strings in
+    xl/sharedStrings.xml, the first worksheet's cells in
+    xl/worksheets/sheet1.xml with A1-style addresses and a type attribute
+    (t="s" shared string, t="b" bool, default numeric). First row is the
+    header, numeric columns come back as floats — the same frame
+    pandas.read_excel(header=0) produces for a plain sheet. Formulas
+    return their cached <v> value; styles/dates stay numeric (XLSX stores
+    dates as day serials; without openpyxl's style table the serial is the
+    honest value)."""
+    import re as _re
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    import pandas as pd
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+        sst: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            for si in ET.fromstring(z.read("xl/sharedStrings.xml")):
+                # <si> holds one <t> or rich-text runs of <r><t>
+                sst.append("".join(t.text or "" for t in si.iter() if local(t.tag) == "t"))
+        sheet = next(
+            (n for n in ("xl/worksheets/sheet1.xml",) if n in names),
+            next((n for n in sorted(names) if n.startswith("xl/worksheets/")), None),
+        )
+        if sheet is None:
+            raise ValueError(f"{path}: no worksheet found in xlsx archive")
+        root = ET.fromstring(z.read(sheet))
+
+    col_re = _re.compile(r"([A-Z]+)\d*$")
+
+    def col_idx(ref: str) -> int:
+        letters = col_re.match(ref).group(1)
+        i = 0
+        for ch in letters:
+            i = i * 26 + (ord(ch) - 64)
+        return i - 1
+
+    rows: list[dict[int, object]] = []
+    for row in (e for e in root.iter() if local(e.tag) == "row"):
+        vals: dict[int, object] = {}
+        for j, c in enumerate(ch for ch in row if local(ch.tag) == "c"):
+            idx = col_idx(c.get("r")) if c.get("r") else j
+            t = c.get("t", "n")
+            v = None
+            for ch in c:
+                if local(ch.tag) == "v":
+                    v = ch.text
+                elif local(ch.tag) == "is":  # t="inlineStr"
+                    v = "".join(x.text or "" for x in ch.iter() if local(x.tag) == "t")
+            if v is None:
+                continue
+            if t == "s":
+                vals[idx] = sst[int(v)]
+            elif t == "b":
+                vals[idx] = v in ("1", "true")
+            elif t in ("str", "inlineStr"):
+                vals[idx] = v
+            else:
+                f = float(v)
+                vals[idx] = int(f) if f.is_integer() else f
+        rows.append(vals)
+    if not rows:
+        return pd.DataFrame()
+    width = max(max(r) for r in rows if r) + 1
+    header = [str(rows[0].get(i, f"col_{i}")) for i in range(width)]
+    data = [[r.get(i) for i in range(width)] for r in rows[1:]]
+    return pd.DataFrame(data, columns=header)
+
+
+def _read_pdf_stdlib(path: str) -> list[tuple[int, str]]:
+    """Minimal PDF text extraction on the standard library: find content
+    streams (raw or /FlateDecode — zlib), and inside BT…ET text blocks
+    decode the `(…) Tj`, `(…) '` and `[(…) kern (…)] TJ` show-text
+    operators with PDF string escapes (\\( \\) \\\\ \\n octal). Handles the
+    simple-font PDFs the reference's file reader targets; CID/subsetted
+    fonts and image-only pages have no extractable text here and raise a
+    clear error rather than returning garbage."""
+    import re as _re
+    import zlib
+
+    raw = open(path, "rb").read()
+    pages: list[tuple[int, str]] = []
+    esc = {b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
+           b"(": "(", b")": ")", b"\\": "\\"}
+
+    def pdf_str(body: bytes) -> str:
+        out, i, n = [], 0, len(body)
+        while i < n:
+            c = body[i : i + 1]
+            if c == b"\\" and i + 1 < n:
+                nxt = body[i + 1 : i + 2]
+                if nxt.isdigit():
+                    j = i + 1
+                    while j < min(i + 4, n) and body[j : j + 1].isdigit():
+                        j += 1
+                    out.append(chr(int(body[i + 1 : j], 8)))
+                    i = j
+                    continue
+                out.append(esc.get(nxt, nxt.decode("latin-1")))
+                i += 2
+                continue
+            out.append(c.decode("latin-1"))
+            i += 1
+        return "".join(out)
+
+    for m in _re.finditer(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", raw, _re.DOTALL):
+        head, body = m.group(1), m.group(2)
+        if b"/FlateDecode" in head:
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                continue
+        if b"BT" not in body:
+            continue  # not a text content stream (fonts, images, xref)
+        chunks: list[str] = []
+        for bt in _re.finditer(rb"BT(.*?)ET", body, _re.DOTALL):
+            block = bt.group(1)
+            for sm in _re.finditer(
+                rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|')|\[((?:[^\]\\]|\\.)*)\]\s*TJ",
+                block,
+                _re.DOTALL,
+            ):
+                if sm.group(1) is not None:
+                    chunks.append(pdf_str(sm.group(1)))
+                else:  # TJ array: concatenate its string elements
+                    chunks.append(
+                        "".join(
+                            pdf_str(p.group(1))
+                            for p in _re.finditer(
+                                rb"\(((?:[^()\\]|\\.)*)\)", sm.group(2), _re.DOTALL
+                            )
+                        )
+                    )
+        if chunks:
+            pages.append((len(pages) + 1, "\n".join(chunks)))
+    if not pages:
+        raise NotImplementedError(
+            f"{path}: no extractable text streams (image-only or CID-encoded "
+            "pdf; install pypdf/pymupdf for full extraction — reference: "
+            "file_reader.py:27-214)"
+        )
+    return pages
+
+
 def read_file(spark: SparkSession, path: str, **options) -> DataFrame:
     """Load a data file with the sniffed format's reader."""
     fmt = sniff_format(path)
@@ -59,17 +212,18 @@ def read_file(spark: SparkSession, path: str, **options) -> DataFrame:
         return spark.read.options(**options).text(path).withColumnRenamed("value", "text")
     if fmt == "xlsx":
         try:
+            import openpyxl  # noqa: F401 — engine probe only
+        except ImportError:  # stdlib zip+XML reader (no excel engine)
+            pdf = _read_xlsx_stdlib(path)
+        else:
             import pandas as pd
 
             pdf = pd.read_excel(path, **options)
-        except ImportError as ex:  # openpyxl/xlrd not in this container
-            raise NotImplementedError(
-                "xlsx reading requires openpyxl; install it or convert to csv"
-            ) from ex
         return spark.createDataFrame(pdf)
     if fmt == "pdf":
-        # one row per page, (page, text) — activates when a pdf lib exists
-        # (the reference uses pymupdf, file_reader.py:27-214)
+        # one row per page, (page, text) — a pdf lib extracts best
+        # (the reference uses pymupdf, file_reader.py:27-214); without one,
+        # the stdlib extractor below handles plain/Flate content streams
         pages = None
         try:
             import pypdf
@@ -83,12 +237,7 @@ def read_file(spark: SparkSession, path: str, **options) -> DataFrame:
                 with fitz.open(path) as doc:
                     pages = [(i + 1, page.get_text()) for i, page in enumerate(doc)]
             except ImportError:
-                pass
-        if pages is None:
-            raise NotImplementedError(
-                "pdf text extraction requires pypdf or pymupdf; neither is "
-                "present in this container (reference: file_reader.py:27-214)"
-            )
+                pages = _read_pdf_stdlib(path)
         return spark.createDataFrame(pages, "page int, text string")
     sep = "\t" if path.endswith(".tsv") else options.pop("sep", ",")
     return (

@@ -28,11 +28,82 @@ def test_read_txt_one_row_per_line(spark, tmp_path):
     assert sorted(r["text"] for r in df.collect()) == ["alpha", "beta"]
 
 
-def test_read_pdf_raises_not_implemented(spark, tmp_path):
+def test_read_pdf_no_text_raises_not_implemented(spark, tmp_path):
+    # a PDF with no extractable text streams (image-only / truncated) is a
+    # clear error, not garbage rows
     p = tmp_path / "doc.pdf"
     p.write_bytes(b"%PDF-1.7\n...")
     with pytest.raises(NotImplementedError):
         read_file(spark, str(p))
+
+
+def _write_minimal_xlsx(path, header, rows):
+    """Hand-build a real .xlsx (zip of XML parts) with the stdlib —
+    shared strings for text cells, bare <v> for numbers."""
+    import zipfile
+
+    strings: list[str] = []
+
+    def cell(ref, v):
+        if isinstance(v, str):
+            if v not in strings:
+                strings.append(v)
+            return f'<c r="{ref}" t="s"><v>{strings.index(v)}</v></c>'
+        return f'<c r="{ref}"><v>{v}</v></c>'
+
+    def row(i, vals):
+        cells = "".join(cell(f"{chr(65 + j)}{i}", v) for j, v in enumerate(vals))
+        return f'<row r="{i}">{cells}</row>'
+
+    sheet_rows = [row(1, header)] + [row(i + 2, r) for i, r in enumerate(rows)]
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    sheet = f'<?xml version="1.0"?><worksheet {ns}><sheetData>{"".join(sheet_rows)}</sheetData></worksheet>'
+    sst = f'<?xml version="1.0"?><sst {ns}>' + "".join(
+        f"<si><t>{s}</t></si>" for s in strings
+    ) + "</sst>"
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", '<?xml version="1.0"?><Types/>')
+        z.writestr("xl/sharedStrings.xml", sst)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_read_xlsx_stdlib(spark, tmp_path):
+    # the container has no openpyxl — this exercises the stdlib zip+XML
+    # reader end-to-end through the sniffed read_file door
+    p = tmp_path / "table.xlsx"
+    _write_minimal_xlsx(
+        p, ["name", "qty", "price"],
+        [["bolt", 3, 1.5], ["plate", 7, 2.25], ["bolt", 2, 1.5]],
+    )
+    assert sniff_format(str(p)) == "xlsx"
+    df = read_file(spark, str(p))
+    assert df.columns == ["name", "qty", "price"]
+    got = sorted((r["name"], r["qty"], r["price"]) for r in df.collect())
+    assert got == [("bolt", 2, 1.5), ("bolt", 3, 1.5), ("plate", 7, 2.25)]
+
+
+def test_read_pdf_stdlib_flate_and_raw(spark, tmp_path):
+    # hand-built two-page PDF: page 1 Flate-compressed with Tj + escapes,
+    # page 2 raw with a TJ kerning array — the stdlib extractor decodes both
+    import zlib
+
+    page1 = zlib.compress(
+        b"BT /F1 12 Tf 72 720 Td (Hello \\(world\\)) Tj ET"
+    )
+    page2 = b"BT [(Spar) -20 (k rocks)] TJ ET"
+    body = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Length " + str(len(page1)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + page1 + b"\nendstream\nendobj\n"
+        b"2 0 obj\n<< /Length " + str(len(page2)).encode()
+        + b" >>\nstream\n" + page2 + b"\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )
+    p = tmp_path / "doc.pdf"
+    p.write_bytes(body)
+    df = read_file(spark, str(p))
+    rows = {r["page"]: r["text"] for r in df.collect()}
+    assert rows == {1: "Hello (world)", 2: "Spark rocks"}
 
 
 def test_cross_join_guard_allows_small(spark):
