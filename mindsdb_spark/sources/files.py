@@ -69,6 +69,11 @@ def _read_xlsx_stdlib(path: str):
     def local(tag: str) -> str:
         return tag.rsplit("}", 1)[-1]
 
+    if not zipfile.is_zipfile(path):
+        # legacy binary .xls (OLE container) — needs xlrd either way
+        raise NotImplementedError(
+            f"{path}: legacy .xls (OLE) needs xlrd; re-save as .xlsx or csv"
+        )
     with zipfile.ZipFile(path) as z:
         names = set(z.namelist())
         sst: list[str] = []
