@@ -261,7 +261,11 @@ class SourceCatalog:
 
 
 def write_bucketed(
-    df: DataFrame, name: str, key: str | list[str], buckets: int = 16
+    df: DataFrame,
+    name: str,
+    key: str | list[str],
+    buckets: int = 16,
+    sort_by: "list[str] | None" = None,
 ) -> None:
     """Persist ``df`` as a bucketed, bucket-sorted parquet table in the
     session catalog.
@@ -274,21 +278,25 @@ def write_bucketed(
     layout control at all; its federated frames always re-hash in memory.
     """
     keys = [key] if isinstance(key, str) else list(key)
+    # sort_by: None sorts by the bucket keys (the co-located-join default);
+    # [] skips the sort; an explicit list sorts by those columns
+    scols = keys if sort_by is None else list(sort_by)
     _clear_stale_table_location(df.sparkSession, name)
-    (
-        # pre-repartition on the bucket keys so each task holds exactly one
-        # bucket's rows (Spark's bucket id and repartition both hash with
-        # Murmur3 mod n): without this, every input task writes up to
-        # `buckets` files — nTasks x nBuckets small files, and nTasks
-        # concurrent sorter+writer sets, which exhausts execution memory on
-        # wide inputs (observed at the 600M-row sf100 lineitem write)
+    # pre-repartition on the bucket keys so each task holds exactly one
+    # bucket's rows (Spark's bucket id and repartition both hash with
+    # Murmur3 mod n): without this, every input task writes up to
+    # `buckets` files — nTasks x nBuckets small files, and nTasks
+    # concurrent sorter+writer sets, which exhausts execution memory on
+    # wide inputs (observed at the 600M-row sf100 lineitem write)
+    w = (
         df.repartition(buckets, *keys)
         .write.format("parquet")
         .mode("overwrite")
         .bucketBy(buckets, *keys)
-        .sortBy(*keys)
-        .saveAsTable(name)
     )
+    if scols:
+        w = w.sortBy(*scols)
+    w.saveAsTable(name)
 
 
 def _clear_stale_table_location(spark: SparkSession, name: str) -> None:

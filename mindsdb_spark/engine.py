@@ -315,7 +315,7 @@ def _sql_literal_text(raw: str) -> str:
     return "".join(out)
 
 
-_MASK_MEMO: list = ["", ""]
+_MASK_MEMO: list = [("", "")]  # single-slot (text, masked) — one atomic store
 
 
 def _mask_literals(text: str) -> str:
@@ -326,9 +326,13 @@ def _mask_literals(text: str) -> str:
     boundary; group spans are then sliced from the ORIGINAL text
     (positions are identical by construction). A 1-entry memo keeps the
     router chain (~9 sequential regex probes per statement) from
-    re-scanning the same statement each time."""
-    if text == _MASK_MEMO[0]:
-        return _MASK_MEMO[1]
+    re-scanning the same statement each time. The memo is a single-slot
+    (text, masked) tuple stored in ONE assignment, so concurrent sessions
+    can never observe a text from one thread paired with another's mask
+    (two separate slots could interleave)."""
+    memo_text, memo_masked = _MASK_MEMO[0]
+    if text == memo_text:
+        return memo_masked
     from mindsdb_spark.dialect.rewriter import _skip_string
 
     out = list(text)
@@ -343,7 +347,7 @@ def _mask_literals(text: str) -> str:
         else:
             i += 1
     masked = "".join(out)
-    _MASK_MEMO[0], _MASK_MEMO[1] = text, masked
+    _MASK_MEMO[0] = (text, masked)
     return masked
 
 

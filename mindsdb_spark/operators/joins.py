@@ -95,25 +95,17 @@ def write_bucketed(
     `tests/test_plans.py::test_bucketed_join_has_no_exchange` pins the
     plan shape.
     """
-    from mindsdb_spark.catalog import _clear_stale_table_location
+    from mindsdb_spark import catalog
 
-    bcols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
-    _clear_stale_table_location(df.sparkSession, table)
-    # pre-repartition on the bucket keys (same Murmur3-mod-n as the bucket
-    # id) so each task writes exactly one bucket — without this, every input
-    # task writes up to n_buckets files and runs its own sorter+writer set,
-    # which exhausted execution memory on a 600M-row write (same fix as
-    # catalog.write_bucketed)
-    w = (
-        df.repartition(n_buckets, *bcols)
-        .write.format("parquet")
-        .mode("overwrite")
-        .bucketBy(n_buckets, *bcols)
+    # one writer implementation: delegate to catalog.write_bucketed (the
+    # scale-hardened pre-repartitioned path). This signature's default is
+    # NO sort unless sort_cols is given — sort_by=[] preserves that.
+    scols = (
+        []
+        if sort_cols is None
+        else [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
     )
-    if sort_cols:
-        scols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
-        w = w.sortBy(*scols)
-    w.saveAsTable(table)
+    catalog.write_bucketed(df, table, bucket_cols, buckets=n_buckets, sort_by=scols)
 
 
 def salted_join(

@@ -81,9 +81,18 @@ def _read_xlsx_stdlib(path: str):
             for si in ET.fromstring(z.read("xl/sharedStrings.xml")):
                 # <si> holds one <t> or rich-text runs of <r><t>
                 sst.append("".join(t.text or "" for t in si.iter() if local(t.tag) == "t"))
+        # fallback must not catch xl/worksheets/_rels/*.rels (sorts before
+        # sheetN.xml and parses to zero rows — silent data loss)
         sheet = next(
             (n for n in ("xl/worksheets/sheet1.xml",) if n in names),
-            next((n for n in sorted(names) if n.startswith("xl/worksheets/")), None),
+            next(
+                (
+                    n
+                    for n in sorted(names)
+                    if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")
+                ),
+                None,
+            ),
         )
         if sheet is None:
             raise ValueError(f"{path}: no worksheet found in xlsx archive")
@@ -101,8 +110,10 @@ def _read_xlsx_stdlib(path: str):
     rows: list[dict[int, object]] = []
     for row in (e for e in root.iter() if local(e.tag) == "row"):
         vals: dict[int, object] = {}
-        for j, c in enumerate(ch for ch in row if local(ch.tag) == "c"):
-            idx = col_idx(c.get("r")) if c.get("r") else j
+        prev = -1  # OOXML: a <c> with no r= occupies the NEXT column
+        for c in (ch for ch in row if local(ch.tag) == "c"):
+            idx = col_idx(c.get("r")) if c.get("r") else prev + 1
+            prev = idx
             t = c.get("t", "n")
             v = None
             for ch in c:
@@ -122,7 +133,7 @@ def _read_xlsx_stdlib(path: str):
                 f = float(v)
                 vals[idx] = int(f) if f.is_integer() else f
         rows.append(vals)
-    if not rows:
+    if not any(rows):  # no rows, or rows of valueless (formatted-only) cells
         return pd.DataFrame()
     width = max(max(r) for r in rows if r) + 1
     header = [str(rows[0].get(i, f"col_{i}")) for i in range(width)]
@@ -137,7 +148,11 @@ def _read_pdf_stdlib(path: str) -> list[tuple[int, str]]:
     operators with PDF string escapes (\\( \\) \\\\ \\n octal). Handles the
     simple-font PDFs the reference's file reader targets; CID/subsetted
     fonts and image-only pages have no extractable text here and raise a
-    clear error rather than returning garbage."""
+    clear error rather than returning garbage. ``page`` numbers the
+    text-bearing content STREAMS in file order — for single-stream-per-page
+    PDFs (the common case for simple generators) that equals the page
+    number; a real pdf lib (pypdf/pymupdf), when installed, numbers true
+    pages."""
     import re as _re
     import zlib
 
@@ -148,15 +163,18 @@ def _read_pdf_stdlib(path: str) -> list[tuple[int, str]]:
 
     def pdf_str(body: bytes) -> str:
         out, i, n = [], 0, len(body)
+        octal = b"01234567"
         while i < n:
             c = body[i : i + 1]
             if c == b"\\" and i + 1 < n:
                 nxt = body[i + 1 : i + 2]
-                if nxt.isdigit():
+                if nxt in octal:  # \d, \dd, \ddd — OCTAL digits only
+                    # ('\8' is not an escape; '\778' is two digits then '8');
+                    # the spec says high values wrap to a byte (mod 256)
                     j = i + 1
-                    while j < min(i + 4, n) and body[j : j + 1].isdigit():
+                    while j < min(i + 4, n) and body[j : j + 1] in octal:
                         j += 1
-                    out.append(chr(int(body[i + 1 : j], 8)))
+                    out.append(chr(int(body[i + 1 : j], 8) % 256))
                     i = j
                     continue
                 out.append(esc.get(nxt, nxt.decode("latin-1")))
@@ -219,11 +237,26 @@ def read_file(spark: SparkSession, path: str, **options) -> DataFrame:
         try:
             import openpyxl  # noqa: F401 — engine probe only
         except ImportError:  # stdlib zip+XML reader (no excel engine)
+            if options:
+                # silently reading a different sheet/header than asked for
+                # would return different data per environment
+                raise ValueError(
+                    "xlsx reader options (e.g. sheet_name) need openpyxl; "
+                    f"got {sorted(options)} without it"
+                )
             pdf = _read_xlsx_stdlib(path)
         else:
             import pandas as pd
 
             pdf = pd.read_excel(path, **options)
+        if len(pdf.columns) == 0:
+            raise ValueError(f"{path}: worksheet has no data")
+        if len(pdf) == 0:
+            # header-only sheet: empty table with string columns (pandas
+            # object dtype can't be inferred by createDataFrame)
+            return spark.createDataFrame(
+                [], ", ".join(f"`{c}` string" for c in pdf.columns)
+            )
         return spark.createDataFrame(pdf)
     if fmt == "pdf":
         # one row per page, (page, text) — a pdf lib extracts best

@@ -82,6 +82,49 @@ def test_read_xlsx_stdlib(spark, tmp_path):
     assert got == [("bolt", 2, 1.5), ("bolt", 3, 1.5), ("plate", 7, 2.25)]
 
 
+def test_read_xlsx_stdlib_edges(spark, tmp_path):
+    import zipfile
+
+    from mindsdb_spark.sources.files import _read_xlsx_stdlib
+
+    # _rels entries must not be picked as the worksheet (sorts before sheetN)
+    p = tmp_path / "rels.xlsx"
+    _write_minimal_xlsx(p, ["a"], [["x"]])
+    with zipfile.ZipFile(p, "a") as z:
+        z.writestr("xl/worksheets/_rels/sheet1.xml.rels", "<Relationships/>")
+    df = read_file(spark, str(p))
+    assert [r["a"] for r in df.collect()] == ["x"]
+    # header-only sheet: empty string-typed table, not a crash
+    p2 = tmp_path / "hdr.xlsx"
+    _write_minimal_xlsx(p2, ["a", "b"], [])
+    df2 = read_file(spark, str(p2))
+    assert df2.columns == ["a", "b"] and df2.count() == 0
+    # valueless (formatted-only) rows: empty frame, not max() crash
+    p3 = tmp_path / "fmt.xlsx"
+    with zipfile.ZipFile(p3, "w") as z:
+        z.writestr(
+            "xl/worksheets/sheet1.xml",
+            '<?xml version="1.0"?><worksheet><sheetData>'
+            '<row r="1"><c r="A1"/></row></sheetData></worksheet>',
+        )
+    assert len(_read_xlsx_stdlib(str(p3))) == 0
+    # options need the real engine
+    with pytest.raises(ValueError, match="openpyxl"):
+        read_file(spark, str(p), sheet_name="Data")
+
+
+def test_read_pdf_stdlib_octal_escapes(spark, tmp_path):
+    # \ddd octal (wrapping mod 256 per spec), \8 is not an escape
+    p = tmp_path / "oct.pdf"
+    p.write_bytes(
+        b"%PDF-1.4\n1 0 obj\n<< /Length 44 >>\nstream\n"
+        b"BT (A\\101\\8 \\778) Tj ET"
+        b"\nendstream\nendobj\n%%EOF\n"
+    )
+    df = read_file(spark, str(p))
+    assert df.collect()[0]["text"] == "AA8 ?8"
+
+
 def test_read_pdf_stdlib_flate_and_raw(spark, tmp_path):
     # hand-built two-page PDF: page 1 Flate-compressed with Tj + escapes,
     # page 2 raw with a TJ kerning array — the stdlib extractor decodes both
