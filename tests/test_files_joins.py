@@ -149,6 +149,32 @@ def test_read_pdf_stdlib_flate_and_raw(spark, tmp_path):
     assert rows == {1: "Hello (world)", 2: "Spark rocks"}
 
 
+def test_xlsx_and_pdf_through_sql_door(spark, tmp_path):
+    # the reference's files integration: upload once, query as a table —
+    # the new stdlib-backed formats work through the same door
+    import zlib
+
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    xp = tmp_path / "prices.xlsx"
+    _write_minimal_xlsx(xp, ["name", "qty"], [["bolt", 3], ["plate", 7]])
+    sess.register_file("prices", str(xp))
+    rows = sess.sql(
+        "SELECT name, qty FROM files_prices WHERE qty > 4 ORDER BY name"
+    ).collect()
+    assert [(r["name"], r["qty"]) for r in rows] == [("plate", 7)]
+    pp = tmp_path / "doc.pdf"
+    page = zlib.compress(b"BT (hello from pdf) Tj ET")
+    pp.write_bytes(
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode >>\nstream\n"
+        + page + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    sess.register_file("doc", str(pp))
+    got = sess.sql("SELECT page, text FROM files_doc").collect()
+    assert [(r["page"], r["text"]) for r in got] == [(1, "hello from pdf")]
+
+
 def test_cross_join_guard_allows_small(spark):
     a = spark.range(100)
     b = spark.range(50).withColumnRenamed("id", "id2")
