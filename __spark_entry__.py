@@ -79,9 +79,15 @@ def _recording_priority() -> "Callable[[str], tuple]":
             if v.get("hash_match") is True:
                 last_green[k] = max(last_green.get(k, -1), n)
 
-    def prio(key: str) -> tuple:
-        # (never-green? 0 : 1, round-last-green) — never-green keys lead,
-        # then ascending recency; registration order breaks ties (stable sort)
+    def prio(key: str, has_oracle: bool = True) -> tuple:
+        # (tier, round-last-green): never-green oracle-backed keys lead,
+        # then ascending recency; registration order breaks ties (stable
+        # sort). Keys with NO oracle SQL (documented rows-only exclusions,
+        # e.g. p38 approx_count_distinct) can never hash-green — they are
+        # verified-by-property in tests, so they sort LAST instead of
+        # riding the front of every window (round-6 verdict item 2).
+        if not has_oracle:
+            return (2, 0)
         if key not in last_green:
             return (0, 0)
         return (1, last_green[key])
@@ -110,10 +116,11 @@ def _interleaved() -> list[tuple[str, tuple]]:
     merged: list[tuple[str, tuple]] = []
     for tup in zip_longest(*ordered):
         merged.extend(kv for kv in tup if kv is not None)
-    # stable global sort: never-green keys first, then ascending last-green
-    # round (family interleave preserved within each tier) so the driver's
-    # ~50-entry window drains the verification backlog before re-verifying
-    merged.sort(key=lambda kv: prio(kv[0]))
+    # stable global sort: never-green oracle-backed keys first, then
+    # ascending last-green round (family interleave preserved within each
+    # tier), rows-only exclusions last, so the driver's ~50-entry window
+    # drains the verification backlog before re-verifying
+    merged.sort(key=lambda kv: prio(kv[0], has_oracle=kv[1][1] is not None))
     return merged
 
 
