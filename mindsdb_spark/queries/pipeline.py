@@ -2082,6 +2082,45 @@ FROM px GROUP BY doc_id, y // 8, x // 8
 ORDER BY media_id, by, bx
 """
 
+# --- D54 real PNG decode → block-mean (stdlib codec, round-6 verdict item 5) --
+# The pixels are the same closed form as d53, but the payload ROUND-TRIPS
+# through a genuine PNG: encode_png writes zlib-compressed IDAT with the
+# scanline filter CYCLING through all five types (None/Sub/Up/Average/
+# Paeth), decode_png_media reconstructs the raster executor-side, and the
+# block means are hashed against the closed-form oracle — any filter-
+# reconstruction bug anywhere in the codec breaks the hash. 48x32 exercises
+# non-square strides. Real-decode-at-scale shape: both codec stages are
+# Arrow-batched mapInPandas, payloads never leave the executors.
+def d54_png_blockmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(col("doc_id") < 100)
+    png = M.synth_png(docs, width=48, height=32, filters=(0, 1, 2, 3, 4))
+    raster = M.decode_png_media(png)
+    blocks = M.downsample_block_mean(raster, block=8)
+    return blocks.select(
+        "media_id", "by", "bx",
+        (F.floor(col("mean") * 1e6 + F.lit(0.5)) / 1e6).alias("mean"),
+    ).repartition(1).sortWithinPartitions("media_id", "by", "bx")
+
+
+D54_SQL = """
+WITH seeds AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS seed
+  FROM documents WHERE doc_id < 100
+),
+px AS (
+  SELECT doc_id,
+         CAST((i - 1) % 48 AS BIGINT) AS x,
+         CAST((i - 1) // 48 AS BIGINT) AS y,
+         CAST((seed * i) % 256 AS BIGINT) AS v
+  FROM seeds, UNNEST(generate_series(1, 1536)) AS t(i)
+)
+SELECT doc_id AS media_id, y // 8 AS by, x // 8 AS bx,
+       floor(sum(v) / 64.0 * 1000000 + 0.5) / 1000000 AS mean
+FROM px GROUP BY doc_id, y // 8, x // 8
+ORDER BY media_id, by, bx
+"""
+
 # --- registry ----------------------------------------------------------------
 PIPELINE = {
     "d01_dedup_exact": (d01_dedup_exact, D01_SQL),
@@ -2137,6 +2176,7 @@ PIPELINE = {
     "d51_dup_distribution": (d51_dup_distribution, D51_SQL),
     "d52_audio_features": (d52_audio_features, D52_SQL),
     "d53_image_blockmean": (d53_image_blockmean, D53_SQL),
+    "d54_png_blockmean": (d54_png_blockmean, D54_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),
