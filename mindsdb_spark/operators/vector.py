@@ -614,10 +614,16 @@ def ivf_read_probe(
     id_col: str = "vec_id",
     n_probes: int = 4,
     cell_col: str = "cell",
+    where: "Column | str | None" = None,
 ) -> DataFrame:
     """Probe an `ivf_write_partitioned` layout: pick the n_probes nearest
     cells driver-side (k centroid vectors — tiny), filter on the partition
     column so only those directories are listed/read, exact-rank inside.
+
+    ``where`` is an optional row-level predicate (metadata prefilter from
+    the KB SQL door) applied AFTER the partition filter — partition pruning
+    is still proven from directory names alone, and the predicate pushes
+    into the pruned scan, so top-k comes from the filtered space.
     """
     import math
 
@@ -631,6 +637,8 @@ def ivf_read_probe(
     ranked = sorted(centroids, key=lambda c: (-cos(c[1], q), -c[0]))
     probes = [cid for cid, _v in ranked[:n_probes]]
     cand = spark.read.parquet(path).filter(col(cell_col).isin(probes))
+    if where is not None:
+        cand = cand.filter(F.expr(where) if isinstance(where, str) else where)
     return cosine_topk(cand, vec_col, q, k, id_col)
 
 

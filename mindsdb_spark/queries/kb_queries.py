@@ -685,6 +685,54 @@ FROM top ORDER BY distance, doc_id
 S09_SQL = _s09_sql()
 
 
+# --- K11 partition-pruned IVF index through the KB SQL door -------------------
+# CREATE INDEX ON KNOWLEDGE_BASE ... USING layout = 'partitioned' persists the
+# chunk store PARTITIONED BY nearest-centroid cell (vector.py:
+# ivf_write_partitioned — the layout that won the sf100 ANN decade) and the
+# KB select routes through ivf_read_probe: probe cells are picked driver-side
+# from the tiny centroid list and the scan reads ONLY those partition
+# directories (PartitionFilters — asserted in tests/test_kb_sql.py). Probing
+# every cell (the default) is EXACT, so the brute-force top-k oracle must
+# hash-match; narrowed n_probes trades recall for scan fraction at 100 TB.
+def k11_kb_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    sess.register_parquet_source("src", sf_dir)
+    sess.sql("CREATE KNOWLEDGE_BASE kbx USING dim = 8, embedder = 'md5'")
+    sess.sql(
+        "INSERT INTO kbx SELECT doc_id, text FROM src_documents WHERE doc_id < 80"
+    )
+    sess.sql(
+        "CREATE INDEX ON KNOWLEDGE_BASE kbx "
+        "USING layout = 'partitioned', n_centroids = 4"
+    )
+    return sess.sql(
+        "SELECT doc_id, FLOOR(distance * 1000000 + 0.5) / 1000000 AS distance "
+        "FROM kbx WHERE content = 'stream error rate' "
+        "ORDER BY distance, doc_id LIMIT 10"
+    )
+
+
+def _k11_sql() -> str:
+    lanes = ", ".join(_md5_lane_sql("chunk_text", i) for i in range(8))
+    q_lanes = ", ".join(_md5_lane_sql("'stream error rate'", i) for i in range(8))
+    return f"""
+WITH {_K04_CHUNKS},
+emb AS (SELECT doc_id, chunk_id, [{lanes}] AS embedding FROM ch WHERE doc_id < 80),
+q AS (SELECT [{q_lanes}] AS qe),
+top AS (
+  SELECT chunk_id, doc_id, 1.0 - ({_COS_SQL}) AS dist
+  FROM emb, q ORDER BY dist, chunk_id LIMIT 10
+)
+SELECT doc_id, floor(dist * 1000000 + 0.5) / 1000000 AS distance
+FROM top ORDER BY distance, doc_id
+"""
+
+
+K11_SQL = _k11_sql()
+
+
 KB_QUERIES = {
     "k01_kb_chunks": (k01_kb_chunks, K01_SQL),
     "k02_kb_eval": (k02_kb_eval, K02_SQL),
@@ -697,4 +745,5 @@ KB_QUERIES = {
     "k09_kb_evaluate_generated": (k09_kb_evaluate_generated, K09_SQL),
     "k10_kb_evaluate_relevancy": (k10_kb_evaluate_relevancy, K10_SQL),
     "s09_kb_tfidf_retrieval": (s09_kb_tfidf_retrieval, S09_SQL),
+    "k11_kb_indexed_search": (k11_kb_indexed_search, K11_SQL),
 }

@@ -49,13 +49,84 @@ def sniff_format(path: str) -> str:
     return "csv"
 
 
-def _read_xlsx_stdlib(path: str):
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _xlsx_sheet_parts(z) -> list[tuple[str, str]]:
+    """Workbook-ordered (sheet_name, part_path) pairs for an open xlsx zip.
+
+    Sheet ORDER is defined by xl/workbook.xml's <sheet> elements, each
+    pointing at its part through the r:id → Target mapping in
+    xl/_rels/workbook.xml.rels — sheet1.xml is NOT necessarily the first
+    sheet once a workbook has been reordered in Excel. The filename
+    heuristic survives only as a fallback for archives missing those parts.
+    """
+    import xml.etree.ElementTree as ET
+
+    names = set(z.namelist())
+    try:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        by_rid: dict[str, str] = {}
+        for rel in rels:
+            target = (rel.get("Target") or "").lstrip("/")
+            if not target.startswith("xl/"):
+                target = "xl/" + target
+            if "/worksheets/" in target:
+                by_rid[rel.get("Id") or ""] = target
+        out: list[tuple[str, str]] = []
+        for sh in wb.iter():
+            if _local(sh.tag) != "sheet":
+                continue
+            rid = next(
+                (v for k, v in sh.attrib.items() if _local(k) == "id" and "}" in k),
+                sh.get("id"),
+            )
+            part = by_rid.get(rid or "")
+            if part and part in names:
+                out.append((sh.get("name") or f"Sheet{len(out) + 1}", part))
+        if out:
+            return out
+    except (KeyError, ET.ParseError):
+        pass
+    # fallback: filename order; must not catch xl/worksheets/_rels/*.rels
+    # (sorts before sheetN.xml and parses to zero rows — silent data loss)
+    parts = [
+        n
+        for n in sorted(names)
+        if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")
+    ]
+    if "xl/worksheets/sheet1.xml" in parts:
+        parts.remove("xl/worksheets/sheet1.xml")
+        parts.insert(0, "xl/worksheets/sheet1.xml")
+    return [(os.path.basename(p)[:-4], p) for p in parts]
+
+
+def list_xlsx_sheets(path: str) -> list[str]:
+    """Workbook-ordered sheet names (the reference exposes every sheet as
+    files.<file>.<sheet>, file_handler.py:68-78 + file_reader.read_xlsx)."""
+    try:
+        import openpyxl  # noqa: F401 — engine probe only
+        import pandas as pd
+
+        with pd.ExcelFile(path) as xls:
+            return list(xls.sheet_names)
+    except ImportError:
+        import zipfile
+
+        with zipfile.ZipFile(path) as z:
+            return [name for name, _part in _xlsx_sheet_parts(z)]
+
+
+def _read_xlsx_stdlib(path: str, sheet_name: "int | str" = 0):
     """XLSX reader on the standard library alone (zipfile + ElementTree):
     an .xlsx file is a zip of XML parts — shared strings in
-    xl/sharedStrings.xml, the first worksheet's cells in
-    xl/worksheets/sheet1.xml with A1-style addresses and a type attribute
-    (t="s" shared string, t="b" bool, default numeric). First row is the
-    header, numeric columns come back as floats — the same frame
+    xl/sharedStrings.xml, worksheet cells in xl/worksheets/sheetN.xml with
+    A1-style addresses and a type attribute (t="s" shared string, t="b"
+    bool, default numeric). ``sheet_name`` selects by workbook-order index
+    or by name, exactly like pandas.read_excel. First row is the header,
+    numeric columns come back as floats — the same frame
     pandas.read_excel(header=0) produces for a plain sheet. Formulas
     return their cached <v> value; styles/dates stay numeric (XLSX stores
     dates as day serials; without openpyxl's style table the serial is the
@@ -66,8 +137,7 @@ def _read_xlsx_stdlib(path: str):
 
     import pandas as pd
 
-    def local(tag: str) -> str:
-        return tag.rsplit("}", 1)[-1]
+    local = _local
 
     if not zipfile.is_zipfile(path):
         # legacy binary .xls (OLE container) — needs xlrd either way
@@ -79,23 +149,36 @@ def _read_xlsx_stdlib(path: str):
         sst: list[str] = []
         if "xl/sharedStrings.xml" in names:
             for si in ET.fromstring(z.read("xl/sharedStrings.xml")):
-                # <si> holds one <t> or rich-text runs of <r><t>
-                sst.append("".join(t.text or "" for t in si.iter() if local(t.tag) == "t"))
-        # fallback must not catch xl/worksheets/_rels/*.rels (sorts before
-        # sheetN.xml and parses to zero rows — silent data loss)
-        sheet = next(
-            (n for n in ("xl/worksheets/sheet1.xml",) if n in names),
-            next(
-                (
-                    n
-                    for n in sorted(names)
-                    if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")
-                ),
-                None,
-            ),
-        )
-        if sheet is None:
+                # <si> holds one <t> or rich-text runs of <r><t>; phonetic
+                # <rPh> runs (furigana readings) are annotations, not cell
+                # text — pandas/openpyxl exclude them, so must we
+                parts: list[str] = []
+                for child in si:
+                    tag = local(child.tag)
+                    if tag == "t":
+                        parts.append(child.text or "")
+                    elif tag == "r":
+                        parts.extend(
+                            t.text or "" for t in child if local(t.tag) == "t"
+                        )
+                sst.append("".join(parts))
+        sheets = _xlsx_sheet_parts(z)
+        if not sheets:
             raise ValueError(f"{path}: no worksheet found in xlsx archive")
+        if isinstance(sheet_name, str):
+            sheet = next((p for n, p in sheets if n == sheet_name), None)
+            if sheet is None:
+                raise ValueError(
+                    f"{path}: no sheet named {sheet_name!r}; "
+                    f"available: {[n for n, _ in sheets]}"
+                )
+        else:
+            if not 0 <= int(sheet_name) < len(sheets):
+                raise ValueError(
+                    f"{path}: sheet index {sheet_name} out of range "
+                    f"({len(sheets)} sheets)"
+                )
+            sheet = sheets[int(sheet_name)][1]
         root = ET.fromstring(z.read(sheet))
 
     col_re = _re.compile(r"([A-Z]+)\d*$")
@@ -184,12 +267,32 @@ def _read_pdf_stdlib(path: str) -> list[tuple[int, str]]:
             i += 1
         return "".join(out)
 
-    for m in _re.finditer(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", raw, _re.DOTALL):
-        head, body = m.group(1), m.group(2)
+    skipped = 0
+    for m in _re.finditer(rb"<<(.*?)>>\s*stream\r?\n", raw, _re.DOTALL):
+        head, start = m.group(1), m.end()
+        # slice the exact body from the stream dict's direct /Length when
+        # present — a lazy scan to the next 'endstream' truncates any Flate
+        # stream whose compressed bytes happen to contain that keyword
+        # (indirect lengths `/Length 5 0 R` need xref resolution; fall back)
+        body = None
+        lm = _re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", head)
+        if lm:
+            length = int(lm.group(1))
+            if _re.match(rb"\s*endstream", raw[start + length : start + length + 20]):
+                body = raw[start : start + length]
+        if body is None:
+            end = raw.find(b"endstream", start)
+            if end == -1:
+                skipped += 1
+                continue
+            body = raw[start:end]
         if b"/FlateDecode" in head:
             try:
                 body = zlib.decompress(body)
             except zlib.error:
+                # counted, not silently dropped: a text-bearing page lost
+                # here surfaces in the warning / final error below
+                skipped += 1
                 continue
         if b"BT" not in body:
             continue  # not a text content stream (fonts, images, xref)
@@ -215,12 +318,36 @@ def _read_pdf_stdlib(path: str) -> list[tuple[int, str]]:
         if chunks:
             pages.append((len(pages) + 1, "\n".join(chunks)))
     if not pages:
+        detail = (
+            f"; {skipped} undecodable stream(s) skipped" if skipped else ""
+        )
         raise NotImplementedError(
             f"{path}: no extractable text streams (image-only or CID-encoded "
-            "pdf; install pypdf/pymupdf for full extraction — reference: "
-            "file_reader.py:27-214)"
+            f"pdf{detail}; install pypdf/pymupdf for full extraction — "
+            "reference: file_reader.py:27-214)"
+        )
+    if skipped:
+        import warnings
+
+        warnings.warn(
+            f"{path}: {skipped} content stream(s) could not be decoded; "
+            "extracted text may be missing pages (install pypdf/pymupdf "
+            "for full extraction)",
+            stacklevel=2,
         )
     return pages
+
+
+def _pandas_to_spark(spark: SparkSession, pdf, path: str) -> DataFrame:
+    """Worksheet frame → Spark, with the header-only edge handled (pandas
+    object dtype can't be inferred by createDataFrame)."""
+    if len(pdf.columns) == 0:
+        raise ValueError(f"{path}: worksheet has no data")
+    if len(pdf) == 0:
+        return spark.createDataFrame(
+            [], ", ".join(f"`{c}` string" for c in pdf.columns)
+        )
+    return spark.createDataFrame(pdf)
 
 
 def read_file(spark: SparkSession, path: str, **options) -> DataFrame:
@@ -237,27 +364,20 @@ def read_file(spark: SparkSession, path: str, **options) -> DataFrame:
         try:
             import openpyxl  # noqa: F401 — engine probe only
         except ImportError:  # stdlib zip+XML reader (no excel engine)
-            if options:
-                # silently reading a different sheet/header than asked for
-                # would return different data per environment
+            extra = sorted(k for k in options if k != "sheet_name")
+            if extra:
+                # silently reading with a different header/dtype setting
+                # than asked for would return different data per environment
                 raise ValueError(
-                    "xlsx reader options (e.g. sheet_name) need openpyxl; "
-                    f"got {sorted(options)} without it"
+                    "xlsx reader options other than sheet_name need "
+                    f"openpyxl; got {extra} without it"
                 )
-            pdf = _read_xlsx_stdlib(path)
+            pdf = _read_xlsx_stdlib(path, sheet_name=options.get("sheet_name", 0))
         else:
             import pandas as pd
 
             pdf = pd.read_excel(path, **options)
-        if len(pdf.columns) == 0:
-            raise ValueError(f"{path}: worksheet has no data")
-        if len(pdf) == 0:
-            # header-only sheet: empty table with string columns (pandas
-            # object dtype can't be inferred by createDataFrame)
-            return spark.createDataFrame(
-                [], ", ".join(f"`{c}` string" for c in pdf.columns)
-            )
-        return spark.createDataFrame(pdf)
+        return _pandas_to_spark(spark, pdf, path)
     if fmt == "pdf":
         # one row per page, (page, text) — a pdf lib extracts best
         # (the reference uses pymupdf, file_reader.py:27-214); without one,

@@ -1,5 +1,6 @@
 """KB semantic search through the SQL door."""
 
+import os
 import pytest
 
 from mindsdb_spark.catalog import load_table
@@ -352,3 +353,76 @@ def test_kb_hash_tfidf_frozen_idf(spark, sf_dir):
     assert s._kbs["kbw3"]["idf_weights"] is None
     s._kb_insert("kbw3", docs)
     assert any(x != 0.0 for x in s._kbs["kbw3"]["idf_weights"])
+
+
+def test_kb_partitioned_index_layout(spark, sf_dir, tmp_path):
+    """layout='partitioned' (round-6 verdict item 3): CREATE INDEX persists
+    the chunk store partitioned by IVF cell, the KB select routes through
+    ivf_read_probe, and a narrowed probe PRUNES partitions (PartitionFilters
+    proven from directory names — the 100 TB scan-fraction contract)."""
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark, state_dir=str(tmp_path))
+    sess.register_knowledge_base(
+        "kbp", load_table(spark, sf_dir, "documents"), dim=8, embedder="md5",
+        chunk=False,
+    )
+    exact = [
+        (r["chunk_id"], r["distance"])
+        for r in sess.sql(
+            "SELECT * FROM kbp WHERE content = 'spark join fast' LIMIT 5"
+        ).collect()
+    ]
+    row = sess.sql(
+        "CREATE INDEX ON KNOWLEDGE_BASE kbp "
+        "USING layout = 'partitioned', n_centroids = 4"
+    ).collect()[0]
+    assert row["layout"] == "partitioned" and row["n_centroids"] == 4
+    idx_path = sess._kbs["kbp"]["index_path"]
+    assert os.path.isdir(idx_path)
+    # cell directories exist (partitionBy layout)
+    assert any(d.startswith("__cell=") for d in os.listdir(idx_path))
+
+    # probing every cell is exhaustive: indexed search == exact search
+    indexed = sess.sql(
+        "SELECT * FROM kbp WHERE content = 'spark join fast' LIMIT 5"
+    )
+    assert [(r["chunk_id"], r["distance"]) for r in indexed.collect()] == exact
+    # the plan proves partition pruning, not a row filter over a full scan
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__cell" in plan.split("PartitionFilters")[1].splitlines()[0]
+
+    # a narrowed probe reads a subset of the cell directories
+    few = sess.sql(
+        "SELECT * FROM kbp WHERE content = 'spark join fast' LIMIT 5 "
+        "USING n_probes = 1"
+    )
+    assert few.count() == 5
+    plan_few = few._jdf.queryExecution().executedPlan().toString()
+    pf_line = plan_few.split("PartitionFilters")[1].splitlines()[0]
+    assert "__cell" in pf_line
+
+    # metadata prefilter narrows BEFORE top-k inside the pruned scan
+    filtered = sess.sql(
+        "SELECT * FROM kbp WHERE content = 'spark join fast' AND doc_id < 10 LIMIT 5"
+    ).collect()
+    assert len(filtered) == 5 and all(r["doc_id"] < 10 for r in filtered)
+
+    # mutations invalidate the snapshot layout (stale directories must not
+    # serve reads); centroids stay for the in-plan fallback
+    sess.register_parquet_source("tp", sf_dir, tables=["documents"])
+    sess.sql("INSERT INTO kbp SELECT doc_id + 100000 AS doc_id, text "
+             "FROM tp_documents WHERE doc_id < 3")
+    assert "index_path" not in sess._kbs["kbp"]
+    assert sess._kbs["kbp"]["index"] is not None
+    after = sess.sql(
+        "SELECT * FROM kbp WHERE content = 'spark join fast' LIMIT 5"
+    )
+    assert after.count() == 5
+
+    # DROP reclaims the session-owned layout directory
+    sess.sql("CREATE INDEX ON KNOWLEDGE_BASE kbp USING layout = 'partitioned', n_centroids = 2")
+    idx_path2 = sess._kbs["kbp"]["index_path"]
+    sess.sql("DROP KNOWLEDGE_BASE kbp")
+    assert not os.path.exists(idx_path2)
