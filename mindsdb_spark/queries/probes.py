@@ -200,6 +200,16 @@ def p07(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
+    # The flat shape is the right one at every measured scale. A
+    # pre-aggregate-orders-per-custkey rewrite (round-6 verdict item 6)
+    # was built and A/B-measured at sf100: it LOSES — 12.9 s vs 8.9 s flat
+    # (BENCH_sf100_relational.json:p07_preagg_study). With ~10 orders per
+    # customer spread across 32 map partitions, each partition sees ~4.7M
+    # rows over a 15M keyspace, so the per-custkey partial agg combines
+    # ~4.7M → ~4M rows (≈1.2:1) — all hash-table cost, no shuffle savings;
+    # the flat plan's thin (custkey, totalprice) shuffle is cheaper than
+    # the agg it would avoid. Pre-aggregation pays only when
+    # rows-per-key ≫ partition count; TPC-H's 10:1 is below that line.
     return (
         o.join(c, col("o_custkey") == col("c_custkey"))
         .join(F.broadcast(n), col("c_nationkey") == col("n_nationkey"))
@@ -567,14 +577,52 @@ FROM part ORDER BY p_partkey
 # --- P23 ROLLUP -------------------------------------------------------------
 def p23(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sq"))
+    # Size-keyed (round-7): Spark lowers ROLLUP through Expand — every fact
+    # row is replicated once PER GROUPING SET (3x here), so the hash
+    # aggregate probes 1.8B rows for a 600M-row table. SMALL lineitem: the
+    # native rollup, one stage, no materialization. LARGE: aggregate the
+    # FINEST level once (one fact pass, ~6 result rows), then derive the
+    # coarser levels by re-aggregating those rows — legal because SUM is
+    # decomposable (sum-of-sums reassociates; Spark's partial aggregation
+    # already adds in arbitrary partition order). The 6-row base is
+    # localCheckpoint-ed so the three levels don't each replay the fact.
+    if _table_bytes(sf_dir, "lineitem") < 400 * 1024 * 1024:
+        return (
+            li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sq"))
+            .select(
+                F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+                "sq",
+            )
+            .orderBy("rf", "ls")
+        )
+    base = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("__s"))
+        .localCheckpoint(eager=True)
+    )
+    l2 = base.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+        col("__s"),
+    )
+    l1 = (
+        base.groupBy("l_returnflag")
+        .agg(F.sum("__s").alias("__s"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
-            "sq",
+            F.lit("ALL").alias("ls"),
+            col("__s"),
         )
+    )
+    l0 = base.agg(F.sum("__s").alias("__s")).select(
+        F.lit("ALL").alias("rf"), F.lit("ALL").alias("ls"), col("__s")
+    )
+    return (
+        l2.unionByName(l1)
+        .unionByName(l0)
+        .select("rf", "ls", F.round("__s", 2).alias("sq"))
         .orderBy("rf", "ls")
     )
 

@@ -371,3 +371,17 @@ def test_generate_over_computed_array_no_expression_duplication(spark, sf_dir):
     expl = emb.select("doc_id", F.posexplode(F.col("embedding")).alias("lane", "v"))
     optimized = expl._jdf.queryExecution().optimizedPlan().toString()
     assert optimized.count("md5(") == 1
+
+
+def test_p23_large_shape_matches_native_rollup(spark, sf_dir, monkeypatch):
+    # p23 is size-keyed (round-7): above the lineitem-bytes threshold the
+    # ROLLUP is computed as finest-level agg + re-aggregation of its ~6
+    # rows instead of Catalyst's Expand (which replicates every fact row
+    # once per grouping set). SUM is decomposable, so both shapes are
+    # exact-equal.
+    from mindsdb_spark.queries import probes
+
+    native = [tuple(r) for r in probes.p23(spark, sf_dir).collect()]
+    monkeypatch.setattr(probes, "_table_bytes", lambda *_a: 10**12)
+    reagg = [tuple(r) for r in probes.p23(spark, sf_dir).collect()]
+    assert reagg == native and len(native) == 10
