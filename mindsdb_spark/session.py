@@ -61,6 +61,15 @@ def get_spark(app_name: str = "mindsdb-spark", cpus: str | int | None = None) ->
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # let AQE swap a sort-merge join for a shuffled HASH join when the
+        # build side's per-partition map output is provably under 128 MB
+        # (decided from actual shuffle stats — memory-safe per task, and it
+        # skips the SMJ's two sorts: sf100 Q5 60.4 s -> 39.9 s, the Spark
+        # analog of DuckDB's pipelined hash join; default 0 disables it)
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(128 * 1024 * 1024),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -125,4 +134,17 @@ def tune_file_partitioning(spark: SparkSession, data_dir: str, cpus: int | None 
     else:
         spark.conf.set("spark.sql.shuffle.partitions", str(ncpu))
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        # let AQE convert a sort-merge join to a SHUFFLED HASH join when the
+        # build side's per-partition map output is provably small (measured
+        # from actual shuffle stats, so it's memory-safe at 128 MB/task):
+        # skipping the two 600M-row sorts took the sf100 Q5 thin-map plan
+        # from 60.4 s to 39.9 s (A/B in BENCH_sf100_relational.json:
+        # q5_shj_study; static preferSortMergeJoin=false was worse at
+        # 49.1 s — per-join runtime choice beats a blanket preference).
+        # Default 0 disables the rule; DuckDB's advantage on these shapes
+        # is exactly its pipelined hash join, so this is the Spark analog.
+        spark.conf.set(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(128 * 1024 * 1024),
+        )
     return target
