@@ -216,3 +216,42 @@ def test_sql_literal_text_matches_spark_parser(spark, raw):
 
     expected = spark.sql("SELECT '" + raw + "' AS v").first()["v"]
     assert _sql_literal_text(raw) == expected
+
+
+@_settings
+@given(lit=_literals)
+def test_kb_index_using_path_literal(doorsess, lit, tmp_path_factory):
+    # round-7: CREATE INDEX ON KNOWLEDGE_BASE grew a USING clause; a
+    # keyword-shaped literal in `path = '...'` must neither re-route the
+    # statement nor be split mid-literal by the kv parser. Use it as the
+    # final path segment (sanitized only by the filesystem, not the
+    # engine) and prove the round-trip by searching the indexed KB.
+    import os
+    import re as _re
+
+    e = lit.replace("\\", "\\\\").replace("'", "''")
+    # USING values go through _param_value, whose contract (matching the
+    # reference's parameter fill) is strip-quotes, not SQL-literal decode —
+    # so quote characters are not representable in a path value; keyword
+    # shapes, parens, spaces and comment markers are what must not misroute
+    safe_seg = _re.sub(r"[^\w ,()\[\]{}=<>*#-]", "_", lit)[:60].strip()
+    base = tmp_path_factory.mktemp("kbidx")
+    target = os.path.join(str(base), safe_seg or "x")
+    te = target
+    try:
+        row = doorsess.sql(
+            f"CREATE INDEX ON KNOWLEDGE_BASE fkb "
+            f"USING layout = 'partitioned', n_centroids = 2, path = '{te}'"
+        ).collect()[0]
+    except (ValueError, KeyError, OSError):
+        return  # clean rejection is acceptable; misrouting is not
+    assert row["layout"] == "partitioned"
+    assert doorsess._kbs["fkb"]["index_path"] == target
+    assert os.path.isdir(target)
+    hits = doorsess.sql(
+        f"SELECT doc_id FROM fkb WHERE content = '{e}' LIMIT 3"
+    ).collect()
+    assert len(hits) == 3  # partitioned probe serves the search
+    # reset for the next example: drop the snapshot, keep the KB
+    doorsess._kbs["fkb"].pop("index_path", None)
+    doorsess._kbs["fkb"]["index"] = None
