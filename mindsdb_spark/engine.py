@@ -4356,10 +4356,12 @@ class EngineSession:
                     kb.get("embedder") or "default",
                     _estimate_rows(kb["store"], "embedding"),
                     kb.get("index") is not None,
+                    ("partitioned" if kb.get("index_path")
+                     else "inplan" if kb.get("index") is not None else ""),
                     ", ".join(meta),
                 )],
                 "name string, dim int, embedder string, chunks_estimate long, "
-                "has_index boolean, metadata_columns string",
+                "has_index boolean, index_layout string, metadata_columns string",
             )
         dm = re.match(
             r"(?:DESCRIBE|DESC)\s+(?:MODEL\s+)?([\w.`]+)\.(features|model|info|args|metadata)$",
@@ -4561,9 +4563,16 @@ class EngineSession:
         ).filter("name != ''").createOrReplaceTempView("information_schema_models")
         self.spark.createDataFrame(
             [(name, kb["dim"], kb.get("embedder") or "default",
-              kb.get("index") is not None)
-             for name, kb in self._kbs.items()] or [("", 0, "", False)],
-            "name string, dim int, embedder string, has_index boolean",
+              kb.get("index") is not None,
+              # round-7: surface the index layout — 'partitioned' when the
+              # cell-partitioned store is live, 'inplan' for centroid-only,
+              # '' for unindexed (a stale snapshot invalidated by a
+              # mutation reports 'inplan', matching what a search will use)
+              ("partitioned" if kb.get("index_path")
+               else "inplan" if kb.get("index") is not None else ""))
+             for name, kb in self._kbs.items()] or [("", 0, "", False, "")],
+            "name string, dim int, embedder string, has_index boolean, "
+            "index_layout string",
         ).filter("name != ''").createOrReplaceTempView("information_schema_knowledge_bases")
         self.spark.createDataFrame(
             [(name, tr.column) for name, tr in self._triggers.items()] or [("", "")],

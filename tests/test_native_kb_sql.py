@@ -210,7 +210,21 @@ def test_describe_knowledge_base(spark, sf_dir):
     row = sess.sql("DESCRIBE KNOWLEDGE_BASE kbd").collect()[0]
     assert row["name"] == "kbd" and row["dim"] == 8 and row["embedder"] == "md5"
     assert row["chunks_estimate"] >= 1 and row["has_index"] is False
+    assert row["index_layout"] == ""
     assert "lang" in row["metadata_columns"]
+    # index layout surfaces through DESCRIBE and information_schema (round-7)
+    sess.sql("CREATE INDEX ON KNOWLEDGE_BASE kbd USING layout = 'partitioned', n_centroids = 2")
+    row2 = sess.sql("DESCRIBE KNOWLEDGE_BASE kbd").collect()[0]
+    assert row2["has_index"] is True and row2["index_layout"] == "partitioned"
+    info = sess.sql(
+        "SELECT index_layout FROM information_schema.knowledge_bases WHERE name = 'kbd'"
+    ).collect()[0]
+    assert info["index_layout"] == "partitioned"
+    # a mutation invalidates the snapshot: layout degrades to inplan
+    sess.sql("INSERT INTO kbd SELECT doc_id, text, lang FROM tpch_documents "
+             "WHERE doc_id >= 10 AND doc_id < 12")
+    row3 = sess.sql("DESCRIBE KNOWLEDGE_BASE kbd").collect()[0]
+    assert row3["index_layout"] == "inplan" and row3["has_index"] is True
     with pytest.raises(KeyError):
         sess.sql("DESCRIBE KNOWLEDGE_BASE nope")
     sess.sql("DROP KNOWLEDGE_BASE kbd")
