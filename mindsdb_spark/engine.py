@@ -3736,6 +3736,13 @@ class EngineSession:
             # plan-stats estimate, not a full count() scan — centroid count
             # only needs order-of-magnitude accuracy (vector.py:_estimate_rows)
             n_rows = _estimate_rows(kb["store"], "embedding")
+            if n_rows == 0:
+                # KMeans on zero vectors dies with a raw executor error;
+                # fail at the door with the actionable message instead
+                raise ValueError(
+                    f"knowledge base {name!r} is empty; insert documents "
+                    "before CREATE INDEX"
+                )
             n_centroids = int(
                 using.get("n_centroids", max(1, min(16, n_rows)))
             )

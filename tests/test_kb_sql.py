@@ -426,3 +426,18 @@ def test_kb_partitioned_index_layout(spark, sf_dir, tmp_path):
     idx_path2 = sess._kbs["kbp"]["index_path"]
     sess.sql("DROP KNOWLEDGE_BASE kbp")
     assert not os.path.exists(idx_path2)
+
+
+def test_create_index_on_empty_kb_clean_error(spark):
+    """CREATE INDEX on an empty KB must fail at the door with an actionable
+    message, not a raw executor error from KMeans on zero vectors."""
+    sess = EngineSession(spark)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    sess.register_knowledge_base("ekb", empty, dim=8, embedder="md5", chunk=False)
+    with pytest.raises(ValueError, match="empty"):
+        sess.sql("CREATE INDEX ON KNOWLEDGE_BASE ekb")
+    with pytest.raises(ValueError, match="empty"):
+        sess.sql(
+            "CREATE INDEX ON KNOWLEDGE_BASE ekb USING layout = 'partitioned'"
+        )
+    sess.sql("DROP KNOWLEDGE_BASE ekb")
