@@ -701,3 +701,37 @@ def rowwise_lsh_bands(
         .select(col(id_col), F.explode(F.array(*entries)).alias("bd"))
         .select(id_col, col("bd.band_id"), col("bd.band_sig"))
     )
+
+
+def editdist_confirm(
+    docs: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 24,
+) -> DataFrame:
+    """Confirm near-duplicate CANDIDATE pairs by exact Levenshtein distance.
+
+    Edit distance is the precision step after LSH recall: banding finds
+    pairs that share a minhash band (high-recall, cheap), and the O(|a|·|b|)
+    metric runs ONLY on those pairs — never all-pairs, which is what keeps
+    the quadratic cost bounded at 100 TB (candidate count scales with true
+    duplication, not corpus size squared). The distance evaluates JVM-side
+    with the built-in ``levenshtein`` and its early-exit threshold form
+    (cells beyond ``max_dist`` abandon the row without filling the DP
+    table), joined to the text exactly twice on the id — both joins are
+    plain equi-joins AQE can broadcast or hash.
+
+    Returns (doc_a, doc_b, edit_dist) for confirmed pairs, dist <= max_dist.
+    """
+    t = docs.select(col(id_col), col(text_col))
+    a = t.select(col(id_col).alias("doc_a"), col(text_col).alias("__ta"))
+    b = t.select(col(id_col).alias("doc_b"), col(text_col).alias("__tb"))
+    return (
+        candidates.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("edit_dist", F.expr(f"levenshtein(__ta, __tb, {int(max_dist)})"))
+        .filter(col("edit_dist") >= 0)  # threshold form returns -1 above it
+        .select("doc_a", "doc_b", "edit_dist")
+    )

@@ -2121,6 +2121,34 @@ FROM px GROUP BY doc_id, y // 8, x // 8
 ORDER BY media_id, by, bx
 """
 
+# --- D55 edit-distance-confirmed near-dup pairs -------------------------------
+# The precision step after LSH recall: banded minhash proposes candidate
+# pairs (d07's plumbing — never all-pairs), exact Levenshtein confirms.
+# Both engines share the same integer metric (unit-cost
+# insert/delete/substitute), so the oracle reproduces the distances
+# bit-for-bit; Spark uses the early-exit threshold form (rows abandon the
+# DP table past max_dist) — the shape that keeps the quadratic metric
+# bounded by TRUE duplication, not corpus size, at 100 TB.
+def d55_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cand = D.lsh_candidate_pairs(D.shingle_hashes(docs))
+    return (
+        D.editdist_confirm(docs, cand, max_dist=8)
+        .repartition(1)
+        .sortWithinPartitions("doc_a", "doc_b")
+    )
+
+
+D55_SQL = f"""
+WITH {_lsh_pairs_ctes()}
+SELECT p.doc_a, p.doc_b, levenshtein(a.text, b.text) AS edit_dist
+FROM pairs p
+JOIN documents a ON a.doc_id = p.doc_a
+JOIN documents b ON b.doc_id = p.doc_b
+WHERE levenshtein(a.text, b.text) <= 8
+ORDER BY doc_a, doc_b
+"""
+
 # --- registry ----------------------------------------------------------------
 PIPELINE = {
     "d01_dedup_exact": (d01_dedup_exact, D01_SQL),
@@ -2177,6 +2205,7 @@ PIPELINE = {
     "d52_audio_features": (d52_audio_features, D52_SQL),
     "d53_image_blockmean": (d53_image_blockmean, D53_SQL),
     "d54_png_blockmean": (d54_png_blockmean, D54_SQL),
+    "d55_editdist_pairs": (d55_editdist_pairs, D55_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),

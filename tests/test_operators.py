@@ -1065,3 +1065,24 @@ def test_synth_png_decode_pipeline(spark, sf_dir):
         assert r["mime"] == "image/x-gray8"
         assert (r["meta_width"], r["meta_height"]) == (24, 16)
         assert bytes(r["content"]) == plain[r["media_id"]]
+
+
+def test_editdist_confirm(spark):
+    """LSH-candidate confirmation by exact Levenshtein: distances match the
+    metric, pairs beyond max_dist drop (the threshold form's -1 sentinel
+    must never leak through)."""
+    from mindsdb_spark.operators.dedup import editdist_confirm
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fax"),
+         (3, "the quick brown foxes"), (4, "something else entirely")],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["edit_dist"]
+        for r in editdist_confirm(docs, cand, max_dist=3).collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 2}  # (1,4) is far beyond 3: dropped
