@@ -1308,25 +1308,44 @@ class EngineSession:
         temp-file leak)."""
         from mindsdb_spark.sources.files import read_file, sniff_format
 
+        # READ EVERYTHING FIRST, mutate session state only once all reads
+        # succeeded — a failure on sheet 3 of 3 must not leave the previous
+        # registration destroyed and orphaned views behind (review finding)
         df = read_file(self.spark, path)
         n = name.lower()
+        sheet_dfs: list[tuple[str, DataFrame]] = []
+        if sniff_format(path) == "xlsx":
+            from mindsdb_spark.sources.files import list_xlsx_sheets
+
+            sheets = list_xlsx_sheets(path)
+            if len(sheets) > 1:
+                taken: set[str] = set()
+                for sheet in sheets:
+                    suffix = re.sub(r"\W+", "_", sheet).strip("_").lower() or "sheet"
+                    # sanitization collisions ('Q1 2024' vs 'Q1_2024') get a
+                    # deterministic ordinal instead of silently overwriting
+                    base_sfx, i = suffix, 2
+                    while suffix in taken:
+                        suffix = f"{base_sfx}_{i}"
+                        i += 1
+                    taken.add(suffix)
+                    try:
+                        sdf = read_file(self.spark, path, sheet_name=sheet)
+                    except ValueError:
+                        # empty/valueless sheet (blank trailing sheets are
+                        # common): skip it, keep the rest of the workbook
+                        continue
+                    sheet_dfs.append((suffix, sdf))
         old = self._files.get(n)
         if old and old != path:
             self.drop_file(n)
         df.createOrReplaceTempView(n)
         df.createOrReplaceTempView(f"files_{n}")
         views = [n, f"files_{n}"]
-        if sniff_format(path) == "xlsx":
-            from mindsdb_spark.sources.files import list_xlsx_sheets
-
-            sheets = list_xlsx_sheets(path)
-            if len(sheets) > 1:
-                for sheet in sheets:
-                    suffix = re.sub(r"\W+", "_", sheet).strip("_").lower()
-                    sdf = read_file(self.spark, path, sheet_name=sheet)
-                    for v in (f"{n}_{suffix}", f"files_{n}_{suffix}"):
-                        sdf.createOrReplaceTempView(v)
-                        views.append(v)
+        for suffix, sdf in sheet_dfs:
+            for v in (f"{n}_{suffix}", f"files_{n}_{suffix}"):
+                sdf.createOrReplaceTempView(v)
+                views.append(v)
         self._files[n] = path
         self._file_views[n] = views
         if owned:
@@ -1434,6 +1453,23 @@ class EngineSession:
     # controller.py:657-664 recursive batching loop)
     KB_INSERT_BATCH_SIZE = 50_000
 
+    def _drop_kb_index_snapshot(self, kb: dict) -> None:
+        """Invalidate a KB's partitioned index snapshot AND reclaim its
+        directory when the engine owns it (placed under state_dir). Called
+        from every mutation, from reindex, and from DROP — popping the path
+        without deleting would leak a corpus-sized parquet copy per
+        insert-after-index (review finding). A user-supplied `path` outside
+        state_dir is the user's to manage and is only forgotten."""
+        idx = kb.pop("index_path", None)
+        if (
+            idx
+            and self._state_dir
+            and idx.startswith(self._state_dir.rstrip(os.sep) + os.sep)
+        ):
+            import shutil
+
+            shutil.rmtree(idx, ignore_errors=True)
+
     def _kb_insert(
         self, name: str, docs: DataFrame, batch_size: int | None = None
     ) -> DataFrame:
@@ -1457,7 +1493,7 @@ class EngineSession:
         # any mutation staleness-invalidates the partitioned index layout —
         # a directory snapshot cannot see rows written after CREATE INDEX;
         # searches fall back to in-plan ivf_search until the index is rebuilt
-        kb.pop("index_path", None)
+        self._drop_kb_index_snapshot(kb)
         cols = {c.lower(): c for c in docs.columns}
         id_col = next((cols[c] for c in ("doc_id", "id") if c in cols), docs.columns[0])
         text_col = next(
@@ -1540,7 +1576,7 @@ class EngineSession:
         from pyspark.sql import Observation
 
         kb = self._kbs[name]
-        kb.pop("index_path", None)  # snapshot layout is stale after a delete
+        self._drop_kb_index_snapshot(kb)  # snapshot stale after a delete
         hit = F.coalesce(condition, F.lit(False))
         obs = Observation()
         store = kb["store"].observe(obs, F.sum(hit.cast("long")).alias("n"))
@@ -1558,7 +1594,7 @@ class EngineSession:
         from pyspark.sql import Observation
 
         kb = self._kbs[name]
-        kb.pop("index_path", None)  # snapshot layout is stale after an update
+        self._drop_kb_index_snapshot(kb)  # snapshot stale after an update
         cols = kb["store"].columns
         hit = F.coalesce(condition, F.lit(False))
         store = kb["store"].withColumn("__hit", hit)
@@ -3680,14 +3716,11 @@ class EngineSession:
         if m:
             name = m.group(1).lower().strip("`").split(".")[-1]
             kb = self._kbs.pop(name, None)
-            # reclaim a session-owned partitioned index layout (only paths
-            # the engine placed under its own state_dir — a user-supplied
-            # `path` is the user's to manage)
-            idx = (kb or {}).get("index_path")
-            if idx and self._state_dir and idx.startswith(self._state_dir):
-                import shutil
-
-                shutil.rmtree(idx, ignore_errors=True)
+            if kb is not None:
+                # reclaim a session-owned partitioned index layout (only
+                # paths under state_dir — os.sep-anchored so a sibling dir
+                # that merely string-prefixes state_dir is never touched)
+                self._drop_kb_index_snapshot(kb)
             return self.spark.createDataFrame([(name,)], "knowledge_base string")
         m = _ALTER_KB_RE.match(s)
         if m:
@@ -3746,10 +3779,24 @@ class EngineSession:
             n_centroids = int(
                 using.get("n_centroids", max(1, min(16, n_rows)))
             )
+            # validate the layout BEFORE any mutation: refitting centroids
+            # first and then raising on a bad layout would pair NEW
+            # centroids with a stale partitioned snapshot — probe cells
+            # picked from one assignment, directories written by another
+            # (silently wrong recall, review finding)
+            layout = str(using.get("layout", "")).lower()
+            if layout and layout not in ("partitioned", "inplan"):
+                raise ValueError(
+                    f"unknown KB index layout {layout!r}; "
+                    "use 'partitioned' or 'inplan'"
+                )
+            # any reindex invalidates (and reclaims) the previous snapshot
+            # up front, so a failure mid-build leaves a consistent
+            # centroid-only state, never a mismatched layout
+            self._drop_kb_index_snapshot(kb)
             kb["index"] = kmeans_centroids(
                 kb["store"], vec_col="embedding", n_centroids=n_centroids
             )
-            layout = str(using.get("layout", "")).lower()
             if layout == "partitioned":
                 # the 100 TB layout (round-6 verdict item 3): persist the
                 # chunk store PARTITIONED BY nearest-cell id so a search
@@ -3766,13 +3813,6 @@ class EngineSession:
                     kb["store"], path, "embedding", kb["index"], cell_col="__cell"
                 )
                 kb["index_path"] = path
-            elif layout and layout != "inplan":
-                raise ValueError(
-                    f"unknown KB index layout {layout!r}; "
-                    "use 'partitioned' or 'inplan'"
-                )
-            else:
-                kb.pop("index_path", None)
             return self.spark.createDataFrame(
                 [(name, n_centroids, layout or "inplan")],
                 "knowledge_base string, n_centroids int, layout string",

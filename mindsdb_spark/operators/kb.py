@@ -192,7 +192,13 @@ def hash_embed_tfidf(
         "embedding", "__tf"
     )
     try:
-        tf = tf.localCheckpoint(eager=True)
+        # LAZY checkpoint: the corpus pass runs at the first ACTION, not at
+        # plan construction (an eager one made explain()/schema inspection
+        # trigger a full corpus job — review finding). The broadcast-stats
+        # build below is that first action's first consumer; it materializes
+        # the checkpoint and the main scan reuses the blocks — still one
+        # split+md5 pass total.
+        tf = tf.localCheckpoint(eager=False)
     except Exception:
         # non-checkpointable plans (e.g. streaming sources) fall back to
         # lineage recompute — correct, just two passes

@@ -600,7 +600,10 @@ def p23(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(F.sum("l_quantity").alias("__s"))
-        .localCheckpoint(eager=True)
+        # lazy: the fact pass runs at the query's action (the first of the
+        # three level-consumers materializes it; the others reuse the
+        # blocks), not at plan construction
+        .localCheckpoint(eager=False)
     )
     l2 = base.select(
         F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),

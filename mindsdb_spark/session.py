@@ -94,8 +94,11 @@ def apply_runtime_tuning(spark: SparkSession) -> None:
     if _INFER_GEN_RULE not in rules:
         rules.append(_INFER_GEN_RULE)
         spark.conf.set("spark.sql.optimizer.excludedRules", ",".join(rules))
-    # AQE SMJ→shuffled-hash-join conversion (see get_spark): append-only —
-    # a host session that set its own threshold keeps it
+    # AQE SMJ→shuffled-hash-join conversion (see get_spark). Contract: a
+    # host session keeps any NON-ZERO threshold it set; zero (Spark's
+    # default) is indistinguishable from unset through the conf API, so an
+    # explicit opt-out is expressed by setting a tiny value (e.g. '1b'),
+    # which this check honors.
     shj = "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold"
     if spark.conf.get(shj, "0") in ("0", "0b", None):
         spark.conf.set(shj, str(128 * 1024 * 1024))

@@ -275,7 +275,10 @@ def _read_pdf_stdlib(path: str) -> list[tuple[int, str]]:
         # stream whose compressed bytes happen to contain that keyword
         # (indirect lengths `/Length 5 0 R` need xref resolution; fall back)
         body = None
-        lm = _re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", head)
+        # (?!\d) pins the FULL number (no backtracking a '56' down to '5'
+        # so the indirect-ref lookahead passes on a digit prefix — review
+        # finding); the second lookahead rejects indirect refs '56 0 R'
+        lm = _re.search(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)", head)
         if lm:
             length = int(lm.group(1))
             if _re.match(rb"\s*endstream", raw[start + length : start + length + 20]):

@@ -420,3 +420,53 @@ def test_pdf_skipped_streams_warn(spark, tmp_path):
         pages = _read_pdf_stdlib(str(p))
     assert pages == [(1, "page one")]
     assert any("could not be decoded" in str(x.message) for x in w)
+
+
+def test_multisheet_skips_empty_sheet_and_dedupes_names(spark, tmp_path):
+    """A blank trailing sheet must not abort registration (review finding:
+    the whole workbook became unregistrable and prior state was destroyed);
+    sanitization collisions get ordinal suffixes instead of silently
+    overwriting a sheet's view."""
+    from mindsdb_spark.engine import EngineSession
+
+    p = tmp_path / "mixed.xlsx"
+    _write_multisheet_xlsx(
+        p,
+        {
+            1: ("Q1 2024", ["a"], [["x1"]]),
+            2: ("Q1_2024", ["a"], [["x2"]]),
+            3: ("Blank", ["a"], []),   # header-only -> empty: skipped
+        },
+    )
+    sess = EngineSession(spark)
+    sess.register_file("mix", str(p))
+    assert [r["a"] for r in sess.sql("SELECT a FROM files_mix_q1_2024").collect()] == ["x1"]
+    assert [r["a"] for r in sess.sql("SELECT a FROM files_mix_q1_2024_2").collect()] == ["x2"]
+    # re-registering the same name with a failing read keeps prior state
+    bad = tmp_path / "bad.xlsx"
+    import zipfile
+    with zipfile.ZipFile(bad, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")  # no worksheet at all
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sess.register_file("mix", str(bad))
+    assert [r["a"] for r in sess.sql("SELECT a FROM files_mix_q1_2024").collect()] == ["x1"]
+    sess.drop_file("mix")
+
+
+def test_pdf_indirect_length_not_misparsed(spark, tmp_path):
+    """'/Length 56 0 R' (indirect ref) must not backtrack to '5' as a
+    direct length (review finding) — extraction falls back to the
+    endstream scan and still reads the page."""
+    import zlib
+
+    page = zlib.compress(b"BT (indirect length page) Tj ET")
+    body = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 56 0 R /Filter /FlateDecode >>\nstream\n"
+        + page + b"\nendstream\nendobj\n"
+        b"56 0 obj\n" + str(len(page)).encode() + b"\nendobj\n%%EOF\n"
+    )
+    p = tmp_path / "indirect.pdf"
+    p.write_bytes(body)
+    df = read_file(spark, str(p))
+    assert df.collect()[0]["text"] == "indirect length page"

@@ -441,3 +441,61 @@ def test_create_index_on_empty_kb_clean_error(spark):
             "CREATE INDEX ON KNOWLEDGE_BASE ekb USING layout = 'partitioned'"
         )
     sess.sql("DROP KNOWLEDGE_BASE ekb")
+
+
+def test_create_index_bad_layout_leaves_state_consistent(spark, sf_dir, tmp_path):
+    """An invalid layout must fail BEFORE any mutation: refitting centroids
+    first would pair new probe cells with a stale partitioned snapshot
+    (silently wrong recall — review finding)."""
+    from mindsdb_spark.catalog import load_table
+
+    sess = EngineSession(spark, state_dir=str(tmp_path))
+    sess.register_knowledge_base(
+        "kbv", load_table(spark, sf_dir, "documents"), dim=8, embedder="md5",
+        chunk=False,
+    )
+    sess.sql("CREATE INDEX ON KNOWLEDGE_BASE kbv "
+             "USING layout = 'partitioned', n_centroids = 4")
+    old_index = sess._kbs["kbv"]["index"]
+    with pytest.raises(ValueError, match="layout"):
+        sess.sql("CREATE INDEX ON KNOWLEDGE_BASE kbv "
+                 "USING n_centroids = 8, layout = 'partitionedd'")
+    # nothing mutated: the OLD centroids and OLD snapshot stay correctly
+    # paired (all-or-nothing reindex), and search still serves from them
+    assert sess._kbs["kbv"]["index"] is old_index
+    assert os.path.isdir(sess._kbs["kbv"]["index_path"])
+    assert sess.sql(
+        "SELECT * FROM kbv WHERE content = 'spark join fast' LIMIT 3"
+    ).count() == 3
+
+
+def test_kb_snapshot_dir_reclaimed_on_mutation(spark, sf_dir, tmp_path):
+    """Invalidation must DELETE the engine-owned snapshot directory, not
+    just forget it — a corpus-sized parquet copy per insert-after-index is
+    a leak at scale (review finding). An os.sep-anchored ownership check
+    keeps sibling dirs that merely string-prefix state_dir safe."""
+    import os
+
+    from mindsdb_spark.catalog import load_table
+
+    sess = EngineSession(spark, state_dir=str(tmp_path / "state"))
+    sess.register_knowledge_base(
+        "kbr", load_table(spark, sf_dir, "documents"), dim=8, embedder="md5",
+        chunk=False,
+    )
+    sess.register_parquet_source("tp2", sf_dir, tables=["documents"])
+    sess.sql("CREATE INDEX ON KNOWLEDGE_BASE kbr "
+             "USING layout = 'partitioned', n_centroids = 2")
+    idx = sess._kbs["kbr"]["index_path"]
+    assert os.path.isdir(idx)
+    sess.sql("INSERT INTO kbr SELECT doc_id + 500000 AS doc_id, text "
+             "FROM tp2_documents WHERE doc_id < 2")
+    assert not os.path.exists(idx)  # reclaimed, not leaked
+    # a user-supplied path that string-prefixes the state dir is NEVER
+    # deleted (os.sep anchoring)
+    outside = str(tmp_path / "state_sibling" / "myidx")
+    sess.sql("CREATE INDEX ON KNOWLEDGE_BASE kbr "
+             f"USING layout = 'partitioned', n_centroids = 2, path = '{outside}'")
+    assert os.path.isdir(outside)
+    sess.sql("DROP KNOWLEDGE_BASE kbr")
+    assert os.path.isdir(outside)  # user's to manage
