@@ -1339,6 +1339,13 @@ class EngineSession:
         old = self._files.get(n)
         if old and old != path:
             self.drop_file(n)
+        elif old:
+            # same name, same path re-registered: the workbook's sheet set
+            # may have shrunk on disk — drop every previously tracked view
+            # now (they're re-created below) so removed sheets' temp views
+            # don't linger untracked in the catalog (round-7 ADVICE)
+            for v in self._file_views.pop(n, []):
+                self.spark.catalog.dropTempView(v)
         df.createOrReplaceTempView(n)
         df.createOrReplaceTempView(f"files_{n}")
         views = [n, f"files_{n}"]
@@ -1490,10 +1497,6 @@ class EngineSession:
         from mindsdb_spark.streaming.incremental import batched_insert
 
         kb = self._kbs[name]
-        # any mutation staleness-invalidates the partitioned index layout —
-        # a directory snapshot cannot see rows written after CREATE INDEX;
-        # searches fall back to in-plan ivf_search until the index is rebuilt
-        self._drop_kb_index_snapshot(kb)
         cols = {c.lower(): c for c in docs.columns}
         id_col = next((cols[c] for c in ("doc_id", "id") if c in cols), docs.columns[0])
         text_col = next(
@@ -1553,6 +1556,13 @@ class EngineSession:
                 kb["store"] = kb["store"].localCheckpoint(eager=True)
             inserted[0] += incoming.count()
 
+        # any mutation staleness-invalidates the partitioned index layout —
+        # a directory snapshot cannot see rows written after CREATE INDEX;
+        # searches fall back to in-plan ivf_search until the index is
+        # rebuilt. Invalidate only NOW, after input validation and idf
+        # fitting succeeded, so a rejected INSERT leaves the index intact
+        # (round-7 ADVICE)
+        self._drop_kb_index_snapshot(kb)
         batched_insert(
             prepared,
             _write_batch,
@@ -3805,10 +3815,34 @@ class EngineSession:
                 # ivf_write_partitioned — the variant that won the sf100 ANN
                 # decade, BENCH_sf100_ann.json 0.51 s probe over 2M×64-dim)
                 self.last_state  # materializes self._state_dir
+                user_path = using.get("path")
                 path = str(
-                    using.get("path")
-                    or os.path.join(self._state_dir, f"kb_index_{name}")
+                    user_path or os.path.join(self._state_dir, f"kb_index_{name}")
                 )
+                if user_path:
+                    # a USER-supplied target is written with overwrite
+                    # semantics — refuse to clobber an existing non-empty
+                    # directory that isn't ours (engine-managed state_dir
+                    # targets are fair game); round-7 ADVICE: a SQL
+                    # statement must not silently destroy arbitrary
+                    # writable directories
+                    p = os.path.abspath(path)
+                    state = os.path.abspath(self._state_dir)
+                    inside_state = p == state or p.startswith(state + os.sep)
+                    if (
+                        not inside_state
+                        and os.path.isdir(p)
+                        and os.listdir(p)
+                        and not os.path.exists(
+                            os.path.join(p, "_SUCCESS")
+                        )
+                    ):
+                        raise ValueError(
+                            f"CREATE INDEX path {path!r} exists and is not "
+                            "empty (and is not a previously written index "
+                            "snapshot); choose an empty/new directory or an "
+                            "engine-managed path"
+                        )
                 ivf_write_partitioned(
                     kb["store"], path, "embedding", kb["index"], cell_col="__cell"
                 )

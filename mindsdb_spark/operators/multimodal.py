@@ -433,7 +433,13 @@ def encode_png(raster: bytes, width: int, height: int, channels: int = 1,
 
     bpp = channels
     stride = width * bpp
-    assert len(raster) == stride * height, "raster size != width*height*channels"
+    if len(raster) != stride * height:
+        # real input validation (not an assert — survives python -O): a
+        # mis-sized raster would otherwise emit a corrupt PNG
+        raise ValueError(
+            f"raster size {len(raster)} != width*height*channels "
+            f"({width}x{height}x{channels} = {stride * height})"
+        )
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (
