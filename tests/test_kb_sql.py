@@ -499,3 +499,96 @@ def test_kb_snapshot_dir_reclaimed_on_mutation(spark, sf_dir, tmp_path):
     assert os.path.isdir(outside)
     sess.sql("DROP KNOWLEDGE_BASE kbr")
     assert os.path.isdir(outside)  # user's to manage
+
+
+def test_kb_explain_route_and_staleness(spark, sf_dir, tmp_path):
+    """EXPLAIN on a KB select names the index layout and the route that
+    WILL run — and after a mutation invalidates the partitioned snapshot,
+    says so explicitly (round-7 verdict item 5: the staleness fallback must
+    be visible before the query runs slow)."""
+    sess = EngineSession(spark, state_dir=str(tmp_path))
+    sess.register_knowledge_base(
+        "kbe", load_table(spark, sf_dir, "documents").limit(50), dim=8,
+        chunk=False,
+    )
+    q = "EXPLAIN SELECT * FROM kbe WHERE content = 'spark join fast' LIMIT 5"
+
+    plan = sess.sql(q).collect()[0]["plan"]
+    assert "== Knowledge Base Search ==" in plan
+    assert "index: none" in plan and "exact cosine" in plan
+
+    sess.sql("CREATE INDEX ON KNOWLEDGE_BASE kbe "
+             "USING layout = 'partitioned', n_centroids = 2")
+    plan = sess.sql(q).collect()[0]["plan"]
+    assert "layout: partitioned" in plan and "snapshot: " in plan
+    assert "partitioned probe" in plan
+
+    # a mutation drops the snapshot: EXPLAIN must surface the fallback
+    sess.register_parquet_source("te", sf_dir, tables=["documents"])
+    sess.sql("INSERT INTO kbe SELECT doc_id + 90000 AS doc_id, text "
+             "FROM te_documents WHERE doc_id < 2")
+    plan = sess.sql(q).collect()[0]["plan"]
+    assert "layout: inplan" in plan
+    assert "invalidated by a mutation" in plan
+
+    # reindex restores the pruned-probe route and clears the note
+    sess.sql("CREATE INDEX ON KNOWLEDGE_BASE kbe "
+             "USING layout = 'partitioned', n_centroids = 2")
+    plan = sess.sql(q).collect()[0]["plan"]
+    assert "layout: partitioned" in plan
+    assert "invalidated" not in plan
+    # the Spark physical plan still follows the header
+    assert "== Physical Plan ==" in plan
+    sess.sql("DROP KNOWLEDGE_BASE kbe")
+
+
+def test_create_index_user_path_refuses_clobber(spark, sf_dir, tmp_path):
+    """CREATE INDEX ... USING path='<dir>' must not silently destroy an
+    existing non-empty directory that isn't an index snapshot (round-7
+    ADVICE, medium): refuse with a clear error; a previously written
+    snapshot directory (has _SUCCESS) may be overwritten by a reindex."""
+    sess = EngineSession(spark, state_dir=str(tmp_path / "state"))
+    sess.register_knowledge_base(
+        "kbg", load_table(spark, sf_dir, "documents").limit(30), dim=8,
+        chunk=False,
+    )
+    precious = tmp_path / "precious"
+    precious.mkdir()
+    (precious / "data.txt").write_text("do not clobber")
+    with pytest.raises(ValueError, match="exists and is not"):
+        sess.sql("CREATE INDEX ON KNOWLEDGE_BASE kbg "
+                 f"USING layout = 'partitioned', n_centroids = 2, path = '{precious}'")
+    assert (precious / "data.txt").read_text() == "do not clobber"
+
+    # a fresh (empty/new) user dir is fine, and reindexing over our own
+    # snapshot (recognized by _SUCCESS) stays allowed
+    target = tmp_path / "idx_out"
+    sess.sql("CREATE INDEX ON KNOWLEDGE_BASE kbg "
+             f"USING layout = 'partitioned', n_centroids = 2, path = '{target}'")
+    assert (target / "_SUCCESS").exists()
+    sess.sql("CREATE INDEX ON KNOWLEDGE_BASE kbg "
+             f"USING layout = 'partitioned', n_centroids = 2, path = '{target}'")
+    assert (target / "_SUCCESS").exists()
+    sess.sql("DROP KNOWLEDGE_BASE kbg")
+
+
+def test_kb_insert_validation_failure_keeps_index(spark, sf_dir, tmp_path):
+    """A rejected INSERT must leave the partitioned snapshot intact
+    (round-7 ADVICE): invalidation happens only after validation, so a
+    failed mutation doesn't permanently degrade search to the in-plan
+    path."""
+    sess = EngineSession(spark, state_dir=str(tmp_path))
+    sess.register_knowledge_base(
+        "kbf", load_table(spark, sf_dir, "documents").limit(30), dim=8,
+        chunk=False,
+    )
+    sess.sql("CREATE INDEX ON KNOWLEDGE_BASE kbf "
+             "USING layout = 'partitioned', n_centroids = 2")
+    idx_path = sess._kbs["kbf"]["index_path"]
+    assert os.path.isdir(idx_path)
+    with pytest.raises(ValueError, match="content column"):
+        sess.sql("INSERT INTO kbf SELECT 1 AS a, 2 AS b, 3 AS c")
+    # the snapshot survived the failed insert
+    assert sess._kbs["kbf"].get("index_path") == idx_path
+    assert os.path.isdir(idx_path)
+    sess.sql("DROP KNOWLEDGE_BASE kbf")

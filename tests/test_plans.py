@@ -385,3 +385,77 @@ def test_p23_large_shape_matches_native_rollup(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(probes, "_table_bytes", lambda *_a: 10**12)
     reagg = [tuple(r) for r in probes.p23(spark, sf_dir).collect()]
     assert reagg == native and len(native) == 10
+
+
+def test_aqe_converts_smj_to_shuffled_hash_join(spark, sf_dir):
+    """The AQE sort-merge→shuffled-hash conversion
+    (maxShuffledHashJoinLocalMapThreshold, session.py) is the round-7 perf
+    win that took sf100 Q5 57→27.5 s; pin it so a Spark upgrade or conf
+    regression that silently reverts big-big joins to SMJ fails CI, not
+    the next sf100 re-measure. Broadcast is disabled so the ONLY
+    alternatives are SMJ (regression) or SHJ (expected); the conversion is
+    a runtime decision, so assert on the AQE final executed plan."""
+    from mindsdb_spark.catalog import load_table
+    from mindsdb_spark.session import apply_runtime_tuning
+
+    apply_runtime_tuning(spark)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            load_table(spark, sf_dir, "orders")
+            .join(load_table(spark, sf_dir, "customer"),
+                  on=[load_table(spark, sf_dir, "orders")["o_custkey"]
+                      == load_table(spark, sf_dir, "customer")["c_custkey"]])
+            .groupBy("c_mktsegment")
+            .count()
+        )
+        # materialize THIS DataFrame's own query execution (count() would
+        # plan a separate query, leaving this one isFinalPlan=false)
+        assert len(joined.collect()) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        # toString() prints the final plan followed by an "Initial Plan"
+        # section (which legitimately still names the SMJ AQE started from)
+        final = plan.split("== Initial Plan ==")[0]
+        assert "ShuffledHashJoin" in final, final[:2000]
+        assert "SortMergeJoin" not in final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_shj_threshold_respects_host_session_disable(spark):
+    """apply_runtime_tuning must not reinterpret a host session's explicit
+    '0' (Spark's documented disable) — only engine-built sessions get the
+    128 MB default re-asserted, and SPARK_GRAFT_SHJ_THRESHOLD overrides
+    verbatim everywhere (round-7 ADVICE)."""
+    import os
+
+    from mindsdb_spark.session import apply_runtime_tuning
+
+    shj = "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold"
+    owned = "spark.mindsdb_spark.owned"
+    prev_shj = spark.conf.get(shj)
+    prev_owned = spark.conf.get(owned, "false")
+    try:
+        # simulate a host session (not engine-built) that disabled SHJ
+        spark.conf.set(owned, "false")
+        spark.conf.set(shj, "0")
+        apply_runtime_tuning(spark)
+        assert spark.conf.get(shj) == "0"  # untouched
+
+        # engine-built sessions re-assert the default
+        spark.conf.set(owned, "true")
+        apply_runtime_tuning(spark)
+        assert spark.conf.get(shj) == str(128 * 1024 * 1024)
+
+        # the env var wins verbatim, including '0'
+        os.environ["SPARK_GRAFT_SHJ_THRESHOLD"] = "0"
+        try:
+            apply_runtime_tuning(spark)
+            assert spark.conf.get(shj) == "0"
+        finally:
+            del os.environ["SPARK_GRAFT_SHJ_THRESHOLD"]
+    finally:
+        spark.conf.set(owned, prev_owned)
+        spark.conf.set(shj, prev_shj)
