@@ -47,10 +47,15 @@ def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     n_alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
     n_nospace = F.length(F.regexp_replace(t, r"\s", ""))
     n_tokens = F.size(w)
-    alpha_ratio = _round6(n_alpha / n_chars)
-    avg_token_len = _round6(n_nospace / n_tokens)
+    # try_divide: an EMPTY document (0 chars / 0 tokens) yields NULL
+    # ratios, matching SQL division-by-zero semantics (DuckDB oracle
+    # returns NULL) instead of an ANSI runtime error — real corpora
+    # contain empty docs (found by the real-text e2e suite, round 8)
+    alpha_ratio = _round6(F.try_divide(n_alpha, n_chars))
+    avg_token_len = _round6(F.try_divide(n_nospace, n_tokens))
     score = _round6(
-        F.lit(0.5) * (n_alpha / n_chars) + F.lit(0.5) * (F.least(n_tokens, F.lit(100)) / F.lit(100.0))
+        F.lit(0.5) * F.try_divide(n_alpha, n_chars)
+        + F.lit(0.5) * (F.least(n_tokens, F.lit(100)) / F.lit(100.0))
     )
     return df.select(
         col(id_col),

@@ -210,8 +210,18 @@ def p07(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the flat plan's thin (custkey, totalprice) shuffle is cheaper than
     # the agg it would avoid. Pre-aggregation pays only when
     # rows-per-key ≫ partition count; TPC-H's 10:1 is below that line.
+    # Size-keyed build side (round-8): DuckDB's plan builds one customer
+    # hash table and streams orders through it — the Spark analog is
+    # broadcasting the THIN (c_custkey, c_nationkey) projection so the
+    # fact side never shuffles (a 15M-key / ~180 MB hashed relation at
+    # sf100 — well within executor memory; at a scale where even the thin
+    # projection outgrows broadcast, fall back to the shuffled join, which
+    # is the only correct choice there).
+    c_thin = c.select("c_custkey", "c_nationkey")
+    if _table_bytes(sf_dir, "customer") < 2 * 1024 * 1024 * 1024:
+        c_thin = F.broadcast(c_thin)
     return (
-        o.join(c, col("o_custkey") == col("c_custkey"))
+        o.join(c_thin, col("o_custkey") == col("c_custkey"))
         .join(F.broadcast(n), col("c_nationkey") == col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"), F.count("*").alias("cnt"))
@@ -827,15 +837,39 @@ def p31(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(_roundc(F.sum(col("l_extendedprice") * (1 - col("l_discount"))), 2).alias("revenue"))
             .orderBy(col("revenue").desc(), "n_name")
         )
+    # Transitive-predicate reduction (round-8): the final join requires
+    # s_nationkey = c_nationkey and customer is in ASIA, so BOTH the
+    # supplier and the customer side can be pre-filtered to ASIA nations
+    # before any fact contact — exactly the IN-filter propagation DuckDB's
+    # optimizer derives. Supplier drops ~4/5, so the broadcast fact⋈supplier
+    # join drops ~4/5 of lineitem BEFORE its only shuffle (sf100: 600M→120M
+    # rows, ~18 GB→3.6 GB shuffled); customer drops to ~1/5 (≈36 MB at
+    # sf100), small enough that AQE broadcasts it into orders and the
+    # orders side never shuffles either.
+    n_asia = (
+        n.join(F.broadcast(r), col("n_regionkey") == col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    c_asia = (
+        c.select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n_asia), col("c_nationkey") == col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
     oc = (
         o.select("o_orderkey", "o_custkey")
-        .join(c.select("c_custkey", "c_nationkey"), col("o_custkey") == col("c_custkey"))
-        .join(F.broadcast(n), col("c_nationkey") == col("n_nationkey"))
-        .join(F.broadcast(r), col("n_regionkey") == col("r_regionkey"))
+        .join(c_asia, col("o_custkey") == col("c_custkey"))
         .select("o_orderkey", "c_nationkey", "n_name")
     )
+    s_asia = (
+        s.select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(n_asia.select("n_nationkey")),
+            col("s_nationkey") == col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_nationkey")
+    )
     fact = li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount").join(
-        s.select("s_suppkey", "s_nationkey"), col("l_suppkey") == col("s_suppkey")
+        F.broadcast(s_asia), col("l_suppkey") == col("s_suppkey")
     )
     return (
         fact.join(

@@ -255,3 +255,95 @@ def test_kb_index_using_path_literal(doorsess, lit, tmp_path_factory):
     # reset for the next example: drop the snapshot, keep the KB
     doorsess._kbs["fkb"].pop("index_path", None)
     doorsess._kbs["fkb"]["index"] = None
+
+
+# --- round-8 families: multi-sheet names, editdist payloads ----------------
+
+_SHEET_NAMES = [
+    "JOIN model", "select secret", "it's fine", "union all", "GROUP BY z",
+    "WHERE x = 1", "qualify", "LIMIT 5", "Q1 2024", "Q1_2024", "order by",
+    "files_book", "sheet", "USING hybrid",
+]
+
+
+@_settings
+@given(names=st.lists(st.sampled_from(_SHEET_NAMES), min_size=2, max_size=3,
+                      unique=True))
+def test_multisheet_keyword_sheet_names(spark, tmp_path_factory, names):
+    """Sheet names packed with SQL keywords must register as queryable
+    files_<name>_<sheet> views without re-routing any statement, and a
+    re-registration with FEWER sheets must drop the stale views (round-7
+    ADVICE fix)."""
+    import re as _re
+
+    from test_files_joins import _write_multisheet_xlsx
+
+    from mindsdb_spark.engine import EngineSession
+    from pyspark.sql.utils import AnalysisException
+
+    sess = EngineSession(spark)
+    base = tmp_path_factory.mktemp("msfuzz")
+    p = str(base / "book.xlsx")
+    sheets = {
+        i + 1: (nm, ["k", "v"], [[f"r{i}", i]]) for i, nm in enumerate(names)
+    }
+    _write_multisheet_xlsx(p, sheets)
+    sess.register_file("fz", p)
+    suffixes, taken = [], set()
+    for nm in names:  # mirror the engine's sanitize-with-ordinal rule
+        sfx = _re.sub(r"\W+", "_", nm).strip("_").lower() or "sheet"
+        b, i = sfx, 2
+        while sfx in taken:
+            sfx = f"{b}_{i}"
+            i += 1
+        taken.add(sfx)
+        suffixes.append(sfx)
+    for i, sfx in enumerate(suffixes):
+        got = sess.sql(f"SELECT k, v FROM files_fz_{sfx}").collect()
+        assert [(r["k"], r["v"]) for r in got] == [(f"r{i}", i)]
+    # shrink the workbook to sheet 1 only and re-register the SAME path:
+    # the removed sheets' views must be gone from the catalog
+    _write_multisheet_xlsx(p, {1: (names[0], ["k", "v"], [["only", 9]])})
+    sess.register_file("fz", p)
+    assert [r["k"] for r in sess.sql("SELECT k FROM files_fz").collect()] == ["only"]
+    for sfx in suffixes[1:]:
+        with pytest.raises(AnalysisException):
+            spark.sql(f"SELECT * FROM files_fz_{sfx}").collect()
+    sess.drop_file("fz")
+
+
+def _py_lev(a: str, b: str, cap: int) -> int:
+    """Reference Levenshtein with threshold semantics (-1 above cap)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1] if prev[-1] <= cap else -1
+
+
+_NASTY_TEXT = st.lists(
+    st.sampled_from(list("ab'\"\\%_\n\t;`—é日") + ["''", "\\n"]),
+    min_size=0, max_size=12,
+).map("".join)
+
+
+@_settings
+@given(ta=_NASTY_TEXT, tb=_NASTY_TEXT)
+def test_editdist_confirm_quote_backslash_payloads(spark, ta, tb):
+    """d55's confirm step must compute exact distances on texts full of
+    quotes, backslashes, newlines and unicode — payloads ride as column
+    VALUES (never re-parsed as SQL), so the JVM levenshtein must agree
+    with a reference implementation byte-for-byte."""
+    from mindsdb_spark.operators.dedup import editdist_confirm
+
+    docs = spark.createDataFrame([(1, ta), (2, tb)], "doc_id long, text string")
+    cand = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    got = editdist_confirm(docs, cand, max_dist=6).collect()
+    exp = _py_lev(ta, tb, 6)
+    if exp == -1:
+        assert got == []
+    else:
+        assert len(got) == 1 and got[0]["edit_dist"] == exp
