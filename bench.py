@@ -68,6 +68,10 @@ SF1_PIPELINE = [
     "d24_dedup_clusters",
     "d27_unigram_nll",
     "d31_incremental_dedup",
+    # round-8 (verdict item 3): the single-pass TF-IDF embedder's sf0.1
+    # ratio is scheduling-floor-bound; its scale behavior is measured
+    # here, where the corpus pass dominates the two-job structure
+    "d34_tfidf_embed",
 ]
 
 

@@ -1650,11 +1650,14 @@ class EngineSession:
         from pyspark.sql import Observation
 
         kb = self._kbs[name]
-        self._drop_kb_index_snapshot(kb)  # snapshot stale after a delete
         hit = F.coalesce(condition, F.lit(False))
         obs = Observation()
         store = kb["store"].observe(obs, F.sum(hit.cast("long")).alias("n"))
         kb["store"] = store.filter(~hit).localCheckpoint(eager=True)
+        # invalidate only after the mutation materialized — a DELETE whose
+        # condition fails analysis leaves the index intact (round-7 ADVICE
+        # ordering, applied to every KB mutation)
+        self._drop_kb_index_snapshot(kb)
         return self.spark.createDataFrame(
             [(int(obs.get["n"] or 0),)], "deleted long"
         )
@@ -1668,7 +1671,6 @@ class EngineSession:
         from pyspark.sql import Observation
 
         kb = self._kbs[name]
-        self._drop_kb_index_snapshot(kb)  # snapshot stale after an update
         cols = kb["store"].columns
         hit = F.coalesce(condition, F.lit(False))
         store = kb["store"].withColumn("__hit", hit)
@@ -1687,6 +1689,8 @@ class EngineSession:
         obs = Observation()
         store = store.observe(obs, F.sum(F.col("__hit").cast("long")).alias("n"))
         kb["store"] = store.select(*cols).localCheckpoint(eager=True)
+        # as in _kb_delete: snapshot goes stale only once the update lands
+        self._drop_kb_index_snapshot(kb)
         return self.spark.createDataFrame(
             [(int(obs.get["n"] or 0),)], "updated long"
         )

@@ -210,18 +210,17 @@ def p07(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the flat plan's thin (custkey, totalprice) shuffle is cheaper than
     # the agg it would avoid. Pre-aggregation pays only when
     # rows-per-key ≫ partition count; TPC-H's 10:1 is below that line.
-    # Size-keyed build side (round-8): DuckDB's plan builds one customer
-    # hash table and streams orders through it — the Spark analog is
-    # broadcasting the THIN (c_custkey, c_nationkey) projection so the
-    # fact side never shuffles (a 15M-key / ~180 MB hashed relation at
-    # sf100 — well within executor memory; at a scale where even the thin
-    # projection outgrows broadcast, fall back to the shuffled join, which
-    # is the only correct choice there).
-    c_thin = c.select("c_custkey", "c_nationkey")
-    if _table_bytes(sf_dir, "customer") < 2 * 1024 * 1024 * 1024:
-        c_thin = F.broadcast(c_thin)
+    # Round-8 second rejected alternative: broadcasting the THIN
+    # (c_custkey, c_nationkey) projection (the "build one customer hash
+    # table like DuckDB" shape) measured 11.1 s vs 7.3 s flat at sf100
+    # (BENCH_sf100_relational.json:p07_broadcast_study) — the
+    # single-threaded driver-side build + serialize of a 15M-key hashed
+    # relation costs more than the thin shuffle it avoids. With pre-agg
+    # (12.9 s) and broadcast (11.1 s) both measured and rejected, the flat
+    # SHJ plan IS the floor for this shape on Spark: the residual vs
+    # DuckDB is exchange serialization, not a missing plan.
     return (
-        o.join(c_thin, col("o_custkey") == col("c_custkey"))
+        o.join(c.select("c_custkey", "c_nationkey"), col("o_custkey") == col("c_custkey"))
         .join(F.broadcast(n), col("c_nationkey") == col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"), F.count("*").alias("cnt"))
