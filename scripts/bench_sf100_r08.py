@@ -149,6 +149,45 @@ def main():
     du34 = min(timed(lambda: con10.execute(sql34).fetchall()) for _ in range(2))
     out["d34_sf10"] = {"spark": sp34, "duckdb": du34,
                        "ratio": round(sp34 / du34, 3)}
+    # d34 proper is a 100-doc conformance slice (fixed overhead at any
+    # SF); the at-scale claim is the FULL-corpus embedder (verdict item
+    # 3), same formula both engines, 16-row checksum so neither side pays
+    # result materialization
+    from mindsdb_spark.operators.kb import hash_embed_tfidf
+
+    def d34_full_spark():
+        docs = load_table(spark, SF10, "documents")
+        emb = hash_embed_tfidf(docs, text_col="text", dim=16, out_float=False)
+        lanes = emb.select(F.posexplode("embedding").alias("lane", "v"))
+        return lanes.groupBy("lane").agg(F.sum("v").alias("s")).collect()
+
+    d34_full_spark()
+    spf = min(timed(d34_full_spark) for _ in range(2))
+    full_sql = r"""
+WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents),
+tf AS (SELECT doc_id,
+              list_transform(generate_series(0, 15),
+                i -> CAST(len(list_filter(w,
+                       t -> ('0x' || substr(md5(t), 1, 8))::UBIGINT % 16 = i))
+                     AS DOUBLE)) AS tfv
+       FROM t),
+lanes AS (SELECT doc_id, i - 1 AS lane, tfv[i] AS v
+          FROM tf, UNNEST(generate_series(1, 16)) AS u(i)),
+dfs AS (SELECT lane, sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS dfb,
+               count(DISTINCT doc_id) AS n
+        FROM lanes GROUP BY lane),
+tfidf AS (SELECT l.doc_id, l.lane, l.v * ln(d.n / (1.0 + d.dfb)) AS v
+          FROM lanes l JOIN dfs d ON l.lane = d.lane),
+normed AS (SELECT doc_id, lane,
+                  v / greatest(sqrt(sum(v * v) OVER (PARTITION BY doc_id)), 1e-12) AS v
+           FROM tfidf)
+SELECT lane, sum(v) AS s FROM normed GROUP BY lane ORDER BY lane
+"""
+    con10.execute(full_sql).fetchall()
+    duf = min(timed(lambda: con10.execute(full_sql).fetchall()) for _ in range(2))
+    out["d34_full_corpus_sf10"] = {"spark": spf, "duckdb": duf,
+                                   "ratio": round(spf / duf, 3)}
 
     out["load1_end"] = os.getloadavg()[0]
     print(json.dumps(out))

