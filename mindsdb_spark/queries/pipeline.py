@@ -2149,6 +2149,52 @@ WHERE levenshtein(a.text, b.text) <= 8
 ORDER BY doc_a, doc_b
 """
 
+
+def d56_tfidf_full_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8: the FULL-corpus TF-IDF embedder (no conformance slice) —
+    the shape whose sf10 measure beat DuckDB 0.65x
+    (BENCH_sf10.json:d34_full_corpus_r08) — reduced to a 16-row per-lane
+    checksum so the oracle gate covers the at-scale formula end-to-end:
+    md5-bucket TF fold, idf = ln(N/(1+df)) from the one-row broadcast
+    stats, per-doc L2 normalization. Lane sums of ~1e3 unit-normalized
+    doubles carry ~1e-12 absolute error, far inside the 4-decimal round."""
+    from mindsdb_spark.operators.kb import hash_embed_tfidf
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = hash_embed_tfidf(docs, text_col="text", dim=16, out_float=False)
+    lanes = emb.select(F.posexplode(col("embedding")).alias("lane", "v"))
+    return (
+        lanes.groupBy("lane")
+        .agg((F.floor(F.sum("v") * 1e4 + F.lit(0.5)) / 1e4).alias("s"))
+        .coalesce(1)
+        .sortWithinPartitions("lane")
+    )
+
+
+D56_SQL = r"""
+WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents),
+tf AS (SELECT doc_id,
+              list_transform(generate_series(0, 15),
+                i -> CAST(len(list_filter(w,
+                       t -> ('0x' || substr(md5(t), 1, 8))::UBIGINT % 16 = i))
+                     AS DOUBLE)) AS tfv
+       FROM t),
+lanes AS (SELECT doc_id, i - 1 AS lane, tfv[i] AS v
+          FROM tf, UNNEST(generate_series(1, 16)) AS u(i)),
+dfs AS (SELECT lane, sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS dfb,
+               count(DISTINCT doc_id) AS n
+        FROM lanes GROUP BY lane),
+tfidf AS (SELECT l.doc_id, l.lane, l.v * ln(d.n / (1.0 + d.dfb)) AS v
+          FROM lanes l JOIN dfs d ON l.lane = d.lane),
+normed AS (SELECT doc_id, lane,
+                  v / greatest(sqrt(sum(v * v) OVER (PARTITION BY doc_id)), 1e-12) AS v
+           FROM tfidf)
+SELECT lane, floor(sum(v) * 10000 + 0.5) / 10000 AS s
+FROM normed GROUP BY lane ORDER BY lane
+"""
+
+
 # --- registry ----------------------------------------------------------------
 PIPELINE = {
     "d01_dedup_exact": (d01_dedup_exact, D01_SQL),
@@ -2206,6 +2252,7 @@ PIPELINE = {
     "d53_image_blockmean": (d53_image_blockmean, D53_SQL),
     "d54_png_blockmean": (d54_png_blockmean, D54_SQL),
     "d55_editdist_pairs": (d55_editdist_pairs, D55_SQL),
+    "d56_tfidf_full": (d56_tfidf_full_checksum, D56_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),
