@@ -68,10 +68,11 @@ SF1_PIPELINE = [
     "d24_dedup_clusters",
     "d27_unigram_nll",
     "d31_incremental_dedup",
-    # round-8 (verdict item 3): the single-pass TF-IDF embedder's sf0.1
-    # ratio is scheduling-floor-bound; its scale behavior is measured
-    # here, where the corpus pass dominates the two-job structure
-    "d34_tfidf_embed",
+    # round-8 (verdict item 3): the single-pass TF-IDF embedder's at-scale
+    # behavior, measured on the FULL corpus (d34 proper is a fixed 100-doc
+    # conformance slice that measures scheduling floor at every SF; d56 is
+    # the same formula over all documents, reduced to a lane checksum)
+    "d56_tfidf_full",
 ]
 
 
