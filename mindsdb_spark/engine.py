@@ -939,6 +939,58 @@ def _mock_to_markdown(paths: pd.Series) -> pd.Series:
     )
 
 
+from pyspark.accumulators import AccumulatorParam
+
+
+class _LLMLogAccum(AccumulatorParam):
+    """AccumulatorParam collecting llm_log rows from wherever completions
+    run — driver-side calls AND pandas-UDF workers (accumulator updates
+    ride task completion back to the driver, the only executor→driver
+    channel that doesn't touch the data path). Bounded at 2000 rows like
+    the reference's rotating llm_log."""
+
+    def zero(self, value):
+        return []
+
+    def addInPlace(self, a, b):
+        a.extend(b)
+        del a[:-2000]
+        return a
+
+
+def _wrap_llm_transport(complete, model_name: str, accum):
+    """Wrap a batched transport so each prompt becomes one llm_log record
+    (reference: interfaces/database/log.py LLMLogTable — model, input,
+    output, timings, whitespace token counts). Closure deliberately avoids
+    the session object so pandas UDFs can ship it to workers."""
+    import time as _time
+
+    def _logged(prompts):
+        t0 = _time.time()
+        try:
+            outs = complete(prompts)
+            ok = True
+        except Exception:
+            outs = [None] * len(prompts)
+            ok = False
+            raise
+        finally:
+            t1 = _time.time()
+            if accum is not None:
+                recs = []
+                for p, o in zip(prompts, outs):
+                    pt = len(str(p).split()) if p is not None else 0
+                    ct = len(str(o).split()) if o is not None else 0
+                    recs.append((
+                        model_name, str(p)[:200], str(o)[:200] if o is not None else None,
+                        t0, t1, pt, ct, pt + ct, ok,
+                    ))
+                accum.add(recs)
+        return outs
+
+    return _logged
+
+
 class EngineSession:
     def __init__(
         self,
@@ -992,6 +1044,12 @@ class EngineSession:
         self._agent_transport = lambda prompts: [
             f"llm:{hashlib.md5(str(p).encode()).hexdigest()[:12]}" for p in prompts
         ]
+        # llm_log accumulator: records flow back from completion call
+        # sites — including pandas-UDF workers — via task accumulation
+        # (reference: interfaces/database/log.py LLMLogTable)
+        self._llm_log_accum = self.spark.sparkContext.accumulator(
+            [], _LLMLogAccum()
+        )
         self._user_functions: set[str] = set()
         self._query_log: list[tuple[str, str]] = []
         # interrupted resumable statements by id (reference: RunningQuery +
@@ -1483,6 +1541,19 @@ class EngineSession:
 
             shutil.rmtree(idx, ignore_errors=True)
 
+    def _kb_snapshot_valid(self, kb: dict) -> bool:
+        """Cheap (directory-listing) validity check of a partitioned index
+        snapshot before a probe reads it: the layout must still exist and
+        contain cell directories. Catches external deletion/rewrite of
+        user-supplied paths the engine only 'forgets' on mutation."""
+        path = kb.get("index_path")
+        if not path or not os.path.isdir(path):
+            return False
+        try:
+            return any(d.startswith("__cell=") for d in os.listdir(path))
+        except OSError:
+            return False
+
     def _kb_explain_header(self, inner_sql: str) -> str | None:
         """For ``EXPLAIN <kb select>``, a human-readable route header naming
         the index layout and staleness, so the partitioned-vs-in-plan
@@ -1501,6 +1572,12 @@ class EngineSession:
         if name is None:
             return None
         kb = self._kbs[name]
+        if kb.get("index_path") and not self._kb_snapshot_valid(kb):
+            # report what a search WILL do: an externally removed snapshot
+            # falls back to the in-plan path (same revalidation as
+            # _kb_search)
+            kb.pop("index_path", None)
+            kb["index_stale"] = True
         lines = [
             "== Knowledge Base Search ==",
             f"knowledge_base: {name}",
@@ -2263,6 +2340,14 @@ class EngineSession:
                 from mindsdb_spark.operators.vector import ivf_read_probe, ivf_search
 
                 n_probes = int(using.get("n_probes", len(kb["index"])))
+                if kb.get("index_path") and not self._kb_snapshot_valid(kb):
+                    # a user-path snapshot can vanish or be rewritten
+                    # OUTSIDE the engine (round-7 ADVICE second clause):
+                    # revalidate cheaply before every probe — a missing /
+                    # gutted layout degrades to the in-plan path instead of
+                    # failing the query, and EXPLAIN surfaces the fallback
+                    kb.pop("index_path", None)
+                    kb["index_stale"] = True
                 if kb.get("index_path"):
                     # layout='partitioned': the store is materialized
                     # partitioned by cell id, so the probe reads only the
@@ -3965,7 +4050,9 @@ class EngineSession:
                     raise KeyError(f"knowledge base {kb!r} does not exist")
             self._agents[name] = AgentSpec(
                 name=name,
-                complete=transport,
+                complete=_wrap_llm_transport(
+                    transport, str(model), self._llm_log_accum
+                ),
                 output_col=params.get("output_col", "answer"),
                 model_name=model,
                 knowledge_bases=kbs,
@@ -4966,8 +5053,10 @@ class EngineSession:
             [], "name string, project string, type string, params string"
         ).createOrReplaceTempView("mindsdb_skills")
         # `log` system database (reference: interfaces/database/log.py):
-        # jobs_history from the scheduler's per-run records, llm_log as a
-        # schema-complete stub (the mock transport has no token accounting)
+        # jobs_history from the scheduler's per-run records, llm_log from
+        # the transport-wrapper accumulator (round-8: every agent/chatbot
+        # completion — driver-side or pandas-UDF — records model, truncated
+        # input/output, timings and whitespace token counts)
         hist_rows = [
             (
                 j.name,
@@ -4985,12 +5074,16 @@ class EngineSession:
             "name string, project string, run_start double, run_end double, "
             "error string, query string",
         ).filter("name != ''").createOrReplaceTempView("log_jobs_history")
+        llm_rows = [
+            ("", m, i, o, float(t0), float(t1), int(pt), int(ct), int(tt), bool(ok))
+            for (m, i, o, t0, t1, pt, ct, tt, ok) in (self._llm_log_accum.value or [])
+        ]
         self.spark.createDataFrame(
-            [],
+            llm_rows or [("", "", "", None, 0.0, 0.0, 0, 0, 0, True)],
             "api_key string, model_name string, input string, output string, "
-            "start_time timestamp, end_time timestamp, prompt_tokens int, "
+            "start_time double, end_time double, prompt_tokens int, "
             "completion_tokens int, total_tokens int, success boolean",
-        ).createOrReplaceTempView("log_llm_log")
+        ).filter("model_name != ''").createOrReplaceTempView("log_llm_log")
 
     # -- engine functions ------------------------------------------------------
     def _register_builtin_functions(self) -> None:

@@ -74,3 +74,27 @@ def test_create_agent_documented_json_syntax(spark, sf_dir):
     assert spec.knowledge_bases == ("kbj",)
     sess.sql("DROP AGENT json_agent")
     sess.sql("DROP KNOWLEDGE_BASE kbj")
+
+
+def test_llm_log_records_completions(spark):
+    """log.llm_log fills from real completion traffic (reference:
+    interfaces/database/log.py LLMLogTable) — records flow back from the
+    pandas-UDF workers via the accumulator, with whitespace token counts
+    and the agent's model name."""
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    sess.sql("CREATE AGENT logtest USING model = 'mock-llm'")
+    sess.sql(
+        "SELECT answer FROM logtest WHERE question = 'alpha beta gamma'"
+    ).collect()
+    rows = sess.sql(
+        "SELECT model_name, input, prompt_tokens, completion_tokens, "
+        "total_tokens, success FROM log.llm_log"
+    ).collect()
+    assert len(rows) >= 1
+    rec = next(r for r in rows if r["input"] == "alpha beta gamma")
+    assert rec["model_name"] == "mock-llm"
+    assert rec["prompt_tokens"] == 3 and rec["completion_tokens"] == 1
+    assert rec["total_tokens"] == 4 and rec["success"]
+    sess.sql("DROP AGENT logtest")

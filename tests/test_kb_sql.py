@@ -592,3 +592,33 @@ def test_kb_insert_validation_failure_keeps_index(spark, sf_dir, tmp_path):
     assert sess._kbs["kbf"].get("index_path") == idx_path
     assert os.path.isdir(idx_path)
     sess.sql("DROP KNOWLEDGE_BASE kbf")
+
+
+def test_kb_snapshot_external_removal_falls_back(spark, sf_dir, tmp_path):
+    """A snapshot directory deleted OUTSIDE the engine (round-7 ADVICE
+    second clause) must degrade to the in-plan path — correct results, a
+    staleness note in EXPLAIN — never a failed query over a dangling
+    path."""
+    import shutil
+
+    sess = EngineSession(spark, state_dir=str(tmp_path / "state"))
+    sess.register_knowledge_base(
+        "kbx", load_table(spark, sf_dir, "documents").limit(40), dim=8,
+        chunk=False,
+    )
+    target = tmp_path / "ext_idx"
+    sess.sql("CREATE INDEX ON KNOWLEDGE_BASE kbx "
+             f"USING layout = 'partitioned', n_centroids = 2, path = '{target}'")
+    assert (target / "_SUCCESS").exists()
+    shutil.rmtree(target)  # external actor removes the layout
+
+    hits = sess.sql(
+        "SELECT * FROM kbx WHERE content = 'spark join fast' LIMIT 5"
+    ).collect()
+    assert len(hits) == 5  # served by the in-plan fallback
+    assert "index_path" not in sess._kbs["kbx"]
+    plan = sess.sql(
+        "EXPLAIN SELECT * FROM kbx WHERE content = 'x' LIMIT 1"
+    ).collect()[0]["plan"]
+    assert "layout: inplan" in plan and "invalidated" in plan
+    sess.sql("DROP KNOWLEDGE_BASE kbx")
