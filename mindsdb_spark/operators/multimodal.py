@@ -7,7 +7,9 @@ reference uses for row-wise model application
 re-expressed without the synthetic __mindsdb_row_id re-join).
 
 The decode step is STUBBED: image/audio libraries are not in this
-environment. ``decode_media`` raises NotImplementedError unless
+environment (PNG and baseline JPEG decode stdlib-natively —
+see decode_png and operators/jpeg.py). ``decode_media`` raises
+NotImplementedError for the rest unless
 ``fake=True``, in which case it produces a deterministic feature vector
 derived from the bytes (md5-seeded) so the Spark-side plumbing — schema,
 Arrow batching, partitioning, UDF signature — is fully exercised and
@@ -65,20 +67,27 @@ def to_media_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 def decode_media(content: bytes, mime: str, fake: bool = False) -> list[float]:
     """Decode payload → dense features.
 
-    PNG payloads decode FOR REAL on the standard library (zlib IDAT +
-    scanline filter reconstruction — see decode_png below): features are
-    [width, height, channels, mean_pixel]. Other codecs (JPEG/MP3/video)
-    need libraries not present in this container and stay stubbed behind
-    ``fake=True`` (deterministic md5-derived test double)."""
+    PNG and baseline JPEG payloads decode FOR REAL on the standard library
+    (+ numpy for the JPEG DCT — see decode_png below and operators/jpeg.py):
+    features are [width, height, channels, mean_pixel]. The remaining
+    codecs (MP3/video) need libraries not present in this container and
+    stay stubbed behind ``fake=True`` (deterministic md5 test double)."""
     if not fake and content[:8] == PNG_MAGIC:
         w, h, ch, raster = decode_png(content)
         mean = round(sum(raster) / max(len(raster), 1), 6)
         return [float(w), float(h), float(ch), mean]
+    if not fake and content[:2] == b"\xFF\xD8":
+        from mindsdb_spark.operators.jpeg import decode_jpeg
+
+        w, h, ch, raster = decode_jpeg(content)
+        mean = round(sum(raster) / max(len(raster), 1), 6)
+        return [float(w), float(h), float(ch), mean]
     if not fake:
         raise NotImplementedError(
-            "decoding this codec requires image/audio libraries not present "
-            "in this environment (PNG decodes stdlib-natively; see "
-            "decode_png); pass fake=True for the deterministic test double"
+            "decoding this codec requires audio/video libraries not present "
+            "in this environment (PNG and baseline JPEG decode "
+            "stdlib-natively; see decode_png / operators.jpeg); pass "
+            "fake=True for the deterministic test double"
         )
     # Deterministic fake: 4 floats from the md5 digest of the payload.
     d = hashlib.md5(content).digest()
@@ -591,6 +600,87 @@ def synth_png(
         F.lit(width).cast("long").alias("meta_width"),
         F.lit(height).cast("long").alias("meta_height"),
     )
+
+
+def synth_jpeg(
+    df: DataFrame, id_col: str = "doc_id", width: int = 48, height: int = 32,
+    tile: int = 8, quality: int = 50, subsample: bool = False,
+) -> DataFrame:
+    """Deterministic gray JPEG payloads: each 8x8-aligned ``tile`` is a
+    CONSTANT, EVEN pixel value derived from md5(doc_id) — the construction
+    that makes baseline JPEG bit-exact at quality=50 (q_dc = 16: the DC of
+    a constant block is 8*(v-128), which quantizes losslessly for even v,
+    and every AC is exactly zero), so the payload exercises the full
+    DCT/quantize/zigzag/Huffman encode+decode path while the pixel values
+    stay closed-form oracle-recomputable (pipeline d57)."""
+    import numpy as np
+
+    from mindsdb_spark.operators.jpeg import encode_jpeg
+
+    nbx, nby = width // tile, height // tile
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        k = np.arange(1, nby * nbx + 1, dtype=np.int64)
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf["__id"]:
+                seed = int(hashlib.md5(str(mid).encode()).hexdigest()[:8], 16)
+                tiles = (2 * ((seed * k) % 128)).astype(np.uint8).reshape(nby, nbx)
+                px = np.repeat(np.repeat(tiles, tile, axis=0), tile, axis=1)
+                ids.append(mid)
+                blobs.append(
+                    encode_jpeg(px.tobytes(), width, height, 1,
+                                quality=quality, subsample=subsample)
+                )
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    out = df.select(col(id_col).alias("__id")).mapInPandas(
+        run,
+        schema=StructType(
+            [
+                StructField("media_id", LongType()),
+                StructField("content", BinaryType()),
+            ]
+        ),
+    )
+    return out.select(
+        "media_id",
+        "content",
+        F.lit("image/jpeg").alias("mime"),
+        F.lit(width).cast("long").alias("meta_width"),
+        F.lit(height).cast("long").alias("meta_height"),
+    )
+
+
+def decode_jpeg_media(media: DataFrame) -> DataFrame:
+    """JPEG payloads → raw raster payloads (MEDIA_SCHEMA preserved, dims
+    from the ACTUAL decoded SOF0, never trusted metadata) — the JPEG twin
+    of decode_png_media; same executor-side Arrow-batched shape."""
+    from mindsdb_spark.operators.jpeg import decode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, mimes, ws, hs = [], [], [], [], []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, ch, raster = decode_jpeg(bytes(content))
+                ids.append(media_id)
+                blobs.append(raster)
+                mimes.append("image/x-gray8" if ch == 1 else "image/x-rgb8")
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": blobs,
+                    "mime": mimes,
+                    "meta_width": pd.Series(ws, dtype="int64"),
+                    "meta_height": pd.Series(hs, dtype="int64"),
+                }
+            )
+
+    return media.select(
+        "media_id", "content", "mime", "meta_width", "meta_height"
+    ).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def decode_png_media(media: DataFrame) -> DataFrame:

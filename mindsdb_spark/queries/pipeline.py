@@ -2195,6 +2195,46 @@ FROM normed GROUP BY lane ORDER BY lane
 """
 
 
+
+# --- D57 JPEG round-trip block means ------------------------------------------
+# The round-8 stdlib JPEG codec's oracle gate (the d54 pattern): gray
+# payloads built from CONSTANT 8x8 tiles with EVEN values encode at
+# quality=50 (q_dc = 16) bit-exactly — the DC of a constant block is
+# 8*(v-128), which quantizes and reconstructs losslessly, and every AC is
+# exactly zero — so the full DCT/quantize/zigzag/Huffman encode + parse/
+# decode/IDCT path runs for real while the decoded pixels stay closed-form:
+# the oracle recomputes the tile values from the same md5 formula. Any
+# Huffman table, zigzag, dequant or IDCT defect breaks the value hash.
+def d57_jpeg_blockmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(col("doc_id") < 100)
+    jpg = M.synth_jpeg(docs, width=48, height=32, tile=8, quality=50)
+    raster = M.decode_jpeg_media(jpg)
+    blocks = M.downsample_block_mean(raster, block=8)
+    return blocks.select(
+        "media_id", "by", "bx",
+        (F.floor(col("mean") * 1e6 + F.lit(0.5)) / 1e6).alias("mean"),
+    ).repartition(1).sortWithinPartitions("media_id", "by", "bx")
+
+
+D57_SQL = """
+WITH seeds AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS seed
+  FROM documents WHERE doc_id < 100
+),
+tiles AS (
+  SELECT doc_id,
+         CAST((k - 1) % 6 AS BIGINT) AS bx,
+         CAST((k - 1) // 6 AS BIGINT) AS by,
+         CAST(2 * ((seed * k) % 128) AS BIGINT) AS v
+  FROM seeds, UNNEST(generate_series(1, 24)) AS t(k)
+)
+SELECT doc_id AS media_id, by, bx,
+       floor(v * 1000000 + 0.5) / 1000000 AS mean
+FROM tiles ORDER BY media_id, by, bx
+"""
+
+
 # --- registry ----------------------------------------------------------------
 PIPELINE = {
     "d01_dedup_exact": (d01_dedup_exact, D01_SQL),
@@ -2253,6 +2293,7 @@ PIPELINE = {
     "d54_png_blockmean": (d54_png_blockmean, D54_SQL),
     "d55_editdist_pairs": (d55_editdist_pairs, D55_SQL),
     "d56_tfidf_full": (d56_tfidf_full_checksum, D56_SQL),
+    "d57_jpeg_blockmean": (d57_jpeg_blockmean, D57_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),

@@ -1,0 +1,91 @@
+"""Round-8 stdlib baseline JPEG codec (operators/jpeg.py) — the PNG
+codec's round-7 test pattern: round-trips, exactness constructions,
+edge sizes, subsampling, and clean rejection of unsupported streams."""
+
+import numpy as np
+import pytest
+
+from mindsdb_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 10 * np.log10(255**2 / mse) if mse else float("inf")
+
+
+def test_constant_gray_is_exact():
+    img = np.full((24, 40), 128, dtype=np.uint8)
+    w, h, ch, out = decode_jpeg(encode_jpeg(img.tobytes(), 40, 24, 1, quality=90))
+    assert (w, h, ch) == (40, 24, 1)
+    o = np.frombuffer(out, np.uint8).reshape(24, 40)
+    assert int(np.abs(o.astype(int) - 128).max()) == 0
+
+
+def test_even_tiles_quality50_bit_exact():
+    """The d57 construction: constant 8x8 tiles with EVEN values at
+    quality=50 (q_dc=16) survive DCT→quant→Huffman→IDCT losslessly."""
+    rng = np.random.default_rng(7)
+    tiles = (2 * rng.integers(0, 128, (4, 6))).astype(np.uint8)
+    img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+    w, h, ch, out = decode_jpeg(encode_jpeg(img.tobytes(), 48, 32, 1, quality=50))
+    o = np.frombuffer(out, np.uint8).reshape(32, 48)
+    assert np.array_equal(o, img)
+
+
+def test_gray_gradient_high_quality_roundtrip():
+    yy, xx = np.mgrid[0:37, 0:53]  # non-multiple-of-8 dims
+    img = ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+    w, h, ch, out = decode_jpeg(encode_jpeg(img.tobytes(), 53, 37, 1, quality=95))
+    assert (w, h) == (53, 37)
+    o = np.frombuffer(out, np.uint8).reshape(37, 53)
+    assert _psnr(img, o) > 40
+
+
+def test_rgb_444_and_420_roundtrip():
+    yy, xx = np.mgrid[0:33, 0:47]
+    img = np.stack(
+        [(yy * 2 + 30) % 200 + 20, (xx * 2 + 50) % 200 + 20, (yy + xx) % 200 + 20],
+        -1,
+    ).astype(np.uint8)
+    for subsample, floor in ((False, 45), (True, 40)):
+        jb = encode_jpeg(img.tobytes(), 47, 33, 3, quality=92, subsample=subsample)
+        w, h, ch, out = decode_jpeg(jb)
+        assert (w, h, ch) == (47, 33, 3)
+        o = np.frombuffer(out, np.uint8).reshape(33, 47, 3)
+        assert _psnr(img, o) > floor, (subsample, _psnr(img, o))
+
+
+def test_quality_monotone_size():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (32, 32), dtype=np.uint8)
+    sizes = [len(encode_jpeg(img.tobytes(), 32, 32, 1, quality=q))
+             for q in (10, 50, 95)]
+    assert sizes[0] < sizes[1] < sizes[2]
+
+
+def test_bad_inputs_rejected():
+    with pytest.raises(ValueError, match="raster size"):
+        encode_jpeg(b"\x00" * 10, 8, 8, 1)
+    with pytest.raises(ValueError, match="channels"):
+        encode_jpeg(b"\x00" * 128, 8, 8, 2)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+
+
+def test_progressive_sof2_rejected_cleanly():
+    img = np.full((8, 8), 99, dtype=np.uint8)
+    jb = bytearray(encode_jpeg(img.tobytes(), 8, 8, 1))
+    i = jb.find(b"\xFF\xC0")
+    jb[i + 1] = 0xC2  # masquerade as progressive
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(jb))
+
+
+def test_decode_media_real_jpeg_path():
+    from mindsdb_spark.operators.multimodal import decode_media
+
+    img = np.full((16, 16), 100, dtype=np.uint8)
+    feats = decode_media(encode_jpeg(img.tobytes(), 16, 16, 1, quality=90),
+                         "image/jpeg")
+    assert feats[:3] == [16.0, 16.0, 1.0]
+    assert abs(feats[3] - 100.0) < 1.5

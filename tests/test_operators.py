@@ -1039,8 +1039,17 @@ def test_png_decode_gates_and_decode_media():
     png = encode_png(bytes(range(64)), 8, 8, 1, (0, 4))
     assert decode_media(png, "image/png") == [8.0, 8.0, 1.0, 31.5]
     # non-PNG codecs stay honestly gated
+    # JPEG now decodes for real (round-8 stdlib codec); the remaining
+    # codecs stay honestly gated
+    import numpy as np
+
+    from mindsdb_spark.operators.jpeg import encode_jpeg
+
+    img = np.full((8, 8), 60, dtype=np.uint8)
+    feats = decode_media(encode_jpeg(img.tobytes(), 8, 8, 1), "image/jpeg")
+    assert feats[:3] == [8.0, 8.0, 1.0] and abs(feats[3] - 60) < 2
     with pytest.raises(NotImplementedError):
-        decode_media(b"\xff\xd8\xffJPEG", "image/jpeg")
+        decode_media(b"ID3\x04mp3 payload", "audio/mpeg")
 
 
 def test_synth_png_decode_pipeline(spark, sf_dir):
