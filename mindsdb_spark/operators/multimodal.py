@@ -133,20 +133,42 @@ def resize_images(media: DataFrame, width: int, height: int, fake: bool = True) 
     """Resize stage: payload → payload with updated dimension metadata.
 
     The transform is a mapInPandas stage preserving the MEDIA_SCHEMA shape,
-    so resizes chain with decode/extract stages in one plan. STUB: without
-    an image library the fake path tags the payload with the target box
-    (content passthrough) — the schema, batching, and metadata contract are
-    the real plumbing a PIL-backed body drops into.
+    so resizes chain with decode/extract stages in one plan. With the
+    stdlib codecs (round-7 PNG, round-8 JPEG), ``fake=False`` REALLY
+    resizes PNG/JPEG payloads on the executors: decode → nearest-neighbor
+    resample (numpy index gather, no per-pixel Python) → re-encode in the
+    same container format. Other codecs raise; ``fake=True`` keeps the
+    passthrough double for payloads that are not images at all.
     """
+    import numpy as np
+
+    def _resize_real(content: bytes) -> bytes:
+        from mindsdb_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        if content[:8] == PNG_MAGIC:
+            w, h, ch, raster = decode_png(content)
+            enc = lambda r: encode_png(r, width, height, ch)  # noqa: E731
+        elif content[:2] == b"\xFF\xD8":
+            w, h, ch, raster = decode_jpeg(content)
+            enc = lambda r: encode_jpeg(r, width, height, ch, quality=90)  # noqa: E731
+        else:
+            raise NotImplementedError(
+                "resize decodes PNG/baseline-JPEG stdlib-natively; other "
+                "codecs need libraries not in this environment (pass "
+                "fake=True for the passthrough double)"
+            )
+        img = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, ch)
+        ys = np.minimum((np.arange(height) * h) // height, h - 1)
+        xs = np.minimum((np.arange(width) * w) // width, w - 1)
+        return enc(img[ys][:, xs].tobytes())
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image resizing requires PIL/opencv, not present in this "
-                    "environment; pass fake=True for the passthrough double"
-                )
             out = pdf.copy()
+            if not fake:
+                out["content"] = out["content"].map(
+                    lambda c: _resize_real(bytes(c))
+                )
             out["meta_width"] = width
             out["meta_height"] = height
             yield out

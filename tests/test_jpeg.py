@@ -89,3 +89,46 @@ def test_decode_media_real_jpeg_path():
                          "image/jpeg")
     assert feats[:3] == [16.0, 16.0, 1.0]
     assert abs(feats[3] - 100.0) < 1.5
+
+
+def test_resize_images_real_png_and_jpeg(spark):
+    """resize_images(fake=False) really resamples PNG and JPEG payloads on
+    the executors and re-encodes in the same container (round-8: the
+    stdlib codecs retire the resize stub)."""
+    from mindsdb_spark.operators.jpeg import decode_jpeg
+    from mindsdb_spark.operators.multimodal import (
+        decode_png, encode_png, resize_images,
+    )
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    img = ((yy * 4 + xx * 3) % 256).astype(np.uint8)
+    png = encode_png(img.tobytes(), 48, 32, 1)
+    jpg = encode_jpeg(img.tobytes(), 48, 32, 1, quality=95)
+    media = spark.createDataFrame(
+        [(1, bytearray(png), "image/png", 48, 32),
+         (2, bytearray(jpg), "image/jpeg", 48, 32)],
+        "media_id long, content binary, mime string, meta_width long, meta_height long",
+    )
+    out = {r["media_id"]: r for r in resize_images(media, 24, 16, fake=False).collect()}
+    # expected nearest-neighbor downsample of the ORIGINAL raster
+    ys = np.minimum((np.arange(16) * 32) // 16, 31)
+    xs = np.minimum((np.arange(24) * 48) // 24, 47)
+    exp = img[ys][:, xs]
+
+    w, h, ch, raster = decode_png(bytes(out[1]["content"]))
+    assert (w, h, ch) == (24, 16, 1)
+    assert np.array_equal(np.frombuffer(raster, np.uint8).reshape(16, 24), exp)
+
+    w, h, ch, raster = decode_jpeg(bytes(out[2]["content"]))
+    assert (w, h, ch) == (24, 16, 1)
+    got = np.frombuffer(raster, np.uint8).reshape(16, 24)
+    assert _psnr(exp, got) > 30  # JPEG is lossy; structure must survive
+
+    # non-image payloads still gate honestly
+    bad = spark.createDataFrame(
+        [(3, bytearray(b"ID3 not an image"), "audio/mpeg", None, None)],
+        "media_id long, content binary, mime string, meta_width long, meta_height long",
+    )
+    with pytest.raises(Exception):
+        resize_images(bad, 8, 8, fake=False).collect()
+    assert resize_images(bad, 8, 8, fake=True).count() == 1
