@@ -189,6 +189,24 @@ SELECT lane, sum(v) AS s FROM normed GROUP BY lane ORDER BY lane
     out["d34_full_corpus_sf10"] = {"spark": spf, "duckdb": duf,
                                    "ratio": round(spf / duf, 3)}
 
+    # --- p05 floor study (round-8): bare scan+agg constant ------------------
+    def bare_spark():
+        li = load_table(spark, SF100, "lineitem")
+        force(li.agg(F.sum("l_quantity"), F.sum("l_extendedprice"),
+                     F.sum("l_discount"), F.min("l_shipdate"),
+                     F.max("l_shipdate"), F.count("*")))
+
+    BARE = ("SELECT sum(l_quantity), sum(l_extendedprice), sum(l_discount), "
+            "min(l_shipdate), max(l_shipdate), count(*) FROM lineitem")
+    bare_spark()
+    sp_bare = min(timed(bare_spark) for _ in range(3))
+    con.execute(BARE).fetchall()
+    du_bare = min(timed(lambda: con.execute(BARE).fetchall()) for _ in range(2))
+    out["p05_floor_study"] = {
+        "bare_scan_agg_spark": sp_bare, "bare_scan_agg_duckdb": du_bare,
+        "bare_ratio": round(sp_bare / du_bare, 2),
+    }
+
     out["load1_end"] = os.getloadavg()[0]
     print(json.dumps(out))
 
