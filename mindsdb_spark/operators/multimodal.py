@@ -6,10 +6,10 @@ reference uses for row-wise model application
 (reference: mindsdb/api/executor/sql_query/steps/apply_predictor_step.py:103-233,
 re-expressed without the synthetic __mindsdb_row_id re-join).
 
-The decode step is STUBBED: image/audio libraries are not in this
-environment (PNG and baseline JPEG decode stdlib-natively —
-see decode_png and operators/jpeg.py). ``decode_media`` raises
-NotImplementedError for the rest unless
+PNG and baseline JPEG decode FOR REAL on the standard library (see
+decode_png below and operators/jpeg.py); the remaining codecs (MP3,
+video) need libraries not in this environment, so ``decode_media``
+raises NotImplementedError for them unless
 ``fake=True``, in which case it produces a deterministic feature vector
 derived from the bytes (md5-seeded) so the Spark-side plumbing — schema,
 Arrow batching, partitioning, UDF signature — is fully exercised and
@@ -684,7 +684,13 @@ def decode_jpeg_media(media: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, blobs, mimes, ws, hs = [], [], [], [], []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                w, h, ch, raster = decode_jpeg(bytes(content))
+                try:
+                    w, h, ch, raster = decode_jpeg(bytes(content))
+                except (ValueError, NotImplementedError, IndexError, KeyError):
+                    # corrupt/unsupported payload: skip the row, keep the
+                    # stage alive (same contract as decode_png_media and
+                    # downsample_block_mean's malformed-payload skip)
+                    continue
                 ids.append(media_id)
                 blobs.append(raster)
                 mimes.append("image/x-gray8" if ch == 1 else "image/x-rgb8")
@@ -717,7 +723,13 @@ def decode_png_media(media: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, blobs, mimes, ws, hs = [], [], [], [], []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                w, h, ch, raster = decode_png(bytes(content))
+                try:
+                    w, h, ch, raster = decode_png(bytes(content))
+                except (ValueError, NotImplementedError, IndexError):
+                    # corrupt/unsupported payload: skip the ROW, never fail
+                    # the stage — at corpus scale damaged payloads are a
+                    # certainty, and one must not kill a 100 TB job
+                    continue
                 ids.append(media_id)
                 blobs.append(raster)
                 mimes.append("image/x-gray8" if ch == 1 else "image/x-rgb8")

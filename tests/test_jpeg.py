@@ -132,3 +132,32 @@ def test_resize_images_real_png_and_jpeg(spark):
     with pytest.raises(Exception):
         resize_images(bad, 8, 8, fake=False).collect()
     assert resize_images(bad, 8, 8, fake=True).count() == 1
+
+
+def test_decode_media_stages_skip_corrupt_payloads(spark):
+    """Corrupt payloads drop their ROW, never the stage — the contract a
+    100 TB corpus requires (same as downsample_block_mean's skip)."""
+    from mindsdb_spark.operators.multimodal import (
+        decode_jpeg_media, decode_png_media, encode_png,
+    )
+
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    good_jpg = encode_jpeg(img.tobytes(), 8, 8, 1)
+    good_png = encode_png(img.tobytes(), 8, 8, 1)
+    schema = ("media_id long, content binary, mime string, "
+              "meta_width long, meta_height long")
+    jm = spark.createDataFrame(
+        [(1, bytearray(good_jpg), "image/jpeg", 8, 8),
+         (2, bytearray(good_jpg[:20]), "image/jpeg", 8, 8),   # truncated
+         (3, bytearray(b"\xff\xd8garbage"), "image/jpeg", 8, 8)],
+        schema,
+    )
+    got = decode_jpeg_media(jm).collect()
+    assert [r["media_id"] for r in got] == [1]
+    pm = spark.createDataFrame(
+        [(1, bytearray(good_png), "image/png", 8, 8),
+         (2, bytearray(b"not a png"), "image/png", 8, 8)],
+        schema,
+    )
+    got = decode_png_media(pm).collect()
+    assert [r["media_id"] for r in got] == [1]
