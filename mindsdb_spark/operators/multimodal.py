@@ -69,9 +69,10 @@ def decode_media(content: bytes, mime: str, fake: bool = False) -> list[float]:
 
     PNG and baseline JPEG payloads decode FOR REAL on the standard library
     (+ numpy for the JPEG DCT — see decode_png below and operators/jpeg.py):
-    features are [width, height, channels, mean_pixel]. The remaining
-    codecs (MP3/video) need libraries not present in this container and
-    stay stubbed behind ``fake=True`` (deterministic md5 test double)."""
+    features are [width, height, channels, mean_pixel]; WAV (RIFF/PCM)
+    decodes to [rate, channels, n_samples, bits]. The remaining codecs
+    (MP3/video) need libraries not present in this container and stay
+    stubbed behind ``fake=True`` (deterministic md5 test double)."""
     if not fake and content[:8] == PNG_MAGIC:
         w, h, ch, raster = decode_png(content)
         mean = round(sum(raster) / max(len(raster), 1), 6)
@@ -82,6 +83,10 @@ def decode_media(content: bytes, mime: str, fake: bool = False) -> list[float]:
         w, h, ch, raster = decode_jpeg(content)
         mean = round(sum(raster) / max(len(raster), 1), 6)
         return [float(w), float(h), float(ch), mean]
+    if not fake and content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        rate, ch, bits, pcm = decode_wav(content)
+        n = len(pcm) // max(1, ch * (bits // 8))
+        return [float(rate), float(ch), float(n), float(bits)]
     if not fake:
         raise NotImplementedError(
             "decoding this codec requires audio/video libraries not present "
@@ -260,6 +265,126 @@ def synth_pcm(
         F.lit(None).cast("long").alias("meta_width"),
         F.lit(None).cast("long").alias("meta_height"),
     )
+
+
+# --- WAV (RIFF/PCM) container: stdlib encode/decode --------------------------
+# The audio twin of the PNG/JPEG story (round-8): WAV is an uncompressed
+# RIFF container, fully parseable on the standard library, so real .wav
+# payloads decode in any environment; compressed codecs (MP3/AAC — real
+# entropy coders) stay honestly env-gated.
+
+def encode_wav(pcm: bytes, sample_rate: int = 16000, channels: int = 1,
+               bits: int = 16) -> bytes:
+    """Wrap raw little-endian PCM in a RIFF/WAVE container (format 1)."""
+    import struct
+
+    if bits not in (8, 16, 24, 32):
+        raise ValueError(f"wav: unsupported bit depth {bits}")
+    block = channels * (bits // 8)
+    if len(pcm) % block:
+        raise ValueError(
+            f"wav: pcm length {len(pcm)} is not a whole number of "
+            f"{block}-byte frames ({channels} ch x {bits} bits)"
+        )
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, bits
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(content: bytes) -> tuple:
+    """Parse a RIFF/WAVE container → (sample_rate, channels, bits, pcm).
+
+    PCM (format 1) and IEEE float (format 3) pass through as raw bytes;
+    compressed formats (MP3/ADPCM/...) raise NotImplementedError — a real
+    entropy decoder is not stdlib material."""
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos, n = 12, len(content)
+    fmt = None
+    pcm = None
+    while pos + 8 <= n:
+        tag = content[pos:pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4:pos + 8])
+        data = content[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", data[:16]
+            )
+            if audio_fmt not in (1, 3):
+                raise NotImplementedError(
+                    f"wav: compressed format tag {audio_fmt} needs codec "
+                    "libraries not in this environment (PCM and IEEE float "
+                    "decode stdlib-natively)"
+                )
+            fmt = (rate, channels, bits)
+        elif tag == b"data":
+            pcm = data
+    if fmt is None or pcm is None:
+        raise ValueError("wav: missing fmt/data chunk")
+    return fmt[0], fmt[1], fmt[2], pcm
+
+
+def synth_wav(df: DataFrame, id_col: str = "doc_id", n_samples: int = 2000,
+              sample_rate: int = 16000) -> DataFrame:
+    """synth_pcm's closed-form samples wrapped as REAL .wav payloads — the
+    d52 pixel-formula pattern for audio: the container round-trips through
+    a genuine RIFF file any player opens, while the samples stay
+    oracle-recomputable."""
+    pcm = synth_pcm(df, id_col=id_col, n_samples=n_samples)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["content"] = out["content"].map(
+                lambda c: encode_wav(bytes(c), sample_rate=sample_rate)
+            )
+            out["mime"] = "audio/wav"
+            yield out
+
+    return pcm.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def decode_wav_media(media: DataFrame) -> DataFrame:
+    """WAV payloads → raw pcm16le payloads with the rate in the mime, so
+    `audio_features` chains directly on real .wav files. Corrupt payloads
+    drop their row (the 100 TB contract shared by the image decoders)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, mimes, ws, hs = [], [], [], [], []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    rate, channels, bits, pcm = decode_wav(bytes(content))
+                except Exception:
+                    continue
+                if bits != 16 or channels != 1:
+                    # audio_features consumes mono pcm16; other layouts
+                    # would need a mixdown stage — skip, don't garble
+                    continue
+                ids.append(media_id)
+                blobs.append(pcm)
+                mimes.append(f"audio/pcm;rate={rate};bits=16")
+                ws.append(None)
+                hs.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": blobs,
+                    "mime": mimes,
+                    "meta_width": pd.Series(ws, dtype="object"),
+                    "meta_height": pd.Series(hs, dtype="object"),
+                }
+            )
+
+    return media.select(
+        "media_id", "content", "mime", "meta_width", "meta_height"
+    ).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 AUDIO_FEATURE_SCHEMA = StructType(
