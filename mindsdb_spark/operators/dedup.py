@@ -570,9 +570,24 @@ def incremental_dedup(
     nc = sh_c.groupBy(id_col).agg(F.count("*").alias("__nc")).withColumnRenamed(
         id_col, "__cid"
     )
+    # The candidate-confirm joins carry UNBOUNDED key skew: under mass
+    # duplication one hot document can pair with thousands of others, so a
+    # single join partition can hold most of the candidate set. AQE's
+    # SMJ→hash conversion gates on the AVERAGE map-output size and skew
+    # splitting cannot shrink a skewed BUILD side (the whole partition
+    # must fit one in-task hash map) — measured at sf100 under an 8 GB
+    # heap: "Can't acquire 134217728 bytes to build hash relation". Pin
+    # these two joins to sort-merge (hint on both inputs), which sorts and
+    # SPILLS gracefully at any skew; the evenly-keyed band/count joins
+    # above and below stay hash-convertible.
     inter = (
-        cand.join(sh_b.select(col(id_col).alias("__bid"), "sh"), "__bid")
-        .join(sh_c.select(col(id_col).alias("__cid"), "sh"), ["__cid", "sh"])
+        cand.hint("merge")
+        .join(sh_b.select(col(id_col).alias("__bid"), "sh").hint("merge"), "__bid")
+        .hint("merge")
+        .join(
+            sh_c.select(col(id_col).alias("__cid"), "sh").hint("merge"),
+            ["__cid", "sh"],
+        )
         .groupBy("__bid", "__cid")
         .agg(F.count("*").alias("__i"))
     )

@@ -24,6 +24,37 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def _parse_mem(mem: str) -> int:
+    import re
+
+    m = re.match(r"\s*(\d+)\s*([kmgt]?)", str(mem).lower())
+    units = {"": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    return int(m.group(1)) * units[m.group(2)] if m else 8 * 1024**3
+
+
+def shj_threshold_bytes(cpus: int, heap: int | None = None) -> int:
+    """Memory-aware AQE shuffled-hash-join threshold.
+
+    A flat 128 MB is NOT memory-safe on its own: with 32 concurrent tasks
+    each building a hash relation, the builds can exceed the unified
+    execution region (measured: sf100 d24 under an 8 GB heap dies with
+    "Can't acquire 67108864 bytes to build hash relation"). Two factors
+    the flat number misses: (a) the threshold gates on COMPRESSED shuffle
+    map-output bytes while the in-memory relation is ~2-4x larger, and
+    (b) checkpoint/cache blocks occupy the protected storage half of the
+    unified region (spark.memory.storageFraction), so a task's worst-case
+    execution share is heap × 0.6 × 0.5 / cores. Threshold = a quarter of
+    that share (probe/sort buffers take the rest), clamped to
+    [16 MB, 128 MB]: an 8 GB / 32-core session gets ~19 MB — small builds
+    still convert, the risky ones stay sort-merge — while the 32 GB bench
+    session gets ~77 MB, which still converts every join the round-7 A/B
+    measured (Q5's thin-map build is ~35 MB of map output/partition)."""
+    if heap is None:
+        heap = _parse_mem(os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    per_task = int(heap * 0.6 * 0.5) // max(1, int(cpus))
+    return max(16 * 1024**2, min(128 * 1024**2, per_task // 4))
+
+
 def get_spark(app_name: str = "mindsdb-spark", cpus: str | int | None = None) -> SparkSession:
     """Build (or reuse) the engine SparkSession."""
     cpus = str(cpus or DEFAULT_CPUS)
@@ -62,13 +93,16 @@ def get_spark(app_name: str = "mindsdb-spark", cpus: str | int | None = None) ->
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # let AQE swap a sort-merge join for a shuffled HASH join when the
-        # build side's per-partition map output is provably under 128 MB
-        # (decided from actual shuffle stats — memory-safe per task, and it
-        # skips the SMJ's two sorts: sf100 Q5 60.4 s -> 39.9 s, the Spark
-        # analog of DuckDB's pipelined hash join; default 0 disables it)
+        # build side's per-partition map output is small (decided from
+        # actual shuffle stats; the bound is sized to this session's
+        # heap/cores — see shj_threshold_bytes). Skipping the SMJ's two
+        # sorts: sf100 Q5 60.4 s -> 39.9 s, the Spark analog of DuckDB's
+        # pipelined hash join; default 0 disables it
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", str(128 * 1024 * 1024)),
+            os.environ.get(
+                "SPARK_GRAFT_SHJ_THRESHOLD", str(shj_threshold_bytes(int(cpus)))
+            ),
         )
         # marks the session as engine-built so apply_runtime_tuning knows it
         # may re-assert engine defaults (a host session's confs are its own)
@@ -104,15 +138,17 @@ def apply_runtime_tuning(spark: SparkSession) -> None:
     # SPARK_GRAFT_SHJ_THRESHOLD env var, when set, is applied verbatim to
     # any session (including '0', Spark's documented disable). Without the
     # env var, only sessions BUILT by get_spark are (re-)asserted to the
-    # 128 MB engine default — a host session's conf, including an explicit
-    # '0', is never reinterpreted.
+    # memory-aware engine default (shj_threshold_bytes) — a host session's
+    # conf, including an explicit '0', is never reinterpreted.
     shj = "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold"
     env = os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD")
     if env is not None:
         spark.conf.set(shj, env)
     elif spark.conf.get("spark.mindsdb_spark.owned", "false") == "true":
         if spark.conf.get(shj, "0") in ("0", "0b"):
-            spark.conf.set(shj, str(128 * 1024 * 1024))
+            heap = _parse_mem(spark.conf.get("spark.driver.memory", "8g"))
+            cores = spark.sparkContext.defaultParallelism
+            spark.conf.set(shj, str(shj_threshold_bytes(cores, heap)))
 
 
 def tune_file_partitioning(spark: SparkSession, data_dir: str, cpus: int | None = None) -> int:
@@ -162,8 +198,12 @@ def tune_file_partitioning(spark: SparkSession, data_dir: str, cpus: int | None 
         # 49.1 s — per-join runtime choice beats a blanket preference).
         # Default 0 disables the rule; DuckDB's advantage on these shapes
         # is exactly its pipelined hash join, so this is the Spark analog.
+        # Memory-aware bound (shj_threshold_bytes): a skewless build under
+        # it fits the task's worst-case execution share on THIS session.
         spark.conf.set(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-            str(128 * 1024 * 1024),
+            str(shj_threshold_bytes(
+                ncpu, _parse_mem(spark.conf.get("spark.driver.memory", "8g"))
+            )),
         )
     return target

@@ -444,10 +444,17 @@ def test_shj_threshold_respects_host_session_disable(spark):
         apply_runtime_tuning(spark)
         assert spark.conf.get(shj) == "0"  # untouched
 
-        # engine-built sessions re-assert the default
+        # engine-built sessions re-assert the memory-aware default
+        from mindsdb_spark.session import _parse_mem, shj_threshold_bytes
+
         spark.conf.set(owned, "true")
         apply_runtime_tuning(spark)
-        assert spark.conf.get(shj) == str(128 * 1024 * 1024)
+        expected = shj_threshold_bytes(
+            spark.sparkContext.defaultParallelism,
+            _parse_mem(spark.conf.get("spark.driver.memory", "8g")),
+        )
+        assert spark.conf.get(shj) == str(expected)
+        assert 16 * 1024**2 <= expected <= 128 * 1024**2
 
         # the env var wins verbatim, including '0'
         os.environ["SPARK_GRAFT_SHJ_THRESHOLD"] = "0"
