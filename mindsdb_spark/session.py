@@ -38,20 +38,21 @@ def shj_threshold_bytes(cpus: int, heap: int | None = None) -> int:
     A flat 128 MB is NOT memory-safe on its own: with 32 concurrent tasks
     each building a hash relation, the builds can exceed the unified
     execution region (measured: sf100 d24 under an 8 GB heap dies with
-    "Can't acquire 67108864 bytes to build hash relation"). Two factors
-    the flat number misses: (a) the threshold gates on COMPRESSED shuffle
-    map-output bytes while the in-memory relation is ~2-4x larger, and
-    (b) checkpoint/cache blocks occupy the protected storage half of the
-    unified region (spark.memory.storageFraction), so a task's worst-case
-    execution share is heap × 0.6 × 0.5 / cores. Threshold = a quarter of
-    that share (probe/sort buffers take the rest), clamped to
-    [16 MB, 128 MB]: an 8 GB / 32-core session gets ~19 MB — small builds
-    still convert, the risky ones stay sort-merge — while the 32 GB bench
-    session gets ~77 MB, which still converts every join the round-7 A/B
-    measured (Q5's thin-map build is ~35 MB of map output/partition)."""
+    "Can't acquire 67108864 bytes to build hash relation"): the gate
+    compares COMPRESSED shuffle map-output bytes while the in-memory
+    relation is ~2-4x larger, so the bound must scale with each task's
+    fair share of the execution region. Threshold = a quarter of
+    heap × 0.6 / cores (the 2-4x expansion plus probe/sort buffers),
+    clamped to [16 MB, 128 MB]: an 8 GB / 32-core session gets ~38 MB —
+    small builds still convert, big ones stay sort-merge — while a
+    32 GB session keeps the full 128 MB that the round-7 AND round-8
+    A/Bs measured fastest (a 76 MB bound already costs Q5 one
+    conversion: 18.4 vs 11.9 s same-window). Unbounded-SKEW builds are a
+    separate hazard no average-based bound fixes — those joins pin
+    sort-merge at the operator level (see incremental_dedup)."""
     if heap is None:
         heap = _parse_mem(os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-    per_task = int(heap * 0.6 * 0.5) // max(1, int(cpus))
+    per_task = int(heap * 0.6) // max(1, int(cpus))
     return max(16 * 1024**2, min(128 * 1024**2, per_task // 4))
 
 
