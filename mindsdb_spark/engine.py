@@ -964,9 +964,32 @@ def _wrap_llm_transport(complete, model_name: str, accum):
     output, timings, whitespace token counts). Closure deliberately avoids
     the session object so pandas UDFs can ship it to workers."""
     import time as _time
+    import uuid as _uuid
+
+    seq = [0]
 
     def _logged(prompts):
         t0 = _time.time()
+        # accumulator updates are exactly-once only for ACTIONS; a stage
+        # retry / speculative task / recomputation of an uncached agent
+        # DataFrame re-runs the transformation and re-adds its records.
+        # Tag every record with a call id that is STABLE across replays —
+        # a random uuid would differ per attempt and defeat the dedupe —
+        # so the materialization step can drop duplicates: executor-side,
+        # (partitionId, per-task batch sequence, batch content hash) is
+        # identical on a retry/speculative attempt of the same task;
+        # driver-side calls run exactly once, so a uuid is fine there.
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        if tc is None:
+            call_id = _uuid.uuid4().hex
+        else:
+            seq[0] += 1
+            digest = hashlib.md5(
+                "\x1f".join(str(p) for p in prompts).encode()
+            ).hexdigest()[:16]
+            call_id = f"p{tc.partitionId()}:{seq[0]}:{digest}"
         try:
             outs = complete(prompts)
             ok = True
@@ -978,10 +1001,11 @@ def _wrap_llm_transport(complete, model_name: str, accum):
             t1 = _time.time()
             if accum is not None:
                 recs = []
-                for p, o in zip(prompts, outs):
+                for i, (p, o) in enumerate(zip(prompts, outs)):
                     pt = len(str(p).split()) if p is not None else 0
                     ct = len(str(o).split()) if o is not None else 0
                     recs.append((
+                        f"{call_id}:{i}",
                         model_name, str(p)[:200], str(o)[:200] if o is not None else None,
                         t0, t1, pt, ct, pt + ct, ok,
                     ))
@@ -1572,12 +1596,14 @@ class EngineSession:
         if name is None:
             return None
         kb = self._kbs[name]
-        if kb.get("index_path") and not self._kb_snapshot_valid(kb):
-            # report what a search WILL do: an externally removed snapshot
-            # falls back to the in-plan path (same revalidation as
-            # _kb_search)
-            kb.pop("index_path", None)
-            kb["index_stale"] = True
+        # EXPLAIN is read-only: report what a search WILL do (an externally
+        # removed snapshot falls back to the in-plan path) WITHOUT mutating
+        # kb state — the pop/stale-flag is left to the actual search path,
+        # which performs the same revalidation (_kb_search).
+        snapshot_live = bool(kb.get("index_path")) and self._kb_snapshot_valid(kb)
+        stale = kb.get("index_stale") or (
+            bool(kb.get("index_path")) and not snapshot_live
+        )
         lines = [
             "== Knowledge Base Search ==",
             f"knowledge_base: {name}",
@@ -1585,7 +1611,7 @@ class EngineSession:
         if kb.get("index") is None:
             lines.append("index: none")
             lines.append("route: exact cosine top-k scan over the chunk store")
-        elif kb.get("index_path"):
+        elif snapshot_live:
             lines.append(f"index: ivf ({len(kb['index'])} centroids), layout: partitioned")
             lines.append(f"snapshot: {kb['index_path']}")
             lines.append(
@@ -1595,7 +1621,7 @@ class EngineSession:
         else:
             lines.append(f"index: ivf ({len(kb['index'])} centroids), layout: inplan")
             lines.append("route: in-plan IVF assignment over the chunk store")
-            if kb.get("index_stale"):
+            if stale:
                 lines.append(
                     "note: the partitioned snapshot was invalidated by a "
                     "mutation; rerun CREATE INDEX ... USING layout = "
@@ -3071,9 +3097,29 @@ class EngineSession:
             )
         m = _EXPLAIN_RE.match(s)
         if m:
-            plan = self.sql(m.group(1))._jdf.queryExecution().explainString(
-                self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-            )
+            # EXPLAIN is read-only (round-8 ADVICE): planning the inner
+            # query routes through _kb_search, whose snapshot revalidation
+            # pops index_path / sets index_stale on an externally removed
+            # layout. Snapshot the routing keys and restore them after —
+            # the next REAL search re-detects and mutates as before.
+            routing = {
+                n: (kb.get("index_path"), kb.get("index_stale"))
+                for n, kb in self._kbs.items()
+            }
+            try:
+                plan = self.sql(m.group(1))._jdf.queryExecution().explainString(
+                    self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+                )
+            finally:
+                for n, (path, stale) in routing.items():
+                    kb = self._kbs.get(n)
+                    if kb is None:
+                        continue
+                    for key, val in (("index_path", path), ("index_stale", stale)):
+                        if val is None:
+                            kb.pop(key, None)
+                        else:
+                            kb[key] = val
             header = self._kb_explain_header(m.group(1))
             if header:
                 plan = header + "\n\n" + plan
@@ -3980,9 +4026,14 @@ class EngineSession:
                     # a USER-supplied target is written with overwrite
                     # semantics — refuse to clobber an existing non-empty
                     # directory that isn't ours (engine-managed state_dir
-                    # targets are fair game); round-7 ADVICE: a SQL
+                    # targets are fair game); round-7/8 ADVICE: a SQL
                     # statement must not silently destroy arbitrary
-                    # writable directories
+                    # writable directories. Ownership is proven by the
+                    # engine-written sentinel ivf_write_partitioned drops
+                    # in every snapshot — NOT by _SUCCESS, which every
+                    # Spark-written dataset contains.
+                    from mindsdb_spark.operators.vector import KB_INDEX_SENTINEL
+
                     p = os.path.abspath(path)
                     state = os.path.abspath(self._state_dir)
                     inside_state = p == state or p.startswith(state + os.sep)
@@ -3991,12 +4042,12 @@ class EngineSession:
                         and os.path.isdir(p)
                         and os.listdir(p)
                         and not os.path.exists(
-                            os.path.join(p, "_SUCCESS")
+                            os.path.join(p, KB_INDEX_SENTINEL)
                         )
                     ):
                         raise ValueError(
                             f"CREATE INDEX path {path!r} exists and is not "
-                            "empty (and is not a previously written index "
+                            "empty (and is not an engine-written index "
                             "snapshot); choose an empty/new directory or an "
                             "engine-managed path"
                         )
@@ -5074,16 +5125,37 @@ class EngineSession:
             "name string, project string, run_start double, run_end double, "
             "error string, query string",
         ).filter("name != ''").createOrReplaceTempView("log_jobs_history")
-        llm_rows = [
-            ("", m, i, o, float(t0), float(t1), int(pt), int(ct), int(tt), bool(ok))
-            for (m, i, o, t0, t1, pt, ct, tt, ok) in (self._llm_log_accum.value or [])
-        ]
+        # dedupe on the transport wrapper's replay-stable record id: stage
+        # retries / speculative tasks / recomputation of an uncached agent
+        # DataFrame re-add identical records (accumulators are exactly-once
+        # for actions only). A user re-running the byte-identical query on
+        # the same agent still collapses — documented at-least-once edge.
+        seen: set[str] = set()
+        llm_rows = []
+        for (rid, m, i, o, t0, t1, pt, ct, tt, ok) in (self._llm_log_accum.value or []):
+            if rid in seen:
+                continue
+            seen.add(rid)
+            llm_rows.append(
+                ("", m, i, o, float(t0), float(t1), int(pt), int(ct), int(tt), bool(ok))
+            )
+        # start/end as TIMESTAMP to match the reference LLMLogTable schema
+        # (interfaces/database/log.py: sa.DateTime columns) — epoch seconds
+        # cast via timestamp_seconds, session TZ is UTC
         self.spark.createDataFrame(
             llm_rows or [("", "", "", None, 0.0, 0.0, 0, 0, 0, True)],
             "api_key string, model_name string, input string, output string, "
-            "start_time double, end_time double, prompt_tokens int, "
+            "start_ts double, end_ts double, prompt_tokens int, "
             "completion_tokens int, total_tokens int, success boolean",
-        ).filter("model_name != ''").createOrReplaceTempView("log_llm_log")
+        ).filter("model_name != ''").withColumn(
+            "start_time", F.timestamp_seconds(F.col("start_ts"))
+        ).withColumn(
+            "end_time", F.timestamp_seconds(F.col("end_ts"))
+        ).select(
+            "api_key", "model_name", "input", "output", "start_time",
+            "end_time", "prompt_tokens", "completion_tokens", "total_tokens",
+            "success",
+        ).createOrReplaceTempView("log_llm_log")
 
     # -- engine functions ------------------------------------------------------
     def _register_builtin_functions(self) -> None:

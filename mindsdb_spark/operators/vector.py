@@ -29,6 +29,10 @@ from pyspark.sql import functions as F
 
 col = F.col
 
+# name of the ownership sentinel file ivf_write_partitioned drops in every
+# snapshot directory; the SQL-door clobber-guard keys on it (engine.py)
+KB_INDEX_SENTINEL = "_MINDSDB_SPARK_KB_INDEX"
+
 
 def _lit_vec(values) -> Column:
     """Constant array<double> literal built as ONE SQL string parsed JVM-side.
@@ -602,6 +606,15 @@ def ivf_write_partitioned(
     ivf_assign(df, vec_col, centroids, cell_col).write.mode("overwrite").partitionBy(
         cell_col
     ).parquet(path)
+    # engine sentinel: marks the directory as an engine-written KB index
+    # snapshot so the CREATE INDEX clobber-guard can distinguish "our
+    # previous snapshot, safe to overwrite" from an arbitrary Spark-written
+    # dataset (every Spark write leaves _SUCCESS, so _SUCCESS proves
+    # nothing about ownership)
+    import os as _os
+
+    with open(_os.path.join(path, KB_INDEX_SENTINEL), "w") as fh:
+        fh.write("mindsdb_spark kb index snapshot\n")
 
 
 def ivf_read_probe(

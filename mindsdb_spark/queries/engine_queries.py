@@ -650,7 +650,46 @@ FROM f ORDER BY user_id, value
 """
 
 
+# --- A11: log.llm_log accounting from real completion traffic ----------------
+def a11_llm_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``log.llm_log`` populated by agent completions, then queried through
+    the SQL door (reference: interfaces/database/log.py LLMLogTable —
+    model_name, input, output, timings, token accounting). The
+    content-hash mock transport makes output/token columns pure functions
+    of the question, so DuckDB replays the accounting; timestamps are
+    checked for sanity via a boolean (they are wall-clock, not
+    oracle-matchable values). Idempotent under re-runs: the transport
+    wrapper's replay-stable record ids dedupe repeated identical calls."""
+    sess = _session(spark, sf_dir)
+    if "llm_auditor" not in sess._agents:
+        sess.sql("CREATE AGENT llm_auditor USING model = 'audit-llm'")
+    for i in range(5):
+        sess.sql(
+            f"SELECT answer FROM llm_auditor WHERE question = "
+            f"'audit probe {i} alpha beta'"
+        ).collect()
+    return sess.sql(
+        "SELECT model_name, input, output, prompt_tokens, completion_tokens, "
+        "total_tokens, success, "
+        "(end_time >= start_time AND year(start_time) >= 2020) AS ts_sane "
+        "FROM log.llm_log WHERE model_name = 'audit-llm' ORDER BY input"
+    )
+
+
+A11_SQL = """
+SELECT 'audit-llm' AS model_name,
+       'audit probe ' || i || ' alpha beta' AS input,
+       'llm:' || substr(md5('audit probe ' || i || ' alpha beta'), 1, 12) AS output,
+       CAST(5 AS INTEGER) AS prompt_tokens,
+       CAST(1 AS INTEGER) AS completion_tokens,
+       CAST(6 AS INTEGER) AS total_tokens,
+       true AS success, true AS ts_sane
+FROM range(5) t(i) ORDER BY input
+"""
+
+
 ENGINE_QUERIES = {
+    "a11_llm_log": (a11_llm_log, A11_SQL),
     "i01_last_sql": (i01_last_sql, I01_SQL),
     "e04_create_database": (e04_create_database, E04_SQL),
     "e01_engine_sql": (e01_engine_sql, E01_SQL),

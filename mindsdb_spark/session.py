@@ -27,9 +27,17 @@ DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 def _parse_mem(mem: str) -> int:
     import re
 
-    m = re.match(r"\s*(\d+)\s*([kmgt]?)", str(mem).lower())
+    # fractional values ("1.5g") are legal JVM memory strings; the old
+    # digits-only regex matched the "1" with no unit and returned 1 byte,
+    # silently clamping the SHJ threshold to its floor. A unitless value
+    # is bytes (JVM convention), but anything under 1 MB can't be a real
+    # heap — treat it as malformed and fall back to the 8g default.
+    m = re.match(r"\s*(\d+(?:\.\d+)?)\s*([kmgt]?)", str(mem).lower())
     units = {"": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
-    return int(m.group(1)) * units[m.group(2)] if m else 8 * 1024**3
+    if not m:
+        return 8 * 1024**3
+    val = int(float(m.group(1)) * units[m.group(2)])
+    return val if val >= 1024**2 else 8 * 1024**3
 
 
 def shj_threshold_bytes(cpus: int, heap: int | None = None) -> int:

@@ -97,4 +97,28 @@ def test_llm_log_records_completions(spark):
     assert rec["model_name"] == "mock-llm"
     assert rec["prompt_tokens"] == 3 and rec["completion_tokens"] == 1
     assert rec["total_tokens"] == 4 and rec["success"]
+
+    # reference LLMLogTable schema parity (round-8 ADVICE): start/end are
+    # TIMESTAMP columns (sa.DateTime), not epoch doubles — timestamp
+    # functions must work on them
+    ll = sess.sql("SELECT * FROM log.llm_log")
+    dtypes = dict(ll.dtypes)
+    assert dtypes["start_time"] == "timestamp"
+    assert dtypes["end_time"] == "timestamp"
+    span = sess.sql(
+        "SELECT count(*) AS n FROM log.llm_log "
+        "WHERE year(start_time) >= 2020 AND end_time >= start_time"
+    ).collect()[0]["n"]
+    assert span == len(rows)
+
+    # replay dedupe (round-8 ADVICE): accumulator updates are at-least-once
+    # for transformations — simulate a stage-retry by re-adding the exact
+    # records of an executor-side call (same replay-stable id) and assert
+    # the materialized view drops the duplicates
+    before = sess.sql("SELECT count(*) AS n FROM log.llm_log").collect()[0]["n"]
+    execu = [r for r in (sess._llm_log_accum.value or []) if r[0].startswith("p")]
+    assert execu, "expected executor-side (TaskContext) llm_log records"
+    sess._llm_log_accum.add(list(execu))
+    after = sess.sql("SELECT count(*) AS n FROM log.llm_log").collect()[0]["n"]
+    assert after == before
     sess.sql("DROP AGENT logtest")

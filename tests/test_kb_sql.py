@@ -544,9 +544,12 @@ def test_kb_explain_route_and_staleness(spark, sf_dir, tmp_path):
 
 def test_create_index_user_path_refuses_clobber(spark, sf_dir, tmp_path):
     """CREATE INDEX ... USING path='<dir>' must not silently destroy an
-    existing non-empty directory that isn't an index snapshot (round-7
-    ADVICE, medium): refuse with a clear error; a previously written
-    snapshot directory (has _SUCCESS) may be overwritten by a reindex."""
+    existing non-empty directory that isn't OUR index snapshot (round-7/8
+    ADVICE, medium): refuse with a clear error. Ownership is proven by the
+    engine sentinel file — NOT by _SUCCESS, which every Spark-written
+    dataset contains, so a user's unrelated Spark output is protected."""
+    from mindsdb_spark.operators.vector import KB_INDEX_SENTINEL
+
     sess = EngineSession(spark, state_dir=str(tmp_path / "state"))
     sess.register_knowledge_base(
         "kbg", load_table(spark, sf_dir, "documents").limit(30), dim=8,
@@ -560,15 +563,25 @@ def test_create_index_user_path_refuses_clobber(spark, sf_dir, tmp_path):
                  f"USING layout = 'partitioned', n_centroids = 2, path = '{precious}'")
     assert (precious / "data.txt").read_text() == "do not clobber"
 
+    # the round-8 ADVICE hazard: an unrelated SPARK-WRITTEN dataset
+    # (contains _SUCCESS but no engine sentinel) must also be refused
+    spark_ds = tmp_path / "user_spark_dataset"
+    spark.range(5).write.parquet(str(spark_ds))
+    assert (spark_ds / "_SUCCESS").exists()
+    with pytest.raises(ValueError, match="exists and is not"):
+        sess.sql("CREATE INDEX ON KNOWLEDGE_BASE kbg "
+                 f"USING layout = 'partitioned', n_centroids = 2, path = '{spark_ds}'")
+    assert (spark_ds / "_SUCCESS").exists()  # untouched
+
     # a fresh (empty/new) user dir is fine, and reindexing over our own
-    # snapshot (recognized by _SUCCESS) stays allowed
+    # snapshot (recognized by the engine sentinel) stays allowed
     target = tmp_path / "idx_out"
     sess.sql("CREATE INDEX ON KNOWLEDGE_BASE kbg "
              f"USING layout = 'partitioned', n_centroids = 2, path = '{target}'")
-    assert (target / "_SUCCESS").exists()
+    assert (target / KB_INDEX_SENTINEL).exists()
     sess.sql("CREATE INDEX ON KNOWLEDGE_BASE kbg "
              f"USING layout = 'partitioned', n_centroids = 2, path = '{target}'")
-    assert (target / "_SUCCESS").exists()
+    assert (target / KB_INDEX_SENTINEL).exists()
     sess.sql("DROP KNOWLEDGE_BASE kbg")
 
 
@@ -611,6 +624,15 @@ def test_kb_snapshot_external_removal_falls_back(spark, sf_dir, tmp_path):
              f"USING layout = 'partitioned', n_centroids = 2, path = '{target}'")
     assert (target / "_SUCCESS").exists()
     shutil.rmtree(target)  # external actor removes the layout
+
+    # EXPLAIN is read-only (round-8 ADVICE): it reports the in-plan
+    # fallback the search WILL take without mutating kb routing state
+    plan = sess.sql(
+        "EXPLAIN SELECT * FROM kbx WHERE content = 'x' LIMIT 1"
+    ).collect()[0]["plan"]
+    assert "layout: inplan" in plan and "invalidated" in plan
+    assert sess._kbs["kbx"].get("index_path") == str(target)
+    assert not sess._kbs["kbx"].get("index_stale")
 
     hits = sess.sql(
         "SELECT * FROM kbx WHERE content = 'spark join fast' LIMIT 5"
