@@ -2235,6 +2235,53 @@ FROM tiles ORDER BY media_id, by, bx
 """
 
 
+# --- D58 real resize through the PNG codec ------------------------------------
+# Oracle gate for the round-8 REAL image resize (retired stub): synth_png's
+# closed-form pixels → PNG encode → resize_images(fake=False) — executor-side
+# decode → nearest-neighbor numpy index gather → re-encode — → decode →
+# block-means. The NN map is exact integer math (xs[x] = x*W_in // W_out),
+# so DuckDB recomputes the resized raster from the pixel formula directly:
+# a halving resize keeps exactly the even-coordinate pixels. Any codec or
+# gather bug (filter reconstruction, row/col swap, off-by-one in the index
+# map) breaks the hash. Reference analog: image preprocessing handlers
+# delegate to PIL (mindsdb/integrations/utilities/handlers — no codec of
+# its own); here the full chain is from-spec and distributed.
+def d58_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(col("doc_id") < 100)
+    png = M.synth_png(docs, width=48, height=32, filters=(0, 1, 2, 3, 4))
+    resized = M.resize_images(png, 24, 16, fake=False)
+    raster = M.decode_png_media(resized)
+    blocks = M.downsample_block_mean(raster, block=8)
+    return blocks.select(
+        "media_id", "by", "bx",
+        (F.floor(col("mean") * 1e6 + F.lit(0.5)) / 1e6).alias("mean"),
+    ).repartition(1).sortWithinPartitions("media_id", "by", "bx")
+
+
+D58_SQL = """
+WITH seeds AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS seed
+  FROM documents WHERE doc_id < 100
+),
+px AS (
+  -- resized(y, x) = source(2y, 2x): nearest-neighbor halving keeps the
+  -- even-coordinate pixels; source value = (seed * (i0 + 1)) % 256 with
+  -- i0 = row-major index in the 48-wide source raster
+  SELECT doc_id,
+         CAST((i - 1) % 24 AS BIGINT) AS x,
+         CAST((i - 1) // 24 AS BIGINT) AS y,
+         CAST((seed * (((i - 1) // 24) * 2 * 48 + ((i - 1) % 24) * 2 + 1))
+              % 256 AS BIGINT) AS v
+  FROM seeds, UNNEST(generate_series(1, 384)) AS t(i)
+)
+SELECT doc_id AS media_id, y // 8 AS by, x // 8 AS bx,
+       floor(sum(v) / 64.0 * 1000000 + 0.5) / 1000000 AS mean
+FROM px GROUP BY doc_id, y // 8, x // 8
+ORDER BY media_id, by, bx
+"""
+
+
 # --- registry ----------------------------------------------------------------
 PIPELINE = {
     "d01_dedup_exact": (d01_dedup_exact, D01_SQL),
@@ -2294,6 +2341,7 @@ PIPELINE = {
     "d55_editdist_pairs": (d55_editdist_pairs, D55_SQL),
     "d56_tfidf_full": (d56_tfidf_full_checksum, D56_SQL),
     "d57_jpeg_blockmean": (d57_jpeg_blockmean, D57_SQL),
+    "d58_png_resize": (d58_png_resize, D58_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),
