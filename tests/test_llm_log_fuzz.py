@@ -1,0 +1,63 @@
+"""Literal-robustness fuzz for the round-9 llm_log surface: hostile
+question literals (quote escapes, unicode, whitespace runs, keyword-laden
+strings) must round-trip the agent door INTO log.llm_log with exact input
+recording and whitespace token counts — the same discipline
+test_literal_fuzz.py applies to every other statement family."""
+
+import pytest
+
+from mindsdb_spark.engine import EngineSession
+
+CASES = [
+    # (SQL literal as typed, decoded python string)
+    ("what''s new", "what's new"),
+    ("select * from t where x = 1", "select * from t where x = 1"),
+    ("tabs\tand  double  spaces", "tabs\tand  double  spaces"),
+    ("déjà vu — naïve café 日本語", "déjà vu — naïve café 日本語"),
+    ("USING model = ''x''", "USING model = 'x'"),
+    ("trailing spaces   ", "trailing spaces   "),
+]
+
+
+@pytest.fixture(scope="module")
+def log_sess(spark):
+    sess = EngineSession(spark)
+    sess.sql("CREATE AGENT fuzzlog USING model = 'fuzz-llm'")
+    yield sess
+    sess.sql("DROP AGENT fuzzlog")
+
+
+def test_llm_log_records_hostile_literals(log_sess):
+    for typed, decoded in CASES:
+        out = log_sess.sql(
+            f"SELECT answer FROM fuzzlog WHERE question = '{typed}'"
+        ).collect()
+        assert len(out) == 1 and out[0]["answer"].startswith("llm:")
+
+    rows = log_sess.sql(
+        "SELECT input, prompt_tokens, total_tokens, success "
+        "FROM log.llm_log WHERE model_name = 'fuzz-llm'"
+    ).collect()
+    by_input = {r["input"]: r for r in rows}
+    for _typed, decoded in CASES:
+        rec = by_input.get(decoded)
+        assert rec is not None, (decoded, sorted(by_input))
+        # whitespace token count matches python's split() on the DECODED text
+        assert rec["prompt_tokens"] == len(decoded.split())
+        assert rec["total_tokens"] == rec["prompt_tokens"] + 1
+        assert rec["success"]
+
+
+def test_llm_log_truncates_long_input(log_sess):
+    long_q = "tok " * 300  # 1200 chars, 300 tokens
+    log_sess.sql(
+        f"SELECT answer FROM fuzzlog WHERE question = '{long_q}'"
+    ).collect()
+    rows = log_sess.sql(
+        "SELECT input, prompt_tokens FROM log.llm_log "
+        "WHERE model_name = 'fuzz-llm' AND prompt_tokens = 300"
+    ).collect()
+    assert len(rows) == 1
+    # input truncates at 200 chars (reference LLMLogTable stores bounded
+    # text); token counts are computed on the FULL prompt before truncation
+    assert len(rows[0]["input"]) == 200
