@@ -4037,14 +4037,16 @@ class EngineSession:
                     p = os.path.abspath(path)
                     state = os.path.abspath(self._state_dir)
                     inside_state = p == state or p.startswith(state + os.sep)
-                    if (
-                        not inside_state
-                        and os.path.isdir(p)
-                        and os.listdir(p)
-                        and not os.path.exists(
-                            os.path.join(p, KB_INDEX_SENTINEL)
-                        )
-                    ):
+                    listing = os.listdir(p) if os.path.isdir(p) else []
+                    # secondary evidence for a crash window (parquet
+                    # written, sentinel not yet): a __cell=-partitioned
+                    # Spark dataset is our snapshot layout — without this,
+                    # a failure between the two writes would leave a path
+                    # the engine permanently refuses to reindex
+                    ours = os.path.exists(
+                        os.path.join(p, KB_INDEX_SENTINEL)
+                    ) or any(e.startswith("__cell=") for e in listing)
+                    if not inside_state and listing and not ours:
                         raise ValueError(
                             f"CREATE INDEX path {path!r} exists and is not "
                             "empty (and is not an engine-written index "

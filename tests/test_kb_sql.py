@@ -582,6 +582,14 @@ def test_create_index_user_path_refuses_clobber(spark, sf_dir, tmp_path):
     sess.sql("CREATE INDEX ON KNOWLEDGE_BASE kbg "
              f"USING layout = 'partitioned', n_centroids = 2, path = '{target}'")
     assert (target / KB_INDEX_SENTINEL).exists()
+
+    # crash-window recovery: a snapshot whose sentinel write never landed
+    # (parquet present, marker missing) is still recognized by its
+    # __cell= partition layout and may be reindexed
+    (target / KB_INDEX_SENTINEL).unlink()
+    sess.sql("CREATE INDEX ON KNOWLEDGE_BASE kbg "
+             f"USING layout = 'partitioned', n_centroids = 2, path = '{target}'")
+    assert (target / KB_INDEX_SENTINEL).exists()
     sess.sql("DROP KNOWLEDGE_BASE kbg")
 
 

@@ -223,3 +223,41 @@ def test_wav_decode_audio_features_on_real_text(spark, realmedia_docs):
             continue
         seg = samples[r["win"] * 250 : (r["win"] + 1) * 250].astype(np.int64)
         assert r["rms"] == (int((seg * seg).sum()) / 250) ** 0.5
+
+
+def test_corrupt_payloads_drop_rows_never_kill_the_stage(spark, realmedia_docs):
+    """The 100 TB contract: damaged payloads are a certainty at corpus
+    scale — truncated/garbage PNG and JPEG rows must DROP (decode skips
+    them) while every valid row still flows through decode → block-mean.
+    One plan, mixed valid + corrupt rows."""
+    n = realmedia_docs.count()
+    png = _media_from_text(
+        spark, realmedia_docs,
+        lambda r: encode_png(r, W, H, 1),
+        "image/png", W, H, W * H,
+    )
+    corrupt = spark.createDataFrame(
+        [
+            (90001, b"\x89PNG\r\n\x1a\x08garbage"),     # bad magic tail
+            (90002, b""),                               # empty payload
+            (90003, b"\xff\xd8\xff\xe0truncated"),      # JPEG SOI then junk
+        ],
+        _RAW_SCHEMA,
+    ).select(
+        "media_id", "content", F.lit("image/png").alias("mime"),
+        F.lit(W).cast("long").alias("meta_width"),
+        F.lit(H).cast("long").alias("meta_height"),
+    )
+    mixed = png.unionByName(corrupt)
+    decoded = decode_png_media(mixed)
+    ids = {r["media_id"] for r in decoded.select("media_id").collect()}
+    assert len(ids) == n
+    assert not ids & {90001, 90002, 90003}
+    bm = downsample_block_mean(decoded, block=8)
+    assert bm.count() == n * (H // 8) * (W // 8)
+
+    # a VALID png whose metadata lies about dimensions: decode trusts the
+    # actual IHDR, so downstream block-mean still gets the true raster
+    liar = png.limit(1).withColumn("meta_width", F.lit(9999).cast("long"))
+    truth = decode_png_media(liar).collect()[0]
+    assert (truth["meta_width"], truth["meta_height"]) == (W, H)
