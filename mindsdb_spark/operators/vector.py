@@ -202,6 +202,74 @@ def allpairs_topk(
     return local.orderBy(col("sim").desc(), "id_a", "id_b").limit(k)
 
 
+def knn_classify(
+    labeled: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    weighted: bool = False,
+) -> DataFrame:
+    """Semi-supervised labeling: predict each query vector's label as the
+    majority label among its k nearest LABELED neighbors by cosine — the
+    standard data-labeling / label-spreading step of a training-data
+    pipeline (label a small seed set by hand, kNN-classify the rest).
+    Training-data extension; no reference analog (the reference delegates
+    classification to its ML handlers).
+
+    Scale shape: the QUERY batch broadcasts (it is the small side — a
+    labeling pass classifies a batch against the full labeled corpus),
+    the labeled corpus streams through ONE scan, a rank window partitioned
+    by query id bounds per-query state to k rows, and the vote is a
+    (query, label) count argmax — all JVM higher-order functions inside
+    whole-stage codegen, no Python on the data path. For corpus-scale
+    query sides, pre-bucket with ``lsh_bucket``/IVF cells and apply per
+    bucket (the same candidate-bounding discipline as the dedup family).
+
+    Deterministic: neighbor ties break by neighbor id; vote ties break by
+    (count desc, summed similarity desc, label asc). ``weighted=True``
+    votes by summed cosine similarity instead of neighbor count.
+
+    Returns (query id, predicted label, vote strength of the winner).
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        col(id_col).alias("__qid"),
+        col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    data = labeled.select(
+        col(id_col).alias("__nid"),
+        col(label_col).alias("__lbl"),
+        col(vec_col).cast("array<double>").alias("__dv"),
+    )
+    sim = _dot(col("__dv"), col("__qv")) / (_norm(col("__dv")) * _norm(col("__qv")))
+    w = Window.partitionBy("__qid").orderBy(col("__sim").desc(), col("__nid"))
+    neighbors = (
+        data.join(F.broadcast(q), col("__nid") != col("__qid"))
+        .withColumn("__sim", sim)
+        .withColumn("__rnk", F.row_number().over(w))
+        .filter(col("__rnk") <= k)
+    )
+    votes = neighbors.groupBy("__qid", "__lbl").agg(
+        F.count("*").alias("__n"), F.sum("__sim").alias("__s")
+    )
+    strength = col("__s") if weighted else col("__n").cast("double")
+    pick = Window.partitionBy("__qid").orderBy(
+        strength.desc(), col("__s").desc(), col("__lbl").asc()
+    )
+    return (
+        votes.withColumn("__p", F.row_number().over(pick))
+        .filter(col("__p") == 1)
+        .select(
+            col("__qid").alias(id_col),
+            col("__lbl").alias("predicted_label"),
+            strength.alias("vote_strength"),
+        )
+    )
+
+
 def ivf_assign(
     df: DataFrame, vec_col: str, centroids: list[tuple[int, list[float]]], out_col: str = "__cid"
 ) -> DataFrame:
