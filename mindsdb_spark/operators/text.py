@@ -67,6 +67,68 @@ def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+# Encoding-damage signatures. UTF-8 bytes misdecoded as Latin-1/cp1252 and
+# re-encoded leave fingerprints: a 2-byte sequence becomes U+00C2/U+00C3
+# ("Â"/"Ã") + one char from the continuation range; a 3-byte punctuation
+# sequence becomes U+00E2 U+20AC ("â€") + one char. Plain character
+# classes both regex engines (Java in Spark, RE2 in the DuckDB oracle)
+# read identically — built with chr() because several class members are
+# invisible C1 controls (U+0080-U+009F) that editors/transports mangle.
+# The continuation class [\x80-\xBF] covers a latin-1 misdecode;
+# _CP1252_HIGH covers the cp1252 misdecode (0x80-0x9F remap to the euro/
+# quote/dash set below).
+_CP1252_HIGH = "".join(
+    chr(c) for c in (0x20AC, 0x201A, 0x0192, 0x201E, 0x2026, 0x2020, 0x2021,
+                     0x02C6, 0x2030, 0x0160, 0x2039, 0x0152, 0x017D, 0x2018,
+                     0x2019, 0x201C, 0x201D, 0x2022, 0x2013, 0x2014, 0x02DC,
+                     0x2122, 0x0161, 0x203A, 0x0153, 0x017E, 0x0178)
+)
+_CONT = chr(0x80) + "-" + chr(0xBF)
+MOJIBAKE_2BYTE = "[" + chr(0xC2) + chr(0xC3) + "][" + _CONT + _CP1252_HIGH + "]"
+MOJIBAKE_3BYTE = chr(0xE2) + chr(0x20AC) + "[" + _CONT + _CP1252_HIGH + "]"
+C1_CONTROLS = "[" + chr(0x80) + "-" + chr(0x9F) + "]"
+REPLACEMENT_CHAR = chr(0xFFFD)
+
+
+def mojibake_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Encoding-damage detection: count mojibake signatures (UTF-8 read as
+    Latin-1/cp1252 then re-encoded — "Ã©" for é, "â€™" for ’), bare C1
+    control characters, and U+FFFD replacement chars. The standard
+    corpus-cleaning signal (ftfy/CCNet's encoding fix step decides on
+    exactly these fingerprints); here it's a pure map stage — four
+    regexp_count expressions inside whole-stage codegen, zero shuffle at
+    any corpus size. Training-data extension; no reference analog.
+
+    Returns per doc: the three signature counts, damage per 1000 chars,
+    and is_suspect (any signature present). NULL-safe: empty docs score 0.
+    """
+    df = parallelize_input(df)
+    t = col(text_col)
+    n2 = F.regexp_count(t, F.lit(MOJIBAKE_2BYTE))
+    n3 = F.regexp_count(t, F.lit(MOJIBAKE_3BYTE))
+    nc1 = F.regexp_count(t, F.lit(C1_CONTROLS))
+    nrep = F.regexp_count(t, F.lit(REPLACEMENT_CHAR))
+    # 3-byte hits also match the 2-byte pattern's prefix? No: MOJIBAKE_2BYTE
+    # anchors on Â/Ã, MOJIBAKE_3BYTE on â€ — disjoint first chars. C1 hits
+    # inside a mojibake pair ARE double-counted by design (both signals are
+    # true). total weighs pair signatures over single-char ones.
+    total = n2 * 2 + n3 * 2 + nc1 + nrep
+    per_kchar = _round6(
+        F.try_divide(total * F.lit(1000.0), F.length(t))
+    )
+    return df.select(
+        col(id_col),
+        n2.alias("n_moj2"),
+        n3.alias("n_moj3"),
+        nc1.alias("n_c1"),
+        nrep.alias("n_replacement"),
+        F.coalesce(per_kchar, F.lit(0.0)).alias("damage_per_kchar"),
+        (total > 0).alias("is_suspect"),
+    )
+
+
 # Marker words per language for the n-gram/stopword-hit heuristic. Priority
 # order (ties resolve to the earlier entry) is part of the operator contract.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
