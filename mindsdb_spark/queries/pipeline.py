@@ -2282,6 +2282,130 @@ ORDER BY media_id, by, bx
 """
 
 
+# --- D59/D60: ROUND-10 CANDIDATES (implemented + compare()-tested in round
+# 9; NOT in the PIPELINE dict yet — each registered key rides the driver's
+# ~50-slot correctness window, and round 9's 2-key budget went to a11/d58.
+# Round 10: add the two dict lines.) ------------------------------------------
+
+
+def d59_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-classify vote table (operators/vector.py:knn_classify's heavy
+    plan — broadcast queries, WindowGroupLimit neighbor rank, vote counts)
+    reduced to EXACT-INT parity: one row per (query, label) with the
+    neighbor count among the top-5, plus the predicted label under
+    (count desc, label asc). The operator's similarity tie-break is
+    deliberately NOT oracle-hashed (a float sum's fold order may differ
+    between engines when counts tie); the vote counts pin the ranking."""
+    from pyspark.sql.window import Window
+
+    from mindsdb_spark.operators.vector import knn_classify  # noqa: F401 (parity anchor)
+    from mindsdb_spark.operators.vector import _dot as _vdot
+    from mindsdb_spark.operators.vector import _norm as _vnorm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    data = emb.filter(col("vec_id") >= 20).select(
+        col("vec_id").alias("__nid"), col("label").alias("__lbl"),
+        col("embedding").cast("array<double>").alias("__dv"),
+    )
+    q = emb.filter(col("vec_id") < 20).select(
+        col("vec_id").alias("__qid"),
+        col("embedding").cast("array<double>").alias("__qv"),
+    )
+    sim = _vdot(col("__dv"), col("__qv")) / (_vnorm(col("__dv")) * _vnorm(col("__qv")))
+    w = Window.partitionBy("__qid").orderBy(col("__sim").desc(), col("__nid"))
+    votes = (
+        data.join(F.broadcast(q), col("__nid") != col("__qid"))
+        .withColumn("__sim", sim)
+        .withColumn("__rnk", F.row_number().over(w))
+        .filter(col("__rnk") <= 5)
+        .groupBy("__qid", "__lbl")
+        .agg(F.count("*").alias("n"))
+    )
+    pick = Window.partitionBy("__qid").orderBy(col("n").desc(), col("__lbl").asc())
+    return (
+        votes.withColumn("__p", F.row_number().over(pick))
+        .select(
+            col("__qid").alias("vec_id"), col("__lbl").alias("label"),
+            col("n"), (col("__p") == 1).alias("is_predicted"),
+        )
+        .repartition(1).sortWithinPartitions("vec_id", "label")
+    )
+
+
+D59_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+l AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id >= 20),
+sims AS (SELECT q.qid, l.vec_id, l.label, {_COS} AS sim FROM l, q WHERE l.vec_id != q.qid),
+r AS (SELECT qid, label,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+      FROM sims),
+v AS (SELECT qid, label, count(*) AS n FROM r WHERE rnk <= 5 GROUP BY qid, label),
+p AS (SELECT qid, label, n,
+             row_number() OVER (PARTITION BY qid ORDER BY n DESC, label ASC) AS pk
+      FROM v)
+SELECT qid AS vec_id, label, n, (pk = 1) AS is_predicted
+FROM p ORDER BY vec_id, label
+"""
+
+
+# Damaged fixture rows for d60, constructed by the REAL failure mechanism
+# (utf-8 bytes misdecoded) — shared verbatim by the Spark callable and the
+# oracle SQL so both engines score identical strings.
+_D60_DAMAGED = [
+    (900001, "h\u00e9llo w\u00f6rld caf\u00e9".encode().decode("latin-1")),
+    (900002, "it\u2019s a \u201ctest \u2013 dash".encode().decode("cp1252")),
+    (900003, "repl " + chr(0xFFFD) + " and c1 " + chr(0x85) + " here"),
+]
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def d60_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage scores over the fixture corpus (healthy — pins the
+    zero-false-positive contract on 500 real rows) UNION three
+    mechanism-constructed damaged rows (pins detection). Pure map stage;
+    the oracle reruns the identical chr()-built patterns through DuckDB's
+    RE2 (parity already unit-pinned in tests/test_mojibake.py)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").unionAll(
+        spark.createDataFrame(_D60_DAMAGED, "doc_id long, text string")
+    )
+    return (
+        T.mojibake_score(docs)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+def _d60_sql() -> str:
+    pats = {
+        "m2": T.MOJIBAKE_2BYTE, "m3": T.MOJIBAKE_3BYTE,
+        "c1": T.C1_CONTROLS, "rep": T.REPLACEMENT_CHAR,
+    }
+    counts = {k: f"len(regexp_extract_all(text, {_sql_str(v)}))" for k, v in pats.items()}
+    total = f"({counts['m2']} * 2 + {counts['m3']} * 2 + {counts['c1']} + {counts['rep']})"
+    damaged = ", ".join(f"({i}, {_sql_str(t)})" for i, t in _D60_DAMAGED)
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES {damaged}) AS d(doc_id, text)
+)
+SELECT doc_id,
+       CAST({counts['m2']} AS INTEGER) AS n_moj2,
+       CAST({counts['m3']} AS INTEGER) AS n_moj3,
+       CAST({counts['c1']} AS INTEGER) AS n_c1,
+       CAST({counts['rep']} AS INTEGER) AS n_replacement,
+       coalesce(floor({total} * 1000.0 / nullif(length(text), 0) * 1000000 + 0.5) / 1000000,
+                0.0) AS damage_per_kchar,
+       {total} > 0 AS is_suspect
+FROM corpus ORDER BY doc_id
+"""
+
+
+D60_SQL = _d60_sql()
+
+
 # --- registry ----------------------------------------------------------------
 PIPELINE = {
     "d01_dedup_exact": (d01_dedup_exact, D01_SQL),
