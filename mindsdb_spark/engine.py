@@ -967,6 +967,11 @@ def _wrap_llm_transport(complete, model_name: str, accum):
     import uuid as _uuid
 
     seq = [0]
+    # wrapper identity, generated driver-side at CREATE AGENT and
+    # serialized INTO the closure — stable across task retries (the closure
+    # ships as-is) but distinct per agent, so two agents asking the same
+    # question from the same partition/seq can never collide in the dedupe
+    wrap_id = _uuid.uuid4().hex[:12]
 
     def _logged(prompts):
         t0 = _time.time()
@@ -989,7 +994,7 @@ def _wrap_llm_transport(complete, model_name: str, accum):
             digest = hashlib.md5(
                 "\x1f".join(str(p) for p in prompts).encode()
             ).hexdigest()[:16]
-            call_id = f"p{tc.partitionId()}:{seq[0]}:{digest}"
+            call_id = f"{wrap_id}:p{tc.partitionId()}:{seq[0]}:{digest}"
         try:
             outs = complete(prompts)
             ok = True
@@ -4004,7 +4009,11 @@ class EngineSession:
                 )
             # any reindex invalidates (and reclaims) the previous snapshot
             # up front, so a failure mid-build leaves a consistent
-            # centroid-only state, never a mismatched layout
+            # centroid-only state, never a mismatched layout. Remember the
+            # path first: the clobber-guard below accepts the kb's OWN
+            # previous snapshot even if its sentinel write never landed
+            # (crash between parquet write and marker).
+            prev_index_path = kb.get("index_path")
             self._drop_kb_index_snapshot(kb)
             kb["index"] = kmeans_centroids(
                 kb["store"], vec_col="embedding", n_centroids=n_centroids
@@ -4038,14 +4047,18 @@ class EngineSession:
                     state = os.path.abspath(self._state_dir)
                     inside_state = p == state or p.startswith(state + os.sep)
                     listing = os.listdir(p) if os.path.isdir(p) else []
-                    # secondary evidence for a crash window (parquet
-                    # written, sentinel not yet): a __cell=-partitioned
-                    # Spark dataset is our snapshot layout — without this,
-                    # a failure between the two writes would leave a path
-                    # the engine permanently refuses to reindex
+                    # ownership = the engine sentinel, or the kb's OWN
+                    # previous snapshot path (covers the crash window where
+                    # the parquet landed but the sentinel write didn't). A
+                    # bare __cell= layout is NOT enough — a user's own
+                    # ivf_assign output is partitioned by the same column
+                    # and must not be silently overwritten (round-9 review)
                     ours = os.path.exists(
                         os.path.join(p, KB_INDEX_SENTINEL)
-                    ) or any(e.startswith("__cell=") for e in listing)
+                    ) or (
+                        prev_index_path is not None
+                        and p == os.path.abspath(prev_index_path)
+                    )
                     if not inside_state and listing and not ours:
                         raise ValueError(
                             f"CREATE INDEX path {path!r} exists and is not "

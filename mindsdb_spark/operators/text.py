@@ -102,10 +102,13 @@ def mojibake_score(
     any corpus size. Training-data extension; no reference analog.
 
     Returns per doc: the three signature counts, damage per 1000 chars,
-    and is_suspect (any signature present). NULL-safe: empty docs score 0.
+    and is_suspect (any signature present). NULL-safe for real: text is
+    coalesced to '' FIRST — regexp_count(NULL) would yield NULL counts and
+    a NULL is_suspect that silently drops the row from BOTH the suspect
+    filter and its negation (round-9 review); NULL/empty docs score 0.
     """
     df = parallelize_input(df)
-    t = col(text_col)
+    t = F.coalesce(col(text_col), F.lit(""))
     n2 = F.regexp_count(t, F.lit(MOJIBAKE_2BYTE))
     n3 = F.regexp_count(t, F.lit(MOJIBAKE_3BYTE))
     nc1 = F.regexp_count(t, F.lit(C1_CONTROLS))

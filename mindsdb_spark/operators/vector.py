@@ -202,6 +202,58 @@ def allpairs_topk(
     return local.orderBy(col("sim").desc(), "id_a", "id_b").limit(k)
 
 
+def _knn_votes(
+    labeled: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Shared neighbor-rank + vote-count plan behind ``knn_classify`` and
+    its registry gate (queries/pipeline.py d59 hashes exactly this frame's
+    integer counts, so a change here breaks the oracle, not a private
+    copy). Returns (__qid, __lbl, __n count, __s summed similarity).
+
+    Zero-norm guard: a zero-norm vector (failed-embedding rows are a fact
+    of real corpora) makes cosine 0/0 — under ANSI mode a plain division
+    KILLS the whole query (DIVIDE_BY_ZERO), and with ANSI off the NaN
+    ranks ABOVE +Inf in a descending sort, making one zero vector every
+    query's top neighbor. ``try_divide`` → NULL → ``coalesce(-2)`` ranks
+    such pairs below every legitimate cosine (≥ -1) instead."""
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        col(id_col).alias("__qid"),
+        col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    data = labeled.select(
+        col(id_col).alias("__nid"),
+        col(label_col).alias("__lbl"),
+        col(vec_col).cast("array<double>").alias("__dv"),
+    )
+    sim = F.coalesce(
+        F.nanvl(
+            F.try_divide(
+                _dot(col("__dv"), col("__qv")),
+                _norm(col("__dv")) * _norm(col("__qv")),
+            ),
+            F.lit(-2.0),
+        ),
+        F.lit(-2.0),
+    )
+    w = Window.partitionBy("__qid").orderBy(col("__sim").desc(), col("__nid"))
+    neighbors = (
+        data.join(F.broadcast(q), col("__nid") != col("__qid"))
+        .withColumn("__sim", sim)
+        .withColumn("__rnk", F.row_number().over(w))
+        .filter(col("__rnk") <= k)
+    )
+    return neighbors.groupBy("__qid", "__lbl").agg(
+        F.count("*").alias("__n"), F.sum("__sim").alias("__s")
+    )
+
+
 def knn_classify(
     labeled: DataFrame,
     queries: DataFrame,
@@ -235,26 +287,7 @@ def knn_classify(
     """
     from pyspark.sql.window import Window
 
-    q = queries.select(
-        col(id_col).alias("__qid"),
-        col(vec_col).cast("array<double>").alias("__qv"),
-    )
-    data = labeled.select(
-        col(id_col).alias("__nid"),
-        col(label_col).alias("__lbl"),
-        col(vec_col).cast("array<double>").alias("__dv"),
-    )
-    sim = _dot(col("__dv"), col("__qv")) / (_norm(col("__dv")) * _norm(col("__qv")))
-    w = Window.partitionBy("__qid").orderBy(col("__sim").desc(), col("__nid"))
-    neighbors = (
-        data.join(F.broadcast(q), col("__nid") != col("__qid"))
-        .withColumn("__sim", sim)
-        .withColumn("__rnk", F.row_number().over(w))
-        .filter(col("__rnk") <= k)
-    )
-    votes = neighbors.groupBy("__qid", "__lbl").agg(
-        F.count("*").alias("__n"), F.sum("__sim").alias("__s")
-    )
+    votes = _knn_votes(labeled, queries, k, vec_col, id_col, label_col)
     strength = col("__s") if weighted else col("__n").cast("double")
     pick = Window.partitionBy("__qid").orderBy(
         strength.desc(), col("__s").desc(), col("__lbl").asc()

@@ -2289,41 +2289,27 @@ ORDER BY media_id, by, bx
 
 
 def d59_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN-classify vote table (operators/vector.py:knn_classify's heavy
-    plan — broadcast queries, WindowGroupLimit neighbor rank, vote counts)
-    reduced to EXACT-INT parity: one row per (query, label) with the
-    neighbor count among the top-5, plus the predicted label under
-    (count desc, label asc). The operator's similarity tie-break is
-    deliberately NOT oracle-hashed (a float sum's fold order may differ
-    between engines when counts tie); the vote counts pin the ranking."""
+    """kNN-classify vote table: hashes the OPERATOR's own shared plan
+    (vector.py:_knn_votes — broadcast queries, NaN-guarded cosine,
+    WindowGroupLimit neighbor rank, vote counts) reduced to EXACT-INT
+    parity, plus the predicted label under (count desc, label asc). The
+    operator's similarity tie-break is deliberately NOT oracle-hashed (a
+    float sum's fold order may differ between engines when counts tie);
+    the integer vote counts pin the ranking."""
     from pyspark.sql.window import Window
 
-    from mindsdb_spark.operators.vector import knn_classify  # noqa: F401 (parity anchor)
-    from mindsdb_spark.operators.vector import _dot as _vdot
-    from mindsdb_spark.operators.vector import _norm as _vnorm
+    from mindsdb_spark.operators.vector import _knn_votes
 
     emb = _t(spark, sf_dir, "embeddings")
-    data = emb.filter(col("vec_id") >= 20).select(
-        col("vec_id").alias("__nid"), col("label").alias("__lbl"),
-        col("embedding").cast("array<double>").alias("__dv"),
-    )
-    q = emb.filter(col("vec_id") < 20).select(
-        col("vec_id").alias("__qid"),
-        col("embedding").cast("array<double>").alias("__qv"),
-    )
-    sim = _vdot(col("__dv"), col("__qv")) / (_vnorm(col("__dv")) * _vnorm(col("__qv")))
-    w = Window.partitionBy("__qid").orderBy(col("__sim").desc(), col("__nid"))
-    votes = (
-        data.join(F.broadcast(q), col("__nid") != col("__qid"))
-        .withColumn("__sim", sim)
-        .withColumn("__rnk", F.row_number().over(w))
-        .filter(col("__rnk") <= 5)
-        .groupBy("__qid", "__lbl")
-        .agg(F.count("*").alias("n"))
+    votes = _knn_votes(
+        emb.filter(col("vec_id") >= 20),
+        emb.filter(col("vec_id") < 20),
+        k=5, vec_col="embedding", id_col="vec_id", label_col="label",
     )
     pick = Window.partitionBy("__qid").orderBy(col("n").desc(), col("__lbl").asc())
     return (
-        votes.withColumn("__p", F.row_number().over(pick))
+        votes.withColumnRenamed("__n", "n")
+        .withColumn("__p", F.row_number().over(pick))
         .select(
             col("__qid").alias("vec_id"), col("__lbl").alias("label"),
             col("n"), (col("__p") == 1).alias("is_predicted"),
@@ -2388,7 +2374,7 @@ def _d60_sql() -> str:
     damaged = ", ".join(f"({i}, {_sql_str(t)})" for i, t in _D60_DAMAGED)
     return f"""
 WITH corpus AS (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
   UNION ALL SELECT * FROM (VALUES {damaged}) AS d(doc_id, text)
 )
 SELECT doc_id,

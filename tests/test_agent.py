@@ -116,7 +116,9 @@ def test_llm_log_records_completions(spark):
     # records of an executor-side call (same replay-stable id) and assert
     # the materialized view drops the duplicates
     before = sess.sql("SELECT count(*) AS n FROM log.llm_log").collect()[0]["n"]
-    execu = [r for r in (sess._llm_log_accum.value or []) if r[0].startswith("p")]
+    # executor-side rids are "<wrap_id>:p<partition>:<seq>:<digest>";
+    # driver-side ones are a bare uuid hex with no ':'
+    execu = [r for r in (sess._llm_log_accum.value or []) if ":p" in r[0]]
     assert execu, "expected executor-side (TaskContext) llm_log records"
     sess._llm_log_accum.add(list(execu))
     after = sess.sql("SELECT count(*) AS n FROM log.llm_log").collect()[0]["n"]

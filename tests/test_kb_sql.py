@@ -652,3 +652,31 @@ def test_kb_snapshot_external_removal_falls_back(spark, sf_dir, tmp_path):
     ).collect()[0]["plan"]
     assert "layout: inplan" in plan and "invalidated" in plan
     sess.sql("DROP KNOWLEDGE_BASE kbx")
+
+
+def test_create_index_refuses_users_own_cell_partitioned_data(spark, sf_dir, tmp_path):
+    """Round-9 review finding: a user's OWN ivf_assign output is
+    partitioned by the same __cell column as an engine snapshot — a bare
+    __cell= layout must NOT count as ownership (only the sentinel, or the
+    kb's own previous index_path for the crash window)."""
+    from mindsdb_spark.operators.vector import ivf_assign
+
+    sess = EngineSession(spark, state_dir=str(tmp_path / "state"))
+    sess.register_knowledge_base(
+        "kbh", load_table(spark, sf_dir, "documents").limit(20), dim=8,
+        chunk=False,
+    )
+    users_data = tmp_path / "users_cells"
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    centroids = [(0, [1.0] * 8), (1, [-1.0] * 8)]
+    ivf_assign(
+        emb.selectExpr("vec_id", "slice(embedding, 1, 8) AS embedding"),
+        "embedding", centroids, "__cell",
+    ).write.partitionBy("__cell").parquet(str(users_data))
+    assert any(d.name.startswith("__cell=") for d in users_data.iterdir())
+    with pytest.raises(ValueError, match="exists and is not"):
+        sess.sql("CREATE INDEX ON KNOWLEDGE_BASE kbh "
+                 f"USING layout = 'partitioned', n_centroids = 2, path = '{users_data}'")
+    # the user's dataset survived untouched
+    assert spark.read.parquet(str(users_data)).count() == 50
+    sess.sql("DROP KNOWLEDGE_BASE kbh")

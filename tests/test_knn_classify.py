@@ -96,3 +96,25 @@ def test_knn_classify_weighted_votes(spark):
     assert unw["predicted_label"] == 0  # 2 votes vs 1
     wtd = knn_classify(labeled, queries, k=3, weighted=True).collect()[0]
     assert wtd["predicted_label"] == 1  # sim ~0.995 beats ~0.29 + ~0.20
+
+
+def test_zero_norm_vector_cannot_hijack_topk(spark):
+    """Round-9 review finding: cosine of a zero-norm embedding is 0/0 —
+    under ANSI mode an un-guarded division KILLS the whole query
+    (DIVIDE_BY_ZERO); with ANSI off the NaN sorts ABOVE +Inf descending
+    and one failed-embedding row becomes every query's top neighbor. The
+    try_divide→coalesce(-2) guard ranks it below every legitimate cosine
+    and the query completes."""
+    labeled = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0), (3, [1.0, 0.05], 0),
+            (4, [0.0, 0.0], 9),  # failed-embedding row, poison label
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    queries = spark.createDataFrame(
+        [(100, [0.95, 0.05])], "vec_id long, embedding array<double>"
+    )
+    out = knn_classify(labeled, queries, k=3).collect()[0]
+    assert out["predicted_label"] == 0
+    assert out["vote_strength"] == 3.0  # the zero vector took no slot

@@ -61,3 +61,26 @@ def test_llm_log_truncates_long_input(log_sess):
     # input truncates at 200 chars (reference LLMLogTable stores bounded
     # text); token counts are computed on the FULL prompt before truncation
     assert len(rows[0]["input"]) == 200
+
+
+def test_two_agents_same_question_both_logged(spark):
+    """Round-9 review finding: the replay-stable record id must include
+    the wrapper identity — two DIFFERENT agents asking the byte-identical
+    question from the same partition/seq would otherwise collide in the
+    dedupe and one model's call would silently vanish from the audit log."""
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    sess.sql("CREATE AGENT twin_a USING model = 'model-a'")
+    sess.sql("CREATE AGENT twin_b USING model = 'model-b'")
+    for agent in ("twin_a", "twin_b"):
+        sess.sql(
+            f"SELECT answer FROM {agent} WHERE question = 'same exact question'"
+        ).collect()
+    rows = sess.sql(
+        "SELECT model_name FROM log.llm_log "
+        "WHERE input = 'same exact question' ORDER BY model_name"
+    ).collect()
+    assert [r["model_name"] for r in rows] == ["model-a", "model-b"]
+    sess.sql("DROP AGENT twin_a")
+    sess.sql("DROP AGENT twin_b")

@@ -90,3 +90,19 @@ def test_mojibake_duckdb_parity(spark, sf_dir):
         ).fetchall())
         for doc_id, counts in got.items():
             assert counts[idx] == duck[doc_id], (pat_name, doc_id)
+
+
+def test_null_text_scores_clean_not_null(spark):
+    """Round-9 review finding: regexp_count(NULL) yields NULL counts and a
+    NULL is_suspect that drops the row from BOTH the suspect filter and
+    its negation. NULL text must score 0 / not-suspect like empty text."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "clean"), (3, _latin1("héllo"))],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in mojibake_score(df).collect()}
+    assert got[1]["is_suspect"] is False
+    assert got[1]["n_moj2"] == 0 and got[1]["damage_per_kchar"] == 0.0
+    suspects = mojibake_score(df).filter(F.col("is_suspect")).count()
+    healthy = mojibake_score(df).filter(~F.col("is_suspect")).count()
+    assert suspects + healthy == 3  # no row vanishes into NULL-land
