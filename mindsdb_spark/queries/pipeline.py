@@ -2452,6 +2452,8 @@ PIPELINE = {
     "d56_tfidf_full": (d56_tfidf_full_checksum, D56_SQL),
     "d57_jpeg_blockmean": (d57_jpeg_blockmean, D57_SQL),
     "d58_png_resize": (d58_png_resize, D58_SQL),
+    "d59_knn_classify": (d59_knn_classify, D59_SQL),
+    "d60_mojibake": (d60_mojibake, D60_SQL),
     "s01_bm25_topk": (s01_bm25_topk, S01_SQL),
     "s02_boolean_search": (s02_boolean_search, S02_SQL),
     "s03_hybrid_topk": (s03_hybrid_topk, S03_SQL),

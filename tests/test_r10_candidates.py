@@ -1,8 +1,5 @@
-"""Round-10 registry candidates (d59_knn_classify, d60_mojibake) — fully
-implemented and oracle-compared in round 9, but NOT yet in the PIPELINE
-dict (each registered key rides the driver's ~50-slot correctness window;
-round 9's 2-key budget went to a11/d58). This test keeps them green until
-round 10 adds the two dict lines."""
+"""d59_knn_classify / d60_mojibake — implemented and oracle-compared in
+round 9, registered in the PIPELINE dict in round 10."""
 
 import pytest
 
@@ -18,8 +15,6 @@ def test_r10_candidate_matches_oracle(spark, sf_dir, name):
     assert ok, detail
 
 
-def test_r10_candidates_not_yet_registered():
-    # intentional: registration is the round-10 window budget's call.
-    # When this assert starts failing, delete this test.
-    assert "d59_knn_classify" not in P.PIPELINE
-    assert "d60_mojibake" not in P.PIPELINE
+def test_r10_candidates_registered():
+    assert P.PIPELINE["d59_knn_classify"] == (P.d59_knn_classify, P.D59_SQL)
+    assert P.PIPELINE["d60_mojibake"] == (P.d60_mojibake, P.D60_SQL)
