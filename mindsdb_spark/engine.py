@@ -972,6 +972,12 @@ def _wrap_llm_transport(complete, model_name: str, accum):
     # ships as-is) but distinct per agent, so two agents asking the same
     # question from the same partition/seq can never collide in the dedupe
     wrap_id = _uuid.uuid4().hex[:12]
+    # per-statement epoch: rebound driver-side (bump_epoch) before each
+    # agent_apply, then frozen into that plan's pickled UDF closure. Two
+    # byte-identical re-asks are distinct statements → distinct epochs →
+    # distinct record ids, while stage retries / speculative attempts of
+    # the SAME action replay the already-pickled closure and still dedupe.
+    epoch = ["0"]
 
     def _logged(prompts):
         t0 = _time.time()
@@ -994,7 +1000,7 @@ def _wrap_llm_transport(complete, model_name: str, accum):
             digest = hashlib.md5(
                 "\x1f".join(str(p) for p in prompts).encode()
             ).hexdigest()[:16]
-            call_id = f"{wrap_id}:p{tc.partitionId()}:{seq[0]}:{digest}"
+            call_id = f"{wrap_id}:e{epoch[0]}:p{tc.partitionId()}:{seq[0]}:{digest}"
         try:
             outs = complete(prompts)
             ok = True
@@ -1017,6 +1023,10 @@ def _wrap_llm_transport(complete, model_name: str, accum):
                 accum.add(recs)
         return outs
 
+    def _bump_epoch():
+        epoch[0] = _uuid.uuid4().hex[:8]
+
+    _logged.bump_epoch = _bump_epoch
     return _logged
 
 

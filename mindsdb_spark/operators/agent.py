@@ -57,6 +57,13 @@ def agent_apply(df: DataFrame, agent: AgentSpec, question_col: str) -> DataFrame
     parallelism are free) and the row identity re-join the reference does
     via __mindsdb_row_id disappears.
     """
+    # rebind the transport's llm_log epoch BEFORE the UDF closure is
+    # pickled: each statement (every agent_apply call) gets a fresh epoch,
+    # so byte-identical re-asks log separately, while retries of one action
+    # replay the same pickled closure and dedupe (engine._wrap_llm_transport)
+    bump = getattr(agent.complete, "bump_epoch", None)
+    if bump is not None:
+        bump()
 
     @F.pandas_udf(StringType())
     def _complete(qs: pd.Series) -> pd.Series:

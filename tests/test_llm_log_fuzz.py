@@ -84,3 +84,45 @@ def test_two_agents_same_question_both_logged(spark):
     assert [r["model_name"] for r in rows] == ["model-a", "model-b"]
     sess.sql("DROP AGENT twin_a")
     sess.sql("DROP AGENT twin_b")
+
+
+def test_reask_logs_twice_retry_logs_once(spark):
+    """Round-9 ADVICE: a user legitimately re-running the byte-identical
+    agent query must produce TWO llm_log records (the reference
+    LLMLogTable records every call), while a stage retry of the SAME
+    action must still dedupe to one. The per-statement epoch bound into
+    the transport closure at agent_apply time is what separates the two."""
+    from mindsdb_spark.engine import EngineSession
+
+    sess = EngineSession(spark)
+    sess.sql("CREATE AGENT reask USING model = 'reask-llm'")
+    for _ in range(2):
+        sess.sql(
+            "SELECT answer FROM reask WHERE question = 'identical re-ask'"
+        ).collect()
+    n = sess.sql(
+        "SELECT count(*) AS n FROM log.llm_log "
+        "WHERE model_name = 'reask-llm' AND input = 'identical re-ask'"
+    ).collect()[0]["n"]
+    assert n == 2, f"byte-identical re-ask undercounted: {n} records"
+
+    # the two statements' executor-side record ids differ only in epoch
+    rids = sorted(
+        r[0] for r in (sess._llm_log_accum.value or [])
+        if ":p" in r[0] and r[2] == "identical re-ask"
+    )
+    assert len(rids) == 2 and rids[0] != rids[1]
+
+    # stage-retry simulation: re-adding the exact records of one action
+    # (same replay-stable ids) must NOT add rows
+    execu = [
+        r for r in (sess._llm_log_accum.value or [])
+        if ":p" in r[0] and r[2] == "identical re-ask"
+    ]
+    sess._llm_log_accum.add(list(execu))
+    after = sess.sql(
+        "SELECT count(*) AS n FROM log.llm_log "
+        "WHERE model_name = 'reask-llm' AND input = 'identical re-ask'"
+    ).collect()[0]["n"]
+    assert after == 2
+    sess.sql("DROP AGENT reask")
