@@ -458,13 +458,20 @@ def _quiet_tail() -> None:
         prev = os.environ.get("SPARK_SUBMIT_OPTS", "")
         if "log4j.configurationFile" not in prev:
             os.environ["SPARK_SUBMIT_OPTS"] = (prev + " " + opts).strip()
+    # redirect only when the tail is actually being captured (stdout is a
+    # pipe — the driver's mode) or when forced; an interactive run keeps
+    # live stderr (round-9 ADVICE). The sidecar truncates per run instead
+    # of growing unboundedly; SPARK_GRAFT_BENCH_QUIET=0 disables outright.
+    quiet = os.environ.get("SPARK_GRAFT_BENCH_QUIET", "")
+    if quiet == "0" or (quiet != "1" and sys.stdout.isatty()):
+        return
     log_path = os.environ.get(
         "SPARK_GRAFT_BENCH_STDERR_LOG",
         os.path.join(SPLIT_DIR, "bench_stderr.log"),
     )
     try:
         os.makedirs(os.path.dirname(log_path), exist_ok=True)
-        fh = open(log_path, "ab")  # noqa: SIM115 — must outlive this frame
+        fh = open(log_path, "wb")  # noqa: SIM115 — must outlive this frame
         os.dup2(fh.fileno(), 2)  # the JVM child inherits fd 2
     except OSError:
         pass  # unwritable sidecar: keep stderr, lose only tail cleanliness

@@ -715,7 +715,26 @@ def _pipeline_table_fns() -> dict:
         "dsir_weights": lambda df, target_col="source", target_value="src0", **kw: (
             curation.dsir_weights(df, F.col(target_col) == target_value, **kw)
         ),
+        "mojibake_score": text.mojibake_score,
+        # two-input: the FROM-position table is the batch being classified;
+        # the labeled seed set arrives as a table-name literal, resolved
+        # through the session (unlike connected_components, whose second
+        # input is an edge expression with no table-name spelling)
+        "knn_classify": _knn_classify_door,
     }
+
+
+def _knn_classify_door(sess, df, labeled_table=None, **kw):
+    from mindsdb_spark.operators import vector
+
+    if not labeled_table:
+        raise ValueError(
+            "knn_classify needs labeled_table = '<table>' (the labeled seed set)"
+        )
+    return vector.knn_classify(sess.sql(f"SELECT * FROM {labeled_table}"), df, **kw)
+
+
+_knn_classify_door._needs_session = True
 
 
 def _coerce_literal(v: str):
@@ -3544,7 +3563,10 @@ class EngineSession:
             for kv in split_top_level(m.group(3)) if m.group(3) else []:
                 k, _, v = kv.partition("=")
                 kwargs[k.strip().lower()] = _coerce_literal(v)
-            out = fn(src, **kwargs)
+            if getattr(fn, "_needs_session", False):
+                out = fn(self, src, **kwargs)
+            else:
+                out = fn(src, **kwargs)
             if m.group(4):
                 out = out.orderBy(*[c.strip(" `") for c in m.group(4).split(",")])
             if m.group(5):
@@ -4051,23 +4073,70 @@ class EngineSession:
                     # engine-written sentinel ivf_write_partitioned drops
                     # in every snapshot — NOT by _SUCCESS, which every
                     # Spark-written dataset contains.
-                    from mindsdb_spark.operators.vector import KB_INDEX_SENTINEL
+                    from mindsdb_spark.operators.vector import (
+                        read_index_sentinel_owner,
+                    )
 
-                    p = os.path.abspath(path)
-                    state = os.path.abspath(self._state_dir)
-                    inside_state = p == state or p.startswith(state + os.sep)
-                    listing = os.listdir(p) if os.path.isdir(p) else []
+                    has_scheme = re.match(r"[A-Za-z][A-Za-z0-9+.\-]*://", path)
+                    if has_scheme:
+                        # non-local URI (hdfs://, s3a://): no local abspath
+                        # semantics, and the local state dir can't contain
+                        # it; the sentinel read below still works — it goes
+                        # through the Hadoop FS API
+                        p = path
+                        inside_state = False
+                        listing = True  # can't cheaply list; rely on sentinel
+                    else:
+                        p = os.path.abspath(path)
+                        state = os.path.abspath(self._state_dir)
+                        inside_state = p == state or p.startswith(state + os.sep)
+                        listing = os.listdir(p) if os.path.isdir(p) else []
+
+                    def _norm(q):
+                        q = str(q)
+                        return q if re.match(
+                            r"[A-Za-z][A-Za-z0-9+.\-]*://", q
+                        ) else os.path.abspath(q)
+
+                    # cross-KB guard (round-9 ADVICE): a path that is ANOTHER
+                    # live kb's index snapshot must never be overwritten —
+                    # the other kb's index_path would keep pointing there and
+                    # its probes would silently read THIS kb's chunks. Checked
+                    # before the ours/inside_state logic: being engine-written
+                    # (sentinel) or engine-managed (state dir) is exactly the
+                    # dangerous case here, not an exemption.
+                    sowner = read_index_sentinel_owner(self.spark, p)
+                    other = next(
+                        (
+                            n2 for n2, kb2 in self._kbs.items()
+                            if n2 != name and kb2.get("index_path")
+                            and _norm(kb2["index_path"]) == p
+                        ),
+                        None,
+                    )
+                    if other is None and sowner and sowner != name \
+                            and sowner in self._kbs:
+                        # the sentinel records its owner: a LIVE other kb
+                        # named there is refused even if its index_path was
+                        # recorded under a differently-normalized spelling
+                        other = sowner
+                    if other is not None:
+                        raise ValueError(
+                            f"CREATE INDEX path {path!r} is the live index "
+                            f"snapshot of knowledge base {other!r}; "
+                            "refusing to overwrite it"
+                        )
                     # ownership = the engine sentinel, or the kb's OWN
                     # previous snapshot path (covers the crash window where
-                    # the parquet landed but the sentinel write didn't). A
-                    # bare __cell= layout is NOT enough — a user's own
-                    # ivf_assign output is partitioned by the same column
-                    # and must not be silently overwritten (round-9 review)
-                    ours = os.path.exists(
-                        os.path.join(p, KB_INDEX_SENTINEL)
-                    ) or (
+                    # the parquet landed but the sentinel write didn't —
+                    # session-scoped: prev_index_path is in-memory state, a
+                    # restarted session refuses the half-written dir, safe
+                    # side). A bare __cell= layout is NOT enough — a user's
+                    # own ivf_assign output is partitioned by the same
+                    # column and must not be silently overwritten
+                    ours = sowner is not None or (
                         prev_index_path is not None
-                        and p == os.path.abspath(prev_index_path)
+                        and p == _norm(prev_index_path)
                     )
                     if not inside_state and listing and not ours:
                         raise ValueError(
@@ -4077,7 +4146,8 @@ class EngineSession:
                             "engine-managed path"
                         )
                 ivf_write_partitioned(
-                    kb["store"], path, "embedding", kb["index"], cell_col="__cell"
+                    kb["store"], path, "embedding", kb["index"],
+                    cell_col="__cell", owner=name,
                 )
                 kb["index_path"] = path
             return self.spark.createDataFrame(

@@ -697,12 +697,17 @@ def ivf_write_partitioned(
     vec_col: str,
     centroids: list[tuple[int, list[float]]],
     cell_col: str = "cell",
+    owner: str = "",
 ) -> None:
     """Materialize the corpus partitioned by IVF cell id: one parquet
     partition directory per coarse cell. This is the layout that turns a
     probe from a full-scan filter into PARTITION PRUNING — at 100 TB a
     4-of-64-cell probe reads ~6% of the files and Spark's planner proves
     it from directory names alone (PartitionFilters, no data touched).
+
+    ``owner`` (the owning knowledge base's name) is recorded in the
+    sentinel so a later CREATE INDEX on a DIFFERENT kb pointed at this
+    path can be refused instead of silently clobbering a live snapshot.
     """
     ivf_assign(df, vec_col, centroids, cell_col).write.mode("overwrite").partitionBy(
         cell_col
@@ -712,10 +717,51 @@ def ivf_write_partitioned(
     # previous snapshot, safe to overwrite" from an arbitrary Spark-written
     # dataset (every Spark write leaves _SUCCESS, so _SUCCESS proves
     # nothing about ownership)
-    import os as _os
+    write_index_sentinel(df.sparkSession, path, owner)
 
-    with open(_os.path.join(path, KB_INDEX_SENTINEL), "w") as fh:
-        fh.write("mindsdb_spark kb index snapshot\n")
+
+def _sentinel_fs(spark, path: str):
+    """(FileSystem, sentinel Path, jvm) for ``path`` via the Hadoop FS API
+    — the sentinel must land wherever the parquet does (hdfs://, s3a://,
+    local), not assume a local filesystem (round-9 ADVICE: a local open()
+    raised after a successful object-store write)."""
+    jvm = spark._jvm
+    jdir = jvm.org.apache.hadoop.fs.Path(str(path))
+    fs = jdir.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jvm.org.apache.hadoop.fs.Path(jdir, KB_INDEX_SENTINEL), jvm
+
+
+def write_index_sentinel(spark, path: str, owner: str = "") -> None:
+    fs, jfile, _ = _sentinel_fs(spark, path)
+    out = fs.create(jfile, True)
+    try:
+        out.write(bytearray(
+            f"mindsdb_spark kb index snapshot\nowner={owner}\n".encode()
+        ))
+    finally:
+        out.close()
+
+
+def read_index_sentinel_owner(spark, path: str):
+    """None if no sentinel at ``path``; else the recorded owner kb name
+    ('' for pre-round-10 sentinels, which carried no owner line)."""
+    fs, jfile, jvm = _sentinel_fs(spark, path)
+    try:
+        if not fs.exists(jfile):
+            return None
+    except Exception:
+        return None
+    ins = fs.open(jfile)
+    try:
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(ins, baos, 4096)
+        text = bytes(baos.toByteArray()).decode("utf-8", "replace")
+    finally:
+        ins.close()
+    for line in text.splitlines():
+        if line.startswith("owner="):
+            return line[len("owner="):].strip()
+    return ""
 
 
 def ivf_read_probe(

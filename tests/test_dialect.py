@@ -647,3 +647,36 @@ def test_recursive_cte_through_engine_door(spark, sf_dir):
     ).collect()
     assert [r["step"] for r in rows] == [1, 2, 3]
     assert rows[0]["n_name"] == "NATION_2"
+
+
+def test_round10_table_functions_sql_door(spark, sf_dir):
+    sess = EngineSession(spark)
+    sess.register_parquet_source("tpch", sf_dir, tables=["documents", "embeddings"])
+    mj = sess.sql(
+        "SELECT * FROM mojibake_score(tpch_documents) ORDER BY doc_id LIMIT 5"
+    )
+    assert mj.columns == [
+        "doc_id", "n_moj2", "n_moj3", "n_c1", "n_replacement",
+        "damage_per_kchar", "is_suspect",
+    ]
+    rows = mj.collect()
+    # the fixture corpus is healthy text — zero false positives
+    assert len(rows) == 5 and not any(r["is_suspect"] for r in rows)
+    # knn_classify door: FROM-position table is the batch to classify,
+    # labeled seed set arrives as a table-name literal
+    sess.sql(
+        "CREATE VIEW knn_seed AS SELECT * FROM tpch_embeddings WHERE vec_id >= 20"
+    )
+    sess.sql(
+        "CREATE VIEW knn_batch AS SELECT * FROM tpch_embeddings WHERE vec_id < 20"
+    )
+    kn = sess.sql(
+        "SELECT * FROM knn_classify(knn_batch, labeled_table = 'knn_seed', k = 3) "
+        "ORDER BY vec_id"
+    )
+    assert kn.columns == ["vec_id", "predicted_label", "vote_strength"]
+    out = kn.collect()
+    assert len(out) == 20 and all(r["predicted_label"] is not None for r in out)
+    with pytest.raises(ValueError, match="labeled_table"):
+        sess.sql("SELECT * FROM knn_classify(knn_batch)")
+    sess.sql("DROP VIEW knn_seed"); sess.sql("DROP VIEW knn_batch")

@@ -583,9 +583,10 @@ def test_create_index_user_path_refuses_clobber(spark, sf_dir, tmp_path):
              f"USING layout = 'partitioned', n_centroids = 2, path = '{target}'")
     assert (target / KB_INDEX_SENTINEL).exists()
 
-    # crash-window recovery: a snapshot whose sentinel write never landed
-    # (parquet present, marker missing) is still recognized by its
-    # __cell= partition layout and may be reindexed
+    # crash-window recovery is SESSION-SCOPED: a snapshot whose sentinel
+    # write never landed (parquet present, marker missing) is recognized
+    # because this session's kb still remembers it as prev_index_path —
+    # a restarted session would refuse the half-written dir (safe side)
     (target / KB_INDEX_SENTINEL).unlink()
     sess.sql("CREATE INDEX ON KNOWLEDGE_BASE kbg "
              f"USING layout = 'partitioned', n_centroids = 2, path = '{target}'")
@@ -680,3 +681,40 @@ def test_create_index_refuses_users_own_cell_partitioned_data(spark, sf_dir, tmp
     # the user's dataset survived untouched
     assert spark.read.parquet(str(users_data)).count() == 50
     sess.sql("DROP KNOWLEDGE_BASE kbh")
+
+
+def test_create_index_refuses_other_kbs_live_snapshot(spark, sf_dir, tmp_path):
+    """Round-9 ADVICE: CREATE INDEX ON kb_a USING path='<kb_b snapshot
+    dir>' must refuse — overwriting it would leave kb_b's index_path
+    pointing at kb_a's chunks (silently wrong search results). The engine
+    sentinel is NOT an exemption here; it records the owner, and a
+    different live owner is exactly the refusal case. Applies to
+    engine-managed (state-dir) snapshot paths too."""
+    from mindsdb_spark.operators.vector import read_index_sentinel_owner
+
+    sess = EngineSession(spark, state_dir=str(tmp_path / "state"))
+    docs = load_table(spark, sf_dir, "documents")
+    sess.register_knowledge_base("kb_a", docs.limit(20), dim=8, chunk=False)
+    sess.register_knowledge_base("kb_b", docs.limit(25), dim=8, chunk=False)
+    target = tmp_path / "kb_b_idx"
+    sess.sql("CREATE INDEX ON KNOWLEDGE_BASE kb_b "
+             f"USING layout = 'partitioned', n_centroids = 2, path = '{target}'")
+    # round-10: the sentinel names its owner (written via the Hadoop FS API)
+    assert read_index_sentinel_owner(spark, str(target)) == "kb_b"
+    with pytest.raises(ValueError, match="live index snapshot of knowledge base 'kb_b'"):
+        sess.sql("CREATE INDEX ON KNOWLEDGE_BASE kb_a "
+                 f"USING layout = 'partitioned', n_centroids = 2, path = '{target}'")
+    # kb_b's snapshot is intact and still routes its searches
+    assert sess._kbs["kb_b"]["index_path"] == str(target)
+    assert sess.sql("SELECT * FROM kb_b WHERE content = 'x' LIMIT 3").count() == 3
+    # the engine-managed default path of kb_b is refused for kb_a too
+    sess.sql("CREATE INDEX ON KNOWLEDGE_BASE kb_b "
+             "USING layout = 'partitioned', n_centroids = 2")
+    managed = sess._kbs["kb_b"]["index_path"]
+    with pytest.raises(ValueError, match="live index snapshot"):
+        sess.sql("CREATE INDEX ON KNOWLEDGE_BASE kb_a "
+                 f"USING layout = 'partitioned', n_centroids = 2, path = '{managed}'")
+    # kb_b itself may still rebuild over its own snapshot
+    sess.sql("CREATE INDEX ON KNOWLEDGE_BASE kb_b "
+             f"USING layout = 'partitioned', n_centroids = 2, path = '{managed}'")
+    sess.sql("DROP KNOWLEDGE_BASE kb_a"); sess.sql("DROP KNOWLEDGE_BASE kb_b")
