@@ -4074,6 +4074,7 @@ class EngineSession:
                     # in every snapshot — NOT by _SUCCESS, which every
                     # Spark-written dataset contains.
                     from mindsdb_spark.operators.vector import (
+                        hadoop_dir_nonempty,
                         read_index_sentinel_owner,
                     )
 
@@ -4081,11 +4082,11 @@ class EngineSession:
                     if has_scheme:
                         # non-local URI (hdfs://, s3a://): no local abspath
                         # semantics, and the local state dir can't contain
-                        # it; the sentinel read below still works — it goes
-                        # through the Hadoop FS API
+                        # it; existence/sentinel checks go through the
+                        # Hadoop FS API instead of os.*
                         p = path
                         inside_state = False
-                        listing = True  # can't cheaply list; rely on sentinel
+                        listing = hadoop_dir_nonempty(self.spark, path)
                     else:
                         p = os.path.abspath(path)
                         state = os.path.abspath(self._state_dir)

@@ -742,6 +742,18 @@ def write_index_sentinel(spark, path: str, owner: str = "") -> None:
         out.close()
 
 
+def hadoop_dir_nonempty(spark, path: str) -> bool:
+    """True when ``path`` exists and has at least one child, via the
+    Hadoop FS API — the existence check the clobber-guard needs for
+    non-local URIs where os.listdir can't look."""
+    fs, _, jvm = _sentinel_fs(spark, path)
+    jdir = jvm.org.apache.hadoop.fs.Path(str(path))
+    try:
+        return bool(fs.exists(jdir)) and len(fs.listStatus(jdir)) > 0
+    except Exception:
+        return False
+
+
 def read_index_sentinel_owner(spark, path: str):
     """None if no sentinel at ``path``; else the recorded owner kb name
     ('' for pre-round-10 sentinels, which carried no owner line)."""
