@@ -320,6 +320,10 @@ def main() -> None:
             "spark_total": sp_t,
             "duckdb_total": du_t,
             "ratio": round(sp_t / du_t, 3) if du_t else None,
+            # per-query timings (round-10): lets a ratio drift be localized
+            # to the one query that moved instead of re-running the section
+            "queries_spark": sp,
+            "queries_duckdb": du,
         }
     # sf1 scale datapoint (default ON — round-3 verdict item 3; disable
     # with SPARK_GRAFT_BENCH_SF1=0): headline subset on the 10x-derived
