@@ -716,6 +716,8 @@ def _pipeline_table_fns() -> dict:
             curation.dsir_weights(df, F.col(target_col) == target_value, **kw)
         ),
         "mojibake_score": text.mojibake_score,
+        "readability": text.readability,
+        "nfc_scrub": text.nfc_scrub,
         # two-input: the FROM-position table is the batch being classified;
         # the labeled seed set arrives as a table-name literal, resolved
         # through the session (unlike connected_components, whose second

@@ -622,3 +622,105 @@ def bpe_tokenize_counts(
             F.sum(col("__m") * col("__nt")).cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+# Control characters a cleaned corpus must not contain (C0 minus the
+# whitespace we keep, plus DEL). Spelled with \x escapes — which Java's
+# Pattern and DuckDB's RE2 parse identically — so the oracle SQL can
+# embed the class VERBATIM without raw control bytes (a raw NUL inside a
+# SQL literal is transport-hostile in a way the C1 mojibake classes are
+# not).
+CONTROL_STRIP = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+# explicit whitespace class shared by both engines: Java's \s includes
+# \x0B where RE2's does not, so neither engine's \s can be used verbatim
+WS_RUN = r"[ \t\n\r\f]+"
+
+
+def nfc_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode-normalization scrub — the standard first cleanup step of a
+    web-corpus pipeline (CCNet/RefinedWeb normalize before hashing or
+    filtering): NFC-compose the text, strip bare control characters,
+    collapse whitespace runs to single spaces, trim. Returns
+    (id, clean_text, changed). Training-data extension; no reference
+    analog.
+
+    NFC composition is the ONE step with no JVM expression (Spark has no
+    normalization builtin), so it runs as an Arrow-batched pandas UDF —
+    a pure per-row CPU transform with zero shuffle that scales linearly
+    with executors; everything after it (control strip, whitespace
+    collapse) stays in whole-stage codegen. The DuckDB oracle replays
+    nfc_normalize + the identical regexp_replace chain.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StringType
+
+    def _nfc_fn(s):
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    # annotate with the REAL pandas types (string hints don't resolve
+    # against a function-local import in pyspark's typehint parser)
+    _nfc_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _nfc = F.pandas_udf(_nfc_fn, StringType())
+
+    df = parallelize_input(df)
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(_nfc(col(text_col)), CONTROL_STRIP, ""),
+            WS_RUN,
+            " ",
+        )
+    )
+    return df.select(
+        col(id_col),
+        cleaned.alias("clean_text"),
+        (~cleaned.eqNullSafe(col(text_col))).alias("changed"),
+    )
+
+
+def readability(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document — the
+    classic corpus quality signal (edu-quality filters score on exactly
+    these inputs: words/sentence, syllables/word). Sentences = terminal
+    punctuation runs (floor 1); syllables = per-word vowel-group count
+    (floor 1/word, the standard heuristic). Entirely JVM higher-order
+    expressions in one map stage — zero shuffle at any corpus size.
+    Training-data extension; no reference analog.
+
+    NULL/empty docs yield NULL scores (try_divide semantics, like
+    text_quality). Scores are NOT clamped to [0, 100]: degenerate docs
+    legitimately score negative, and the filter threshold is the
+    caller's.
+    """
+    df = parallelize_input(df)
+    t = col(text_col)
+    w = F.filter(words_expr(t), lambda x: x != F.lit(""))
+    n_words = F.size(w)
+    n_sentences = F.greatest(F.regexp_count(t, F.lit("[.!?]+")), F.lit(1))
+    n_syllables = F.aggregate(
+        F.transform(
+            w,
+            lambda x: F.greatest(F.regexp_count(x, F.lit("[aeiouy]+")), F.lit(1)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    wps = F.try_divide(n_words, n_sentences)
+    spw = F.try_divide(n_syllables, n_words)
+    flesch = _round6(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw)
+    grade = _round6(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59))
+    return df.select(
+        col(id_col),
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+        flesch.alias("flesch"),
+        grade.alias("fk_grade"),
+    )
