@@ -361,3 +361,72 @@ def test_rowwise_lsh_bands_equal_batch_path(spark, docs):
     want = sorted(map(tuple,
         lsh_bands(minhash_signatures(shingle_hashes(df))).collect()))
     assert got == want
+
+
+# --- round-10 text additions: randomized parity vs pure-python references ----
+
+# hostile text: normal words, decomposed/composed accents, Hangul jamo,
+# control chars, whitespace runs, combining marks on their own
+_hostile_chars = st.sampled_from(
+    ["a", "e", "Z", "7", ".", "!", "?", " ", "  ", "\t", "\n", "\x0b",
+     "\x07", "\x1f", "\x7f", "́", "é", "é", "Å",
+     "Å", "각", "각", "y", "xyz "]
+)
+_hostile_text = st.lists(_hostile_chars, min_size=0, max_size=20).map("".join)
+
+
+@_settings
+@given(texts=st.lists(_hostile_text, min_size=1, max_size=6))
+def test_nfc_scrub_matches_python_reference(spark, texts):
+    import re as _re
+    import unicodedata
+
+    from mindsdb_spark.operators.text import CONTROL_STRIP, WS_RUN, nfc_scrub
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.changed) for r in nfc_scrub(df).collect()}
+    for i, t in rows:
+        ref = _re.sub(
+            WS_RUN, " ", _re.sub(CONTROL_STRIP, "", unicodedata.normalize("NFC", t))
+        ).strip(" ")
+        # Spark trim() strips ASCII space only after WS collapse, matching
+        # python strip(' ') here because runs are already single spaces
+        assert got[i][0] == ref, (repr(t), repr(got[i][0]), repr(ref))
+        assert got[i][1] == (ref != t)
+
+
+@_settings
+@given(texts=st.lists(_hostile_text, min_size=1, max_size=6))
+def test_readability_matches_python_reference(spark, texts):
+    import re as _re
+
+    from mindsdb_spark.operators.text import readability
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in readability(df).collect()}
+    for i, t in rows:
+        # emulate the JVM exactly: Spark trim() strips ASCII space only,
+        # and Java's \s is [ \t\n\x0b\f\r] — unlike Python, whose
+        # str.strip()/\s also treat \x1c-\x1f as whitespace (hypothesis
+        # found this divergence with the text "\x1f")
+        words = [
+            w
+            for w in _re.split(r"[ \t\n\x0b\f\r]+", t.strip(" ").lower())
+            if w != ""
+        ]
+        n_words = len(words)
+        n_sent = max(len(_re.findall(r"[.!?]+", t)), 1)
+        n_syl = sum(max(len(_re.findall(r"[aeiouy]+", w)), 1) for w in words)
+        r = got[i]
+        assert (r.n_words, r.n_sentences, r.n_syllables) == (n_words, n_sent, n_syl), t
+        if n_words == 0:
+            assert r.flesch is None and r.fk_grade is None
+        else:
+            import math
+
+            wps, spw = n_words / n_sent, n_syl / n_words
+            assert math.isclose(
+                r.flesch, 206.835 - 1.015 * wps - 84.6 * spw, abs_tol=2e-6
+            )
