@@ -109,10 +109,25 @@ def mojibake_score(
     """
     df = parallelize_input(df)
     t = F.coalesce(col(text_col), F.lit(""))
-    n2 = F.regexp_count(t, F.lit(MOJIBAKE_2BYTE))
-    n3 = F.regexp_count(t, F.lit(MOJIBAKE_3BYTE))
-    nc1 = F.regexp_count(t, F.lit(C1_CONTROLS))
-    nrep = F.regexp_count(t, F.lit(REPLACEMENT_CHAR))
+    # ASCII fast path (round-10, from the sf100 study): every signature
+    # is a non-ASCII codepoint, so a doc whose char count equals its
+    # UTF-8 byte count cannot contain any — skip all four regexes. Java's
+    # backtracking Pattern is ~5x slower than RE2 on these classes, and a
+    # healthy corpus is overwhelmingly ASCII: measured 6.5 s -> 2.1 s
+    # over 5M docs / 1.5 GB (DuckDB 1.4 s). CASE WHEN branches evaluate
+    # lazily per row inside codegen, so damaged docs still pay only their
+    # own regex cost.
+    is_ascii = F.length(t) == F.octet_length(t)
+
+    def _count(pattern):
+        return F.when(is_ascii, F.lit(0)).otherwise(
+            F.regexp_count(t, F.lit(pattern))
+        )
+
+    n2 = _count(MOJIBAKE_2BYTE)
+    n3 = _count(MOJIBAKE_3BYTE)
+    nc1 = _count(C1_CONTROLS)
+    nrep = _count(REPLACEMENT_CHAR)
     # 3-byte hits also match the 2-byte pattern's prefix? No: MOJIBAKE_2BYTE
     # anchors on Â/Ã, MOJIBAKE_3BYTE on â€ — disjoint first chars. C1 hits
     # inside a mojibake pair ARE double-counted by design (both signals are
