@@ -92,6 +92,23 @@ def test_mojibake_duckdb_parity(spark, sf_dir):
             assert counts[idx] == duck[doc_id], (pat_name, doc_id)
 
 
+def test_ascii_fast_path_ignores_astral_planes(spark):
+    """Round-10 fast path gates the four signature regexes on
+    length(text) == octet_length(text). That equality must hold ONLY for
+    pure-ASCII docs: Spark's length() counts codepoints, so a 4-byte
+    astral char (e.g. U+10348) gives 1 char vs 4 bytes and the doc takes
+    the regex path — damage hiding behind astral chars is still counted."""
+    astral_damaged = "\U00010348 gothic " + _latin1("héllo")  # non-BMP + moj2
+    df = spark.createDataFrame(
+        [(1, astral_damaged), (2, "pure ascii"), (3, "\U0001F600 clean emoji")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in mojibake_score(df).collect()}
+    assert got[1]["is_suspect"] and got[1]["n_moj2"] >= 1
+    assert not got[2]["is_suspect"]
+    assert not got[3]["is_suspect"]
+
+
 def test_null_text_scores_clean_not_null(spark):
     """Round-9 review finding: regexp_count(NULL) yields NULL counts and a
     NULL is_suspect that drops the row from BOTH the suspect filter and
