@@ -4086,7 +4086,10 @@ class EngineSession:
                         # semantics, and the local state dir can't contain
                         # it; existence/sentinel checks go through the
                         # Hadoop FS API instead of os.*
-                        p = path
+                        # trailing-slash-normalized so the index_path
+                        # comparison below can't miss a same-path respelling
+                        # (Hadoop Path normalizes on its own for FS calls)
+                        p = path.rstrip("/") or path
                         inside_state = False
                         listing = hadoop_dir_nonempty(self.spark, path)
                     else:
@@ -4097,9 +4100,9 @@ class EngineSession:
 
                     def _norm(q):
                         q = str(q)
-                        return q if re.match(
-                            r"[A-Za-z][A-Za-z0-9+.\-]*://", q
-                        ) else os.path.abspath(q)
+                        if re.match(r"[A-Za-z][A-Za-z0-9+.\-]*://", q):
+                            return q.rstrip("/") or q
+                        return os.path.abspath(q)
 
                     # cross-KB guard (round-9 ADVICE): a path that is ANOTHER
                     # live kb's index snapshot must never be overwritten —

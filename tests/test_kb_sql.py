@@ -718,3 +718,26 @@ def test_create_index_refuses_other_kbs_live_snapshot(spark, sf_dir, tmp_path):
     sess.sql("CREATE INDEX ON KNOWLEDGE_BASE kb_b "
              f"USING layout = 'partitioned', n_centroids = 2, path = '{managed}'")
     sess.sql("DROP KNOWLEDGE_BASE kb_a"); sess.sql("DROP KNOWLEDGE_BASE kb_b")
+
+
+def test_create_index_scheme_uri_respelling_still_refused(spark, sf_dir, tmp_path):
+    """Round-10 hardening: the cross-KB guard compares index paths after
+    trailing-slash normalization, so a scheme-URI respelling of kb_b's
+    live snapshot ('file:///x/y/' vs 'file:///x/y') is still refused —
+    the primary index_path comparison must not depend on the
+    sentinel-owner backstop. file:// exercises the same Hadoop-FS branch
+    as hdfs:// / s3a:// without needing a remote store."""
+    sess = EngineSession(spark, state_dir=str(tmp_path / "state"))
+    docs = load_table(spark, sf_dir, "documents")
+    sess.register_knowledge_base("kb_a", docs.limit(20), dim=8, chunk=False)
+    sess.register_knowledge_base("kb_b", docs.limit(25), dim=8, chunk=False)
+    uri = f"file://{tmp_path}/kb_b_idx"
+    sess.sql("CREATE INDEX ON KNOWLEDGE_BASE kb_b "
+             f"USING layout = 'partitioned', n_centroids = 2, path = '{uri}'")
+    with pytest.raises(ValueError, match="live index snapshot of knowledge base 'kb_b'"):
+        sess.sql("CREATE INDEX ON KNOWLEDGE_BASE kb_a "
+                 f"USING layout = 'partitioned', n_centroids = 2, path = '{uri}/'")
+    # kb_b may still rebuild over its own snapshot under either spelling
+    sess.sql("CREATE INDEX ON KNOWLEDGE_BASE kb_b "
+             f"USING layout = 'partitioned', n_centroids = 2, path = '{uri}/'")
+    sess.sql("DROP KNOWLEDGE_BASE kb_a"); sess.sql("DROP KNOWLEDGE_BASE kb_b")
