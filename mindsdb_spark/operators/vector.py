@@ -202,7 +202,7 @@ def allpairs_topk(
     return local.orderBy(col("sim").desc(), "id_a", "id_b").limit(k)
 
 
-def _knn_votes(
+def _knn_votes_hof(
     labeled: DataFrame,
     queries: DataFrame,
     k: int,
@@ -210,10 +210,12 @@ def _knn_votes(
     id_col: str,
     label_col: str,
 ) -> DataFrame:
-    """Shared neighbor-rank + vote-count plan behind ``knn_classify`` and
-    its registry gate (queries/pipeline.py d59 hashes exactly this frame's
-    integer counts, so a change here breaks the oracle, not a private
-    copy). Returns (__qid, __lbl, __n count, __s summed similarity).
+    """Pure-JVM formulation of ``_knn_votes`` (broadcast query join +
+    zip_with/aggregate cosine + rank window). Semantically identical to
+    the GEMM path and kept for the A/B record: at sf100 (2M labeled
+    vectors x 64 dims, 100 queries) the per-element HOF lambdas ran 249 s
+    vs DuckDB's native list kernel at 37 s (6.7x) — the round-10 study
+    (scripts/bench_sf100_r10_knn.py) is what motivated the GEMM default.
 
     Zero-norm guard: a zero-norm vector (failed-embedding rows are a fact
     of real corpora) makes cosine 0/0 — under ANSI mode a plain division
@@ -248,6 +250,134 @@ def _knn_votes(
         .withColumn("__sim", sim)
         .withColumn("__rnk", F.row_number().over(w))
         .filter(col("__rnk") <= k)
+    )
+    return neighbors.groupBy("__qid", "__lbl").agg(
+        F.count("*").alias("__n"), F.sum("__sim").alias("__s")
+    )
+
+
+def _knn_votes(
+    labeled: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Shared neighbor-rank + vote-count plan behind ``knn_classify`` and
+    its registry gate (queries/pipeline.py d59 hashes exactly this frame's
+    integer counts, so a change here breaks the oracle, not a private
+    copy). Returns (__qid, __lbl, __n count, __s summed similarity).
+
+    GEMM kernel (round-10): the query batch — small by the operator's
+    contract; it is collected to the driver exactly like the previous
+    formulation broadcast it — rides the mapInPandas closure as one numpy
+    matrix, and each Arrow batch of the labeled corpus computes ALL its
+    query similarities as a single float64 BLAS product, emitting only its
+    per-batch top-k rows per query. A rank window over that bounded
+    candidate set (≤ k·|Q| rows per Arrow batch) finishes the exact global
+    top-k; per-batch top-k is lossless because every global top-k member
+    is also top-k within its own batch. The per-element JVM-HOF
+    formulation this replaces (``_knn_votes_hof``) measured 6.7x slower
+    than DuckDB at sf100; the GEMM path moves the 200M-similarity pass
+    into BLAS while keeping everything after the kernel in Catalyst.
+
+    Semantics preserved from the HOF path: self-pairs (same id) are
+    excluded, zero-norm/NULL vectors score -2.0 (below any real cosine,
+    still rankable), neighbor ties break by id ascending. For corpus-scale
+    query sides, pre-bucket with ``lsh_bucket``/IVF cells and apply per
+    bucket — same discipline as the dedup family."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    q_rows = queries.select(col(id_col), col(vec_col)).collect()
+    schema = T.StructType(
+        [
+            T.StructField("__qid", queries.schema[id_col].dataType),
+            T.StructField("__nid", labeled.schema[id_col].dataType),
+            T.StructField("__lbl", labeled.schema[label_col].dataType),
+            T.StructField("__sim", T.DoubleType()),
+        ]
+    )
+    spark = labeled.sparkSession
+    if not q_rows:
+        cand = spark.createDataFrame([], schema)
+    else:
+        qids = np.asarray([r[0] for r in q_rows])
+        qvecs = [r[1] for r in q_rows]
+        # NULL / empty / dim-mismatched query vectors become zero rows →
+        # zero norm → every sim -2.0, exactly the HOF path's semantics
+        dim = next(
+            (len(v) for v in qvecs if v is not None and len(v) > 0), 1
+        )
+        qm = np.stack(
+            [
+                np.asarray([float(x) for x in v], dtype=np.float64)
+                if v is not None and len(v) == dim
+                else np.zeros(dim, dtype=np.float64)
+                for v in qvecs
+            ]
+        )
+        qn = np.linalg.norm(qm, axis=1)
+        kk = int(k)
+
+        def topk_part(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                nids = np.asarray(pdf["__nid"])
+                lbls = pdf["__lbl"].to_numpy()
+                vecs = [
+                    v if v is not None and len(v) == dim else None
+                    for v in pdf["__dv"]
+                ]
+                zero = np.zeros(dim, dtype=np.float64)
+                m = np.stack(
+                    [np.asarray(v, dtype=np.float64) if v is not None else zero
+                     for v in vecs]
+                )
+                nrm = np.linalg.norm(m, axis=1)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = (m @ qm.T) / (nrm[:, None] * qn[None, :])
+                # NULL/zero-norm/dim-mismatch → -2.0 (the HOF path's
+                # try_divide→coalesce(-2) semantics: below any real cosine)
+                sims = np.where(np.isfinite(sims), sims, -2.0)
+                # self-pairs excluded entirely (HOF path: __nid != __qid)
+                sims = np.where(nids[:, None] == qids[None, :], -np.inf, sims)
+                out = {"__qid": [], "__nid": [], "__lbl": [], "__sim": []}
+                n = len(nids)
+                for j in range(len(qids)):
+                    sj = sims[:, j]
+                    if n > kk:
+                        # O(n) preselect: everything >= the kth-largest sim.
+                        # The >= keeps the COMPLETE tie class at the
+                        # boundary, so the nid tie-break below stays exact
+                        vk = np.partition(sj, n - kk)[n - kk]
+                        idx = np.flatnonzero(sj >= vk)
+                    else:
+                        idx = np.arange(n)
+                    order = idx[np.lexsort((nids[idx], -sj[idx]))][:kk]
+                    keep = order[sj[order] > -np.inf]
+                    if len(keep) == 0:
+                        continue
+                    out["__qid"].extend([qids[j]] * len(keep))
+                    out["__nid"].extend(nids[keep].tolist())
+                    out["__lbl"].extend(lbls[keep].tolist())
+                    out["__sim"].extend(sj[keep].tolist())
+                yield pd.DataFrame(out, columns=list(out))
+
+        data = labeled.select(
+            col(id_col).alias("__nid"),
+            col(label_col).alias("__lbl"),
+            col(vec_col).cast("array<double>").alias("__dv"),
+        )
+        cand = data.mapInPandas(topk_part, schema=schema)
+
+    w = Window.partitionBy("__qid").orderBy(col("__sim").desc(), col("__nid"))
+    neighbors = cand.withColumn("__rnk", F.row_number().over(w)).filter(
+        col("__rnk") <= k
     )
     return neighbors.groupBy("__qid", "__lbl").agg(
         F.count("*").alias("__n"), F.sum("__sim").alias("__s")

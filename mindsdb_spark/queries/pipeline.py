@@ -2290,7 +2290,8 @@ ORDER BY media_id, by, bx
 
 def d59_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN-classify vote table: hashes the OPERATOR's own shared plan
-    (vector.py:_knn_votes — broadcast queries, NaN-guarded cosine,
+    (vector.py:_knn_votes — driver-collected query batch riding the GEMM
+    mapInPandas closure, NaN-guarded cosine,
     WindowGroupLimit neighbor rank, vote counts) reduced to EXACT-INT
     parity, plus the predicted label under (count desc, label asc). The
     operator's similarity tie-break is deliberately NOT oracle-hashed (a
