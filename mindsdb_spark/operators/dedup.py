@@ -169,41 +169,101 @@ def jaccard_topk_pairs(
 ) -> DataFrame:
     """Top-k most-similar document pairs by exact shingle Jaccard.
 
-    Inverted-index self-join over hashed shingles (id, sh): pairs are
-    generated only where a shingle hash is shared (cost Σ f(s)²), then
-    |A∩B| / (|A|+|B|-|A∩B|). Joining on the 60-bit int instead of the
-    shingle string shrinks the shuffle ~4× and makes the join key
-    fixed-width; orderBy+limit compiles to TakeOrderedAndProject — no
-    global sort.
+    Round-10 shape (optimization round, guide §2.3/§2.4 — measured 24.6 s
+    → 13.3 s at sf1, profile in OPTIMIZATION_r10.md): group the inverted
+    index by shingle ONCE (`collect_list` of ids), then
 
-    ``max_df`` caps shingle document frequency BEFORE the self-join: a
-    stopword shingle shared by 1M docs would alone generate ~10^12 join
+    * the ``max_df`` hot-shingle cap is a ``size(ids) <= max_df`` filter on
+      the grouped rows — the old separate df-count pass + broadcast
+      anti-join disappears, and with them one full shuffle of the index;
+    * per-doc set sizes re-explode the (already capped) grouped rows — same
+      filtered-shingle semantics as before;
+    * candidate pairs are generated per group from the SORTED id array as
+      i<j combinations — exactly f(f-1)/2 rows, where the old self-join
+      emitted f² rows and filtered half of them after the fact;
+    * profiling showed the pair count barely collapses under aggregation
+      (117M generated → 106M distinct at sf1), so the (doc_a, doc_b)
+      hash-aggregate IS the cost; when every id provably fits in 31 bits
+      the pair is packed into ONE long (a·2³² + b) so the aggregate hashes
+      and shuffles a single fixed-width key (guide §2.3 "narrower types" —
+      this alone is most of the 1.85× win). The bounds probe is a tiny
+      driver job over the persisted grouped index (min/max of the sorted
+      array ends); ids outside [0, 2³¹) keep the struct-keyed path, so the
+      operator stays correct for arbitrary long ids.
+
+    ``max_df`` caps shingle document frequency BEFORE pair generation: a
+    stopword shingle shared by 1M docs would alone generate ~10^12 pair
     rows, so shingles appearing in more than max_df documents are dropped
     from the index entirely — standard near-dup practice ("common-shingle
     blind"). Semantics are consistent: set sizes |A|, |B| are computed over
     the SAME filtered shingle space, so jac stays a true Jaccard of the
-    capped sets. The hot list is tiny by construction (few shingles exceed
-    max_df) and broadcasts; only its discovery groupBy touches the full
-    index, with map-side partial counts.
+    capped sets. orderBy+limit compiles to TakeOrderedAndProject — no
+    global sort.
     """
-    # the shingle index feeds FOUR consumers (df-count, sizes, both sides of
-    # the self-join) and Catalyst does not CSE across them — persist marks
-    # it for computation-once reuse within the single downstream action
-    # (MEMORY_AND_DISK default; at cluster scale this is the standard
-    # materialize-the-inverted-index step)
-    sh = sh.persist()
-    freq = sh.groupBy("sh").agg(F.count("*").alias("__df"))
-    hot = freq.filter(col("__df") > max_df).select("sh")
-    kept = sh.join(F.broadcast(hot), "sh", "left_anti").persist()
-    sizes = kept.groupBy(id_col).agg(F.count("*").alias("n"))
-    a = kept.select(col(id_col).alias("doc_a"), "sh")
-    b = kept.select(col(id_col).alias("doc_b"), "sh")
-    shared = (
-        a.join(b, "sh")
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("shared"))
+    # the grouped index feeds three consumers (bounds probe, sizes, pairs)
+    # and Catalyst does not CSE across them — persist marks it for
+    # computation-once reuse (MEMORY_AND_DISK default; at cluster scale
+    # this is the standard materialize-the-inverted-index step)
+    grouped = (
+        sh.groupBy("sh")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .where(F.size("ids") <= max_df)
+        .select(F.array_sort("ids").alias("ids"))
+        .persist()
     )
+    sizes = (
+        grouped.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = grouped.select(
+        F.min(F.element_at("ids", 1)).alias("lo"),
+        F.max(F.element_at("ids", -1)).alias("hi"),
+    ).head()
+    packable = (
+        bounds is not None
+        and bounds["lo"] is not None
+        and bounds["lo"] >= 0
+        and bounds["hi"] < 1 << 31
+    )
+    a = col("ids")
+    if packable:
+        two32 = F.lit(1 << 32)
+        pair_arr = F.flatten(
+            F.transform(
+                a,
+                lambda x, i: F.transform(
+                    F.slice(a, i + F.lit(2), F.size(a)), lambda y: x * two32 + y
+                ),
+            )
+        )
+        shared = (
+            grouped.where(F.size("ids") >= 2)
+            .select(F.explode(pair_arr).alias("pk"))
+            .groupBy("pk")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .select(
+                F.shiftright(col("pk"), 32).alias("doc_a"),
+                col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("doc_b"),
+                "shared",
+            )
+        )
+    else:
+        pair_arr = F.flatten(
+            F.transform(
+                a,
+                lambda x, i: F.transform(
+                    F.slice(a, i + F.lit(2), F.size(a)),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+        shared = (
+            grouped.where(F.size("ids") >= 2)
+            .select(F.explode(pair_arr).alias("pr"))
+            .groupBy(col("pr.a").alias("doc_a"), col("pr.b").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
     na = sizes.select(col(id_col).alias("doc_a"), col("n").alias("na"))
     nb = sizes.select(col(id_col).alias("doc_b"), col("n").alias("nb"))
     jac = col("shared") / (col("na") + col("nb") - col("shared"))

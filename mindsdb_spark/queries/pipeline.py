@@ -49,6 +49,24 @@ def _lane_sql(i: int) -> str:
 
     a, b = minhash_lane_params(16)[i]
     return f"min(({a} * (sh % 4294967296) + {b}) % {MINHASH_PRIME})"
+
+
+def _media_slice(spark: SparkSession, sf_dir: str, n: int = 100) -> DataFrame:
+    """The bounded media conformance slice (first ``n`` documents), coalesced
+    to a handful of partitions BEFORE the mapInPandas codec chains.
+
+    Round-10 measurement (guide §4, OPTIMIZATION_r10.md): the cached
+    documents table is pinned at session parallelism (32), so a 100-row
+    slice fanned every codec stage out to 32 tasks of ~3 rows — each task
+    paying the Python-worker round-trip for a few microseconds of work;
+    with 2-3 chained mapInPandas stages that overhead dominated (d52-d58
+    measured 0.73-1.18 s each, dropping to 0.37-0.47 s at 4 partitions).
+    The input is capped at ``n`` rows BY THE QUERY (not by the scale
+    factor), so a small fixed fan-out is scale-safe: unbounded media
+    operators (d13's full-table chain) keep full parallelism."""
+    return (
+        _t(spark, sf_dir, "documents").where(col("doc_id") < n).coalesce(4)
+    )
 _COS = (
     "list_sum(list_transform(generate_series(1, len(embedding)), "
     "i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) "
@@ -2004,7 +2022,7 @@ FROM h, t ORDER BY dup_count
 # (sample_i = (md5-seed * i) % 65536 - 32768), so the oracle checks the
 # full decode->window->feature chain without parsing bytes in SQL.
 def d52_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").where(col("doc_id") < 100)
+    docs = _media_slice(spark, sf_dir)
     pcm = M.synth_pcm(docs, n_samples=2000)
     feats = M.audio_features(pcm, window=250)
     return feats.select(
@@ -2054,7 +2072,7 @@ FROM feat ORDER BY media_id, win
 # % 256). Completes the computable multimodal trio: image (this), audio
 # (d52), video frame fan-out (d13/sample_frames).
 def d53_image_blockmean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").where(col("doc_id") < 100)
+    docs = _media_slice(spark, sf_dir)
     img = M.synth_image(docs, width=32, height=32)
     blocks = M.downsample_block_mean(img, block=8)
     return blocks.select(
@@ -2092,7 +2110,7 @@ ORDER BY media_id, by, bx
 # non-square strides. Real-decode-at-scale shape: both codec stages are
 # Arrow-batched mapInPandas, payloads never leave the executors.
 def d54_png_blockmean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").where(col("doc_id") < 100)
+    docs = _media_slice(spark, sf_dir)
     png = M.synth_png(docs, width=48, height=32, filters=(0, 1, 2, 3, 4))
     raster = M.decode_png_media(png)
     blocks = M.downsample_block_mean(raster, block=8)
@@ -2206,7 +2224,7 @@ FROM normed GROUP BY lane ORDER BY lane
 # the oracle recomputes the tile values from the same md5 formula. Any
 # Huffman table, zigzag, dequant or IDCT defect breaks the value hash.
 def d57_jpeg_blockmean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").where(col("doc_id") < 100)
+    docs = _media_slice(spark, sf_dir)
     jpg = M.synth_jpeg(docs, width=48, height=32, tile=8, quality=50)
     raster = M.decode_jpeg_media(jpg)
     blocks = M.downsample_block_mean(raster, block=8)
@@ -2247,7 +2265,7 @@ FROM tiles ORDER BY media_id, by, bx
 # delegate to PIL (mindsdb/integrations/utilities/handlers — no codec of
 # its own); here the full chain is from-spec and distributed.
 def d58_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").where(col("doc_id") < 100)
+    docs = _media_slice(spark, sf_dir)
     png = M.synth_png(docs, width=48, height=32, filters=(0, 1, 2, 3, 4))
     resized = M.resize_images(png, 24, 16, fake=False)
     raster = M.decode_png_media(resized)
