@@ -540,6 +540,26 @@ def test_incremental_dedup_batch_vs_corpus(spark):
     assert strict[10] is True and strict[12] is False
 
 
+def test_pagerank_local_matches_distributed(spark):
+    # round-10: the edge-count-gated local fallback must produce the same
+    # ranks (up to float fold order) as the distributed power iteration
+    from mindsdb_spark.operators.dedup import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 3), (4, 5), (5, 6)],
+        "doc_a long, doc_b long",
+    )
+    local = {r.doc_id: r.rank
+             for r in pagerank(nodes, pairs, iterations=6).collect()}
+    dist = {r.doc_id: r.rank
+            for r in pagerank(nodes, pairs, iterations=6,
+                              local_threshold=0).collect()}
+    assert set(local) == set(dist) == set(range(8))
+    for n in local:
+        assert abs(local[n] - dist[n]) < 1e-12, n
+
+
 def test_pagerank_hub_ranks_highest(spark):
     from mindsdb_spark.operators.dedup import pagerank
 
