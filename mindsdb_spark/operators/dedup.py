@@ -165,82 +165,204 @@ def lsh_candidate_pairs(
 
 
 def jaccard_topk_pairs(
-    sh: DataFrame, id_col: str = "doc_id", k: int = 20, max_df: int = 1000
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 20,
+    max_df: int = 1000,
+    prune_threshold: int = 1_500_000,
 ) -> DataFrame:
     """Top-k most-similar document pairs by exact shingle Jaccard.
 
-    Round-10 shape (optimization round, guide §2.3/§2.4 — measured 24.6 s
-    → 13.3 s at sf1, profile in OPTIMIZATION_r10.md): group the inverted
-    index by shingle ONCE (`collect_list` of ids), then
+    Round-10 shape (optimization round; guide §1.2/§2.3/§2.4 — measured
+    24.6 s → 14.4 s → 5.6 s same-window at sf1, profile in
+    OPTIMIZATION_r10.md):
 
-    * the ``max_df`` hot-shingle cap is a ``size(ids) <= max_df`` filter on
-      the grouped rows — the old separate df-count pass + broadcast
-      anti-join disappears, and with them one full shuffle of the index;
-    * per-doc set sizes re-explode the (already capped) grouped rows — same
-      filtered-shingle semantics as before;
+    * the inverted index is grouped by shingle ONCE (`collect_list`); the
+      ``max_df`` hot-shingle cap is a ``size(ids) <= max_df`` filter on the
+      grouped rows — the old df-count pass + broadcast anti-join and one
+      full shuffle of the index are gone;
     * candidate pairs are generated per group from the SORTED id array as
-      i<j combinations — exactly f(f-1)/2 rows, where the old self-join
-      emitted f² rows and filtered half of them after the fact;
-    * profiling showed the pair count barely collapses under aggregation
-      (117M generated → 106M distinct at sf1), so the (doc_a, doc_b)
-      hash-aggregate IS the cost; when every id provably fits in 31 bits
-      the pair is packed into ONE long (a·2³² + b) so the aggregate hashes
-      and shuffles a single fixed-width key (guide §2.3 "narrower types" —
-      this alone is most of the 1.85× win). The bounds probe is a tiny
-      driver job over the persisted grouped index (min/max of the sorted
-      array ends); ids outside [0, 2³¹) keep the struct-keyed path, so the
-      operator stays correct for arbitrary long ids.
+      i<j combinations — exactly f(f-1)/2 rows where the old self-join
+      emitted f² and filtered half;
+    * profiling showed the pair aggregate barely collapses (117M generated
+      → 106M distinct at sf1), so the (doc_a, doc_b) hash-aggregate IS the
+      cost. Two independent attacks, both exact:
+
+      1. **Packed keys** — when one probe job over the persisted grouped
+         index proves every id fits [0, 2³¹), the pair becomes ONE long
+         (a·2³² + b): the aggregate hashes/shuffles a fixed-width 8-byte
+         key (guide §2.3 "narrower types"). Ids outside the bound keep a
+         struct key — correct for arbitrary longs.
+      2. **Threshold prune** (the size filter of the AllPairs/PPJoin
+         similarity-join family — exact Jaccard is bounded above by the
+         set-size ratio, jac(A,B) ≤ min(|A|,|B|)/max(|A|,|B|)): first
+         derive a PROVEN lower bound q on the top-k'th ROUNDED jaccard by
+         exhibiting k real pairs — exact-duplicate shingle-set classes
+         (one md5-of-sorted-set pass; a dup class of m docs certifies
+         m(m-1)/2 pairs at jac 1.0) or, when those are fewer than k,
+         exact confirmation of LSH candidate pairs. Then pair generation
+         drops every pair whose integer size test
+         1e6·min(na,nb) < (q-1)·max(na,nb) proves its rounded jac < q —
+         such a pair can never displace the k exhibited ones. Ties at q
+         survive (strict inequality), so the output — ordered by the
+         SAME rounded jac — is bit-identical to the unpruned plan: at sf1
+         the 117M-pair flood shrinks to 1.6M before the aggregate.
+         The bound probe is gated on ``prune_threshold`` kept-index rows:
+         below it the flood is cheaper than the probe and the unpruned
+         plan runs unchanged.
 
     ``max_df`` caps shingle document frequency BEFORE pair generation: a
     stopword shingle shared by 1M docs would alone generate ~10^12 pair
-    rows, so shingles appearing in more than max_df documents are dropped
-    from the index entirely — standard near-dup practice ("common-shingle
-    blind"). Semantics are consistent: set sizes |A|, |B| are computed over
-    the SAME filtered shingle space, so jac stays a true Jaccard of the
-    capped sets. orderBy+limit compiles to TakeOrderedAndProject — no
-    global sort.
+    rows — standard near-dup practice ("common-shingle blind"). Set sizes
+    |A|, |B| are computed over the SAME filtered shingle space, so jac
+    stays a true Jaccard of the capped sets. orderBy+limit compiles to
+    TakeOrderedAndProject — no global sort.
     """
-    # the grouped index feeds three consumers (bounds probe, sizes, pairs)
-    # and Catalyst does not CSE across them — persist marks it for
-    # computation-once reuse (MEMORY_AND_DISK default; at cluster scale
-    # this is the standard materialize-the-inverted-index step)
+    # the grouped index feeds every downstream consumer (probe, sizes,
+    # dup-class signatures, pair generation) and Catalyst does not CSE
+    # across them — persist marks it compute-once (MEMORY_AND_DISK; the
+    # standard materialize-the-inverted-index step at cluster scale)
     grouped = (
         sh.groupBy("sh")
         .agg(F.collect_list(id_col).alias("ids"))
         .where(F.size("ids") <= max_df)
-        .select(F.array_sort("ids").alias("ids"))
+        .select("sh", F.array_sort("ids").alias("ids"))
         .persist()
     )
-    sizes = (
-        grouped.select(F.explode("ids").alias(id_col))
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    bounds = grouped.select(
+    probe = grouped.agg(
         F.min(F.element_at("ids", 1)).alias("lo"),
         F.max(F.element_at("ids", -1)).alias("hi"),
+        F.sum(F.size("ids")).alias("rows"),
     ).head()
     packable = (
-        bounds is not None
-        and bounds["lo"] is not None
-        and bounds["lo"] >= 0
-        and bounds["hi"] < 1 << 31
+        probe is not None
+        and probe["lo"] is not None
+        and probe["lo"] >= 0
+        and probe["hi"] < 1 << 31
     )
-    a = col("ids")
-    if packable:
-        two32 = F.lit(1 << 32)
+    total = (probe["rows"] or 0) if probe is not None else 0
+    kept = grouped.select("sh", F.explode("ids").alias(id_col))
+    sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    na = sizes.select(col(id_col).alias("doc_a"), col("n").alias("na"))
+    nb = sizes.select(col(id_col).alias("doc_b"), col("n").alias("nb"))
+
+    q = 0
+    if total >= prune_threshold and k >= 1:
+        # phase A1: exact-duplicate shingle-set classes — each class of m
+        # docs certifies m(m-1)/2 pairs at jac exactly 1.0 (rounded 1e6)
+        ndup = (
+            kept.groupBy(id_col)
+            .agg(
+                F.md5(
+                    F.concat_ws(",", F.sort_array(F.collect_list("sh")))
+                ).alias("__sig")
+            )
+            .groupBy("__sig")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .agg(F.sum(F.expr("m * (m - 1) div 2")))
+            .head()[0]
+            or 0
+        )
+        if ndup >= k:
+            q = 1_000_000
+        else:
+            # phase A2: exact-confirm LSH candidates; ANY k confirmed pairs
+            # give a valid lower bound (recall affects speed, not
+            # correctness — q stays 0 if fewer than k confirm)
+            cand = lsh_candidate_pairs(kept, id_col).limit(50_000)
+            ka = kept.select(col(id_col).alias("doc_a"), "sh")
+            kb = kept.select(col(id_col).alias("doc_b"), "sh")
+            inter = (
+                cand.join(ka, "doc_a")
+                .join(kb, ["doc_b", "sh"], "leftsemi")
+                .groupBy("doc_a", "doc_b")
+                .agg(F.count(F.lit(1)).alias("i"))
+            )
+            qv = (
+                inter.join(na, "doc_a")
+                .join(nb, "doc_b")
+                .select(
+                    F.floor(
+                        col("i") / (col("na") + col("nb") - col("i")) * 1e6
+                        + F.lit(0.5)
+                    )
+                    .cast("long")
+                    .alias("qv")
+                )
+                .orderBy(col("qv").desc())
+                .limit(k)
+                .collect()
+            )
+            q = int(qv[-1][0]) if len(qv) >= k else 0
+
+    two32 = F.lit(1 << 32)
+    if q > 1:
+        # sizes ride the arrays so the prune happens INSIDE pair
+        # generation, before anything is materialized or shuffled
+        garr = (
+            kept.join(sizes, id_col)
+            .groupBy("sh")
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(col(id_col).alias("a"), col("n").alias("n"))
+                    )
+                ).alias("idn")
+            )
+        )
+        arr = col("idn")
+        qm1 = F.lit(q - 1)
+
+        def pr(x, y):
+            # exact jac <= min/max; 1e6·min < (q-1)·max ⟹ rounded jac < q
+            keep_pair = (F.least(x["n"], y["n"]) * F.lit(1_000_000)) >= (
+                qm1 * F.greatest(x["n"], y["n"])
+            )
+            if packable:
+                return F.when(keep_pair, x["a"] * two32 + y["a"])
+            return F.when(
+                keep_pair, F.struct(x["a"].alias("a"), y["a"].alias("b"))
+            )
+
         pair_arr = F.flatten(
             F.transform(
-                a,
+                arr,
                 lambda x, i: F.transform(
-                    F.slice(a, i + F.lit(2), F.size(a)), lambda y: x * two32 + y
+                    F.slice(arr, i + F.lit(2), F.size(arr)), lambda y: pr(x, y)
                 ),
             )
         )
+        src = garr.where(F.size("idn") >= 2).select(
+            F.explode(F.array_compact(pair_arr)).alias("pk")
+        )
+    else:
+        a2 = col("ids")
+        if packable:
+            pair_arr = F.flatten(
+                F.transform(
+                    a2,
+                    lambda x, i: F.transform(
+                        F.slice(a2, i + F.lit(2), F.size(a2)),
+                        lambda y: x * two32 + y,
+                    ),
+                )
+            )
+        else:
+            pair_arr = F.flatten(
+                F.transform(
+                    a2,
+                    lambda x, i: F.transform(
+                        F.slice(a2, i + F.lit(2), F.size(a2)),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        src = grouped.where(F.size("ids") >= 2).select(
+            F.explode(pair_arr).alias("pk")
+        )
+    if packable:
         shared = (
-            grouped.where(F.size("ids") >= 2)
-            .select(F.explode(pair_arr).alias("pk"))
-            .groupBy("pk")
+            src.groupBy("pk")
             .agg(F.count(F.lit(1)).alias("shared"))
             .select(
                 F.shiftright(col("pk"), 32).alias("doc_a"),
@@ -249,23 +371,9 @@ def jaccard_topk_pairs(
             )
         )
     else:
-        pair_arr = F.flatten(
-            F.transform(
-                a,
-                lambda x, i: F.transform(
-                    F.slice(a, i + F.lit(2), F.size(a)),
-                    lambda y: F.struct(x.alias("a"), y.alias("b")),
-                ),
-            )
-        )
-        shared = (
-            grouped.where(F.size("ids") >= 2)
-            .select(F.explode(pair_arr).alias("pr"))
-            .groupBy(col("pr.a").alias("doc_a"), col("pr.b").alias("doc_b"))
-            .agg(F.count(F.lit(1)).alias("shared"))
-        )
-    na = sizes.select(col(id_col).alias("doc_a"), col("n").alias("na"))
-    nb = sizes.select(col(id_col).alias("doc_b"), col("n").alias("nb"))
+        shared = src.groupBy(
+            col("pk.a").alias("doc_a"), col("pk.b").alias("doc_b")
+        ).agg(F.count(F.lit(1)).alias("shared"))
     jac = col("shared") / (col("na") + col("nb") - col("shared"))
     return (
         shared.join(na, "doc_a")
@@ -274,6 +382,8 @@ def jaccard_topk_pairs(
         .orderBy(col("jac").desc(), "doc_a", "doc_b")
         .limit(k)
     )
+
+
 
 
 def containment_pairs(

@@ -267,6 +267,60 @@ def test_jaccard_hot_shingle_cap(spark):
     assert uncapped.filter(F.col("jac") < 0.5).count() + 2 >= 50
 
 
+def test_jaccard_pruned_paths_match_unpruned(spark):
+    # round-10: the threshold-pruned plan (phase-A bound + size-ratio
+    # filter) and the packed/struct key paths must all produce the exact
+    # rows of the unpruned plan, including ties at the bound
+    from pyspark.sql import functions as F
+
+    from mindsdb_spark.operators.dedup import jaccard_topk_pairs, shingle_hashes
+
+    rows = []
+    # three exact-dup classes (certify jac-1.0 pairs for phase A1) plus
+    # near-dups and noise, with deliberately EQUAL sizes so the size
+    # filter's tie boundary is exercised
+    for c in range(3):
+        for m in range(4):
+            rows.append((c * 10 + m, f"alpha{c} beta{c} gamma{c} delta{c} eps{c}"))
+    rows.append((100, "alpha0 beta0 gamma0 delta0 zeta0"))   # near-dup of class 0
+    for i in range(40):
+        rows.append((200 + i, f"n{i}a n{i}b n{i}c n{i}d n{i}e"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingle_hashes(docs)
+    want = [tuple(r) for r in jaccard_topk_pairs(
+        sh, k=25, prune_threshold=1 << 60).collect()]          # unpruned
+    pruned = [tuple(r) for r in jaccard_topk_pairs(
+        sh, k=25, prune_threshold=0).collect()]                # forced prune
+    assert pruned == want
+    # struct-key path (ids beyond 2^31), pruned and unpruned
+    big = docs.select((F.col("doc_id") + F.lit(1 << 40)).alias("doc_id"), "text")
+    shb = shingle_hashes(big)
+    want_b = [tuple(r) for r in jaccard_topk_pairs(
+        shb, k=25, prune_threshold=1 << 60).collect()]
+    pruned_b = [tuple(r) for r in jaccard_topk_pairs(
+        shb, k=25, prune_threshold=0).collect()]
+    assert pruned_b == want_b
+    assert [(a - (1 << 40), b - (1 << 40), j) for a, b, j in want_b] == want
+
+
+def test_jaccard_prune_lsh_bound_branch(spark):
+    # fewer than k exact-dup pairs forces the LSH-confirm bound (phase A2);
+    # with fewer than k confirmable pairs overall, q stays 0 and the
+    # unpruned plan runs — either way the output matches
+    from mindsdb_spark.operators.dedup import jaccard_topk_pairs, shingle_hashes
+
+    rows = [(0, "w1 w2 w3 w4 w5"), (1, "w1 w2 w3 w4 w6"),
+            (2, "x1 x2 x3 x4 x5"), (3, "x1 x2 x3 x9 x5")]
+    rows += [(10 + i, f"z{i}a z{i}b z{i}c z{i}d") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingle_hashes(docs)
+    want = [tuple(r) for r in jaccard_topk_pairs(
+        sh, k=3, prune_threshold=1 << 60).collect()]
+    got = [tuple(r) for r in jaccard_topk_pairs(
+        sh, k=3, prune_threshold=0).collect()]
+    assert got == want
+
+
 def test_allpairs_no_corpus_pass(spark, sf_dir):
     # sizing must come from plan metadata, not an eager count(): building
     # the operator may run at most the 1-task single-row dim probe
