@@ -739,6 +739,10 @@ def incremental_dedup(
             .select("__bid", "__cid")
             .distinct()
         )
+    # the confirm below consumes cand three times (pair join + two
+    # semi-join id sets) and Catalyst does not CSE across branches —
+    # persist marks the band join compute-once (spillable, like sh_*)
+    cand = cand.persist()
     nb = sh_b.groupBy(id_col).agg(F.count("*").alias("__nb")).withColumnRenamed(
         id_col, "__bid"
     )
@@ -755,12 +759,31 @@ def incremental_dedup(
     # these two joins to sort-merge (hint on both inputs), which sorts and
     # SPILLS gracefully at any skew; the evenly-keyed band/count joins
     # above and below stay hash-convertible.
+    #
+    # Round-10 (guide §3 semi-join prefilter): the pinned SMJ used to sort
+    # the FULL shingle sets to serve the candidate pairs — at sf1 that is
+    # a 2.6M-row sort against 13 pairs (0.88 s of d31's 2.3 s). The
+    # confirm only ever reads shingles of docs that appear in `cand`, so
+    # each side is first cut by a semi-join on the DISTINCT candidate ids.
+    # Exactness: the subsequent inner joins restrict to those very ids, so
+    # the aggregate input is row-identical. Skew-safety: the semi-join
+    # build side is a set of UNIQUE ids (uniform keys — pair-multiplicity
+    # skew cannot occur on a distinct-id set), and under mass duplication
+    # (every doc a candidate) the filter keeps everything and the plan
+    # degrades to exactly the old pinned-SMJ behavior.
     inter = (
         cand.hint("merge")
-        .join(sh_b.select(col(id_col).alias("__bid"), "sh").hint("merge"), "__bid")
+        .join(
+            sh_b.select(col(id_col).alias("__bid"), "sh")
+            .join(cand.select("__bid").distinct(), "__bid", "leftsemi")
+            .hint("merge"),
+            "__bid",
+        )
         .hint("merge")
         .join(
-            sh_c.select(col(id_col).alias("__cid"), "sh").hint("merge"),
+            sh_c.select(col(id_col).alias("__cid"), "sh")
+            .join(cand.select("__cid").distinct(), "__cid", "leftsemi")
+            .hint("merge"),
             ["__cid", "sh"],
         )
         .groupBy("__bid", "__cid")

@@ -594,6 +594,39 @@ def test_incremental_dedup_batch_vs_corpus(spark):
     assert strict[10] is True and strict[12] is False
 
 
+def test_incremental_dedup_external_candidates_prefilter(spark):
+    """Round-10: the confirm joins semi-filter the shingle sets down to
+    candidate doc ids before the pinned SMJ. Externally-supplied
+    candidates may name ids with NO shingle rows (empty/absent docs) and
+    may omit real near-dups; both must behave exactly as the inner joins
+    always did — the absent id confirms nothing, the omitted pair is
+    never flagged."""
+    from mindsdb_spark.operators.dedup import incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(0, base), (1, "completely different words about spark shuffles and joins here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, base), (11, base + " with a tiny suffix")],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(10, 0),      # real pair -> confirms
+         (11, 999),    # corpus id with no shingle rows -> confirms nothing
+         (999, 1)],    # batch id with no shingle rows -> no output row for it
+        "__bid long, __cid long",
+    )
+    out = {r.doc_id: (r.is_dup, r.dup_of)
+           for r in incremental_dedup(
+               corpus, batch, jaccard_threshold=0.5, candidates=cand
+           ).collect()}
+    assert out[10] == (True, 0)
+    assert out[11] == (False, None)  # its only candidate id is absent
+    assert set(out) == {10, 11}  # output stays one row per batch doc
+
+
 def test_pagerank_local_matches_distributed(spark):
     # round-10: the edge-count-gated local fallback must produce the same
     # ranks (up to float fold order) as the distributed power iteration
