@@ -146,20 +146,39 @@ def lsh_candidate_pairs(
     """Near-duplicate candidate pairs: docs sharing any LSH band, over
     hashed shingles (id, sh).
 
-    The self-join shuffles on (band_id, band_sig) — each bucket joins
-    locally; no all-pairs comparison ever materializes.
+    Round-10 shape (guide §2.3/§2.4; same family as the d06 grouped
+    index): the band table is grouped by (band_id, band_sig) ONCE and
+    pairs are generated per collision bucket as i<j combinations over the
+    sorted id array — the old two-sided self-join shuffled the band table
+    twice and streamed f² rows per bucket through the join to keep f(f-1)/2.
+    Every singleton bucket (the overwhelming majority — docs without a
+    near-dup) dies in the size(ids) >= 2 filter BEFORE pair generation,
+    where the self-join shuffled those rows on both sides just to join
+    them with themselves. Pair rows stream through posexplode + slice
+    (per-row state stays O(bucket), never O(bucket²) — a mass-dup bucket
+    degrades exactly like the join did: output-bound, not memory-bound).
+
+    The collision-bucket table is the materialized LSH index — persist
+    marks it compute-once (the standard build-the-index-once posture at
+    cluster scale; the candidate consumers — clusters, pagerank,
+    containment, confirm passes — all read the same index).
     """
     rows = n_hashes // bands
-    # both sides of the self-join read the band table; persist marks it
-    # compute-once for the action (the alias rename above the exchange
-    # defeats static ReuseExchange — verified via executedPlan)
-    bd = lsh_bands(minhash_signatures(sh, id_col, n_hashes), id_col, bands, rows).persist()
-    a = bd.select(col(id_col).alias("doc_a"), "band_id", "band_sig")
-    b = bd.select(col(id_col).alias("doc_b"), "band_id", "band_sig")
+    bd = lsh_bands(minhash_signatures(sh, id_col, n_hashes), id_col, bands, rows)
+    buckets = (
+        bd.groupBy("band_id", "band_sig")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .persist()
+    )
     return (
-        a.join(b, ["band_id", "band_sig"])
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(F.posexplode("ids").alias("i", "doc_a"), col("ids"))
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice("ids", col("i") + F.lit(2), F.size("ids"))
+            ).alias("doc_b"),
+        )
         .distinct()
     )
 
@@ -743,11 +762,22 @@ def incremental_dedup(
     # semi-join id sets) and Catalyst does not CSE across branches —
     # persist marks the band join compute-once (spillable, like sh_*)
     cand = cand.persist()
-    nb = sh_b.groupBy(id_col).agg(F.count("*").alias("__nb")).withColumnRenamed(
-        id_col, "__bid"
+    # set sizes are only ever read for docs that appear in `cand` (the
+    # confirm joins are inner on __bid/__cid), so both count aggregates are
+    # cut by the same distinct-id semi-join as the confirm legs below —
+    # the corpus-side groupBy then counts candidate docs' shingles, never
+    # the corpus's (exact: per-doc counts are untouched by dropping docs)
+    nb = (
+        sh_b.join(cand.select("__bid").distinct(), col(id_col) == col("__bid"), "leftsemi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("__nb"))
+        .withColumnRenamed(id_col, "__bid")
     )
-    nc = sh_c.groupBy(id_col).agg(F.count("*").alias("__nc")).withColumnRenamed(
-        id_col, "__cid"
+    nc = (
+        sh_c.join(cand.select("__cid").distinct(), col(id_col) == col("__cid"), "leftsemi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("__nc"))
+        .withColumnRenamed(id_col, "__cid")
     )
     # The candidate-confirm joins carry UNBOUNDED key skew: under mass
     # duplication one hot document can pair with thousands of others, so a

@@ -1202,3 +1202,42 @@ def test_editdist_confirm(spark):
         for r in editdist_confirm(docs, cand, max_dist=3).collect()
     }
     assert got == {(1, 2): 1, (1, 3): 2}  # (1,4) is far beyond 3: dropped
+
+
+def test_lsh_candidate_pairs_matches_selfjoin_reference(spark):
+    """Round-10: lsh_candidate_pairs generates i<j pairs per collision
+    bucket (grouped band index) instead of the two-sided band self-join.
+    The candidate SET must be identical to the reference self-join shape,
+    including a mass-dup bucket (one band value shared by many docs) and
+    docs with no collisions at all."""
+    from pyspark.sql import functions as F
+
+    from mindsdb_spark.operators.dedup import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_hashes,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, base) for i in range(8)]  # mass-dup class: all 8 collide
+    rows += [(100, "spark shuffles sort merge join partitions memory spill"),
+             (101, "spark shuffles sort merge join partitions memory spilled"),
+             (200, "an entirely unrelated document about png scanline filters")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingle_hashes(docs)
+
+    got = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sh).collect()}
+
+    bd = lsh_bands(minhash_signatures(sh, "doc_id", 16), "doc_id", 4, 4)
+    a = bd.select(F.col("doc_id").alias("doc_a"), "band_id", "band_sig")
+    b = bd.select(F.col("doc_id").alias("doc_b"), "band_id", "band_sig")
+    ref = {(r.doc_a, r.doc_b)
+           for r in a.join(b, ["band_id", "band_sig"])
+                     .filter(F.col("doc_a") < F.col("doc_b"))
+                     .select("doc_a", "doc_b").distinct().collect()}
+    assert got == ref
+    # the 8-doc dup class contributes all 28 i<j pairs exactly once
+    dup_pairs = {(x, y) for x in range(8) for y in range(8) if x < y}
+    assert dup_pairs <= got
+    assert all(p[0] < p[1] for p in got)
