@@ -76,6 +76,11 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
 
 MINHASH_PRIME = 4294967311  # smallest prime > 2^32
 _LANE_SEED = 42
+# jaccard_topk_pairs small-input gate (bytes of Catalyst's driver-side
+# estimate for the shingle input; sf0.1 ≈ 0.47 MB, sf1 ≈ 4.9 MB — the
+# gate sits between with ~2x margin each way and is ~3x under the row
+# count the default prune_threshold would need)
+_PROBE_STATS_GATE = 1_000_000
 
 
 def minhash_lane_params(n_hashes: int) -> list[tuple[int, int]]:
@@ -248,11 +253,29 @@ def jaccard_topk_pairs(
         .select("sh", F.array_sort("ids").alias("ids"))
         .persist()
     )
-    probe = grouped.agg(
-        F.min(F.element_at("ids", 1)).alias("lo"),
-        F.max(F.element_at("ids", -1)).alias("hi"),
-        F.sum(F.size("ids")).alias("rows"),
-    ).head()
+    # small-input gate (guide §1.2: don't pay a driver job where it buys
+    # nothing): the probe exists to (a) prove ids packable and (b) read
+    # `total` for the prune gate. Catalyst's driver-side size estimate of
+    # the shingle input (no job) is ~linear in corpus size here; far below
+    # the prune threshold both answers are worthless — the pair aggregate
+    # is tiny either way — so the probe job is skipped and the proven
+    # struct-key unpruned plan runs. Conservative directions only: an
+    # unavailable/overestimated stat runs the probe (current behavior),
+    # and an explicitly lowered prune_threshold (how the branch tests
+    # force pruning) disables the gate.
+    est = None
+    try:
+        est = int(str(sh._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        est = None
+    if est is not None and est < _PROBE_STATS_GATE and prune_threshold > _PROBE_STATS_GATE:
+        probe = None
+    else:
+        probe = grouped.agg(
+            F.min(F.element_at("ids", 1)).alias("lo"),
+            F.max(F.element_at("ids", -1)).alias("hi"),
+            F.sum(F.size("ids")).alias("rows"),
+        ).head()
     packable = (
         probe is not None
         and probe["lo"] is not None
