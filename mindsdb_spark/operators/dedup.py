@@ -81,6 +81,19 @@ _LANE_SEED = 42
 # gate sits between with ~2x margin each way and is ~3x under the row
 # count the default prune_threshold would need)
 _PROBE_STATS_GATE = 1_000_000
+# jaccard_topk_pairs prefix-filter gate: the PPJoin prefix path only runs
+# under a STRONG top-k bound (q >= this, i.e. prefix length <= ~0.1·|doc|
+# + 1); at weak bounds the prefix keeps most of each doc and the direct
+# pruned-flood aggregate is cheaper than candidates + confirm joins
+_PREFIX_MIN_Q = 900_000
+# ... and only when per-group pair ENUMERATION (Σ f(f−1)/2, exact, read in
+# the same probe job as `total`) dwarfs the linear index passes the prefix
+# path pays for (two windows + semi-filtered SMJ confirm ∝ total). The
+# crossover is a RATIO of the two cost drivers, not an absolute size, so
+# it holds for any corpus/cluster: measured flood≈prefix at ratio 44
+# (sf1, 0.92-1.08x both ways), prefix 2.4x at 133 (sf3), 6.8x at 444
+# (sf10) — BENCH_r10_jaccard_scale.json
+_PREFIX_COST_RATIO = 64
 
 
 def minhash_lane_params(n_hashes: int) -> list[tuple[int, int]]:
@@ -234,6 +247,16 @@ def jaccard_topk_pairs(
          The bound probe is gated on ``prune_threshold`` kept-index rows:
          below it the flood is cheaper than the probe and the unpruned
          plan runs unchanged.
+      3. **Prefix filter** (the other member of the PPJoin family): under
+         a STRONG bound (q ≥ ``_PREFIX_MIN_Q``) AND a corpus where pair
+         enumeration dwarfs linear index passes (Σf(f−1)/2 ≥
+         ``_PREFIX_COST_RATIO``·total, both read in the same probe job),
+         pair generation runs only over each doc's rarest
+         |doc| − ⌈t*·|doc|⌉ + 1 shingles under a global (df, sh) order —
+         every pair that can still make top-k provably co-occurs there —
+         then candidates confirm by exact intersection over the full
+         index. Measured: flood≈prefix at ratio 44 (sf1), prefix 2.4x at
+         133 (sf3), 6.8x at 444 (sf10).
 
     ``max_df`` caps shingle document frequency BEFORE pair generation: a
     stopword shingle shared by 1M docs would alone generate ~10^12 pair
@@ -275,6 +298,9 @@ def jaccard_topk_pairs(
             F.min(F.element_at("ids", 1)).alias("lo"),
             F.max(F.element_at("ids", -1)).alias("hi"),
             F.sum(F.size("ids")).alias("rows"),
+            F.sum(
+                F.expr("cast(size(ids) as bigint) * (size(ids) - 1) div 2")
+            ).alias("pairs"),
         ).head()
     packable = (
         probe is not None
@@ -283,6 +309,7 @@ def jaccard_topk_pairs(
         and probe["hi"] < 1 << 31
     )
     total = (probe["rows"] or 0) if probe is not None else 0
+    pairs_enum = (probe["pairs"] or 0) if probe is not None else 0
     kept = grouped.select("sh", F.explode("ids").alias(id_col))
     sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     na = sizes.select(col(id_col).alias("doc_a"), col("n").alias("na"))
@@ -338,7 +365,111 @@ def jaccard_topk_pairs(
             q = int(qv[-1][0]) if len(qv) >= k else 0
 
     two32 = F.lit(1 << 32)
-    if q > 1:
+    shared = None
+    if (
+        q >= _PREFIX_MIN_Q
+        and k >= 1
+        and pairs_enum >= _PREFIX_COST_RATIO * total
+    ):
+        # PPJoin/AllPairs PREFIX filter (second member of the similarity-
+        # join family; the size filter above is the first). Exactness:
+        # rounded(jac) >= q  ⟺  jac >= t* = (2q-1)/2e6. If jac(A,B) >= t*
+        # then |A∩B| >= t*·max(|A|,|B|) >= ceil(t*·|A|) = α(A) (integer),
+        # and the SMALLEST shared shingle e under any fixed total order
+        # must sit within the first |A| - α(A) + 1 shingles of A (were e
+        # deeper, fewer than α(A) shingles of A could be shared at all) —
+        # symmetrically for B. So every pair that can still make top-k
+        # co-occurs in some shingle group restricted to BOTH docs'
+        # prefixes under the global (df asc, sh asc) order; pairs only
+        # ever DROPPED here have rounded jac < q and cannot displace the
+        # k exhibited pairs. Candidates then confirm by exact
+        # intersection count over the FULL kept index (the d31 pinned-SMJ
+        # + distinct-id semi-filter pattern — candidate multiplicity
+        # carries the same unbounded skew). Gated on a STRONG bound
+        # (q >= _PREFIX_MIN_Q ⟹ prefix length <= ~0.1·|doc| + 1): at
+        # weak bounds the prefix keeps most of each doc and the direct
+        # pruned flood below is cheaper than candidates + confirm joins —
+        # AND on the measured enumeration/index cost-ratio crossover
+        # (_PREFIX_COST_RATIO; below it the flood's Σf(f−1)/2 is cheap
+        # enough that two windows + confirm joins cost more than they
+        # save).
+        # At q = 1e6 (a dup-class-certified bound) each doc indexes
+        # exactly ONE shingle — its globally rarest — and the f(f-1)/2
+        # enumeration collapses to candidate-output size.
+        from pyspark.sql import Window as _W
+
+        w_ord = _W.partitionBy(id_col).orderBy(col("__df").asc(), col("sh").asc())
+        w_doc = _W.partitionBy(id_col)
+        pre = grouped.select(
+            "sh", F.size("ids").alias("__df"), F.explode("ids").alias(id_col)
+        ).select(
+            id_col,
+            "sh",
+            F.row_number().over(w_ord).alias("__pos"),
+            F.count(F.lit(1)).over(w_doc).alias("n"),
+        )
+        alpha = F.expr(f"(({2 * q - 1} * n) + 1999999) div 2000000")
+        prefix_rows = pre.where(col("__pos") <= col("n") - alpha + F.lit(1))
+        qm1p = F.lit(q - 1)
+
+        def prp(x, y):
+            keep_pair = (F.least(x["n"], y["n"]) * F.lit(1_000_000)) >= (
+                qm1p * F.greatest(x["n"], y["n"])
+            )
+            if packable:
+                return F.when(keep_pair, x["a"] * two32 + y["a"])
+            return F.when(
+                keep_pair, F.struct(x["a"].alias("a"), y["a"].alias("b"))
+            )
+
+        pidn = col("idn")
+        ppair = F.flatten(
+            F.transform(
+                pidn,
+                lambda x, i: F.transform(
+                    F.slice(pidn, i + F.lit(2), F.size(pidn)),
+                    lambda y: prp(x, y),
+                ),
+            )
+        )
+        psrc = (
+            prefix_rows.groupBy("sh")
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(col(id_col).alias("a"), col("n").alias("n"))
+                    )
+                ).alias("idn")
+            )
+            .where(F.size("idn") >= 2)
+            .select(F.explode(F.array_compact(ppair)).alias("pk"))
+        )
+        if packable:
+            cand = psrc.select(
+                F.shiftright(col("pk"), 32).alias("doc_a"),
+                col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("doc_b"),
+            )
+        else:
+            cand = psrc.select(
+                col("pk.a").alias("doc_a"), col("pk.b").alias("doc_b")
+            )
+        # three consumers (two id sets + the pair join); no cross-branch CSE
+        cand = cand.distinct().persist()
+        ka = kept.select(col(id_col).alias("doc_a"), "sh").join(
+            cand.select("doc_a").distinct(), "doc_a", "leftsemi"
+        )
+        kb = kept.select(col(id_col).alias("doc_b"), "sh").join(
+            cand.select("doc_b").distinct(), "doc_b", "leftsemi"
+        )
+        shared = (
+            cand.hint("merge")
+            .join(ka.hint("merge"), "doc_a")
+            .hint("merge")
+            .join(kb.hint("merge"), ["doc_b", "sh"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+    elif q > 1:
         # sizes ride the arrays so the prune happens INSIDE pair
         # generation, before anything is materialized or shuffled
         garr = (
@@ -402,7 +533,7 @@ def jaccard_topk_pairs(
         src = grouped.where(F.size("ids") >= 2).select(
             F.explode(pair_arr).alias("pk")
         )
-    if packable:
+    if shared is None and packable:
         shared = (
             src.groupBy("pk")
             .agg(F.count(F.lit(1)).alias("shared"))
@@ -412,7 +543,7 @@ def jaccard_topk_pairs(
                 "shared",
             )
         )
-    else:
+    elif shared is None:
         shared = src.groupBy(
             col("pk.a").alias("doc_a"), col("pk.b").alias("doc_b")
         ).agg(F.count(F.lit(1)).alias("shared"))

@@ -321,6 +321,47 @@ def test_jaccard_prune_lsh_bound_branch(spark):
     assert got == want
 
 
+def test_jaccard_prefix_path_matches_unpruned(spark, monkeypatch):
+    # round-10: a dup-class-certified bound (ndup >= k -> q = 1e6 >=
+    # _PREFIX_MIN_Q) routes pair generation through the PPJoin prefix
+    # filter; output must be row-identical to the unpruned plan for both
+    # the packed-long and struct pair-key widths. The branch is asserted
+    # to have actually fired via its one distinguishing plan node (the
+    # row_number prefix-position window — no other jaccard path uses a
+    # window function). The enumeration/index cost-ratio gate is lowered
+    # to 0 — a 57-doc corpus can never reach the real crossover.
+    from pyspark.sql import functions as F
+
+    from mindsdb_spark.operators import dedup
+    from mindsdb_spark.operators.dedup import jaccard_topk_pairs, shingle_hashes
+
+    monkeypatch.setattr(dedup, "_PREFIX_COST_RATIO", 0)
+
+    rows = []
+    for c in range(3):  # 3 classes x 4 docs = 18 certified jac-1.0 pairs
+        for m in range(4):
+            rows.append((c * 10 + m, f"alpha{c} beta{c} gamma{c} delta{c} eps{c}"))
+    rows.append((100, "alpha0 beta0 gamma0 delta0 zeta0"))  # near-dup, ties top-k
+    for i in range(40):
+        rows.append((200 + i, f"n{i}a n{i}b n{i}c n{i}d n{i}e"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingle_hashes(docs)
+    want = [tuple(r) for r in jaccard_topk_pairs(
+        sh, k=10, prune_threshold=1 << 60).collect()]          # unpruned
+    got_df = jaccard_topk_pairs(sh, k=10, prune_threshold=0)   # 18 >= k=10
+    assert "row_number" in got_df._jdf.queryExecution().optimizedPlan().toString()
+    assert [tuple(r) for r in got_df.collect()] == want
+    # struct-key width (ids beyond 2^31)
+    big = docs.select((F.col("doc_id") + F.lit(1 << 40)).alias("doc_id"), "text")
+    shb = shingle_hashes(big)
+    want_b = [tuple(r) for r in jaccard_topk_pairs(
+        shb, k=10, prune_threshold=1 << 60).collect()]
+    got_b_df = jaccard_topk_pairs(shb, k=10, prune_threshold=0)
+    assert "row_number" in got_b_df._jdf.queryExecution().optimizedPlan().toString()
+    assert [tuple(r) for r in got_b_df.collect()] == want_b
+    assert [(a - (1 << 40), b - (1 << 40), j) for a, b, j in want_b] == want
+
+
 def test_allpairs_no_corpus_pass(spark, sf_dir):
     # sizing must come from plan metadata, not an eager count(): building
     # the operator may run at most the 1-task single-row dim probe
