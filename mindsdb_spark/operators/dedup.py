@@ -65,13 +65,28 @@ def grams_expr(ws, n: int):
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles, exploded to (id, shingle) rows
-    (zip_with chain — see grams_expr)."""
+    (zip_with chain — see grams_expr).
+
+    Round-11 (guide §1.2 per-task work; the sf100 signature-pass floor):
+    the token array and the distinct-grams array are PROJECTED as columns
+    before the explode instead of inlined into the generator. zip_with is
+    CodegenFallback, so an inlined generator ran interpreted and
+    re-evaluated split(lower(trim(text))) once per textual occurrence —
+    7 `split(` sites in the old plan vs 2 now (the optimizer's filter
+    pushdown keeps one copy in the pre-explode size filter). CollapseProject
+    keeps both projections separate (the arrays are referenced repeatedly
+    and are non-cheap), and explode of a plain column is codegen-able.
+    Measured on the full signature pass, interleaved, bit-identical rows
+    (scripts/opt_r11_shingle_ab.py): sf10-docs 6.66→5.00 s, sf100-docs
+    53.7→37.0 s (1.45x) with non-overlapping bands.
+    """
     df = parallelize_input(df)
     w = words_expr(col(text_col))
-    return (
-        df.filter(F.size(w) >= n)
-        .select(col(id_col), F.explode(F.array_distinct(grams_expr(w, n))).alias("shingle"))
+    toks = df.select(col(id_col), w.alias("__ws")).filter(F.size("__ws") >= n)
+    grams = toks.select(
+        col(id_col), F.array_distinct(grams_expr(col("__ws"), n)).alias("__g")
     )
+    return grams.select(col(id_col), F.explode("__g").alias("shingle"))
 
 
 MINHASH_PRIME = 4294967311  # smallest prime > 2^32
@@ -183,12 +198,24 @@ def lsh_candidate_pairs(
     """
     rows = n_hashes // bands
     bd = lsh_bands(minhash_signatures(sh, id_col, n_hashes), id_col, bands, rows)
-    buckets = (
+    buckets = _collision_buckets(bd, id_col).persist()
+    return _pairs_from_buckets(buckets)
+
+
+def _collision_buckets(bd: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Collision buckets (band_id, band_sig, ids) from a band table —
+    UNPERSISTED; callers choose the cache posture (lsh_candidate_pairs
+    persists the index; the d06 bound probe persists-then-releases)."""
+    return (
         bd.groupBy("band_id", "band_sig")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .where(F.size("ids") >= 2)
-        .persist()
     )
+
+
+def _pairs_from_buckets(buckets: DataFrame) -> DataFrame:
+    """i<j candidate pairs from sorted collision-bucket id arrays
+    (posexplode + slice: per-row state stays O(bucket), never O(bucket²))."""
     return (
         buckets.select(F.posexplode("ids").alias("i", "doc_a"), col("ids"))
         .select(
@@ -268,7 +295,12 @@ def jaccard_topk_pairs(
     # the grouped index feeds every downstream consumer (probe, sizes,
     # dup-class signatures, pair generation) and Catalyst does not CSE
     # across them — persist marks it compute-once (MEMORY_AND_DISK; the
-    # standard materialize-the-inverted-index step at cluster scale)
+    # standard materialize-the-inverted-index step at cluster scale).
+    # Session hygiene: this persist (and the prefix branch's candidate
+    # persist) lives inside the RETURNED plan, so it cannot be released
+    # here; it is dropped by unpersist()/ContextCleaner when the caller
+    # drops the plan. Probe-only intermediates (the A2 bucket index) ARE
+    # released before return (round-10 verdict item 7).
     grouped = (
         sh.groupBy("sh")
         .agg(F.collect_list(id_col).alias("ids"))
@@ -282,10 +314,12 @@ def jaccard_topk_pairs(
     # the shingle input (no job) is ~linear in corpus size here; far below
     # the prune threshold both answers are worthless — the pair aggregate
     # is tiny either way — so the probe job is skipped and the proven
-    # struct-key unpruned plan runs. Conservative directions only: an
-    # unavailable/overestimated stat runs the probe (current behavior),
-    # and an explicitly lowered prune_threshold (how the branch tests
-    # force pruning) disables the gate.
+    # struct-key unpruned plan runs. An unavailable or OVERestimated stat
+    # runs the probe (probe cost wasted at worst); an UNDERestimated stat
+    # skips it, losing key packing and the prune for that call — a
+    # perf-only miss, never a correctness one (the unpruned struct-key
+    # plan is exact at any size). An explicitly lowered prune_threshold
+    # (how the branch tests force pruning) disables the gate entirely.
     est = None
     try:
         est = int(str(sh._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
@@ -337,8 +371,17 @@ def jaccard_topk_pairs(
         else:
             # phase A2: exact-confirm LSH candidates; ANY k confirmed pairs
             # give a valid lower bound (recall affects speed, not
-            # correctness — q stays 0 if fewer than k confirm)
-            cand = lsh_candidate_pairs(kept, id_col).limit(50_000)
+            # correctness — q stays 0 if fewer than k confirm). The 50k
+            # sample is ORDERED (TakeOrderedAndProject — bounded heap per
+            # partition) so the derived bound, hence the chosen plan path,
+            # is deterministic across runs/partitionings (round-10 ADVICE).
+            bd = lsh_bands(minhash_signatures(kept, id_col, 16), id_col, 4, 4)
+            bkts = _collision_buckets(bd, id_col).persist()
+            cand = (
+                _pairs_from_buckets(bkts)
+                .orderBy("doc_a", "doc_b")
+                .limit(50_000)
+            )
             ka = kept.select(col(id_col).alias("doc_a"), "sh")
             kb = kept.select(col(id_col).alias("doc_b"), "sh")
             inter = (
@@ -363,6 +406,10 @@ def jaccard_topk_pairs(
                 .collect()
             )
             q = int(qv[-1][0]) if len(qv) >= k else 0
+            # the bound is collected — the probe's bucket index is dead;
+            # release it so repeated server-path calls don't pin storage
+            # (round-10 verdict item 7)
+            bkts.unpersist()
 
     two32 = F.lit(1 << 32)
     shared = None
@@ -574,12 +621,32 @@ def containment_pairs(
 
     Reference has no sub-document dedup at all; this is the training-data
     scale path (detect boilerplate wrappers, quoted reposts).
+
+    Round-11 (guide §3; the d31 semi-join prefilter pattern): every
+    consumer below — the two intersection legs AND the set-size
+    aggregate — only ever reads shingles of docs that appear in ``pairs``,
+    so the shingle index is first cut by a ``leftsemi`` on the DISTINCT
+    candidate ids and the cut table is what gets persisted (candidate-
+    sized, not corpus-sized). Exactness: the inner joins restrict to those
+    very ids and per-doc counts are untouched by dropping whole docs, so
+    every downstream row is identical. Skew-safety: the semi-join build
+    side is a set of unique ids (pair-multiplicity skew cannot occur on a
+    distinct-id set); under mass duplication the filter keeps everything
+    and the plan degrades to exactly the old shape. Session hygiene: the
+    two persists live inside the returned plan and are released by
+    ``unpersist``/``ContextCleaner`` when the plan is dropped.
     """
-    sh = sh.persist()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    pairs = pairs.persist()  # three consumers (id set + pair join legs)
+    ids = (
+        pairs.select(col("doc_a").alias(id_col))
+        .union(pairs.select(col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    kept = sh.join(ids, id_col, "leftsemi").persist()
+    sizes = kept.groupBy(id_col).agg(F.count("*").alias("n"))
     inter = (
-        pairs.join(sh.select(col(id_col).alias("doc_a"), "sh"), "doc_a")
-        .join(sh.select(col(id_col).alias("doc_b"), "sh"), ["doc_b", "sh"], "left_semi")
+        pairs.join(kept.select(col(id_col).alias("doc_a"), "sh"), "doc_a")
+        .join(kept.select(col(id_col).alias("doc_b"), "sh"), ["doc_b", "sh"], "left_semi")
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared"))
     )

@@ -290,7 +290,10 @@ def test_jaccard_pruned_paths_match_unpruned(spark):
     want = [tuple(r) for r in jaccard_topk_pairs(
         sh, k=25, prune_threshold=1 << 60).collect()]          # unpruned
     pruned = [tuple(r) for r in jaccard_topk_pairs(
-        sh, k=25, prune_threshold=0).collect()]                # forced prune
+        sh, k=25, prune_threshold=0).collect()]  # probe forced; with k=25 >
+    # certifiable pairs here q stays 0 and the (probed) unpruned plan runs —
+    # this covers the probe/struct/packed key paths; the q>1 pruned-flood
+    # branch is exercised by test_jaccard_size_prune_branch below
     assert pruned == want
     # struct-key path (ids beyond 2^31), pruned and unpruned
     big = docs.select((F.col("doc_id") + F.lit(1 << 40)).alias("doc_id"), "text")
@@ -319,6 +322,48 @@ def test_jaccard_prune_lsh_bound_branch(spark):
     got = [tuple(r) for r in jaccard_topk_pairs(
         sh, k=3, prune_threshold=0).collect()]
     assert got == want
+
+
+def test_jaccard_size_prune_branch(spark):
+    # round-11 (ADVICE item): the size-ratio pruned-FLOOD branch (q > 1 but
+    # below _PREFIX_MIN_Q — the default path for ordinary corpora at scale)
+    # was previously never executed by any committed test. Fixture: zero
+    # exact-dup classes (A1 yields ndup=0 < k) but >= k LSH-confirmable
+    # near-dup pairs at jac = 7/9 (10-word docs differing in the last word:
+    # 8 shingles, 7 shared), so phase A2 derives q = 777778 — strictly
+    # between 1 and _PREFIX_MIN_Q. Assert the flood branch actually fired
+    # (sizes ride the grouped arrays as the `idn` struct; no row_number —
+    # that is the prefix branch's node) and rows equal the unpruned plan.
+    from pyspark.sql import functions as F
+
+    from mindsdb_spark.operators.dedup import jaccard_topk_pairs, shingle_hashes
+
+    rows = []
+    for i in range(8):  # 8 near-dup pairs at jac 7/9
+        base = " ".join(f"p{i}w{j}" for j in range(9))
+        rows.append((2 * i, base + f" p{i}tailA"))
+        rows.append((2 * i + 1, base + f" p{i}tailB"))
+    for i in range(40):  # noise docs, no shared shingles
+        rows.append((200 + i, f"n{i}a n{i}b n{i}c n{i}d n{i}e"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingle_hashes(docs)
+    want = [tuple(r) for r in jaccard_topk_pairs(
+        sh, k=5, prune_threshold=1 << 60).collect()]           # unpruned
+    got_df = jaccard_topk_pairs(sh, k=5, prune_threshold=0)    # probe forced
+    plan = got_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "idn" in plan and "row_number" not in plan, (
+        "expected the q>1 pruned-flood branch (A2 must confirm >= 5 pairs "
+        "at jac 7/9; if this fires the fixture's LSH recall regressed)"
+    )
+    assert [tuple(r) for r in got_df.collect()] == want
+    # struct-key width (ids beyond 2^31) through the same branch
+    big = docs.select((F.col("doc_id") + F.lit(1 << 40)).alias("doc_id"), "text")
+    shb = shingle_hashes(big)
+    want_b = [tuple(r) for r in jaccard_topk_pairs(
+        shb, k=5, prune_threshold=1 << 60).collect()]
+    got_b = jaccard_topk_pairs(shb, k=5, prune_threshold=0)
+    assert "idn" in got_b._jdf.queryExecution().optimizedPlan().toString()
+    assert [tuple(r) for r in got_b.collect()] == want_b
 
 
 def test_jaccard_prefix_path_matches_unpruned(spark, monkeypatch):
