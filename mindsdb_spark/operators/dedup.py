@@ -109,6 +109,15 @@ _PREFIX_MIN_Q = 900_000
 # (sf1, 0.92-1.08x both ways), prefix 2.4x at 133 (sf3), 6.8x at 444
 # (sf10) — BENCH_r10_jaccard_scale.json
 _PREFIX_COST_RATIO = 64
+# lsh_candidate_pairs bucket chunking (round-11, VERDICT item 4): above
+# the stats gate, collision buckets are built in id-sorted chunks of at
+# most _LSH_CHUNK_CAP ids, bounding every collect_list aggregation buffer
+# at ~512 KB (an adversarial mass-dup bucket previously materialized the
+# whole bucket — O(corpus) — in ONE buffer). Below the gate the round-10
+# single-array plan runs unchanged (the bench scales sit far below it;
+# sf0.1 ≈ 0.5 MB, sf1 ≈ 5 MB of Catalyst-estimated shingle input).
+_LSH_CHUNK_CAP = 65536
+_LSH_CHUNK_STATS_GATE = 64 * 1024 * 1024
 
 
 def minhash_lane_params(n_hashes: int) -> list[tuple[int, int]]:
@@ -174,7 +183,11 @@ def lsh_bands(sig: DataFrame, id_col: str = "doc_id", bands: int = 4, rows: int 
 
 
 def lsh_candidate_pairs(
-    sh: DataFrame, id_col: str = "doc_id", n_hashes: int = 16, bands: int = 4
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    chunk_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs: docs sharing any LSH band, over
     hashed shingles (id, sh).
@@ -195,27 +208,82 @@ def lsh_candidate_pairs(
     marks it compute-once (the standard build-the-index-once posture at
     cluster scale; the candidate consumers — clusters, pagerank,
     containment, confirm passes — all read the same index).
+
+    Memory bound (round-11, VERDICT item 4): the grouped form holds one
+    collision bucket per aggregation buffer, which an adversarial mass-dup
+    corpus makes O(corpus) in a single buffer (~80 MB per 10⁷-id bucket).
+    Above a Catalyst-stats gate — or when ``chunk_cap`` forces it — the
+    index is built as id-sorted CHUNKS of at most ``chunk_cap`` ids per
+    row: a window (count + row_number over the bucket key; spillable
+    sort-based buffering, unlike an aggregation buffer) sizes and splits
+    each bucket, the groupBy reuses the window's exchange (same key
+    prefix), and every collect_list buffer is bounded at ~512 KB. Pair
+    generation adds cross-chunk pairs via a self-join of the persisted
+    chunk table on the bucket key: chunks are id-ordered, so chunk i's ids
+    all precede chunk j's for i<j and the (doc_a < doc_b) orientation is
+    preserved without comparisons. Candidate SET identical either way
+    (parity test on a mega-bucket corpus); singleton buckets still die
+    before any pair work (window count >= 2 — now BEFORE the aggregate,
+    where the old plan aggregated them first and filtered after).
+    ``chunk_cap``: None = auto (stats gate), 0 = never chunk, int = force
+    that cap.
     """
     rows = n_hashes // bands
     bd = lsh_bands(minhash_signatures(sh, id_col, n_hashes), id_col, bands, rows)
-    buckets = _collision_buckets(bd, id_col).persist()
-    return _pairs_from_buckets(buckets)
+    cap = chunk_cap
+    if cap is None:
+        est = None
+        try:
+            est = int(str(sh._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        except Exception:
+            est = None  # stat unavailable: keep the proven single-array plan
+        cap = _LSH_CHUNK_CAP if (est is not None and est >= _LSH_CHUNK_STATS_GATE) else 0
+    buckets = _collision_buckets(bd, id_col, cap).persist()
+    pairs = _pairs_from_buckets(buckets)
+    if cap:
+        pairs = pairs.unionByName(_cross_chunk_pairs(buckets))
+    return pairs.distinct()
 
 
-def _collision_buckets(bd: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Collision buckets (band_id, band_sig, ids) from a band table —
-    UNPERSISTED; callers choose the cache posture (lsh_candidate_pairs
-    persists the index; the d06 bound probe persists-then-releases)."""
+def _collision_buckets(
+    bd: DataFrame, id_col: str = "doc_id", cap: int = 0
+) -> DataFrame:
+    """Collision buckets (band_id, band_sig[, __chunk], ids) from a band
+    table — UNPERSISTED; callers choose the cache posture
+    (lsh_candidate_pairs persists the index; the d06 bound probe
+    persists-then-releases). ``cap`` > 0 splits buckets into id-sorted
+    chunks of at most ``cap`` ids (bounded aggregation buffers)."""
+    if not cap:
+        return (
+            bd.groupBy("band_id", "band_sig")
+            .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+            .where(F.size("ids") >= 2)
+        )
+    from pyspark.sql import Window as _W
+
+    wk = _W.partitionBy("band_id", "band_sig").orderBy(col(id_col))
+    full = wk.rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing)
+    pre = bd.select(
+        "band_id",
+        "band_sig",
+        col(id_col),
+        F.count(F.lit(1)).over(full).alias("__f"),
+        F.row_number().over(wk).alias("__rn"),
+    ).where(col("__f") >= 2)
     return (
-        bd.groupBy("band_id", "band_sig")
+        pre.groupBy(
+            "band_id", "band_sig", F.expr(f"(__rn - 1) div {int(cap)}").alias("__chunk")
+        )
+        # input arrives id-sorted from the window, but collect_list order
+        # is an implementation detail — sort_array keeps determinism
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .where(F.size("ids") >= 2)
     )
 
 
 def _pairs_from_buckets(buckets: DataFrame) -> DataFrame:
     """i<j candidate pairs from sorted collision-bucket id arrays
-    (posexplode + slice: per-row state stays O(bucket), never O(bucket²))."""
+    (posexplode + slice: per-row state stays O(bucket), never O(bucket²)).
+    NOT distinct-ed — callers dedup once over all pair sources."""
     return (
         buckets.select(F.posexplode("ids").alias("i", "doc_a"), col("ids"))
         .select(
@@ -224,7 +292,26 @@ def _pairs_from_buckets(buckets: DataFrame) -> DataFrame:
                 F.slice("ids", col("i") + F.lit(2), F.size("ids"))
             ).alias("doc_b"),
         )
-        .distinct()
+    )
+
+
+def _cross_chunk_pairs(buckets: DataFrame) -> DataFrame:
+    """Pairs across chunks of the same bucket: chunk arrays are id-ordered
+    (row_number over an id-ordered window), so for __chunk a < b every id
+    of a precedes every id of b — the full cross product is already
+    (doc_a < doc_b)-oriented. Streams one pair row per combination; per-row
+    state is two arrays of <= cap ids."""
+    a = buckets.select(
+        "band_id", "band_sig", col("__chunk").alias("__ca"), col("ids").alias("__ia")
+    )
+    b = buckets.select(
+        "band_id", "band_sig", col("__chunk").alias("__cb"), col("ids").alias("__ib")
+    )
+    return (
+        a.join(b, ["band_id", "band_sig"])
+        .where(col("__ca") < col("__cb"))
+        .select(F.explode("__ia").alias("doc_a"), "__ib")
+        .select("doc_a", F.explode("__ib").alias("doc_b"))
     )
 
 
@@ -379,6 +466,7 @@ def jaccard_topk_pairs(
             bkts = _collision_buckets(bd, id_col).persist()
             cand = (
                 _pairs_from_buckets(bkts)
+                .distinct()  # duplicate pairs would inflate intersections
                 .orderBy("doc_a", "doc_b")
                 .limit(50_000)
             )
@@ -783,8 +871,13 @@ def connected_components(
         pairs.select(col(a_col).alias("u"), col(b_col).alias("v"))
         .where(col("u") != col("v"))
         # materialize the candidate-pair pipeline ONCE — without this every
-        # star round's convergence action re-executes the upstream LSH plan
-        .localCheckpoint(eager=True)
+        # star round's convergence action re-executes the upstream LSH plan.
+        # LAZY (round-11): the gate count below is the first action, so
+        # materialize-and-count is one job instead of an eager checkpoint
+        # job plus a count job (r11 A/B: marginal, ~30-50 ms at sf0.1, but
+        # directionally positive in every interleaved sample and one fewer
+        # scheduling round-trip at any scale)
+        .localCheckpoint(eager=False)
     )
     # adaptive small-graph path: the POST-LSH candidate graph is usually
     # tiny relative to the corpus (it holds only near-duplicate pairs), and
@@ -1096,8 +1189,10 @@ def pagerank(
         .distinct()
         # materialize once: the gate count below and every consumer after it
         # (either path) reuse the computed edge set instead of re-running
-        # the upstream LSH pipeline per action
-        .localCheckpoint(eager=True)
+        # the upstream LSH pipeline per action. LAZY: the first action (the
+        # gate count) materializes and counts in one job — see
+        # connected_components
+        .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()
     base_val = (1.0 - damping) / n_nodes
@@ -1181,28 +1276,42 @@ def rowwise_lsh_bands(
     own distinct-shingle array. The batch path stays preferable for batch
     jobs (shuffle-level min() beats 16 per-row array passes when documents
     are huge); this exists for stream-side sketching.
+
+    Round-11 (the shingles() finding applied to the streaming path): HOFs
+    are CodegenFallback AND interpreted evaluation has no subexpression
+    elimination, so the old single inlined generator re-tokenized each row
+    once per textual `split(` occurrence and re-reduced `sh % 2^32` once
+    per lane per shingle. The token array, the 32-bit-reduced shingle-hash
+    array (one md5 + one mod per shingle), and the band-entry array are
+    now PROJECTED stepwise, and the explode runs over a plain column.
+    Values bit-identical: lane_i = min((a_i·(sh mod 2^32) + b_i) mod P)
+    with the identical md5-derived sh — the mod is applied once per
+    shingle instead of once per lane per shingle.
     """
     rows = n_hashes // bands
     w = words_expr(col(text_col))
-    ln = F.size(w) - (n - 1)
-    grams = F.slice(w, 1, ln)
+    toks = df.select(col(id_col), w.alias("__ws")).filter(F.size("__ws") >= n)
+    wsc = col("__ws")
+    ln = F.size(wsc) - (n - 1)
+    grams = F.slice(wsc, 1, ln)
     for j in range(1, n):
         grams = F.zip_with(
-            grams, F.slice(w, j + 1, ln), lambda a, b: F.concat(a, F.lit(" "), b)
+            grams, F.slice(wsc, j + 1, ln), lambda a, b: F.concat(a, F.lit(" "), b)
         )
-    sh_arr = F.transform(
+    s32_arr = F.transform(
         F.array_distinct(grams),
-        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+        % F.lit(4294967296),
     )
+    hashed = toks.select(col(id_col), s32_arr.alias("__s32"))
+
     def _lane(a, b):
         # separate factory: pyspark reads the lambda's SIGNATURE to bind HOF
         # variables, so default-arg closure capture would read as a 3-arg HOF
-        return lambda s: (F.lit(a) * (s % F.lit(4294967296)) + F.lit(b)) % F.lit(
-            MINHASH_PRIME
-        )
+        return lambda s32: (F.lit(a) * s32 + F.lit(b)) % F.lit(MINHASH_PRIME)
 
     lanes = [
-        F.array_min(F.transform(sh_arr, _lane(a, b)))
+        F.array_min(F.transform(col("__s32"), _lane(a, b)))
         for a, b in minhash_lane_params(n_hashes)
     ]
     entries = []
@@ -1211,10 +1320,9 @@ def rowwise_lsh_bands(
         for r in range(1, rows):
             acc = (acc * F.lit(1000003) + lanes[bnd * rows + r]) % F.lit(MINHASH_PRIME)
         entries.append(F.struct(F.lit(bnd).alias("band_id"), acc.alias("band_sig")))
-    return (
-        df.filter(F.size(w) >= n)
-        .select(col(id_col), F.explode(F.array(*entries)).alias("bd"))
-        .select(id_col, col("bd.band_id"), col("bd.band_sig"))
+    banded = hashed.select(col(id_col), F.array(*entries).alias("__bands"))
+    return banded.select(col(id_col), F.explode("__bands").alias("bd")).select(
+        id_col, col("bd.band_id"), col("bd.band_sig")
     )
 
 

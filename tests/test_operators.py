@@ -1327,3 +1327,34 @@ def test_lsh_candidate_pairs_matches_selfjoin_reference(spark):
     dup_pairs = {(x, y) for x in range(8) for y in range(8) if x < y}
     assert dup_pairs <= got
     assert all(p[0] < p[1] for p in got)
+
+
+def test_lsh_chunked_buckets_match_unchunked(spark):
+    """Round-11 (VERDICT item 4): the bounded-buffer chunked bucket path
+    (chunk_cap forces every mega-bucket to split into id-sorted chunks,
+    exercising both within-chunk and cross-chunk pair generation) must
+    produce the identical candidate SET as the single-array plan, and the
+    chunked plan must actually contain the splitting window."""
+    from mindsdb_spark.operators.dedup import lsh_candidate_pairs, shingle_hashes
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, base) for i in range(40)]  # mega dup class: 40-doc buckets
+    rows += [(100, "spark shuffles sort merge join partitions memory spill"),
+             (101, "spark shuffles sort merge join partitions memory spilled"),
+             (200, "an entirely unrelated document about png scanline filters")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingle_hashes(docs)
+
+    ref = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sh, chunk_cap=0).collect()}
+    chunked_df = lsh_candidate_pairs(sh, chunk_cap=7)  # 40-id buckets -> 6 chunks
+    plan = chunked_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" in plan, "chunk path did not fire"
+    got = {(r.doc_a, r.doc_b) for r in chunked_df.collect()}
+    assert got == ref
+    dup_pairs = {(x, y) for x in range(40) for y in range(40) if x < y}
+    assert dup_pairs <= got
+    assert all(p[0] < p[1] for p in got)
+    # cap boundary: chunk == bucket size (single chunk, cross join empty)
+    got_eq = {(r.doc_a, r.doc_b)
+              for r in lsh_candidate_pairs(sh, chunk_cap=64).collect()}
+    assert got_eq == ref
