@@ -321,6 +321,7 @@ def jaccard_topk_pairs(
     k: int = 20,
     max_df: int = 1000,
     prune_threshold: int = 1_500_000,
+    hot_predrop: bool = False,
 ) -> DataFrame:
     """Top-k most-similar document pairs by exact shingle Jaccard.
 
@@ -388,8 +389,42 @@ def jaccard_topk_pairs(
     # here; it is dropped by unpersist()/ContextCleaner when the caller
     # drops the plan. Probe-only intermediates (the A2 bucket index) ARE
     # released before return (round-10 verdict item 7).
+    # Catalyst's driver-side size estimate of the shingle input (no job) —
+    # gates the hot-shingle pre-drop just below AND the probe job further
+    # down. ~linear in corpus size here.
+    est = None
+    try:
+        est = int(str(sh._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        est = None
+    # Hot-shingle pre-drop (round-11, ADVICE item — OPT-IN memory safety,
+    # default off): the grouped build materializes each shingle's full id
+    # array in ONE aggregation buffer BEFORE the max_df filter discards it,
+    # so a stopword shingle over an f-doc corpus holds O(f) longs in a
+    # single unspillable buffer (observed in vivo: 268 MB GCLocker-stalled
+    # allocations on the saturated 5M-doc fixture — survivable there, an
+    # OOM risk at 10^9 docs). ``hot_predrop=True`` finds the <=max_df
+    # shingles with a count pass first (8-byte buffers) and leftsemi-cuts
+    # the index rows, bounding every collect_list buffer at max_df ids
+    # (~8 KB); the semi-join partitions by `sh`, so the groupBy reuses its
+    # exchange. Exact: identical kept set (the size filter below stays as
+    # a no-op guard; parity test forces this path). MEASURED COSTS — why
+    # it is not the default: the extra pass is ~1.15x on a fully-saturated
+    # corpus (55->64 s, sf100-docs) since `sh` is recomputed, and a
+    # window-count formulation (single pass, spillable buffering) measured
+    # worse still on normal corpora (6.4->8.5 s at sf10-docs — the
+    # per-partition sort). Callers running stopword-heavy corpora at
+    # billion-doc scale trade that ~15% for not dying.
+    src = sh
+    if hot_predrop:
+        ok_sh = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(col("__df") <= max_df)
+        )
+        src = sh.join(ok_sh.select("sh"), "sh", "leftsemi")
     grouped = (
-        sh.groupBy("sh")
+        src.groupBy("sh")
         .agg(F.collect_list(id_col).alias("ids"))
         .where(F.size("ids") <= max_df)
         .select("sh", F.array_sort("ids").alias("ids"))
@@ -397,8 +432,7 @@ def jaccard_topk_pairs(
     )
     # small-input gate (guide §1.2: don't pay a driver job where it buys
     # nothing): the probe exists to (a) prove ids packable and (b) read
-    # `total` for the prune gate. Catalyst's driver-side size estimate of
-    # the shingle input (no job) is ~linear in corpus size here; far below
+    # `total` for the prune gate. Far below
     # the prune threshold both answers are worthless — the pair aggregate
     # is tiny either way — so the probe job is skipped and the proven
     # struct-key unpruned plan runs. An unavailable or OVERestimated stat
@@ -407,11 +441,6 @@ def jaccard_topk_pairs(
     # perf-only miss, never a correctness one (the unpruned struct-key
     # plan is exact at any size). An explicitly lowered prune_threshold
     # (how the branch tests force pruning) disables the gate entirely.
-    est = None
-    try:
-        est = int(str(sh._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
-    except Exception:
-        est = None
     if est is not None and est < _PROBE_STATS_GATE and prune_threshold > _PROBE_STATS_GATE:
         probe = None
     else:

@@ -366,6 +366,26 @@ def test_jaccard_size_prune_branch(spark):
     assert [tuple(r) for r in got_b.collect()] == want_b
 
 
+def test_jaccard_hot_shingle_predrop_matches_default(spark):
+    """Round-11 (ADVICE item): the opt-in hot-shingle pre-drop (count pass
+    + leftsemi before collect_list, bounding every aggregation buffer at
+    max_df ids) must be output-identical to the default plan, including on
+    a corpus with a corpus-wide hot shingle — the exact adversarial memory
+    case the option exists for."""
+    from mindsdb_spark.operators.dedup import jaccard_topk_pairs, shingle_hashes
+
+    rows = [(i, f"common phrase here u{i}a u{i}b u{i}c") for i in range(300)]
+    rows += [(300, "alpha beta gamma delta epsilon"),
+             (301, "alpha beta gamma delta epsilon")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingle_hashes(docs)
+    want = [tuple(r) for r in jaccard_topk_pairs(sh, k=50, max_df=100).collect()]
+    got_df = jaccard_topk_pairs(sh, k=50, max_df=100, hot_predrop=True)
+    plan = got_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan, "pre-drop path did not fire"
+    assert [tuple(r) for r in got_df.collect()] == want
+
+
 def test_jaccard_prefix_path_matches_unpruned(spark, monkeypatch):
     # round-10: a dup-class-certified bound (ndup >= k -> q = 1e6 >=
     # _PREFIX_MIN_Q) routes pair generation through the PPJoin prefix
